@@ -134,13 +134,27 @@ object Keccak {
     sb.toString
   }
 
+  private def isHex(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (Character.digit(s.charAt(i), 16) < 0) return false
+      i += 1
+    }
+    true
+  }
+
   /** EIP-55 mixed-case checksum of a hex address.
     * Accepts with or without 0x prefix, any case; returns 0x-prefixed
     * checksummed form. Mirrors ethers-rs `to_checksum(addr, None)`
     * (reference output rendering, etl_result.rs:166-171).
+    * Returns null for malformed input (not exactly 40 hex chars after
+    * stripping the prefix) — an address column can contain junk rows
+    * and must not kill the task.
     */
   def toChecksumAddress(address: String): String = {
+    if (address == null) return null
     val raw0 = if (address.startsWith("0x") || address.startsWith("0X")) address.substring(2) else address
+    if (raw0.length != 40 || !isHex(raw0)) return null
     val raw = raw0.toLowerCase
     val hashHex = hash256Hex(raw.getBytes("US-ASCII"))
     val sb = new java.lang.StringBuilder(42)

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs (one JVM-wide session —
+  * creating/stopping per-suite costs ~5s each).
+  */
+object SparkTestBase {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestBase.spark
+}
