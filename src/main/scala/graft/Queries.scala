@@ -1,0 +1,499 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operator catalog: every SURVEY §2 operator expressed as a
+  * generic-table query over the driver's TPC-H-ish parquet, paired
+  * with a DuckDB oracle (see [[SparkEntry]]).
+  *
+  * Determinism rules used throughout (so hash-compare is exact):
+  *   - doubles never summed directly — quantized with floor(x*k) into
+  *     BIGINT first (IEEE-identical in both engines)
+  *   - set/list aggregates always sorted (array_sort / list_sort)
+  *   - timestamps reduced to whole epoch seconds before arithmetic
+  *     (parquet ns vs µs precision differs between engines)
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects;
+    * read it as raw nanos and derive whole epoch seconds with integer
+    * division (a double `/` would lose precision above 2^53 ns).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("sec", expr("CAST(ts DIV 1000000000 AS BIGINT)"))
+  }
+
+  private def qty(c: Column): Column = floor(c).cast("long")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------
+  // G1: sessionization (gap > 1800 s starts a new session)
+  // ---------------------------------------------------------------
+  private val g1Sessionize: Q = (s, dir) => {
+    val ev = events(s, dir).select("event_id", "user_id", "sec")
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    ev.withColumn("prev", lag("sec", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"),
+        max("event_id").as("last_event"))
+  }
+  private val g1Oracle =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+      |), flags AS (
+      |  SELECT *,
+      |    CASE WHEN lag(sec) OVER w IS NULL
+      |           OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+      |), sess AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flags
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       min(event_id) AS first_event, max(event_id) AS last_event
+      |FROM sess GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // A1: call_tree — count per (tx, to, from)
+  // ---------------------------------------------------------------
+  private val a1CallTree: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey", "l_suppkey", "l_partkey")
+      .agg(count(lit(1)).as("cnt"))
+  private val a1Oracle =
+    "SELECT l_orderkey, l_suppkey, l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1,2,3"
+
+  // A2: gas_tree — summed gas per edge
+  private val a2GasTree: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(qty(col("l_quantity"))).as("sum_qty"))
+  private val a2Oracle =
+    "SELECT l_suppkey, l_partkey, sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty FROM lineitem GROUP BY 1,2"
+
+  // A3: signature_tree — selector set per callee
+  private val a3SignatureTree: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(array_sort(collect_set(col("l_returnflag"))).as("sigs"))
+  private val a3Oracle =
+    "SELECT l_orderkey, l_suppkey, list_sort(list(DISTINCT l_returnflag)) AS sigs FROM lineitem GROUP BY 1,2"
+
+  // A4: pairing input-size multiset per caller (list, not set)
+  private val a4PairingSizes: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(qty(col("l_quantity")))).as("sizes"))
+  private val a4Oracle =
+    """SELECT l_orderkey, list_sort(list(CAST(floor(l_quantity) AS BIGINT))) AS sizes
+      |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1""".stripMargin
+
+  // A5: recovered-address set (filtered collect_set)
+  private val a5RecoverSet: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") < 10)
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_linestatus"))).as("statuses"))
+  private val a5Oracle =
+    """SELECT l_orderkey, list_sort(list(DISTINCT l_linestatus)) AS statuses
+      |FROM lineitem WHERE l_quantity < 10 GROUP BY 1""".stripMargin
+
+  // A6: first_trace — root row per group via min_by
+  private val a6FirstTrace: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(min_by(col("l_partkey"),
+          col("l_linenumber") * 1000000L + col("l_partkey")).as("first_part"),
+        min(col("l_linenumber")).as("root_line"))
+  private val a6Oracle =
+    """SELECT l_orderkey, min_by(l_partkey, l_linenumber * 1000000 + l_partkey) AS first_part,
+      |       min(l_linenumber) AS root_line FROM lineitem GROUP BY 1""".stripMargin
+
+  // A7: per-tx conditional precompile counts
+  private val a7PrecompileCounts: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_r"),
+        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("n_n"))
+  private val a7Oracle =
+    """SELECT l_orderkey,
+      |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_r,
+      |  sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n_a,
+      |  sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_n
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  // A8: two-level flatten of per-caller lists to tx level
+  private val a8FlattenSizes: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(collect_list(qty(col("l_quantity"))).as("per_supp"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(flatten(collect_list(col("per_supp")))).as("all_sizes"))
+  private val a8Oracle =
+    """SELECT l_orderkey, list_sort(list(CAST(floor(l_quantity) AS BIGINT))) AS all_sizes
+      |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1""".stripMargin
+
+  // A9: degree-scoped gas — join degree set with per-caller out-gas
+  private val a9DegreeGas: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val deg = li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey").distinct()
+    val outg = li.groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(qty(col("l_quantity"))).as("g"))
+    deg.join(outg, Seq("l_orderkey", "l_suppkey"))
+      .groupBy("l_orderkey")
+      .agg(sum("g").as("deg_gas"))
+  }
+  private val a9Oracle =
+    """WITH deg AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+      |outg AS (SELECT l_orderkey, l_suppkey, sum(CAST(floor(l_quantity) AS BIGINT)) AS g
+      |         FROM lineitem GROUP BY 1, 2)
+      |SELECT d.l_orderkey AS l_orderkey, sum(g) AS deg_gas
+      |FROM deg d JOIN outg o ON d.l_orderkey = o.l_orderkey AND d.l_suppkey = o.l_suppkey
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // J1: commit filter (left-semi join)
+  // ---------------------------------------------------------------
+  private val j1CommitFilter: Q = (s, dir) => {
+    val zk = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o_orderkey")).distinct()
+    t(s, dir, "orders").join(zk, Seq("o_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus")
+  }
+  private val j1Oracle =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')""".stripMargin
+
+  // J2: first-degree callers + what they called
+  private val j2FirstDegree: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("R", "A"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(array_sort(collect_set(col("l_returnflag"))).as("call"))
+  private val j2Oracle =
+    """SELECT l_orderkey, l_suppkey, list_sort(list(DISTINCT l_returnflag)) AS call
+      |FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1, 2""".stripMargin
+
+  // J3: second-degree (2-hop self-join) + EOA anti-filter
+  private def edgesDf(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey").as("ok"),
+      (col("l_partkey") % 100).as("src"),
+      col("l_suppkey").as("dst"),
+      col("l_returnflag").as("fl"))
+  private val j3SecondDegree: Q = (s, dir) => {
+    val e = edgesDf(s, dir)
+    val first = e.filter(col("fl") === "R").select("ok", "src").distinct()
+    val second = e.as("e")
+      .join(first.as("f"), col("e.ok") === col("f.ok") && col("e.dst") === col("f.src"))
+      .select(col("e.ok").as("ok"), col("e.src").as("src")).distinct()
+    val eoa = e.groupBy("ok").agg(min("src").as("eoa"))
+    second.join(eoa, Seq("ok")).filter(col("src") =!= col("eoa")).select("ok", "src")
+  }
+  private val j3Sql =
+    """WITH e AS (SELECT l_orderkey AS ok, l_partkey % 100 AS src, l_suppkey AS dst,
+      |                  l_returnflag AS fl FROM lineitem),
+      |frst AS (SELECT DISTINCT ok, src FROM e WHERE fl = 'R'),
+      |scnd AS (SELECT DISTINCT e.ok AS ok, e.src AS src
+      |         FROM e JOIN frst f ON e.ok = f.ok AND e.dst = f.src),
+      |eoa AS (SELECT ok, min(src) AS eoa FROM e GROUP BY 1)
+      |SELECT s.ok AS ok, s.src AS src FROM scnd s JOIN eoa x ON s.ok = x.ok
+      |WHERE s.src <> x.eoa""".stripMargin
+
+  // J4: degree-tagged union (double membership allowed)
+  private val j4DegreeUnion: Q = (s, dir) => {
+    val e = edgesDf(s, dir)
+    val first = e.filter(col("fl") === "R").select("ok", "src").distinct()
+      .withColumn("degree", lit(0))
+    val second = e.as("e")
+      .join(first.select("ok", "src").as("f"),
+        col("e.ok") === col("f.ok") && col("e.dst") === col("f.src"))
+      .select(col("e.ok").as("ok"), col("e.src").as("src")).distinct()
+      .withColumn("degree", lit(1))
+    first.unionByName(second)
+  }
+  private val j4Oracle =
+    """WITH e AS (SELECT l_orderkey AS ok, l_partkey % 100 AS src, l_suppkey AS dst,
+      |                  l_returnflag AS fl FROM lineitem),
+      |frst AS (SELECT DISTINCT ok, src FROM e WHERE fl = 'R'),
+      |scnd AS (SELECT DISTINCT e.ok AS ok, e.src AS src
+      |         FROM e JOIN frst f ON e.ok = f.ok AND e.dst = f.src)
+      |SELECT ok, src, 0 AS degree FROM frst
+      |UNION ALL SELECT ok, src, 1 AS degree FROM scnd""".stripMargin
+
+  // J5: enrichment left-joins with coalesced defaults
+  private val j5Enrichment: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val contracts = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("addr")).distinct()
+    val sigs = li.groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("addr"))
+      .agg(array_sort(collect_set(col("l_linestatus"))).as("sigs"))
+    val cnts = li.filter(col("l_returnflag") === "N")
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("addr"))
+      .agg(count(lit(1)).as("cnt"))
+    contracts.join(sigs, Seq("ok", "addr"), "left")
+      .join(cnts, Seq("ok", "addr"), "left")
+      .select(col("ok"), col("addr"),
+        coalesce(col("sigs"), array().cast("array<string>")).as("sigs"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+  private val j5Oracle =
+    """WITH c AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS addr
+      |           FROM lineitem WHERE l_returnflag = 'R'),
+      |sigs AS (SELECT l_orderkey AS ok, l_suppkey AS addr,
+      |                list_sort(list(DISTINCT l_linestatus)) AS sigs
+      |         FROM lineitem GROUP BY 1, 2),
+      |cnts AS (SELECT l_orderkey AS ok, l_suppkey AS addr, count(*) AS cnt
+      |         FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1, 2)
+      |SELECT c.ok AS ok, c.addr AS addr,
+      |       coalesce(s.sigs, CAST([] AS VARCHAR[])) AS sigs,
+      |       coalesce(n.cnt, 0) AS cnt
+      |FROM c LEFT JOIN sigs s ON c.ok = s.ok AND c.addr = s.addr
+      |       LEFT JOIN cnts n ON c.ok = n.ok AND c.addr = n.addr""".stripMargin
+
+  // J6: closest-address fallback (second if non-empty else first)
+  private val j6Closest: Q = (s, dir) => {
+    val e = edgesDf(s, dir)
+    val first = e.filter(col("fl") === "R").groupBy("ok")
+      .agg(array_sort(collect_set(col("src"))).as("first_arr"))
+    val secondRows = e.as("e")
+      .join(e.filter(col("fl") === "R").select("ok", "src").distinct().as("f"),
+        col("e.ok") === col("f.ok") && col("e.dst") === col("f.src"))
+      .select(col("e.ok").as("ok"), col("e.src").as("src"))
+    val second = secondRows.groupBy("ok")
+      .agg(array_sort(collect_set(col("src"))).as("second_arr"))
+    first.join(second, Seq("ok"), "left")
+      .select(col("ok"),
+        when(size(coalesce(col("second_arr"), array())) > 0, col("second_arr"))
+          .otherwise(col("first_arr")).as("closest"))
+  }
+  private val j6Oracle =
+    """WITH e AS (SELECT l_orderkey AS ok, l_partkey % 100 AS src, l_suppkey AS dst,
+      |                  l_returnflag AS fl FROM lineitem),
+      |frst AS (SELECT ok, list_sort(list(DISTINCT src)) AS first_arr
+      |         FROM e WHERE fl = 'R' GROUP BY 1),
+      |fset AS (SELECT DISTINCT ok, src FROM e WHERE fl = 'R'),
+      |scnd AS (SELECT e.ok AS ok, list_sort(list(DISTINCT e.src)) AS second_arr
+      |         FROM e JOIN fset f ON e.ok = f.ok AND e.dst = f.src GROUP BY 1)
+      |SELECT f.ok AS ok,
+      |       CASE WHEN len(coalesce(s.second_arr, CAST([] AS BIGINT[]))) > 0
+      |            THEN s.second_arr ELSE f.first_arr END AS closest
+      |FROM frst f LEFT JOIN scnd s ON f.ok = s.ok""".stripMargin
+
+  // ---------------------------------------------------------------
+  // D1/D2: keep-last / keep-first dedup via window row_number
+  // ---------------------------------------------------------------
+  private def dedup(s: SparkSession, dir: String, desc_ : Boolean): DataFrame = {
+    val ev = events(s, dir)
+      .select("event_id", "user_id", "event_type", "sec")
+    val ord = if (desc_) Seq(col("sec").desc, col("event_id").desc)
+    else Seq(col("sec").asc, col("event_id").asc)
+    val w = Window.partitionBy("user_id", "event_type").orderBy(ord: _*)
+    ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("event_id", "user_id", "event_type", "sec")
+  }
+  private val d1KeepLast: Q = (s, dir) => dedup(s, dir, desc_ = true)
+  private val d1Oracle =
+    """SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC) = 1""".stripMargin
+  private val d2KeepFirst: Q = (s, dir) => dedup(s, dir, desc_ = false)
+  private val d2Oracle =
+    """SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC) = 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // P-ops: scalar projections
+  // ---------------------------------------------------------------
+  private val p1JsonDecode: Q = (s, dir) =>
+    events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+  private val p1Oracle =
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events"
+
+  private val p2U256Cast: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey").cast("decimal(38,0)") *
+          lit("1000000000000000000").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("wei"))
+  private val p2Oracle =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_orderkey AS DECIMAL(38,0)) * CAST('1000000000000000000' AS DECIMAL(19,0))
+      |       AS DECIMAL(38,0)) AS wei
+      |FROM lineitem""".stripMargin
+
+  private val p6Selector: Q = (s, dir) =>
+    t(s, dir, "part").select(col("p_partkey"),
+      when(length(col("p_name")) > 4, substring(col("p_name"), 1, 4))
+        .otherwise("0000").as("sel"))
+  private val p6Oracle =
+    """SELECT p_partkey, CASE WHEN length(p_name) > 4 THEN substr(p_name, 1, 4)
+      |ELSE '0000' END AS sel FROM part""".stripMargin
+
+  private val p7SelectorMasked: Q = (s, dir) =>
+    t(s, dir, "part").select(col("p_partkey"),
+      when(col("p_brand").isin("Brand#11", "Brand#22"), "0000")
+        .when(length(col("p_name")) > 4, substring(col("p_name"), 1, 4))
+        .otherwise("0000").as("sel"))
+  private val p7Oracle =
+    """SELECT p_partkey, CASE WHEN p_brand IN ('Brand#11', 'Brand#22') THEN '0000'
+      |WHEN length(p_name) > 4 THEN substr(p_name, 1, 4) ELSE '0000' END AS sel
+      |FROM part""".stripMargin
+
+  private val p8Recover: Q = (s, dir) =>
+    t(s, dir, "part").select(col("p_partkey"),
+      when(length(col("p_name")) < 12, "zero")
+        .otherwise(substring(col("p_name"), 5, 8)).as("addr"))
+  private val p8Oracle =
+    """SELECT p_partkey, CASE WHEN length(p_name) < 12 THEN 'zero'
+      |ELSE substr(p_name, 5, 8) END AS addr FROM part""".stripMargin
+
+  private val p10Predicate: Q = (s, dir) =>
+    t(s, dir, "part").filter(col("p_brand").isin("Brand#11", "Brand#33"))
+      .select("p_partkey", "p_brand")
+  private val p10Oracle =
+    "SELECT p_partkey, p_brand FROM part WHERE p_brand IN ('Brand#11', 'Brand#33')"
+
+  // F2: positional fan-out, 1-based index quirk
+  private val f2Fanout: Q = (s, dir) =>
+    t(s, dir, "part")
+      .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+      .select(col("p_partkey"), (col("pos") + 1).as("idx"), col("col").as("word"))
+  private val f2Oracle =
+    """SELECT p_partkey, i AS idx, ws[i] AS word
+      |FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part),
+      |     LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t""".stripMargin
+
+  // O1/O2: latest-per-group gauges
+  private val o1Latest: Q = (s, dir) =>
+    t(s, dir, "lineitem").groupBy(col("l_returnflag").as("chain"))
+      .agg(max("l_orderkey").as("latest"))
+  private val o1Oracle =
+    "SELECT l_returnflag AS chain, max(l_orderkey) AS latest FROM lineitem GROUP BY 1"
+
+  private val o2LatestTx: Q = (s, dir) =>
+    t(s, dir, "orders").as("o")
+      .join(t(s, dir, "lineitem").as("l"), col("o.o_orderkey") === col("l.l_orderkey"))
+      .groupBy(col("o.o_orderstatus").as("chain"))
+      .agg(max(col("l.l_orderkey")).as("latest"))
+  private val o2Oracle =
+    """SELECT o_orderstatus AS chain, max(l_orderkey) AS latest
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // P9 + custom expressions + full pipeline: rows-only (no SQL oracle;
+  // semantics covered by ScalaTest golden/differential specs)
+  // ---------------------------------------------------------------
+  private val p9Checksum: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "supplier").select(col("s_suppkey"),
+      graft.functions.GraftFunctions.checksum_address(
+        format_string("0x%040x", col("s_suppkey") * 7919)).as("checksummed"))
+  }
+
+  private val keccakHex: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "supplier").select(col("s_suppkey"),
+      graft.functions.GraftFunctions.keccak256_hex(col("s_name")).as("digest"))
+  }
+
+  private val etlTransactions: Q = (s, dir) => {
+    val traces = graft.sources.SyntheticTraces.fromTpch(s, dir)
+    val (txs, _) = graft.operators.TraceEtl.transform(traces)
+    txs.toDF()
+  }
+
+  private val etlContracts: Q = (s, dir) => {
+    val traces = graft.sources.SyntheticTraces.fromTpch(s, dir)
+    val (_, cs) = graft.operators.TraceEtl.transform(traces)
+    cs.toDF()
+  }
+
+  // ---------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q_g1_sessionize" -> g1Sessionize,
+    "q_a1_call_tree" -> a1CallTree,
+    "q_a2_gas_tree" -> a2GasTree,
+    "q_a3_signature_tree" -> a3SignatureTree,
+    "q_a4_pairing_sizes" -> a4PairingSizes,
+    "q_a5_recover_set" -> a5RecoverSet,
+    "q_a6_first_trace" -> a6FirstTrace,
+    "q_a7_precompile_counts" -> a7PrecompileCounts,
+    "q_a8_flatten_sizes" -> a8FlattenSizes,
+    "q_a9_degree_gas" -> a9DegreeGas,
+    "q_j1_commit_filter" -> j1CommitFilter,
+    "q_j2_first_degree" -> j2FirstDegree,
+    "q_j3_second_degree" -> j3SecondDegree,
+    "q_j4_degree_union" -> j4DegreeUnion,
+    "q_j5_enrichment" -> j5Enrichment,
+    "q_j6_closest" -> j6Closest,
+    "q_d1_dedup_keep_last" -> d1KeepLast,
+    "q_d2_dedup_keep_first" -> d2KeepFirst,
+    "q_p1_json_decode" -> p1JsonDecode,
+    "q_p2_u256_cast" -> p2U256Cast,
+    "q_p6_selector" -> p6Selector,
+    "q_p7_selector_masked" -> p7SelectorMasked,
+    "q_p8_recover" -> p8Recover,
+    "q_p10_precompile_pred" -> p10Predicate,
+    "q_f2_fanout" -> f2Fanout,
+    "q_o1_latest_block" -> o1Latest,
+    "q_o2_latest_tx_block" -> o2LatestTx,
+    "q_p9_checksum" -> p9Checksum,
+    "q_keccak256" -> keccakHex,
+    "q_etl_transactions" -> etlTransactions,
+    "q_etl_contracts" -> etlContracts,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_g1_sessionize" -> g1Oracle,
+    "q_a1_call_tree" -> a1Oracle,
+    "q_a2_gas_tree" -> a2Oracle,
+    "q_a3_signature_tree" -> a3Oracle,
+    "q_a4_pairing_sizes" -> a4Oracle,
+    "q_a5_recover_set" -> a5Oracle,
+    "q_a6_first_trace" -> a6Oracle,
+    "q_a7_precompile_counts" -> a7Oracle,
+    "q_a8_flatten_sizes" -> a8Oracle,
+    "q_a9_degree_gas" -> a9Oracle,
+    "q_j1_commit_filter" -> j1Oracle,
+    "q_j2_first_degree" -> j2Oracle,
+    "q_j3_second_degree" -> j3Sql,
+    "q_j4_degree_union" -> j4Oracle,
+    "q_j5_enrichment" -> j5Oracle,
+    "q_j6_closest" -> j6Oracle,
+    "q_d1_dedup_keep_last" -> d1Oracle,
+    "q_d2_dedup_keep_first" -> d2Oracle,
+    "q_p1_json_decode" -> p1Oracle,
+    "q_p2_u256_cast" -> p2Oracle,
+    "q_p6_selector" -> p6Oracle,
+    "q_p7_selector_masked" -> p7Oracle,
+    "q_p8_recover" -> p8Oracle,
+    "q_p10_precompile_pred" -> p10Oracle,
+    "q_f2_fanout" -> f2Oracle,
+    "q_o1_latest_block" -> o1Oracle,
+    "q_o2_latest_tx_block" -> o2Oracle,
+  )
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch/micro-batch trace pipeline: normalized traces in, committed
+  * transactions + contracts out. The same function is used by the
+  * batch entry point and `foreachBatch` streaming (SURVEY §7.1
+  * "batch-first" decision).
+  */
+object TraceEtl {
+
+  /** P3-flavored normalization of a raw decoded trace DataFrame
+    * (schema [[Schemas.trace]] + `chain_id`): lowercase addresses,
+    * root flag, call-type filter. `trace_type` null is kept (Kafka
+    * wire rows may omit it); explicit non-call rows (create/suicide/
+    * reward) are dropped like the reference's normalizer
+    * (reference: types/trace.rs:113-164 keeps only Action::Call).
+    */
+  def normalize(raw: DataFrame): Dataset[TraceRow] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw
+      .filter(col("trace_type").isNull || col("trace_type") === "call")
+      .select(
+        col("chain_id").cast("long").as("chain_id"),
+        col("transaction_hash").cast("string").as("transaction_hash"),
+        col("transaction_index").cast("int").as("transaction_index"),
+        lower(col("from_address")).as("from_address"),
+        lower(col("to_address")).as("to_address"),
+        col("value").cast("string").as("value"),
+        lower(col("input")).as("input"),
+        lower(col("output")).as("output"),
+        col("gas_used").cast("long").as("gas_used"),
+        (col("trace_address").isNull || size(col("trace_address")) === 0).as("is_root"),
+        col("block_number").cast("long").as("block_number"),
+        col("block_timestamp").cast("long").as("block_timestamp"),
+        col("block_hash").cast("string").as("block_hash"),
+        col("error").cast("string").as("error"),
+      )
+      .as[TraceRow]
+  }
+
+  /** J1 pushed below the aggregation: transactions that never touch
+    * ecRecover/ecPairing (99%+ of traffic at mainnet scale) die at the
+    * scan via a semi-join against the tiny set of qualifying tx keys.
+    * The qualifying-key set is broadcast, so the only wide exchange in
+    * the whole pipeline is the per-tx aggregation of the survivors.
+    * (Correct because `commit` emits nothing for such txs anyway —
+    * reference: trace_tree.rs:67-70.)
+    */
+  def pruneNonZk(traces: Dataset[TraceRow]): Dataset[TraceRow] = {
+    val zkTx = traces
+      .filter(col("to_address").isin(Addresses.FirstDegreeFilter: _*))
+      .select("chain_id", "transaction_hash")
+      .distinct()
+    traces.join(broadcast(zkTx), Seq("chain_id", "transaction_hash"), "left_semi")
+      .as[TraceRow](traces.encoder)
+  }
+
+  /** The fused per-tx commit: one shuffle on (chain_id, tx_hash),
+    * map-side partial aggregation, graph traversal inside `finish`.
+    */
+  def commitTraces(traces: Dataset[TraceRow], prefilter: Boolean = true): Dataset[TxCommit] = {
+    val spark = traces.sparkSession
+    import spark.implicits._
+    val in = traces.filter(col("transaction_hash").isNotNull).as[TraceRow]
+    val pruned = if (prefilter) pruneNonZk(in) else in
+    pruned
+      .groupByKey(t => (t.chain_id, t.transaction_hash))
+      .agg(new TraceTreeAggregator().toColumn.name("commit"))
+      .map(_._2)
+  }
+
+  /** Split a committed stream into the (transactions, contracts)
+    * output tables. Caller should persist `commits` first if both
+    * sides are consumed in the same job.
+    */
+  def split(commits: Dataset[TxCommit]): (Dataset[TransactionOut], Dataset[ContractOut]) = {
+    val spark = commits.sparkSession
+    import spark.implicits._
+    (commits.flatMap(_.transaction), commits.flatMap(_.contracts))
+  }
+
+  /** End-to-end batch transform used by entry/bench/foreachBatch. */
+  def transform(raw: DataFrame): (Dataset[TransactionOut], Dataset[ContractOut]) = {
+    val commits = commitTraces(normalize(raw))
+    split(commits)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic trace corpus derived from the TPC-H-ish test tables —
+  * a lineitem-scale EVM workload for the flagship entry and the bench,
+  * exercising every quirk path of the commit pipeline (precompile
+  * calls, 4-byte-exact calldata, short ecRecover outputs, degree-2
+  * chains).
+  *
+  * Shape per order: one root trace (EOA → contract A), and per
+  * lineitem one call that is either A → B (supplier contract) or
+  * B → precompile, so qualifying transactions have first-degree {B}
+  * and second-degree {A} callers. ~10% of calls touch a precompile,
+  * matching the reference's "rare ZK traffic" selectivity profile.
+  */
+object SyntheticTraces {
+
+  private def addr(n: org.apache.spark.sql.Column) = format_string("0x%040x", n)
+
+  def fromTpch(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+    val rec = lit("0x0000000000000000000000000000000000000001")
+    val add = lit("0x0000000000000000000000000000000000000006")
+    val mul = lit("0x0000000000000000000000000000000000000007")
+    val pair = lit("0x0000000000000000000000000000000000000008")
+
+    val roots = orders.select(
+      (lit(1) + col("o_orderkey") % 3).cast("long").as("chain_id"),
+      format_string("0x%064x", col("o_orderkey")).as("transaction_hash"),
+      (col("o_orderkey") % 1000).cast("int").as("transaction_index"),
+      addr(col("o_custkey") + 1000000).as("from_address"),
+      addr(col("o_orderkey") % 500 + 1000).as("to_address"),
+      (col("o_totalprice") * 100).cast("decimal(38,0)").cast("string").as("value"),
+      // 8-byte calldata -> selector is its first 4 bytes
+      format_string("0x%016x", col("o_orderkey") * 7 + 3).as("input"),
+      lit(null).cast("string").as("output"),
+      lit("call").as("trace_type"),
+      lit("call").as("call_type"),
+      lit(null).cast("string").as("reward_type"),
+      (col("o_totalprice").cast("long") + 21000).as("gas"),
+      col("o_totalprice").cast("long").as("gas_used"),
+      lit(0).as("subtraces"),
+      array().cast("array<int>").as("trace_address"),
+      when(col("o_orderstatus") === "F", lit(null).cast("string"))
+        .otherwise(when(col("o_orderkey") % 97 === 0, lit("Reverted"))).as("error"),
+      floor(col("o_orderkey") / 100).cast("long").as("block_number"),
+      (lit(1700000000L) + col("o_orderkey")).as("block_timestamp"),
+      format_string("0x%064x", floor(col("o_orderkey") / 100).cast("long")).as("block_hash"),
+    )
+
+    val contractA = addr(col("l_orderkey") % 500 + 1000)
+    val contractB = addr(col("l_suppkey") + 2000)
+    val toPrecompile = col("l_partkey") % 40
+    val isPre = toPrecompile < 4
+
+    val calls = lineitem.select(
+      (lit(1) + col("l_orderkey") % 3).cast("long").as("chain_id"),
+      format_string("0x%064x", col("l_orderkey")).as("transaction_hash"),
+      (col("l_orderkey") % 1000).cast("int").as("transaction_index"),
+      when(isPre, contractB).otherwise(contractA).as("from_address"),
+      when(toPrecompile === 0, rec)
+        .when(toPrecompile === 1, pair)
+        .when(toPrecompile === 2, add)
+        .when(toPrecompile === 3, mul)
+        .otherwise(contractB).as("to_address"),
+      lit("0").as("value"),
+      // every 5th call has 4-byte-exact calldata (strict > 4 quirk path)
+      when(col("l_linenumber") % 5 === 0, lit("0x61626364"))
+        .otherwise(format_string("0x%024x",
+          (col("l_extendedprice") * 100).cast("long"))).as("input"),
+      // recover outputs: mostly a 32-byte word, sometimes invalid-short
+      when(toPrecompile === 0,
+        when(col("l_partkey") % 400 === 0, lit("0xab"))
+          .otherwise(format_string("0x%064x", col("l_suppkey") + 5000)))
+        .otherwise(lit(null).cast("string")).as("output"),
+      lit("call").as("trace_type"),
+      lit("call").as("call_type"),
+      lit(null).cast("string").as("reward_type"),
+      (col("l_quantity") * 120).cast("long").as("gas"),
+      (col("l_quantity") * 100).cast("long").as("gas_used"),
+      lit(0).as("subtraces"),
+      array(col("l_linenumber")).as("trace_address"),
+      lit(null).cast("string").as("error"),
+      floor(col("l_orderkey") / 100).cast("long").as("block_number"),
+      (lit(1700000000L) + col("l_orderkey")).as("block_timestamp"),
+      format_string("0x%064x", floor(col("l_orderkey") / 100).cast("long")).as("block_hash"),
+    )
+
+    roots.unionByName(calls)
+  }
+}
