@@ -403,6 +403,129 @@ object Queries {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // LLM-pipeline: dedup / text analysis / similarity search
+  // ---------------------------------------------------------------
+  private val llmExactDedup: Q = (s, dir) =>
+    graft.llm.DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+  private val llmExactDedupOracle =
+    "SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id FROM documents GROUP BY 1"
+
+  private val llmNormDedup: Q = (s, dir) =>
+    graft.llm.DedupOps.exactDedupNormalized(t(s, dir, "documents"), "doc_id", "text")
+  private val llmNormDedupOracle =
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
+      |count(*) AS n_dups, min(doc_id) AS keep_id FROM documents GROUP BY 1""".stripMargin
+
+  private val llmTokenStats: Q = (s, dir) =>
+    graft.llm.TextOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
+  private val llmTokenStatsOracle =
+    """SELECT doc_id, length(text) AS n_chars,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |  length(text) - length(replace(text, ' ', '')) AS n_spaces
+      |FROM documents""".stripMargin
+
+  private val llmQuality: Q = (s, dir) =>
+    graft.llm.TextOps.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+  private val llmQualityOracle =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the','a','and','of','to','in','is'))) AS n_stopwords,
+      |  CAST(floor(1000.0 * len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the','a','and','of','to','in','is')))
+      |      / len(string_split(text, ' '))) AS BIGINT) AS stop_ratio_x1000,
+      |  CAST(floor(100.0 * (length(text) - len(string_split(text, ' ')) + 1)
+      |      / len(string_split(text, ' '))) AS BIGINT) AS avg_tok_len_x100,
+      |  CAST(len(string_split(text, ' ')) BETWEEN 20 AND 200 AS INT) AS length_ok
+      |FROM documents""".stripMargin
+
+  private val llmLangId: Q = (s, dir) =>
+    graft.llm.TextOps.langId(t(s, dir, "documents"), "doc_id", "text")
+  private val llmLangIdOracle = {
+    def cnt(words: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val en = cnt(Seq("the", "a", "is", "and"))
+    val es = cnt(Seq("la", "el", "y", "de"))
+    val fr = cnt(Seq("le", "la", "et", "un"))
+    val de = cnt(Seq("der", "die", "und", "ein"))
+    val zh = cnt(Seq("de", "shi", "he", "zai"))
+    s"""SELECT doc_id, $en AS score_en, $es AS score_es, $fr AS score_fr,
+       |  $de AS score_de, $zh AS score_zh,
+       |  CASE WHEN $en >= greatest($es, $fr, $de, $zh) THEN 'en'
+       |       WHEN $es >= greatest($fr, $de, $zh) THEN 'es'
+       |       WHEN $fr >= greatest($de, $zh) THEN 'fr'
+       |       WHEN $de >= $zh THEN 'de'
+       |       ELSE 'zh' END AS predicted
+       |FROM documents""".stripMargin
+  }
+
+  private val llmJaccardPairs: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), graft.llm.DedupOps.tokenSet(col("text")).as("toks"))
+    val (num, den) = graft.llm.DedupOps.jaccardParts(col("a.toks"), col("b.toks"))
+    docs.as("a").join(docs.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), num.as("inter"), den.as("uni"))
+  }
+  private val llmJaccardOracle =
+    """WITH d AS (SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS toks
+      |           FROM documents)
+      |SELECT a.doc_id AS doc_id, len(list_intersect(a.toks, b.toks)) AS inter,
+      |       len(list_distinct(list_concat(a.toks, b.toks))) AS uni
+      |FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id""".stripMargin
+
+  private val annTopkDot: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.llm.SimilarityOps.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+  private val annTopkDotOracle =
+    """WITH qz AS (SELECT vec_id AS query_id,
+      |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE vec_id < 20),
+      |cz AS (SELECT vec_id AS neighbor_id,
+      |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+      |  FROM embeddings),
+      |scored AS (SELECT query_id, neighbor_id,
+      |  CAST(list_dot_product(qv, cv) AS BIGINT) AS score
+      |  FROM qz, cz WHERE query_id <> neighbor_id)
+      |SELECT query_id, neighbor_id, score,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 5""".stripMargin
+
+  // rows-only LLM entries (probabilistic / float / custom-hash — not
+  // DuckDB-expressible; covered by ScalaTest recall + unit specs)
+  private val llmMinhashPairs: Q = (s, dir) =>
+    graft.llm.DedupOps.nearDupPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
+  private val llmSimhashPairs: Q = (s, dir) =>
+    graft.llm.DedupOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
+      .select(col("id1"), col("id2"), col("hamming"))
+  private val llmFingerprints: Q = (s, dir) => {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash64(col("text")).as("simhash"),
+      graft.functions.LlmFunctions.fingerprint64(col("text")).as("fingerprint"))
+  }
+  private val annCosineTopk: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.llm.SimilarityOps.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5,
+        graft.llm.SimilarityOps.cosine)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+  private val annLshTopk: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.llm.SimilarityOps.lshTopK(
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+  private val mmFeatures: Q = (s, dir) =>
+    graft.llm.Multimodal.extractFeatures(
+      graft.llm.Multimodal.packFromDocuments(t(s, dir, "documents"))).toDF()
+
+  // ---------------------------------------------------------------
   // P9 + custom expressions + full pipeline: rows-only (no SQL oracle;
   // semantics covered by ScalaTest golden/differential specs)
   // ---------------------------------------------------------------
@@ -465,6 +588,19 @@ object Queries {
     "q_keccak256" -> keccakHex,
     "q_etl_transactions" -> etlTransactions,
     "q_etl_contracts" -> etlContracts,
+    "q_llm_exact_dedup" -> llmExactDedup,
+    "q_llm_norm_dedup" -> llmNormDedup,
+    "q_llm_token_stats" -> llmTokenStats,
+    "q_llm_quality" -> llmQuality,
+    "q_llm_langid" -> llmLangId,
+    "q_llm_jaccard_pairs" -> llmJaccardPairs,
+    "q_llm_minhash_pairs" -> llmMinhashPairs,
+    "q_llm_simhash_pairs" -> llmSimhashPairs,
+    "q_llm_fingerprints" -> llmFingerprints,
+    "q_ann_topk_dot" -> annTopkDot,
+    "q_ann_cosine_topk" -> annCosineTopk,
+    "q_ann_lsh_topk" -> annLshTopk,
+    "q_mm_features" -> mmFeatures,
   )
 
   val oracles: Map[String, String] = Map(
@@ -495,5 +631,12 @@ object Queries {
     "q_f2_fanout" -> f2Oracle,
     "q_o1_latest_block" -> o1Oracle,
     "q_o2_latest_tx_block" -> o2Oracle,
+    "q_llm_exact_dedup" -> llmExactDedupOracle,
+    "q_llm_norm_dedup" -> llmNormDedupOracle,
+    "q_llm_token_stats" -> llmTokenStatsOracle,
+    "q_llm_quality" -> llmQualityOracle,
+    "q_llm_langid" -> llmLangIdOracle,
+    "q_llm_jaccard_pairs" -> llmJaccardOracle,
+    "q_ann_topk_dot" -> annTopkDotOracle,
   )
 }

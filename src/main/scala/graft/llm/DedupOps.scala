@@ -1,0 +1,116 @@
+package graft.llm
+
+import graft.functions.LlmFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * Scale design: every variant is bucketed — candidate pairs are only
+  * generated WITHIN a hash bucket (exact-hash group, MinHash-LSH band,
+  * SimHash chunk), never via a corpus-wide cross-join. At 100 TB the
+  * band-explode is a linear map, the bucket join shuffles on band key
+  * with per-bucket fan-in bounded by collision rate, and the pair
+  * verification runs on the (tiny) candidate set only.
+  */
+object DedupOps {
+
+  /** Exact dedup via content hash: one row per distinct text with the
+    * canonical (minimum) id and the duplicate count. Single
+    * hash-aggregate shuffle.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+
+  /** Whitespace/case-normalized text for normalize-then-hash dedup. */
+  def normalizeText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  def exactDedupNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(normalizeText(col(textCol))).as("text_hash"), col(idCol))
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+
+  /** Distinct token set of a document (whitespace tokens). */
+  def tokenSet(c: Column): Column = array_distinct(split(c, "\\s+"))
+
+  /** Distinct n-token shingle set (the unit MinHash signatures are
+    * built over — near-dup verification must use the same unit).
+    * Documents shorter than n tokens collapse to one whole-text
+    * shingle, mirroring [[graft.functions.TextHash.minhash]].
+    */
+  def shingleSet(c: Column, n: Int = 3): Column = {
+    val toks = split(c, "\\s+")
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Exact Jaccard similarity of two token-set columns, as an exact
+    * (numerator, denominator) pair — callers divide if they want the
+    * float.
+    */
+  def jaccardParts(a: Column, b: Column): (Column, Column) =
+    (size(array_intersect(a, b)), size(array_union(a, b)))
+
+  /** MinHash-LSH candidate pairs: explode each doc into its 16 band
+    * keys, self-join per (band index, band key) bucket, emit each
+    * unordered pair once. Never an all-pairs product — complexity is
+    * Σ_bucket |bucket|², bounded by the banding collision rate.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val banded = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .select(col("id"), posexplode(LlmFunctions.minhash_bands(col("text"))))
+      .select(col("id"), col("pos").as("band"), col("col").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified with exact
+    * 3-shingle-set Jaccard >= `threshold` (same similarity space the
+    * MinHash bands estimate, so banding recall theory applies).
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol)).as("toks"))
+    val cands = minhashCandidates(df, idCol, textCol)
+    val (num, den) = jaccardParts(col("a.toks"), col("b.toks"))
+    cands
+      .join(docs.as("a"), col("id1") === col("a.id"))
+      .join(docs.as("b"), col("id2") === col("b.id"))
+      .select(col("id1"), col("id2"),
+        num.as("inter"), den.as("uni"),
+        (num.cast("double") / den).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature split into four 16-bit
+    * chunks; pairs sharing ANY chunk (pigeonhole: hamming<=3 implies
+    * at least one chunk equal) are candidates, then filtered by exact
+    * hamming distance <= maxHamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole only guarantees recall for hamming <= 3")
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.simhash64(col(textCol)).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("chunk"),
+            shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("c"))
+      .select(col("id"), col("sig"), col("c.chunk").as("chunk"), col("c.key").as("key"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token stats,
+  * quality scoring, language identification, fingerprinting. All are
+  * pure projections (no shuffle) built from codegen'd functions, so
+  * they stream through a 100 TB scan at IO speed.
+  */
+object TextOps {
+
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Per-document token statistics (exact integers). */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(col(idCol),
+      length(col(textCol)).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      (length(col(textCol)) - length(replace(col(textCol), lit(" "), lit("")))).as("n_spaces"))
+  }
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Count of tokens in `c` that appear in `words`. */
+  def markerCount(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(words.map(lit(_)): _*)))
+
+  /** Heuristic quality score, scaled to exact integers:
+    * floor(1000 * stopword_ratio) and floor(100 * avg token length) —
+    * the usual length/stopword quality filters of LLM data pipelines
+    * quantized so engine comparison is exact.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val nStop = markerCount(col(textCol), Stopwords)
+    val nChars = length(col(textCol))
+    df.select(col(idCol),
+      nTok.as("n_tokens"),
+      nStop.as("n_stopwords"),
+      floor(lit(1000.0) * nStop / nTok).cast("long").as("stop_ratio_x1000"),
+      floor(lit(100.0) * (nChars - nTok + 1) / nTok).cast("long").as("avg_tok_len_x100"),
+      (nTok >= 20 && nTok <= 200).cast("int").as("length_ok"))
+  }
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and"),
+    "es" -> Seq("la", "el", "y", "de"),
+    "fr" -> Seq("le", "la", "et", "un"),
+    "de" -> Seq("der", "die", "und", "ein"),
+    "zh" -> Seq("de", "shi", "he", "zai"),
+  )
+
+  /** N-gram/marker-word language-ID heuristic: score each language
+    * profile by marker-token hits, predict the argmax (ties broken by
+    * profile order). Deterministic and SQL-expressible so the oracle
+    * can replay it exactly.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scores = LangMarkers.map { case (lang, words) =>
+      markerCount(col(textCol), words).as(s"score_$lang")
+    }
+    val langs = LangMarkers.map(_._1)
+    // argmax with first-profile-wins tie-break, as a nested CASE
+    val predicted = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((lang, i), rest) =>
+        val laterCols = langs.drop(i + 1).map(l => col(s"score_$l"))
+        val laterMax = if (laterCols.size == 1) laterCols.head else greatest(laterCols: _*)
+        when(col(s"score_$lang") >= laterMax, lang).otherwise(rest)
+    }
+    df.select((col(idCol) +: scores): _*)
+      .withColumn("predicted", predicted)
+  }
+}

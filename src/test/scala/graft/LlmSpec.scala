@@ -1,0 +1,122 @@
+package graft
+
+import graft.llm.{DedupOps, Multimodal, SimilarityOps, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+
+  private def docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private def emb: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  /** Corpus + a near-dup of every doc (last ~5% of chars cut) and an
+    * exact dup of every 10th doc, with offset ids.
+    */
+  private def corpusWithDups: DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val nearDups = base
+      .select((col("doc_id") + 100000).as("doc_id"),
+        // drop the last two tokens -> shingle-jaccard stays ~0.95
+        concat_ws(" ", slice(split(col("text"), " "), lit(1),
+          greatest(size(split(col("text"), " ")) - 2, lit(1)))).as("text"))
+    val exactDups = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    base.unionByName(nearDups).unionByName(exactDups)
+  }
+
+  test("exact dedup finds planted exact duplicates") {
+    val out = DedupOps.exactDedup(corpusWithDups, "doc_id", "text")
+    val dupGroups = out.filter(col("n_dups") > 1).count()
+    val planted = docs.filter(col("doc_id") % 10 === 0).count()
+    // mutated docs can accidentally collide with each other, so allow
+    // a small surplus over the planted count
+    assert(dupGroups >= planted && dupGroups <= planted + 5,
+      s"expected ~$planted dup groups, got $dupGroups")
+    // keep_id is the original (minimum) id
+    assert(out.filter(col("n_dups") > 1).filter(col("keep_id") >= 100000).count() == 0)
+  }
+
+  test("minhash-LSH near-dup: high recall on planted near-duplicates") {
+    val corpus = corpusWithDups
+    val found = DedupOps.nearDupPairs(corpus, "doc_id", "text", 0.7)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nDocs = docs.count()
+    // every (d, d+100000) pair is a true near-dup with shingle-jaccard ~0.9+
+    val planted = docs.select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    val recall = planted.count(found.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"recall $recall over $nDocs docs; found ${found.size} pairs")
+    // exact dups are found with jaccard exactly 1
+    val exact = DedupOps.nearDupPairs(corpus, "doc_id", "text", 0.999)
+      .filter(col("id2") >= 200000).count()
+    assert(exact >= planted.size / 10 * 9 / 10)
+  }
+
+  test("simhash pairs: exact dups at hamming 0; pigeonhole bound enforced") {
+    val corpus = corpusWithDups
+    val pairs = DedupOps.simhashPairs(corpus, "doc_id", "text", 3)
+    val zero = pairs.filter(col("hamming") === 0)
+      .filter(col("id2") >= 200000).count()
+    val planted = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(zero >= planted, s"expected >=$planted hamming-0 pairs, got $zero")
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashPairs(corpus, "doc_id", "text", 10)
+    }
+  }
+
+  test("lsh ANN: decent recall vs brute-force cosine top-5") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val truth = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5,
+        SimilarityOps.cosine)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // these synthetic embeddings are near-orthogonal random vectors, so
+    // the "true" top-5 is barely above noise — use coarse buckets
+    // (planes=4) and compare against the random-candidate baseline
+    val approx = SimilarityOps.lshTopK(emb, queries, "vec_id", "embedding", 5,
+        planes = 4, tables = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(approx.contains).toDouble / truth.size
+    assert(recall >= 0.4, s"recall@5 = $recall (truth=${truth.size}, approx=${approx.size})")
+    info(s"LSH ANN recall@5 = $recall")
+  }
+
+  test("quantized dot matches a local reference computation") {
+    import spark.implicits._
+    val rows = emb.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val got = SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 2)
+      .select("neighbor_id", "score").as[(Long, Long)].collect().toMap
+    def refDot(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * 1000).toLong * math.floor(y.toDouble * 1000).toLong
+      }.sum
+    for ((nid, score) <- got)
+      assert(score == refDot(rows(0L), rows(nid)), s"neighbor $nid")
+  }
+
+  test("text ops: stats/quality/langid sane and deterministic") {
+    val stats = TextOps.tokenStats(docs, "doc_id", "text")
+    assert(stats.filter(col("n_tokens") =!= col("n_spaces") + 1).count() == 0)
+    val lang = TextOps.langId(docs, "doc_id", "text")
+    val langs = lang.select("predicted").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "fr", "de", "zh")))
+    val q = TextOps.qualityScore(docs, "doc_id", "text")
+    assert(q.filter(col("stop_ratio_x1000") < 0 || col("stop_ratio_x1000") > 1000).count() == 0)
+  }
+
+  test("multimodal: stub decode produces 16-dim normalized features") {
+    val feats = Multimodal.extractFeatures(Multimodal.packFromDocuments(docs)).collect()
+    assert(feats.length == docs.count())
+    assert(feats.forall(_.features.length == 16))
+    // histogram is normalized: sums to ~1 for non-empty payloads
+    assert(feats.forall(f => math.abs(f.features.sum - 1.0) < 1e-3))
+    assert(feats.forall(f => Set("image", "audio", "video").contains(f.kind)))
+  }
+}
