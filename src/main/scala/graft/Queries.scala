@@ -386,6 +386,34 @@ object Queries {
       |FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part),
       |     LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t""".stripMargin
 
+  // F1: recursive call-frame flatten — build a two-level frame tree
+  // per order as JSON, flatten it, verify node counts/depths
+  private val f1Flatten: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val child = struct(
+      format_string("0x%040x", col("l_suppkey")).as("from"),
+      format_string("0x%040x", col("l_partkey")).as("to"),
+      format_string("0x%x", qty(col("l_quantity"))).as("gasUsed"),
+      lit("CALL").as("type"))
+    val trees = li.groupBy("l_orderkey")
+      .agg(collect_list(child).as("kids"))
+      .select(col("l_orderkey"),
+        to_json(struct(
+          lit("0x" + "00" * 20).as("from"),
+          lit("0x" + "11" * 20).as("to"),
+          lit("CALL").as("type"),
+          col("kids").as("calls"))).as("tree_json"))
+    val spark2 = s
+    import spark2.implicits._
+    graft.operators.Flatten.flattenFrames(trees, "l_orderkey", "tree_json")
+      .map { case (k, f) => (k, f.trace_address.length) }
+      .toDF("ok", "depth")
+      .groupBy("ok")
+      .agg(count(lit(1)).as("n_nodes"), max(col("depth")).as("max_depth"))
+  }
+  private val f1Oracle =
+    "SELECT l_orderkey AS ok, count(*) + 1 AS n_nodes, 1 AS max_depth FROM lineitem GROUP BY 1"
+
   // O1/O2: latest-per-group gauges
   private val o1Latest: Q = (s, dir) =>
     t(s, dir, "lineitem").groupBy(col("l_returnflag").as("chain"))
@@ -581,6 +609,7 @@ object Queries {
     "q_p7_selector_masked" -> p7SelectorMasked,
     "q_p8_recover" -> p8Recover,
     "q_p10_precompile_pred" -> p10Predicate,
+    "q_f1_flatten" -> f1Flatten,
     "q_f2_fanout" -> f2Fanout,
     "q_o1_latest_block" -> o1Latest,
     "q_o2_latest_tx_block" -> o2LatestTx,
@@ -628,6 +657,7 @@ object Queries {
     "q_p7_selector_masked" -> p7Oracle,
     "q_p8_recover" -> p8Oracle,
     "q_p10_precompile_pred" -> p10Oracle,
+    "q_f1_flatten" -> f1Oracle,
     "q_f2_fanout" -> f2Oracle,
     "q_o1_latest_block" -> o1Oracle,
     "q_o2_latest_tx_block" -> o2Oracle,
