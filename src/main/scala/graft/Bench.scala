@@ -23,6 +23,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
+    // Warm-up: run the whole catalog once at the smallest SF so the
+    // measured runs see steady-state JIT/codegen/encoder paths instead
+    // of one-time Janino compilation (worth ~10s on the typed-agg
+    // pipeline alone).
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
+
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -1,0 +1,19 @@
+package graft
+object ExplainMain {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val traces = graft.sources.SyntheticTraces.fromTpch(spark, "/root/testdata/sf0.01")
+    val (txs, _) = graft.operators.TraceEtl.transform(traces)
+    txs.toDF().explain("formatted")
+    // a representative relational query
+    Queries.all("q_a9_degree_gas")(spark, "/root/testdata/sf0.01").explain("formatted")
+    // pushdown check
+    Queries.all("q_j1_commit_filter")(spark, "/root/testdata/sf0.01").explain("formatted")
+    spark.stop()
+  }
+}

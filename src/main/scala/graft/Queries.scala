@@ -661,6 +661,8 @@ object Queries {
     "q_f2_fanout" -> f2Oracle,
     "q_o1_latest_block" -> o1Oracle,
     "q_o2_latest_tx_block" -> o2Oracle,
+    "q_etl_transactions" -> EtlOracleSql.transactions,
+    "q_etl_contracts" -> EtlOracleSql.contracts,
     "q_llm_exact_dedup" -> llmExactDedupOracle,
     "q_llm_norm_dedup" -> llmNormDedupOracle,
     "q_llm_token_stats" -> llmTokenStatsOracle,
