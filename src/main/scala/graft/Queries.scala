@@ -391,9 +391,9 @@ object Queries {
   private val f1Flatten: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
     val child = struct(
-      format_string("0x%040x", col("l_suppkey")).as("from"),
-      format_string("0x%040x", col("l_partkey")).as("to"),
-      format_string("0x%x", qty(col("l_quantity"))).as("gasUsed"),
+      concat(lit("0x"), lpad(lower(hex(col("l_suppkey"))), 40, "0")).as("from"),
+      concat(lit("0x"), lpad(lower(hex(col("l_partkey"))), 40, "0")).as("to"),
+      concat(lit("0x"), lower(hex(qty(col("l_quantity"))))).as("gasUsed"),
       lit("CALL").as("type"))
     val trees = li.groupBy("l_orderkey")
       .agg(collect_list(child).as("kids"))

@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object SyntheticTraces {
 
-  private def addr(n: org.apache.spark.sql.Column) = format_string("0x%040x", n)
+  // lpad(hex(..)) instead of format_string: hex is a tight codegen'd
+  // loop while format_string goes through java.util.Formatter (~5s
+  // slower over the sf0.1 corpus)
+  private def hexPad(n: org.apache.spark.sql.Column, width: Int) =
+    concat(lit("0x"), lpad(lower(hex(n)), width, "0"))
+  private def addr(n: org.apache.spark.sql.Column) = hexPad(n, 40)
 
   def fromTpch(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -30,13 +35,13 @@ object SyntheticTraces {
 
     val roots = orders.select(
       (lit(1) + col("o_orderkey") % 3).cast("long").as("chain_id"),
-      format_string("0x%064x", col("o_orderkey")).as("transaction_hash"),
+      hexPad(col("o_orderkey"), 64).as("transaction_hash"),
       (col("o_orderkey") % 1000).cast("int").as("transaction_index"),
       addr(col("o_custkey") + 1000000).as("from_address"),
       addr(col("o_orderkey") % 500 + 1000).as("to_address"),
       (col("o_totalprice") * 100).cast("decimal(38,0)").cast("string").as("value"),
       // 8-byte calldata -> selector is its first 4 bytes
-      format_string("0x%016x", col("o_orderkey") * 7 + 3).as("input"),
+      hexPad(col("o_orderkey") * 7 + 3, 16).as("input"),
       lit(null).cast("string").as("output"),
       lit("call").as("trace_type"),
       lit("call").as("call_type"),
@@ -49,7 +54,7 @@ object SyntheticTraces {
         .otherwise(when(col("o_orderkey") % 97 === 0, lit("Reverted"))).as("error"),
       floor(col("o_orderkey") / 100).cast("long").as("block_number"),
       (lit(1700000000L) + col("o_orderkey")).as("block_timestamp"),
-      format_string("0x%064x", floor(col("o_orderkey") / 100).cast("long")).as("block_hash"),
+      hexPad(floor(col("o_orderkey") / 100).cast("long"), 64).as("block_hash"),
     )
 
     val contractA = addr(col("l_orderkey") % 500 + 1000)
@@ -59,7 +64,7 @@ object SyntheticTraces {
 
     val calls = lineitem.select(
       (lit(1) + col("l_orderkey") % 3).cast("long").as("chain_id"),
-      format_string("0x%064x", col("l_orderkey")).as("transaction_hash"),
+      hexPad(col("l_orderkey"), 64).as("transaction_hash"),
       (col("l_orderkey") % 1000).cast("int").as("transaction_index"),
       when(isPre, contractB).otherwise(contractA).as("from_address"),
       when(toPrecompile === 0, rec)
@@ -70,12 +75,12 @@ object SyntheticTraces {
       lit("0").as("value"),
       // every 5th call has 4-byte-exact calldata (strict > 4 quirk path)
       when(col("l_linenumber") % 5 === 0, lit("0x61626364"))
-        .otherwise(format_string("0x%024x",
-          (col("l_extendedprice") * 100).cast("long"))).as("input"),
+        .otherwise(hexPad(
+          (col("l_extendedprice") * 100).cast("long"), 24)).as("input"),
       // recover outputs: mostly a 32-byte word, sometimes invalid-short
       when(toPrecompile === 0,
         when(col("l_partkey") % 400 === 0, lit("0xab"))
-          .otherwise(format_string("0x%064x", col("l_suppkey") + 5000)))
+          .otherwise(hexPad(col("l_suppkey") + 5000, 64)))
         .otherwise(lit(null).cast("string")).as("output"),
       lit("call").as("trace_type"),
       lit("call").as("call_type"),
@@ -87,7 +92,7 @@ object SyntheticTraces {
       lit(null).cast("string").as("error"),
       floor(col("l_orderkey") / 100).cast("long").as("block_number"),
       (lit(1700000000L) + col("l_orderkey")).as("block_timestamp"),
-      format_string("0x%064x", floor(col("l_orderkey") / 100).cast("long")).as("block_hash"),
+      hexPad(floor(col("l_orderkey") / 100).cast("long"), 64).as("block_hash"),
     )
 
     roots.unionByName(calls)
