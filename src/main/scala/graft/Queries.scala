@@ -414,6 +414,53 @@ object Queries {
   private val f1Oracle =
     "SELECT l_orderkey AS ok, count(*) + 1 AS n_nodes, 1 AS max_depth FROM lineitem GROUP BY 1"
 
+  // P3: trace normalizer — lowercase addresses, root flag, call filter
+  private val p3Normalize: Q = (s, dir) => {
+    val traces = graft.sources.SyntheticTraces.fromTpch(s, dir)
+    graft.operators.TraceEtl.normalize(traces)
+      .filter(col("is_root"))
+      .select("chain_id", "transaction_hash", "from_address", "is_root")
+  }
+  private val p3Oracle =
+    """SELECT 1 + o_orderkey % 3 AS chain_id,
+      |  '0x' || lpad(lower(hex(o_orderkey)), 64, '0') AS transaction_hash,
+      |  lower('0x' || lpad(lower(hex(o_custkey + 1000000)), 40, '0')) AS from_address,
+      |  TRUE AS is_root
+      |FROM orders""".stripMargin
+
+  // P5: block normalizer — JSON decode with pending-drop + defaults
+  private val p5BlockDecode: Q = (s, dir) => {
+    val raw = t(s, dir, "orders").select(
+      to_json(struct(
+        col("o_orderkey").as("number"),
+        (col("o_orderkey") + 1000).as("timestamp"),
+        // every 10th block is "pending" (no hash) and must be dropped
+        when(col("o_orderkey") % 10 =!= 0,
+          concat(lit("0x"), lpad(lower(hex(col("o_orderkey"))), 64, "0"))).as("hash"),
+        lit("0xparent").as("parent_hash"),
+        (col("o_totalprice").cast("long") % 1000).cast("int").as("gas_used"))).as("value"))
+    graft.sources.Ingest.decodeBlocks(raw, chainId = 3)
+      .select("chain_id", "number", "timestamp", "hash", "transaction_count", "gas_used", "miner")
+  }
+  private val p5Oracle =
+    """SELECT 3 AS chain_id, o_orderkey AS number, o_orderkey + 1000 AS timestamp,
+      |  '0x' || lpad(lower(hex(o_orderkey)), 64, '0') AS hash,
+      |  0 AS transaction_count,
+      |  CAST(trunc(o_totalprice) AS BIGINT) % 1000 AS gas_used,
+      |  '0x0000000000000000000000000000000000000000' AS miner
+      |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin
+
+  // D3: cross-batch seen-set — which contract keys exist
+  private val d3SeenSet: Q = (s, dir) => {
+    val contracts = t(s, dir, "documents")
+      .select(col("lang").as("chain_id"), col("source").as("address"),
+        array(col("lang")).as("function_signatures"))
+    graft.streaming.StreamingEtl.dedupContracts(contracts)
+      .select("chain_id", "address")
+  }
+  private val d3Oracle =
+    "SELECT DISTINCT lang AS chain_id, source AS address FROM documents"
+
   // O1/O2: latest-per-group gauges
   private val o1Latest: Q = (s, dir) =>
     t(s, dir, "lineitem").groupBy(col("l_returnflag").as("chain"))
@@ -611,6 +658,9 @@ object Queries {
     "q_p10_precompile_pred" -> p10Predicate,
     "q_f1_flatten" -> f1Flatten,
     "q_f2_fanout" -> f2Fanout,
+    "q_p3_normalize" -> p3Normalize,
+    "q_p5_block_decode" -> p5BlockDecode,
+    "q_d3_seen_set" -> d3SeenSet,
     "q_o1_latest_block" -> o1Latest,
     "q_o2_latest_tx_block" -> o2LatestTx,
     "q_p9_checksum" -> p9Checksum,
@@ -659,6 +709,9 @@ object Queries {
     "q_p10_precompile_pred" -> p10Oracle,
     "q_f1_flatten" -> f1Oracle,
     "q_f2_fanout" -> f2Oracle,
+    "q_p3_normalize" -> p3Oracle,
+    "q_p5_block_decode" -> p5Oracle,
+    "q_d3_seen_set" -> d3Oracle,
     "q_o1_latest_block" -> o1Oracle,
     "q_o2_latest_tx_block" -> o2Oracle,
     "q_etl_transactions" -> EtlOracleSql.transactions,
