@@ -596,6 +596,12 @@ object Queries {
         emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+  private val annIvfTopk: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.llm.SimilarityOps.ivfTopK(
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
   private val mmFeatures: Q = (s, dir) =>
     graft.llm.Multimodal.extractFeatures(
       graft.llm.Multimodal.packFromDocuments(t(s, dir, "documents"))).toDF()
@@ -679,6 +685,7 @@ object Queries {
     "q_ann_topk_dot" -> annTopkDot,
     "q_ann_cosine_topk" -> annCosineTopk,
     "q_ann_lsh_topk" -> annLshTopk,
+    "q_ann_ivf_topk" -> annIvfTopk,
     "q_mm_features" -> mmFeatures,
   )
 

@@ -83,4 +83,49 @@ object SimilarityOps {
       .orderBy(col("score").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) approximate top-k: a deterministic coarse
+    * quantizer — `nlist` corpus vectors chosen by id stride act as
+    * centroids — partitions the corpus into cells; queries probe their
+    * `nprobe` nearest cells and exact-rank only those cells' members.
+    *
+    * Scale shape: the centroid table is tiny and broadcast twice
+    * (assignment pass + probe pass); the corpus shuffles once on
+    * cell id; per-query work is nprobe/nlist of the corpus. Swap the
+    * stride-sampled centroids for k-means output when quality matters —
+    * the plan is identical.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(n / nlist, 1L)
+    val centroids = corpus
+      .filter(col(idCol) % stride === 0).limit(nlist)
+      .select(col(idCol).as("cell"), col(embCol).as("centroid"))
+    // assignment pass: each corpus vector -> nearest centroid
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("neighbor_id"), col("c_emb"), col("cell"),
+        cosine(col("c_emb"), col("centroid")).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("neighbor_id").orderBy(col("sim").desc, col("cell").asc)))
+      .filter(col("rn") === 1)
+      .select("neighbor_id", "c_emb", "cell")
+    // probe pass: each query -> its nprobe nearest cells
+    val probes = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        cosine(col("q_emb"), col("centroid")).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell").asc)))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "q_emb", "cell")
+    val cands = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }
