@@ -67,6 +67,35 @@ object Queries {
       |       min(event_id) AS first_event, max(event_id) AS last_event
       |FROM sess GROUP BY 1, 2""".stripMargin
 
+  // G1 via the built-in session_window (the Structured-Streaming-ready
+  // form): new session when the gap since the previous event reaches
+  // 1800 s; session end = last event + gap
+  private val g1SessionWindow: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .select(col("event_id"), col("user_id"), col("sec").cast("timestamp").as("evt"))
+    ev.groupBy(col("user_id"), session_window(col("evt"), "1800 seconds"))
+      .agg(count(lit(1)).as("n_events"), min("event_id").as("first_event"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("n_events"), col("first_event"))
+  }
+  private val g1SessionWindowOracle =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+      |), flags AS (
+      |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+      |         OR sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+      |), sess AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flags
+      |)
+      |SELECT user_id, min(sec) AS session_start, max(sec) + 1800 AS session_end,
+      |       count(*) AS n_events, min(event_id) AS first_event
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
   // ---------------------------------------------------------------
   // A1: call_tree — count per (tx, to, from)
   // ---------------------------------------------------------------
@@ -639,6 +668,7 @@ object Queries {
 
   val all: Map[String, Q] = Map(
     "q_g1_sessionize" -> g1Sessionize,
+    "q_g1_session_window" -> g1SessionWindow,
     "q_a1_call_tree" -> a1CallTree,
     "q_a2_gas_tree" -> a2GasTree,
     "q_a3_signature_tree" -> a3SignatureTree,
@@ -691,6 +721,7 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "q_g1_sessionize" -> g1Oracle,
+    "q_g1_session_window" -> g1SessionWindowOracle,
     "q_a1_call_tree" -> a1Oracle,
     "q_a2_gas_tree" -> a2Oracle,
     "q_a3_signature_tree" -> a3Oracle,

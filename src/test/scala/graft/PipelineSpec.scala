@@ -234,3 +234,27 @@ class ObsSpec extends SparkSpec {
     } finally server.stop()
   }
 }
+
+class TablesSpec extends SparkSpec {
+  import graft.sinks.{JdbcUpsert, Tables}
+
+  test("per-table conflict policies match the reference exactly") {
+    val tx = JdbcUpsert.upsertStatement(Tables.transactions, "postgres").sql
+    assert(tx.contains("ON CONFLICT (chain_id, transaction_hash) DO NOTHING"))
+    val co = JdbcUpsert.upsertStatement(Tables.contracts, "postgres").sql
+    assert(co.contains("ON CONFLICT (chain_id, address, function_signatures) DO NOTHING"))
+    val bl = JdbcUpsert.upsertStatement(Tables.blocks, "postgres").sql
+    assert(bl.contains("ON CONFLICT (chain_id, number) DO UPDATE SET"))
+    assert(bl.contains("hash = EXCLUDED.hash")) // full overwrite
+    assert(!bl.contains("number = EXCLUDED.number")) // keys not overwritten
+  }
+
+  test("checksummed rendering on scalar and array address columns") {
+    import spark.implicits._
+    val df = Seq(("0x5aaeb6053f3e94c9b9a09f33669435e7ef1beaed",
+      Seq("0xfb6916095ca1df60bb79ce92ce3ea74c37c5d359"))).toDF("addr", "addrs")
+    val out = Tables.renderChecksummed(df, Seq("addr"), Seq("addrs")).collect().head
+    assert(out.getString(0) == "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed")
+    assert(out.getSeq[String](1) == Seq("0xfB6916095ca1df60bB79Ce92cE3Ea74c37c5d359"))
+  }
+}
