@@ -68,8 +68,9 @@ object Queries {
       |FROM sess GROUP BY 1, 2""".stripMargin
 
   // G1 via the built-in session_window (the Structured-Streaming-ready
-  // form): new session when the gap since the previous event reaches
-  // 1800 s; session end = last event + gap
+  // form). Boundary semantics: Spark merges an event landing EXACTLY
+  // at the previous session's end (next_start <= prev_end), so a new
+  // session starts only when the gap strictly exceeds 1800 s
   private val g1SessionWindow: Q = (s, dir) => {
     val ev = events(s, dir)
       .select(col("event_id"), col("user_id"), col("sec").cast("timestamp").as("evt"))
@@ -85,7 +86,7 @@ object Queries {
       |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
       |), flags AS (
       |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
-      |         OR sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS new_session
+      |         OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
       |), sess AS (
       |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
