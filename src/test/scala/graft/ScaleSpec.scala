@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Scale
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+
+  test("salted aggregation: identical results to direct groupBy under skew") {
+    import spark.implicits._
+    // one hot key with 50k rows, many cold keys
+    val hot = (1 to 50000).map(i => ("hot", i.toLong))
+    val cold = (1 to 1000).map(i => (s"k$i", i.toLong))
+    val df = (hot ++ cold).toDF("key", "v")
+    val direct = df.groupBy("key").agg(sum("v").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Scale.saltedSum(df, Seq("key"), "v", "total")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+    // phase-1 really spreads the hot key over many salt groups
+    assert(salted("hot") == 50000L * 50001L / 2)
+  }
+
+  test("bronze layer: partition pruning reaches the scan") {
+    val traces = graft.sources.SyntheticTraces.fromTpch(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft_bronze").toString
+    Scale.writeBronze(traces, dir)
+    val pruned = Scale.readBronze(spark, dir).filter(col("chain_id") === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("chain_id"),
+      s"partition filter not pushed:\n${plan.take(800)}")
+    // only chain 1's directories are read
+    val files = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("chain_id=1")))
+    // round-trip preserves the rows
+    assert(Scale.readBronze(spark, dir).count() == traces.count())
+  }
+}
