@@ -120,7 +120,8 @@ object SimilarityOps {
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell").asc)))
       .filter(col("rn") <= nprobe)
       .select("query_id", "q_emb", "cell")
-    val cands = probes.join(assigned, Seq("cell"))
+    // probe side is queries × nprobe — always the small side
+    val cands = broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("c_emb")).as("score"))
