@@ -13,6 +13,9 @@ object SparkTestBase {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // typed-aggregator groups per partition routinely exceed the
+      // 128-group default before sort-based fallback kicks in
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
