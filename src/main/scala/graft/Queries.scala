@@ -626,6 +626,29 @@ object Queries {
         emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+  // embedding column statistics with exact integer arithmetic
+  private val embStats: Q = (s, dir) =>
+    t(s, dir, "embeddings").select(
+      col("vec_id"), col("label"),
+      size(col("embedding")).as("dims"),
+      aggregate(
+        transform(col("embedding"), x =>
+          floor(x.cast("double") * 1000).cast("long") *
+            floor(x.cast("double") * 1000).cast("long")),
+        lit(0L), (acc, v) => acc + v).as("sq_norm_q"),
+      aggregate(
+        transform(col("embedding"), x =>
+          when(x > 0f, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v).as("n_positive"))
+  private val embStatsOracle =
+    """SELECT vec_id, label, len(embedding) AS dims,
+      |  list_sum(list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+      |       * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS sq_norm_q,
+      |  list_sum(list_transform(embedding,
+      |    x -> CASE WHEN x > 0 THEN 1 ELSE 0 END))::BIGINT AS n_positive
+      |FROM embeddings""".stripMargin
+
   private val annIvfTopk: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     graft.llm.SimilarityOps.ivfTopK(
@@ -717,6 +740,7 @@ object Queries {
     "q_ann_cosine_topk" -> annCosineTopk,
     "q_ann_lsh_topk" -> annLshTopk,
     "q_ann_ivf_topk" -> annIvfTopk,
+    "q_emb_stats" -> embStats,
     "q_mm_features" -> mmFeatures,
   )
 
@@ -762,5 +786,6 @@ object Queries {
     "q_llm_langid" -> llmLangIdOracle,
     "q_llm_jaccard_pairs" -> llmJaccardOracle,
     "q_ann_topk_dot" -> annTopkDotOracle,
+    "q_emb_stats" -> embStatsOracle,
   )
 }
