@@ -258,3 +258,14 @@ class TablesSpec extends SparkSpec {
     assert(out.getSeq[String](1) == Seq("0xfB6916095ca1df60bB79Ce92cE3Ea74c37c5d359"))
   }
 }
+
+class DebugSinkSpec extends SparkSpec {
+  test("debug sink counts batches into the registry") {
+    import spark.implicits._
+    val stats = new graft.obs.StatsRegistry
+    val sink = graft.sinks.DebugSink(stats, chainId = 9, logEvery = 3)(_, _)
+    sink(Seq(1, 2).toDF("v"), 0L)
+    sink(Seq(3, 4).toDF("v"), 1L)
+    assert(stats.snapshot("results_9") == 4L)
+  }
+}
