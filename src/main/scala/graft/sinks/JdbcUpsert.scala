@@ -37,8 +37,15 @@ case class UpsertStatement(sql: String, paramCols: Seq[String])
 
 object JdbcUpsert {
 
+  /** Identifiers are emitted double-quoted so reserved words
+    * (`input`, `value`, `size` — all real trace columns) are legal in
+    * every dialect; tables must therefore be created with (lowercase)
+    * quoted column names.
+    */
+  private def q(c: String): String = "\"" + c + "\""
+
   def upsertStatement(spec: UpsertSpec, dialect: String): UpsertStatement = {
-    val cols = spec.columns.mkString(", ")
+    val cols = spec.columns.map(q).mkString(", ")
     val placeholders = spec.columns.map(_ => "?").mkString(", ")
     dialect match {
       case "postgres" =>
@@ -46,22 +53,22 @@ object JdbcUpsert {
           case DoNothing => "DO NOTHING"
           case Overwrite =>
             val sets = spec.columns.filterNot(spec.conflictKeys.contains)
-              .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+              .map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
             s"DO UPDATE SET $sets"
         }
         UpsertStatement(
           s"INSERT INTO ${spec.table} ($cols) VALUES ($placeholders) " +
-            s"ON CONFLICT (${spec.conflictKeys.mkString(", ")}) $conflict",
+            s"ON CONFLICT (${spec.conflictKeys.map(q).mkString(", ")}) $conflict",
           spec.columns)
       case "derby" =>
         // Derby MERGE against the one-row dummy table; the row's values
         // are bound directly into the ON / SET / INSERT positions
-        val on = spec.conflictKeys.map(k => s"t.$k = ?").mkString(" AND ")
+        val on = spec.conflictKeys.map(k => s"t.${q(k)} = ?").mkString(" AND ")
         val nonKeys = spec.columns.filterNot(spec.conflictKeys.contains)
         val matched = spec.policy match {
           case DoNothing => ""
           case Overwrite =>
-            s"WHEN MATCHED THEN UPDATE SET ${nonKeys.map(c => s"t.$c = ?").mkString(", ")} "
+            s"WHEN MATCHED THEN UPDATE SET ${nonKeys.map(c => s"t.${q(c)} = ?").mkString(", ")} "
         }
         val sql = s"MERGE INTO ${spec.table} t USING SYSIBM.SYSDUMMY1 ON $on " +
           matched +
@@ -87,6 +94,7 @@ object JdbcUpsert {
     val paramIdx = stmt.paramCols.map(cols.indexOf).toArray
     df.select(cols.head, cols.tail: _*).foreachPartition { (rows: Iterator[Row]) =>
       val conn: Connection = DriverManager.getConnection(url)
+      var ok = false
       try {
         conn.setAutoCommit(false)
         val st = conn.prepareStatement(stmt.sql)
@@ -104,7 +112,12 @@ object JdbcUpsert {
         st.executeBatch()
         conn.commit()
         st.close()
-      } finally conn.close()
+        ok = true
+      } finally {
+        // roll back first so close() can't mask the original failure
+        if (!ok) try conn.rollback() catch { case _: Throwable => () }
+        try conn.close() catch { case _: Throwable => if (ok) throw new RuntimeException("close failed") }
+      }
     }
   }
 }

@@ -21,8 +21,7 @@ class CheckpointSpec extends SparkSpec {
     val url = "jdbc:derby:memory:ckptdb;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
     conn.createStatement().execute(
-      "CREATE TABLE sunk (chain_id BIGINT, hash VARCHAR(100), n BIGINT, " +
-        "PRIMARY KEY (chain_id, hash))")
+      """CREATE TABLE sunk ("chain_id" BIGINT, "hash" VARCHAR(100), "n" BIGINT, PRIMARY KEY ("chain_id", "hash"))""")
     conn.close()
     val spec = UpsertSpec("sunk", Seq("chain_id", "hash", "n"),
       Seq("chain_id", "hash"), DoNothing)

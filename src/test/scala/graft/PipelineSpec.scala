@@ -180,8 +180,7 @@ class SinkSpec extends SparkSpec {
     val url = "jdbc:derby:memory:graftdb;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
     conn.createStatement().execute(
-      "CREATE TABLE txs (chain_id BIGINT, hash VARCHAR(100), gas BIGINT, " +
-        "PRIMARY KEY (chain_id, hash))")
+      """CREATE TABLE txs ("chain_id" BIGINT, "hash" VARCHAR(100), "gas" BIGINT, PRIMARY KEY ("chain_id", "hash"))""")
     conn.close()
 
     val spec = UpsertSpec("txs", Seq("chain_id", "hash", "gas"),
@@ -191,7 +190,7 @@ class SinkSpec extends SparkSpec {
     // re-deliver the same batch (at-least-once) -> no dup, no error
     JdbcUpsert.upsert(batch, url, spec, "derby")
     val c1 = java.sql.DriverManager.getConnection(url)
-    val rs = c1.createStatement().executeQuery("SELECT count(*), sum(gas) FROM txs")
+    val rs = c1.createStatement().executeQuery("""SELECT count(*), sum("gas") FROM txs""")
     rs.next()
     assert(rs.getInt(1) == 2 && rs.getLong(2) == 30L)
 
@@ -199,7 +198,7 @@ class SinkSpec extends SparkSpec {
     val spec2 = spec.copy(policy = Overwrite)
     JdbcUpsert.upsert(Seq((1L, "0xa", 99L)).toDF("chain_id", "hash", "gas"),
       url, spec2, "derby")
-    val rs2 = c1.createStatement().executeQuery("SELECT gas FROM txs WHERE hash = '0xa'")
+    val rs2 = c1.createStatement().executeQuery("""SELECT "gas" FROM txs WHERE "hash" = '0xa'""")
     rs2.next()
     assert(rs2.getLong(1) == 99L)
     c1.close()
@@ -209,11 +208,11 @@ class SinkSpec extends SparkSpec {
     val spec = UpsertSpec("contracts", Seq("chain_id", "address", "sigs"),
       Seq("chain_id", "address"), DoNothing)
     val st = JdbcUpsert.upsertStatement(spec, "postgres")
-    assert(st.sql == "INSERT INTO contracts (chain_id, address, sigs) VALUES (?, ?, ?) " +
-      "ON CONFLICT (chain_id, address) DO NOTHING")
+    assert(st.sql == """INSERT INTO contracts ("chain_id", "address", "sigs") VALUES (?, ?, ?) """ +
+      """ON CONFLICT ("chain_id", "address") DO NOTHING""")
     assert(st.paramCols == Seq("chain_id", "address", "sigs"))
     val st2 = JdbcUpsert.upsertStatement(spec.copy(policy = Overwrite), "postgres")
-    assert(st2.sql.contains("DO UPDATE SET sigs = EXCLUDED.sigs"))
+    assert(st2.sql.contains("""DO UPDATE SET "sigs" = EXCLUDED."sigs""""))
   }
 }
 
@@ -240,13 +239,13 @@ class TablesSpec extends SparkSpec {
 
   test("per-table conflict policies match the reference exactly") {
     val tx = JdbcUpsert.upsertStatement(Tables.transactions, "postgres").sql
-    assert(tx.contains("ON CONFLICT (chain_id, transaction_hash) DO NOTHING"))
+    assert(tx.contains("""ON CONFLICT ("chain_id", "transaction_hash") DO NOTHING"""))
     val co = JdbcUpsert.upsertStatement(Tables.contracts, "postgres").sql
-    assert(co.contains("ON CONFLICT (chain_id, address, function_signatures) DO NOTHING"))
+    assert(co.contains("""ON CONFLICT ("chain_id", "address", "function_signatures") DO NOTHING"""))
     val bl = JdbcUpsert.upsertStatement(Tables.blocks, "postgres").sql
-    assert(bl.contains("ON CONFLICT (chain_id, number) DO UPDATE SET"))
-    assert(bl.contains("hash = EXCLUDED.hash")) // full overwrite
-    assert(!bl.contains("number = EXCLUDED.number")) // keys not overwritten
+    assert(bl.contains("""ON CONFLICT ("chain_id", "number") DO UPDATE SET"""))
+    assert(bl.contains(""""hash" = EXCLUDED."hash"""")) // full overwrite
+    assert(!bl.contains(""""number" = EXCLUDED."number"""")) // keys not overwritten
   }
 
   test("checksummed rendering on scalar and array address columns") {

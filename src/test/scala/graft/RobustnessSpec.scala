@@ -89,8 +89,7 @@ class RobustnessSpec extends SparkSpec {
     val url = "jdbc:derby:memory:mbdb;create=true"
     val c0 = java.sql.DriverManager.getConnection(url)
     c0.createStatement().execute(
-      "CREATE TABLE txs_out (chain_id BIGINT, hash VARCHAR(100), rec BIGINT, " +
-        "PRIMARY KEY (chain_id, hash))")
+      """CREATE TABLE txs_out ("chain_id" BIGINT, "hash" VARCHAR(100), "rec" BIGINT, PRIMARY KEY ("chain_id", "hash"))""")
     c0.close()
     val spec = UpsertSpec("txs_out", Seq("chain_id", "hash", "rec"),
       Seq("chain_id", "hash"), DoNothing)
@@ -124,7 +123,7 @@ class RobustnessSpec extends SparkSpec {
       mem.addData((1L, "0xm1", "0xb", Addresses.EcRecover, "0xdeadbeef01", Seq(0), 5L))
       q.processAllAvailable()
       val c1 = java.sql.DriverManager.getConnection(url)
-      val rs = c1.createStatement().executeQuery("SELECT count(*), max(rec) FROM txs_out")
+      val rs = c1.createStatement().executeQuery("""SELECT count(*), max("rec") FROM txs_out""")
       rs.next()
       assert(rs.getInt(1) == 1 && rs.getLong(2) == 1L)
       c1.close()
