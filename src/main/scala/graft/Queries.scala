@@ -491,6 +491,16 @@ object Queries {
   private val d3Oracle =
     "SELECT DISTINCT lang AS chain_id, source AS address FROM documents"
 
+  // Sketch-based distinct gauge (HLL++): approximate distinct users
+  // per event type — the kind of cardinality telemetry a 100 TB
+  // pipeline keeps where exact distinct would be a full shuffle of
+  // keys. No SQL oracle (sketch-estimates are engine-specific);
+  // bounded-error property tested in ObsSpec.
+  private val oApproxDistinct: Q = (s, dir) =>
+    events(s, dir).groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
   // O1/O2: latest-per-group gauges
   private val o1Latest: Q = (s, dir) =>
     t(s, dir, "lineitem").groupBy(col("l_returnflag").as("chain"))
@@ -721,6 +731,7 @@ object Queries {
     "q_p3_normalize" -> p3Normalize,
     "q_p5_block_decode" -> p5BlockDecode,
     "q_d3_seen_set" -> d3SeenSet,
+    "q_o_approx_distinct" -> oApproxDistinct,
     "q_o1_latest_block" -> o1Latest,
     "q_o2_latest_tx_block" -> o2LatestTx,
     "q_p9_checksum" -> p9Checksum,

@@ -268,3 +268,20 @@ class DebugSinkSpec extends SparkSpec {
     assert(stats.snapshot("results_9") == 4L)
   }
 }
+
+class SketchSpec extends SparkSpec {
+  test("approx_count_distinct within configured error of exact") {
+    val q = Queries.all("q_o_approx_distinct")(spark, "/root/testdata/sf0.01")
+    val exact = {
+      import org.apache.spark.sql.functions._
+      spark.read.option("mergeSchema", "false").parquet("/root/testdata/sf0.01/events.parquet")
+        .groupBy("event_type").agg(countDistinct(col("user_id")).as("exact"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    q.collect().foreach { r =>
+      val (et, approx) = (r.getString(0), r.getLong(1))
+      val e = exact(et)
+      assert(math.abs(approx - e).toDouble / e <= 0.1, s"$et: approx=$approx exact=$e")
+    }
+  }
+}
