@@ -100,4 +100,19 @@ object StreamingEtl {
       .withColumn("_sig_key", concat_ws(",", col("function_signatures")))
       .dropDuplicates("chain_id", "address", "_sig_key")
       .drop("_sig_key")
+
+  /** D3 with bounded state: streaming dedup whose seen-set expires
+    * with the watermark — the answer to the reference's
+    * forever-growing Redis set (SURVEY §7.4 "unbounded dedup state").
+    * A contract re-emitted after `delay` of event time is deduplicated
+    * by the sink's ON CONFLICT instead; state size is bounded by the
+    * distinct contracts per watermark window.
+    */
+  def dedupContractsWithinWatermark(contracts: DataFrame,
+      eventTimeCol: String, delay: String): DataFrame =
+    contracts
+      .withColumn("_sig_key", concat_ws(",", col("function_signatures")))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("chain_id", "address", "_sig_key")
+      .drop("_sig_key")
 }

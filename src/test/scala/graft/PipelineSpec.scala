@@ -163,6 +163,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("D3 with TTL: watermark-bounded streaming dedup state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Seq[String], java.sql.Timestamp)]
+    val contracts = mem.toDF()
+      .toDF("chain_id", "address", "function_signatures", "event_time")
+    val out = StreamingEtl.dedupContractsWithinWatermark(contracts, "event_time", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("d3_ttl_out")
+      .outputMode("append").start()
+    try {
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+      mem.addData((1L, "0xa", Seq("0x1"), ts(100)), (1L, "0xa", Seq("0x1"), ts(101)))
+      q.processAllAvailable()
+      // duplicate within the watermark window -> suppressed
+      mem.addData((1L, "0xa", Seq("0x1"), ts(102)))
+      q.processAllAvailable()
+      assert(spark.table("d3_ttl_out").count() == 1)
+      // advance event time far past the watermark; the key re-emits
+      // (state expired -> sink-side ON CONFLICT absorbs it)
+      mem.addData((1L, "0xz", Seq("0x9"), ts(500)))
+      q.processAllAvailable()
+      mem.addData((1L, "0xa", Seq("0x1"), ts(501)))
+      q.processAllAvailable()
+      assert(spark.table("d3_ttl_out")
+        .filter(org.apache.spark.sql.functions.col("address") === "0xa").count() == 2)
+    } finally q.stop()
+  }
+
   test("D3 cross-batch contract dedup") {
     import spark.implicits._
     val contracts = Seq(
