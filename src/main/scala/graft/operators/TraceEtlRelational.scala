@@ -56,14 +56,34 @@ object TraceEtlRelational {
     val zkTx = edges.filter(col("to").isin(FirstDegreeFilter: _*))
       .select(txKey.map(col): _*).distinct()
 
-    // A6: the root trace row per tx (first wins, as in reference reset)
+    // A6: the root trace row per tx — deterministic pick among
+    // multiple root candidates, same total order as
+    // TraceOps.betterRoot (asc, nulls last)
+    val rootOrder = Seq(
+      col("transaction_index").asc_nulls_last,
+      col("from_address").asc_nulls_last,
+      col("to_address").asc_nulls_last,
+      col("value").asc_nulls_last,
+      col("input").asc_nulls_last,
+      col("gas_used").asc_nulls_last,
+      col("block_number").asc_nulls_last,
+      col("block_timestamp").asc_nulls_last,
+      col("block_hash").asc_nulls_last,
+      col("error").asc_nulls_last)
     val roots = t.filter(col("is_root"))
-      .dropDuplicates(txKey)
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(txKey.map(col): _*).orderBy(rootOrder: _*)))
+      .filter(col("_rn") === 1).drop("_rn")
       .join(broadcast(zkTx), txKey, "left_semi")
       .filter(col("transaction_index").isNotNull &&
         col("from_address").isNotNull && col("to_address").isNotNull)
 
-    val prunedEdges = edges.join(broadcast(zkTx), txKey, "left_semi")
+    // like the fused commit, a tx without a well-formed root emits
+    // NOTHING (reference: commit() returns None) — contracts included,
+    // so the edge prune keys on valid roots, not just zk membership
+    val validTx = roots.select(txKey.map(col): _*)
+    val prunedEdges = edges.join(broadcast(validTx), txKey, "left_semi")
 
     // J2: first-degree callers + the precompiles they called
     val firstDeg = prunedEdges.filter(col("to").isin(FirstDegreeFilter: _*))

@@ -1,0 +1,48 @@
+package graft
+
+import graft.model._
+import graft.operators.{TraceEtl, TraceEtlRelational}
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Spark-level differential on adversarial random traces: nulls,
+  * missing roots, multi-chain, duplicate hashes across chains.
+  */
+class RandomDiffSpec extends SparkSpec {
+
+  private val addrs = Vector("0xaa", "0xbb", "0xcc", "0xdd",
+    Addresses.EcRecover, Addresses.EcPairing, Addresses.EcAdd, Addresses.EcMul, null)
+
+  private val genTrace: Gen[TraceRow] = for {
+    chain <- Gen.choose(1L, 2L)
+    hash <- Gen.oneOf((1 to 30).map(i => s"0xh$i"))
+    from <- Gen.oneOf(addrs)
+    to <- Gen.oneOf(addrs)
+    gas <- Gen.option(Gen.choose(0L, 100L))
+    input <- Gen.option(Gen.oneOf("0x61626364", "0x1234567890", "0x" + "ab" * 40))
+    output <- Gen.option(Gen.oneOf("0xab", "0x" + "00" * 31 + "ff", "0x" + "22" * 32))
+    isRoot <- Gen.frequency(1 -> true, 4 -> false)
+    idx <- Gen.option(Gen.choose(0, 5))
+    err <- Gen.option(Gen.const("Reverted"))
+  } yield TraceRow(chain, hash, idx, Option(from), Option(to), Some("7"),
+    input, output, gas, isRoot, Some(5L), Some(100L), Some("0xbh"), err)
+
+  test("random differential: fused == relational on adversarial traces") {
+    import spark.implicits._
+    def canon(df: DataFrame): Seq[String] = {
+      val cols = df.columns.sorted
+      df.selectExpr(cols: _*).collect().map(_.toString).toSeq.sorted
+    }
+    for (seed <- 0 until 6) {
+      val rows = Gen.listOfN(400, genTrace)(Gen.Parameters.default, Seed(seed.toLong))
+        .getOrElse(fail("gen failed"))
+      val ds = spark.createDataset(rows).repartition(5)
+      val (fTx, fC) = TraceEtl.split(TraceEtl.commitTraces(ds))
+      val (rTx, rC) = TraceEtlRelational.transform(ds)
+      assert(canon(fTx.toDF) == canon(rTx), s"seed=$seed transactions differ")
+      assert(canon(fC.toDF) == canon(rC.drop("transaction_hash")),
+        s"seed=$seed contracts differ: fused=${fC.count()} rel=${rC.count()}")
+    }
+  }
+}
