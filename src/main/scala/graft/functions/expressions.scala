@@ -101,5 +101,7 @@ object GraftFunctions {
       "checksum_address", unary("checksum_address", ChecksumAddress), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", unary("simhash64", SimHash64), "built-in")
+    reg.createOrReplaceTempFunction(
+      "flatten_calls", unary("flatten_calls", FlattenCalls.apply), "built-in")
   }
 }

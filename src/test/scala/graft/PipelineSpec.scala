@@ -313,3 +313,27 @@ class SketchSpec extends SparkSpec {
     }
   }
 }
+
+class FlattenCallsSqlSpec extends SparkSpec {
+  test("flatten_calls generator: LATERAL VIEW over a frame tree") {
+    import spark.implicits._
+    val json =
+      """{"from":"0xa","to":"0xb","gasUsed":"0x5","type":"CALL",
+        |"calls":[{"from":"0xb","to":"0xc","gasUsed":"0x3","type":"DELEGATECALL"}]}"""
+        .stripMargin.replace("\n", "")
+    Seq((1L, json)).toDF("id", "frame").createOrReplaceTempView("frames")
+    val rows = spark.sql(
+      """SELECT id, f.to_address, f.gas_used, f.call_type, f.subtraces, f.trace_address
+        |FROM frames LATERAL VIEW flatten_calls(frame) f""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(1)).toSeq == Seq("0xb", "0xc"))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(5L, 3L))
+    assert(rows.head.getString(3) == "call" && rows(1).getString(3) == "delegatecall")
+    assert(rows.head.getInt(4) == 1)
+    assert(rows(1).getSeq[Int](5) == Seq(0))
+    // Column-API form
+    val viaCol = Seq(json).toDF("frame")
+      .select(graft.functions.FlattenCalls.flatten_calls(org.apache.spark.sql.functions.col("frame")))
+    assert(viaCol.count() == 2)
+  }
+}
