@@ -37,3 +37,30 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.readBronze(spark, dir).count() == traces.count())
   }
 }
+
+class BucketedJoinSpec extends SparkSpec {
+  test("bucketed tables co-locate the join: no exchange in the plan") {
+    // warehouse.dir is static; the shared session's default
+    // (./spark-warehouse under the test working dir) is fine
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val or = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_b")
+    or.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("or_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b").join(spark.table("or_b"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${plan.take(600)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS or_b")
+    }
+  }
+}
