@@ -446,7 +446,7 @@ object Queries {
 
   // P3: trace normalizer — lowercase addresses, root flag, call filter
   private val p3Normalize: Q = (s, dir) => {
-    val traces = graft.sources.SyntheticTraces.fromTpch(s, dir)
+    val traces = graft.sources.SyntheticTraces.bronze(s, dir)
     graft.operators.TraceEtl.normalize(traces)
       .filter(col("is_root"))
       .select("chain_id", "transaction_hash", "from_address", "is_root")
@@ -538,6 +538,16 @@ object Queries {
       |  len(string_split(text, ' ')) AS n_tokens,
       |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
       |  length(text) - length(replace(text, ' ', '')) AS n_spaces
+      |FROM documents""".stripMargin
+
+  private val llmBpeTokens: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"),
+      size(graft.llm.TextOps.bpeishTokens(col("text"))).as("n_bpe_tokens"),
+      size(array_distinct(graft.llm.TextOps.bpeishTokens(col("text")))).as("n_bpe_distinct"))
+  private val llmBpeTokensOracle =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+      |  len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS n_bpe_distinct
       |FROM documents""".stripMargin
 
   private val llmQuality: Q = (s, dir) =>
@@ -687,13 +697,13 @@ object Queries {
   }
 
   private val etlTransactions: Q = (s, dir) => {
-    val traces = graft.sources.SyntheticTraces.fromTpch(s, dir)
+    val traces = graft.sources.SyntheticTraces.bronze(s, dir)
     val (txs, _) = graft.operators.TraceEtl.transform(traces)
     txs.toDF()
   }
 
   private val etlContracts: Q = (s, dir) => {
-    val traces = graft.sources.SyntheticTraces.fromTpch(s, dir)
+    val traces = graft.sources.SyntheticTraces.bronze(s, dir)
     val (_, cs) = graft.operators.TraceEtl.transform(traces)
     cs.toDF()
   }
@@ -742,6 +752,7 @@ object Queries {
     "q_llm_norm_dedup" -> llmNormDedup,
     "q_llm_token_stats" -> llmTokenStats,
     "q_llm_quality" -> llmQuality,
+    "q_llm_bpe_tokens" -> llmBpeTokens,
     "q_llm_langid" -> llmLangId,
     "q_llm_jaccard_pairs" -> llmJaccardPairs,
     "q_llm_minhash_pairs" -> llmMinhashPairs,
@@ -794,6 +805,7 @@ object Queries {
     "q_llm_norm_dedup" -> llmNormDedupOracle,
     "q_llm_token_stats" -> llmTokenStatsOracle,
     "q_llm_quality" -> llmQualityOracle,
+    "q_llm_bpe_tokens" -> llmBpeTokensOracle,
     "q_llm_langid" -> llmLangIdOracle,
     "q_llm_jaccard_pairs" -> llmJaccardOracle,
     "q_ann_topk_dot" -> annTopkDotOracle,

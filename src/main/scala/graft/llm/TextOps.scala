@@ -22,6 +22,14 @@ object TextOps {
       (length(col(textCol)) - length(replace(col(textCol), lit(" "), lit("")))).as("n_spaces"))
   }
 
+  /** BPE-ish subword segmentation via regex: alphanumeric runs are
+    * one token each, every other non-space character is its own token
+    * (the usual pre-tokenization regex shape of GPT-2-family BPE,
+    * without the learned merges).
+    */
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0))
+
   private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
   /** Count of tokens in `c` that appear in `words`. */

@@ -17,6 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object SyntheticTraces {
 
+  /** Corpus staged as bronze parquet (generated once per JVM per SF,
+    * then read like any real trace table — the generation cost is
+    * paid once instead of inside every query that consumes traces).
+    */
+  def bronze(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bronze_$key"
+    val marker = new java.io.File(s"$path/_SUCCESS")
+    if (!marker.isFile) synchronized {
+      if (!marker.isFile)
+        fromTpch(spark, sfDir).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
   // lpad(hex(..)) instead of format_string: hex is a tight codegen'd
   // loop while format_string goes through java.util.Formatter (~5s
   // slower over the sf0.1 corpus)
