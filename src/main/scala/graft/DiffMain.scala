@@ -12,10 +12,10 @@ object DiffMain {
     val (rTx, rC) = TraceEtlRelational.transform(norm)
     def canon(df: DataFrame): Seq[String] = {
       val cols = df.columns.sorted
-      df.selectExpr(cols: _*).collect().map(_.toString).toSeq.sorted
+      df.selectExpr(cols.toIndexedSeq: _*).collect().map(_.toString).toSeq.sorted
     }
-    val txEq = canon(fTx.toDF) == canon(rTx)
-    val cEq = canon(fC.toDF) == canon(rC.drop("transaction_hash"))
+    val txEq = canon(fTx.toDF()) == canon(rTx)
+    val cEq = canon(fC.toDF()) == canon(rC.drop("transaction_hash"))
     println(s"DIFF sf0.01: tx_equal=$txEq contracts_equal=$cEq tx_rows=${fTx.count()} c_rows=${fC.count()}")
     spark.stop()
   }

@@ -19,10 +19,10 @@ object StageBench {
     def read() = spark.read.parquet(bronze)
     for (_ <- 1 to 2) {
       time("scan        ") { read().write.format("noop").mode("overwrite").save() }
-      time("normalize   ") { TraceEtl.normalize(read()).toDF.write.format("noop").mode("overwrite").save() }
-      time("norm+prune  ") { TraceEtl.pruneNonZk(TraceEtl.normalize(read())).toDF.write.format("noop").mode("overwrite").save() }
-      time("full commit ") { TraceEtl.commitTraces(TraceEtl.normalize(read())).toDF.write.format("noop").mode("overwrite").save() }
-      time("commit noprefilter") { TraceEtl.commitTraces(TraceEtl.normalize(read()), prefilter=false).toDF.write.format("noop").mode("overwrite").save() }
+      time("normalize   ") { TraceEtl.normalize(read()).toDF().write.format("noop").mode("overwrite").save() }
+      time("norm+prune  ") { TraceEtl.pruneNonZk(TraceEtl.normalize(read())).toDF().write.format("noop").mode("overwrite").save() }
+      time("full commit ") { TraceEtl.commitTraces(TraceEtl.normalize(read())).toDF().write.format("noop").mode("overwrite").save() }
+      time("commit noprefilter") { TraceEtl.commitTraces(TraceEtl.normalize(read()), prefilter=false).toDF().write.format("noop").mode("overwrite").save() }
     }
     spark.stop()
   }

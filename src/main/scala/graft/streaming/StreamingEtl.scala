@@ -67,7 +67,7 @@ object StreamingEtl {
       .filter(col("transaction_hash").isNotNull)
       .withColumn("event_time",
         coalesce(col("block_timestamp"), lit(0L)).cast("timestamp"))
-      .select(struct(traces.columns.map(col): _*).as("trace"), col("event_time"))
+      .select(struct(traces.columns.toIndexedSeq.map(col): _*).as("trace"), col("event_time"))
       .withWatermark("event_time", watermarkDelay)
       .as[TimedTrace]
       .groupByKey(tt => (tt.trace.chain_id, tt.trace.transaction_hash))
