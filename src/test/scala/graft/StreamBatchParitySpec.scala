@@ -1,0 +1,62 @@
+package graft
+
+import graft.model._
+import graft.operators.TraceEtl
+import graft.streaming.StreamingEtl
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming == batch parity: the stateful sessionizer fed the whole
+  * sf0.001 synthetic corpus in micro-batch chunks must commit exactly
+  * the transactions/contracts the batch pipeline produces.
+  */
+class StreamBatchParitySpec extends SparkSpec {
+
+  test("sessionizer over the synthetic corpus matches the batch commit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val norm = TraceEtl.normalize(
+      graft.sources.SyntheticTraces.fromTpch(spark, "/root/testdata/sf0.001"))
+    val (bTx, bC) = TraceEtl.split(TraceEtl.commitTraces(norm))
+    val batchTx = bTx.collect().map(_.toString).toSeq.sorted
+    val batchC = bC.collect().map(_.toString).toSeq.sorted
+
+    // feed in event-time order in 3 chunks + a watermark-advancing
+    // sentinel; groups commit as the watermark passes their gap.
+    // watermarkDelay must exceed the reordering window: a tx whose
+    // equal-timestamp rows straddle a chunk boundary would otherwise
+    // have its tail dropped as late (exactly the protection the delay
+    // exists for in production).
+    val rows = norm.collect().sortBy(_.block_timestamp.getOrElse(0L))
+    val chunks = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    val mem = MemoryStream[TraceRow]
+    val commits = StreamingEtl.sessionCommit(mem.toDS(),
+      gapSeconds = 1L, watermarkDelay = "10 seconds")
+    val q = commits.writeStream.format("memory")
+      .queryName("parity_out").outputMode("append").start()
+    try {
+      chunks.foreach { c => mem.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+      val sentinel = rows.head.copy(transaction_hash = "0xsentinel",
+        block_timestamp = Some(rows.last.block_timestamp.getOrElse(0L) + 1000000L))
+      mem.addData(sentinel)
+      q.processAllAvailable()
+      mem.addData() // one more batch so pending timeouts fire
+      q.processAllAvailable()
+
+      val streamTx = spark.sql(
+        "SELECT transaction.* FROM parity_out WHERE transaction IS NOT NULL")
+        .as[TransactionOut].collect().map(_.toString).toSeq.sorted
+      val streamC = spark.sql(
+        "SELECT inline(contracts) FROM parity_out")
+        .as[ContractOut].collect().map(_.toString).toSeq.sorted
+      if (streamTx != batchTx)
+        fail(s"transactions differ (stream=${streamTx.size} batch=${batchTx.size})\n" +
+          "stream-only: " + streamTx.diff(batchTx).take(2).mkString(" | ") +
+          "\nbatch-only: " + batchTx.diff(streamTx).take(2).mkString(" | "))
+      if (streamC != batchC)
+        fail(s"contracts differ (stream=${streamC.size} batch=${batchC.size})\n" +
+          "stream-only: " + streamC.diff(batchC).take(2).mkString(" | ") +
+          "\nbatch-only: " + batchC.diff(streamC).take(2).mkString(" | "))
+    } finally q.stop()
+  }
+}
