@@ -46,3 +46,43 @@ class RandomDiffSpec extends SparkSpec {
     }
   }
 }
+
+class RootRankSpec extends SparkSpec {
+  test("betterRoot ordering == SQL asc_nulls_last window ordering") {
+    import graft.operators.TraceOps
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.scalacheck.{Gen => G}
+    import org.scalacheck.rng.Seed
+    val genRoot: G.type => org.scalacheck.Gen[RootInfo] = _ => for {
+      idx <- G.option(G.choose(0, 3))
+      from <- G.option(G.oneOf("0xa", "0xb"))
+      to <- G.option(G.oneOf("0xc", "0xd"))
+      value <- G.option(G.oneOf("1", "22"))
+      input <- G.option(G.oneOf("0x61", "0x6162"))
+      gas <- G.option(G.choose(0L, 2L))
+    } yield RootInfo(idx, from, to, value, input, gas, Some(1L), Some(2L), Some("0xb"), None)
+    for (seed <- 0 until 10) {
+      val roots = G.listOfN(12, genRoot(G))(G.Parameters.default, Seed(seed.toLong)).get
+      // Scala side: minimum by betterRoot
+      val scalaMin = roots.reduce(TraceOps.betterRoot)
+      // SQL side: the same total order as TraceEtlRelational's window
+      val df = roots.toDF()
+      val sqlMin = df.withColumn("_rn", row_number().over(
+          Window.partitionBy(lit(1)).orderBy(
+            col("transaction_index").asc_nulls_last,
+            col("from_address").asc_nulls_last,
+            col("to_address").asc_nulls_last,
+            col("value").asc_nulls_last,
+            col("input").asc_nulls_last,
+            col("gas_used").asc_nulls_last,
+            col("block_number").asc_nulls_last,
+            col("block_timestamp").asc_nulls_last,
+            col("block_hash").asc_nulls_last,
+            col("error").asc_nulls_last)))
+        .filter(col("_rn") === 1).drop("_rn").as[RootInfo].head()
+      assert(TraceOps.rootRank(sqlMin) == TraceOps.rootRank(scalaMin), s"seed=$seed")
+    }
+  }
+}
