@@ -64,3 +64,36 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 }
+
+class ShuffleVolumeSpec extends SparkSpec {
+  test("partial aggregation shrinks the commit shuffle below input rows") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val traces = graft.operators.TraceEtl.normalize(
+      graft.sources.SyntheticTraces.fromTpch(spark, "/root/testdata/sf0.01"))
+    val pruned = graft.operators.TraceEtl.pruneNonZk(
+      traces.filter(org.apache.spark.sql.functions.col("transaction_hash").isNotNull)
+        .as[graft.model.TraceRow](traces.encoder))
+    val inputRows = pruned.count()
+
+    var shuffleRecords = 0L
+    val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val w = s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+        if (w > 0) shuffleRecords = math.max(shuffleRecords, w)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.operators.TraceEtl.commitTraces(pruned, prefilter = false)
+        .write.format("noop").mode("overwrite").save()
+      Thread.sleep(2000) // let the listener bus drain
+      // the wide exchange carries partially-merged tree buffers — one
+      // per (group, map task) at most — strictly fewer than raw rows
+      assert(shuffleRecords > 0, "no shuffle observed")
+      assert(shuffleRecords < inputRows,
+        s"partial agg ineffective: shuffled $shuffleRecords of $inputRows input rows")
+      info(s"shuffle records: $shuffleRecords of $inputRows input rows " +
+        f"(${shuffleRecords * 100.0 / inputRows}%.0f%%)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
