@@ -105,3 +105,27 @@ class RpcPollerSpec extends SparkSpec {
     } finally server.stop(0)
   }
 }
+
+class AppFailureSpec extends SparkSpec {
+  test("provider path surfaces a clear error after retries are exhausted") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/", (x: com.sun.net.httpserver.HttpExchange) => {
+      x.sendResponseHeaders(500, -1); x.close()
+    })
+    server.start()
+    try {
+      val chain = graft.sources.ProviderChain(7L,
+        s"http://localhost:${server.getAddress.getPort}/", "ws://x", true, true)
+      val client = new graft.sources.RpcClient(chain.rpcUrl,
+        maxRetries = 3, backoffMs = 1, sleeper = _ => ())
+      val e = intercept[RuntimeException] {
+        App.runProviderRange(spark, chain, client, 1 to 1,
+          App.Sinks(None), preTraceSleep = _ => ())
+      }
+      // the reference panics and lets the orchestrator restart
+      // (main.rs:25-30); we surface the same terminal failure
+      assert(e.getMessage.contains("failed after 3 attempts"))
+    } finally server.stop(0)
+  }
+}
