@@ -2,7 +2,7 @@ package graft
 
 import graft.obs.{GraftQueryListener, HealthServer, StatsRegistry}
 import graft.operators.TraceEtl
-import graft.sinks.{DebugSink, JdbcUpsert, Tables}
+import graft.sinks.{JdbcUpsert, Tables}
 import graft.sources._
 import graft.streaming.StreamingEtl
 import org.apache.spark.sql.{DataFrame, SparkSession}
