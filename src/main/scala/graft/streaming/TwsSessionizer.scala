@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.model._
+import graft.operators.{TraceTreeAggregator, TreeBuf}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** Per-transaction sessionizer on the Spark 4 `transformWithState`
+  * arbitrary-state API — the modern replacement for
+  * `flatMapGroupsWithState` ([[StreamingEtl.sessionCommit]] keeps the
+  * classic shape; both commit identical results, see TwsSpec).
+  *
+  * Why this API matters at 100 TB: state lives in per-key RocksDB
+  * column families (required provider for this operator), timers are
+  * first-class (one event-time timer per open transaction instead of
+  * a single GroupState timeout), and state schema can evolve between
+  * restarts. Semantics mirror the classic sessionizer: a transaction
+  * commits when the event-time watermark passes its latest trace
+  * timestamp + gap; traces later than the watermark are dropped by
+  * the operator, never mis-attributed to a neighboring transaction
+  * (the reference's order-dependent fold does exactly that,
+  * consumer/kafka/trace/mod.rs:65-77 — deliberate delta, SURVEY §7.1).
+  */
+class TraceSessionProcessor(gapSeconds: Long)
+    extends StatefulProcessor[(Long, String), TimedTrace, TxCommit] {
+
+  @transient private var buf: ValueState[TreeBuf] = _
+  @transient private var timer: ValueState[Long] = _
+  @transient private lazy val agg = new TraceTreeAggregator
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getValueState[TreeBuf](
+      "tree", Encoders.product[TreeBuf], TTLConfig.NONE)
+    timer = getHandle.getValueState[Long](
+      "timer", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: (Long, String), rows: Iterator[TimedTrace],
+      tv: TimerValues): Iterator[TxCommit] = {
+    var maxEventMs = Long.MinValue
+    val merged = rows.foldLeft(if (buf.exists()) buf.get() else TreeBuf.empty) {
+      (b, tt) =>
+        if (tt.event_time != null)
+          maxEventMs = math.max(maxEventMs, tt.event_time.getTime)
+        agg.reduce(b, tt.trace)
+    }
+    buf.update(merged)
+    // one live timer per open tx: re-arm on every new trace so the
+    // session closes gapSeconds after the LAST trace's event time
+    val base = if (maxEventMs == Long.MinValue) tv.getCurrentWatermarkInMs() else maxEventMs
+    val at = math.max(base + gapSeconds * 1000L, tv.getCurrentWatermarkInMs() + 1L)
+    if (timer.exists() && timer.get() != at) getHandle.deleteTimer(timer.get())
+    if (!timer.exists() || timer.get() != at) {
+      getHandle.registerTimer(at)
+      timer.update(at)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: (Long, String), tv: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[TxCommit] = {
+    val out =
+      if (buf.exists())
+        Some(TraceTreeAggregator.commit(buf.get(), key._1, key._2))
+          .filter(c => c.transaction.nonEmpty || c.contracts.nonEmpty)
+      else None
+    buf.clear()
+    timer.clear()
+    out.iterator
+  }
+}
+
+object TwsSessionizer {
+
+  /** Requires the RocksDB state store provider:
+    * `spark.sql.streaming.stateStore.providerClass =
+    *  org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+    */
+  def sessionCommit(traces: Dataset[TraceRow],
+      gapSeconds: Long = 30L,
+      watermarkDelay: String = "10 seconds"): Dataset[TxCommit] = {
+    val spark = traces.sparkSession
+    import spark.implicits._
+    implicit val txCommitEnc: Encoder[TxCommit] = Encoders.product[TxCommit]
+    traces
+      .filter(col("transaction_hash").isNotNull)
+      .withColumn("event_time",
+        coalesce(col("block_timestamp"), lit(0L)).cast("timestamp"))
+      .select(struct(traces.columns.toIndexedSeq.map(col): _*).as("trace"),
+        col("event_time"))
+      .withWatermark("event_time", watermarkDelay)
+      .as[TimedTrace]
+      .groupByKey(tt => (tt.trace.chain_id, tt.trace.transaction_hash))
+      .transformWithState(new TraceSessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}
