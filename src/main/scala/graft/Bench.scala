@@ -48,13 +48,16 @@ object Bench {
     }
 
     // best-of-N to damp scheduler/GC noise on a shared box; the second
-    // pass is skipped if the first already spent the time budget
+    // pass is skipped if the first already spent the time budget.
+    // Threshold is generous because a cold first pass has been observed
+    // 4-5x slower than steady state (page cache + JIT) — the second
+    // pass is precisely when it's most needed.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val pass1 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(fn)
     }
     val results =
-      if (runs > 1 && pass1.map(_._2).filter(_ >= 0).sum < 120.0)
+      if (runs > 1 && pass1.map(_._2).filter(_ >= 0).sum < 360.0)
         pass1.map { case (name, t1) =>
           val t2 = run(SparkEntry.queries(name))
           name -> (if (t2 >= 0 && (t1 < 0 || t2 < t1)) t2 else t1)

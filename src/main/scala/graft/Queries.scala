@@ -620,6 +620,69 @@ object Queries {
       |FROM scored
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 5""".stripMargin
 
+  // Arithmetic MinHash (engine-portable): signature + LSH band pairs,
+  // both exactly reproducible in DuckDB — the deterministic complement
+  // to the fast FNV-hash minhash path below.
+  private val llmMinhashSig: Q = (s, dir) =>
+    graft.llm.DedupOps.minhashSignature(t(s, dir, "documents"), "doc_id", "text")
+  private val minhashFpsCte =
+    """WITH tokfp AS (
+      |  SELECT doc_id,
+      |    list_transform(
+      |      list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0),
+      |      t -> list_reduce(
+      |             list_prepend(CAST(0 AS BIGINT),
+      |               list_transform(range(length(t)), i -> CAST(ord(t[i+1]) AS BIGINT))),
+      |             (acc, c) -> (acc * 31 + c) % 1000000007)) AS fpt
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(fpt) < 3 THEN
+      |      [list_reduce(list_prepend(CAST(0 AS BIGINT), fpt),
+      |                   (a, b) -> (a * 1000003 + b) % 1000000007)]
+      |    ELSE list_transform(range(len(fpt) - 2),
+      |           j -> ((fpt[j+1] * 1000003 + fpt[j+2]) % 1000000007 * 1000003
+      |                 + fpt[j+3]) % 1000000007) END AS fps
+      |  FROM tokfp)""".stripMargin
+  private val minhashSigSelect = (0 until 8).map(i =>
+    s"  list_min(list_transform(fps, f -> (f * ${2 * i + 3} + ${5 * i + 7}) % 2147483647)) AS mh$i")
+    .mkString(",\n")
+  private val llmMinhashSigOracle =
+    s"$minhashFpsCte\nSELECT doc_id,\n$minhashSigSelect\nFROM d"
+
+  private val llmMinhashLshPairs: Q = (s, dir) =>
+    graft.llm.DedupOps.minhashSignaturePairs(t(s, dir, "documents"), "doc_id", "text")
+  private val llmMinhashLshOracle =
+    s"""$minhashFpsCte,
+      |sig AS (SELECT doc_id,
+      |$minhashSigSelect
+      |FROM d),
+      |bands AS (
+      |  SELECT doc_id, i AS band,
+      |    CASE i WHEN 0 THEN mh0*2147483647+mh1 WHEN 1 THEN mh2*2147483647+mh3
+      |           WHEN 2 THEN mh4*2147483647+mh5 ELSE mh6*2147483647+mh7 END AS key
+      |  FROM sig, (SELECT unnest(range(4)) AS i) t)
+      |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
+
+  // Multimodal decode with exact integer output: the same per-partition
+  // decode stage as q_mm_features, emitting raw bin counts so the full
+  // binary->features path is hash-checked against SQL, not row-counted.
+  private val mmBinCounts: Q = (s, dir) =>
+    graft.llm.Multimodal.binCounts(
+      graft.llm.Multimodal.packFromDocuments(t(s, dir, "documents"))).toDF()
+  private val mmBinCountsOracle =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    list_transform(range(length(text)), i -> ord(text[i+1])) AS codes
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  list_transform(range(16), b -> len(list_filter(codes, c -> c // 16 = b))) AS bin_counts
+      |FROM d""".stripMargin
+
   // rows-only LLM entries (probabilistic / float / custom-hash — not
   // DuckDB-expressible; covered by ScalaTest recall + unit specs)
   private val llmMinhashPairs: Q = (s, dir) =>
@@ -756,6 +819,9 @@ object Queries {
     "q_llm_langid" -> llmLangId,
     "q_llm_jaccard_pairs" -> llmJaccardPairs,
     "q_llm_minhash_pairs" -> llmMinhashPairs,
+    "q_llm_minhash_sig" -> llmMinhashSig,
+    "q_llm_minhash_lsh_pairs" -> llmMinhashLshPairs,
+    "q_mm_bin_counts" -> mmBinCounts,
     "q_llm_simhash_pairs" -> llmSimhashPairs,
     "q_llm_fingerprints" -> llmFingerprints,
     "q_ann_topk_dot" -> annTopkDot,
@@ -808,6 +874,9 @@ object Queries {
     "q_llm_bpe_tokens" -> llmBpeTokensOracle,
     "q_llm_langid" -> llmLangIdOracle,
     "q_llm_jaccard_pairs" -> llmJaccardOracle,
+    "q_llm_minhash_sig" -> llmMinhashSigOracle,
+    "q_llm_minhash_lsh_pairs" -> llmMinhashLshOracle,
+    "q_mm_bin_counts" -> mmBinCountsOracle,
     "q_ann_topk_dot" -> annTopkDotOracle,
     "q_emb_stats" -> embStatsOracle,
   )

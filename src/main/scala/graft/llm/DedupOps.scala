@@ -90,6 +90,71 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Engine-portable arithmetic MinHash (cross-engine reproducible,
+    * unlike the fast FNV-based `minhash_bands` expression): token
+    * fingerprint = 31-polynomial rolling hash of the codepoints mod
+    * 1e9+7, permutation i = (fp * (2i+3) + (5i+7)) mod (2^31-1).
+    * Entirely built-in higher-order functions, so the whole signature
+    * stays inside whole-stage codegen — and the identical arithmetic
+    * is expressible in ANSI SQL for the DuckDB oracle.
+    */
+  val FingerprintMod = 1000000007L
+  val PermMod = 2147483647L // 2^31-1: fp*a + b stays well inside Long
+  val ShingleComb = 1000003L // combines three token fps into a shingle fp
+
+  private def tokenFingerprint(tok: Column): Column =
+    aggregate(sequence(lit(1), length(tok)), lit(0L),
+      (acc, i) => (acc * lit(31L) + ascii(tok.substr(i, lit(1)))) % lit(FingerprintMod))
+
+  /** Per-document arithmetic MinHash signature over 3-token shingles
+    * (the same unit as [[minhashCandidates]] — token-level signatures
+    * would make random same-vocabulary documents collide): columns
+    * mh0..mh{n-1}.
+    *
+    * Each token is fingerprinted ONCE (char-level rolling hash), and a
+    * shingle fingerprint combines the three token fps arithmetically —
+    * O(tokens) char work per document instead of O(shingles × chars).
+    */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      nPerms: Int = 8): DataFrame = {
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val M = lit(FingerprintMod)
+    val C = lit(ShingleComb)
+    def comb(a: Column, b: Column): Column = (a * C + b) % M
+    val withFpt = df.select(col(idCol).as("doc_id"),
+      transform(toks, tokenFingerprint(_)).as("fpt"))
+    val fps = when(size(col("fpt")) < 3,
+        array(aggregate(col("fpt"), lit(0L), comb)))
+      .otherwise(transform(sequence(lit(0), size(col("fpt")) - 3), j =>
+        comb(comb(element_at(col("fpt"), j + 1), element_at(col("fpt"), j + 2)),
+          element_at(col("fpt"), j + 3))))
+    val mhs = (0 until nPerms).map { i =>
+      array_min(transform(col("fps"),
+        f => (f * lit(2L * i + 3) + lit(5L * i + 7)) % lit(PermMod))).as(s"mh$i")
+    }
+    withFpt.select(col("doc_id"), fps.as("fps"))
+      .select(col("doc_id") +: mhs: _*)
+  }
+
+  /** LSH banding over the arithmetic signature: nPerms/2 bands of two
+    * rows each, band key = mh_{2b} * PermMod + mh_{2b+1}; candidate
+    * pairs share any band bucket. Same Σ|bucket|² cost shape as
+    * [[minhashCandidates]], but deterministic across engines.
+    */
+  def minhashSignaturePairs(df: DataFrame, idCol: String, textCol: String,
+      nPerms: Int = 8): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, nPerms)
+    val keys = (0 until nPerms / 2).map(b =>
+      col(s"mh${2 * b}") * lit(PermMod) + col(s"mh${2 * b + 1}"))
+    val banded = sig.select(col("doc_id"), posexplode(array(keys: _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
   /** SimHash near-dup pairs: 64-bit signature split into four 16-bit
     * chunks; pairs sharing ANY chunk (pigeonhole: hamming<=3 implies
     * at least one chunk equal) are candidates, then filtered by exact

@@ -24,6 +24,13 @@ case class MediaFeatures(
     features: Array[Float], // 16-dim descriptor
 )
 
+case class MediaBinCounts(
+    media_id: Long,
+    kind: String,
+    n_bytes: Long,
+    bin_counts: Array[Long], // 16 high-nibble byte-histogram bins
+)
+
 /** Multimodal-column handling: opaque binary payloads with typed
   * metadata, and a per-partition feature-extraction stage.
   *
@@ -70,6 +77,26 @@ object Multimodal {
       while (j < 16) { hist(j) /= payload.length; j += 1 }
     }
     hist
+  }
+
+  /** Raw integer bin counts (the un-normalized form of [[decodeStub]])
+    * — exact integers, so the full decode path is hash-comparable
+    * against a SQL oracle, not just row-counted.
+    */
+  def binCounts(media: Dataset[MediaRow]): Dataset[MediaBinCounts] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val counts = new Array[Long](16)
+        var i = 0
+        while (i < m.payload.length) {
+          counts((m.payload(i) & 0xf0) >> 4) += 1L
+          i += 1
+        }
+        MediaBinCounts(m.media_id, m.kind, m.n_bytes, counts)
+      }
+    }
   }
 
   /** Per-partition feature extraction: iterator-in/iterator-out so a

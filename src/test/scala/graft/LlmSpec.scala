@@ -55,6 +55,23 @@ class LlmSpec extends SparkSpec {
     assert(exact >= planted.size / 10 * 9 / 10)
   }
 
+  test("arithmetic minhash-LSH: high recall on planted near-dups, no flood") {
+    val corpus = corpusWithDups
+    val found = DedupOps.minhashSignaturePairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    val recall = planted.count(found.contains).toDouble / planted.size
+    // 4 bands x 2 rows at shingle-jaccard ~0.95: P(candidate) ~ 1-(1-s^2)^4 > 0.99
+    assert(recall >= 0.9, s"recall $recall; found ${found.size} pairs")
+    // candidate set stays bucket-bounded, not an effective cross-join
+    assert(found.size < 20L * planted.size,
+      s"candidate flood: ${found.size} pairs for ${planted.size} planted")
+    // exact dups collide on every band
+    val exactPairs = found.count { case (a, b) => b - a == 200000 && a % 10 == 0 }
+    assert(exactPairs >= planted.size / 10 * 9 / 10)
+  }
+
   test("simhash pairs: exact dups at hamming 0; pigeonhole bound enforced") {
     val corpus = corpusWithDups
     val pairs = DedupOps.simhashPairs(corpus, "doc_id", "text", 3)
