@@ -666,6 +666,37 @@ object Queries {
       |FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
 
+  // Embedding-cosine near-dup: multi-table sign-LSH candidates +
+  // integer-exact cosine-threshold verification — deterministic across
+  // engines, full DuckDB oracle (the dedup-by-embedding path; the
+  // float ANN variants below stay rows-only).
+  private val embNearDup: Q = (s, dir) =>
+    graft.llm.SimilarityOps.cosineNearDupPairs(
+      t(s, dir, "embeddings"), "vec_id", "embedding")
+  private val embNearDupOracle = {
+    def proj(p: Int) =
+      s"list_sum(list_transform(range(len(q)), d -> " +
+        s"((((tbl*6+$p)*31 + d) * 2654435761) % 2147483648 - 1073741824) * q[d+1]))"
+    val bits = (0 until 6)
+      .map(p => s"(CASE WHEN ${proj(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+      |  SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT id, q, list_sum(list_transform(q, v -> v*v)) AS nq FROM e),
+      |bands AS (
+      |  SELECT id, q, nq, t.tbl AS tbl, $bits AS bucket
+      |  FROM n, (SELECT unnest(range(4)) AS tbl) t),
+      |p AS (
+      |  SELECT DISTINCT a.id AS id1, b2.id AS id2,
+      |    CAST(list_dot_product(a.q, b2.q) AS BIGINT) AS dot_q, a.nq AS nq1, b2.nq AS nq2
+      |  FROM bands a JOIN bands b2
+      |    ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.id < b2.id)
+      |SELECT id1, id2, dot_q FROM p
+      |WHERE dot_q > 0 AND dot_q*dot_q*100 >= 9*nq1*nq2""".stripMargin
+  }
+
   // Multimodal decode with exact integer output: the same per-partition
   // decode stage as q_mm_features, emitting raw bin counts so the full
   // binary->features path is hash-checked against SQL, not row-counted.
@@ -822,6 +853,7 @@ object Queries {
     "q_llm_minhash_sig" -> llmMinhashSig,
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshPairs,
     "q_mm_bin_counts" -> mmBinCounts,
+    "q_emb_neardup" -> embNearDup,
     "q_llm_simhash_pairs" -> llmSimhashPairs,
     "q_llm_fingerprints" -> llmFingerprints,
     "q_ann_topk_dot" -> annTopkDot,
@@ -877,6 +909,7 @@ object Queries {
     "q_llm_minhash_sig" -> llmMinhashSigOracle,
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshOracle,
     "q_mm_bin_counts" -> mmBinCountsOracle,
+    "q_emb_neardup" -> embNearDupOracle,
     "q_ann_topk_dot" -> annTopkDotOracle,
     "q_emb_stats" -> embStatsOracle,
   )

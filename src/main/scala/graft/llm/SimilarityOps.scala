@@ -84,6 +84,62 @@ object SimilarityOps {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Engine-portable sign-LSH: bit p of a vector's bucket key in table
+    * `tbl` is the sign of Σ_d coef(tbl*planes+p, d) · q_d, where
+    * q = floor(x·1000) and coef is a Knuth-multiplicative integer
+    * formula — every step is exact 64-bit arithmetic, so an external
+    * SQL engine reproduces the buckets bit-for-bit (unlike the fast
+    * `hyperplane_lsh` expression used by [[lshTopK]]).
+    */
+  private def portableBucket(q: Column, planes: Int, tbl: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val g = tbl * planes + p
+      val proj = aggregate(sequence(lit(0), size(q) - 1), lit(0L),
+        (acc, d) => acc +
+          ((lit(g.toLong) * 31L + d) * lit(2654435761L) % lit(2147483648L) -
+            lit(1073741824L)) * element_at(q, d + 1))
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, fully deterministic:
+    * multi-table sign-LSH bucketing generates candidates (never a
+    * cross-join), then an exact integer test keeps pairs with
+    * cosine ≥ tNum/tDen:  dot_q > 0  ∧  dot_q²·tDen² ≥ tNum²·|a|²_q·|b|²_q.
+    * All arithmetic stays in quantized integers, so the result
+    * hash-matches a SQL oracle exactly — no float comparisons.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+      tNum: Long = 3, tDen: Long = 10,
+      planes: Int = 6, tables: Int = 4): DataFrame = {
+    val q = transform(col(embCol), x => floor(x.cast("double") * 1000).cast("long"))
+    val base = corpus.select(col(idCol).as("id"), q.as("q"),
+      aggregate(q, lit(0L), (acc, v) => acc + v * v).as("nq"))
+    val banded = base.select(col("id"), col("q"), col("nq"),
+        posexplode(array((0 until tables).map(tbl =>
+          portableBucket(col("q"), planes, tbl)): _*)))
+      .select(col("id"), col("q"), col("nq"),
+        col("pos").as("tbl"), col("col").as("bucket"))
+    // score in the map stage, THEN dedup, THEN filter: higher-order
+    // exprs are CodegenFallback, and a filter directly above the
+    // scoring projection gets the dot expression inlined into the
+    // predicate (3x interpreted evaluation) — the dedup aggregate is a
+    // barrier that keeps the dot evaluated exactly once per pair
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        aggregate(zip_with(col("a.q"), col("b.q"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot_q"),
+        col("a.nq").as("nq1"), col("b.nq").as("nq2"))
+      .dropDuplicates("id1", "id2")
+    pairs.filter(col("dot_q") > 0 &&
+        col("dot_q") * col("dot_q") * lit(tDen * tDen) >=
+          lit(tNum * tNum) * col("nq1") * col("nq2"))
+      .select("id1", "id2", "dot_q")
+  }
+
   /** IVF (inverted-file) approximate top-k: a deterministic coarse
     * quantizer — `nlist` corpus vectors chosen by id stride act as
     * centroids — partitions the corpus into cells; queries probe their

@@ -72,6 +72,34 @@ class LlmSpec extends SparkSpec {
     assert(exactPairs >= planted.size / 10 * 9 / 10)
   }
 
+  test("cosine near-dup pairs: subset of brute-force threshold pairs, exact dups found") {
+    import graft.llm.SimilarityOps
+    // plant exact duplicates (cosine 1.0 -> identical sign pattern in
+    // every table, so LSH recall on them is 1)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val corpus = base.unionByName(
+      base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val found = SimilarityOps.cosineNearDupPairs(corpus, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every planted duplicate pair is recovered
+    val planted = (0L until 50L).map(i => (i, i + 10000)).toSet
+    val foundIds = found.map(t => (t._1, t._2)).toSet
+    assert(planted.subsetOf(foundIds),
+      s"missing planted dups: ${planted.diff(foundIds).take(3)}")
+    // every emitted pair genuinely passes the exact integer threshold
+    val qmap = corpus.select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    found.foreach { case (a, b, dot) =>
+      val (qa, qb) = (qmap(a), qmap(b))
+      val exact = qa.zip(qb).map { case (x, y) => x * y }.sum
+      assert(exact == dot, s"dot mismatch for ($a,$b)")
+      val (na, nb) = (qa.map(x => x * x).sum, qb.map(x => x * x).sum)
+      assert(dot > 0 && dot * dot * 100 >= 9 * na * nb, s"below threshold: ($a,$b)")
+    }
+  }
+
   test("simhash pairs: exact dups at hamming 0; pigeonhole bound enforced") {
     val corpus = corpusWithDups
     val pairs = DedupOps.simhashPairs(corpus, "doc_id", "text", 3)
