@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.VecFunctions
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+/** The codegen'd vector expressions must be bit-identical to the
+  * higher-order-function formulations they replaced (the DuckDB
+  * oracles were validated against those), and reject wrong input
+  * types at analysis time.
+  */
+class VecExprSpec extends SparkSpec {
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def pairs = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") + 7 === col("b.vec_id"))
+      .select(col("a.vec_id").as("id"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+  }
+
+  test("quantized_dot == zip_with/aggregate formulation") {
+    val hof = aggregate(
+      zip_with(col("ea"), col("eb"), (x, y) =>
+        floor(x.cast("double") * 1000).cast("long") *
+          floor(y.cast("double") * 1000).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val diff = pairs.select(
+        VecFunctions.quantized_dot(col("ea"), col("eb")).as("fast"), hof.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
+  test("dot_long == zip_with/aggregate over quantized arrays") {
+    val q = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => floor(x.cast("double") * 1000).cast("long"))
+    val hof = aggregate(zip_with(q(col("ea")), q(col("eb")), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val diff = pairs.select(
+        VecFunctions.dot_long(q(col("ea")), q(col("eb"))).as("fast"), hof.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
+  test("cosine_sim bit-identical to the aggregate formulation") {
+    def dot(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      aggregate(zip_with(u, v, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val hof = dot(col("ea"), col("eb")) /
+      (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb"))))
+    // bit-identical, not approximately equal: same accumulation order
+    val diff = pairs.select(
+        VecFunctions.cosine_sim(col("ea"), col("eb")).as("fast"), hof.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
+  test("portable_sign_bucket matches the oracle's integer arithmetic") {
+    val q = emb.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        floor(x.cast("double") * 1000).cast("long")).as("q"))
+    val rows = q.select(col("vec_id"), col("q"),
+        VecFunctions.portable_sign_bucket(col("q"), 6, 2).as("bucket"))
+      .collect()
+    rows.foreach { r =>
+      val arr = r.getSeq[Long](1)
+      var expected = 0L
+      for (p <- 0 until 6) {
+        val g = (2 * 6 + p).toLong
+        val proj = arr.zipWithIndex.map { case (v, d) =>
+          ((g * 31L + d) * 2654435761L % 2147483648L - 1073741824L) * v
+        }.sum
+        if (proj >= 0) expected |= (1L << p)
+      }
+      assert(r.getLong(2) == expected, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("wrong input types rejected at analysis time") {
+    val df = spark.range(3).select(col("id"), array(lit("x")).as("strs"))
+    intercept[AnalysisException] {
+      df.select(VecFunctions.quantized_dot(col("strs"), col("strs"))).collect()
+    }
+    intercept[AnalysisException] {
+      df.select(VecFunctions.dot_long(col("id"), col("id"))).collect()
+    }
+    intercept[AnalysisException] {
+      df.select(VecFunctions.portable_sign_bucket(col("strs"), 4, 0)).collect()
+    }
+  }
+}
