@@ -63,6 +63,76 @@ object VecBridge {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Arithmetic MinHash signature of a document in one pass —
+    * identical math to the built-ins formulation in
+    * `DedupOps.minhashSignature` (whitespace tokens; 31-polynomial
+    * rolling hash of each token's codepoints mod 1e9+7; 3-token
+    * shingle fp = pairwise combine with 1000003; permutation i =
+    * (fp·(2i+3) + (5i+7)) mod (2^31−1)), which the DuckDB oracle pins.
+    * ASCII/whitespace handling matches Spark's split(text, "\\s+") on
+    * the ASCII corpus: runs of whitespace delimit, leading whitespace
+    * yields an empty first token which is dropped.
+    */
+  // java-regex \s, to match split(text, "\\s+") exactly
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def arithMinhashSig(text: org.apache.spark.unsafe.types.UTF8String,
+      nPerms: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val M = 1000000007L
+    val C = 1000003L
+    // token fingerprints
+    val fpt = new java.util.ArrayList[Long]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        var acc = 0L
+        while (i < n && !isWs(s.charAt(i))) {
+          acc = (acc * 31L + s.charAt(i).toInt) % M
+          i += 1
+        }
+        fpt.add(acc)
+      }
+    }
+    val nt = fpt.size()
+    // shingle fingerprints
+    val fps: Array[Long] =
+      if (nt < 3) {
+        var acc = 0L
+        var j = 0
+        while (j < nt) { acc = (acc * C + fpt.get(j)) % M; j += 1 }
+        Array(acc)
+      } else {
+        val out = new Array[Long](nt - 2)
+        var j = 0
+        while (j < nt - 2) {
+          out(j) = ((fpt.get(j) * C + fpt.get(j + 1)) % M * C + fpt.get(j + 2)) % M
+          j += 1
+        }
+        out
+      }
+    // signature
+    val sig = new Array[Long](nPerms)
+    var p = 0
+    while (p < nPerms) {
+      val a = 2L * p + 3
+      val b = 5L * p + 7
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < fps.length) {
+        val h = (fps(j) * a + b) % 2147483647L
+        if (h < mn) mn = h
+        j += 1
+      }
+      sig(p) = mn
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
   /** Sign-LSH bucket over a pre-quantized array<long> vector, with the
     * Knuth-multiplicative integer coefficient formula
     * coef(g, d) = ((g·31 + d)·2654435761) mod 2^31 − 2^30 — exactly the
@@ -175,7 +245,30 @@ case class PortableSignBucket(child: Expression, planes: Int, tbl: Int)
     copy(child = newChild)
 }
 
+/** One-pass arithmetic MinHash signature (array<long> of nPerms mins);
+  * math pinned to the built-ins formulation by ArithMinhashSpec and
+  * the q_llm_minhash_sig DuckDB oracle.
+  */
+case class ArithMinhashSig(child: Expression, nPerms: Int)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringUnaryInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "arith_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    VecBridge.arithMinhashSig(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], nPerms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecBridge.arithMinhashSig($c, $nPerms)")
+
+  override protected def withNewChildInternal(newChild: Expression): ArithMinhashSig =
+    copy(child = newChild)
+}
+
 object VecFunctions {
+  def arith_minhash_sig(c: Column, nPerms: Int = 8): Column =
+    GraftShim.column(ArithMinhashSig(GraftShim.expression(c), nPerms))
   def quantized_dot(a: Column, b: Column): Column =
     GraftShim.column(QuantizedDot(GraftShim.expression(a), GraftShim.expression(b)))
   def dot_long(a: Column, b: Column): Column =

@@ -117,6 +117,18 @@ object DedupOps {
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       nPerms: Int = 8): DataFrame = {
+    val sig = graft.functions.VecFunctions.arith_minhash_sig(col(textCol), nPerms)
+    df.select(col(idCol).as("doc_id"), sig.as("sig"))
+      .select(col("doc_id") +:
+        (0 until nPerms).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+  }
+
+  /** The pure-built-ins formulation of [[minhashSignature]] (higher-
+    * order functions only, CodegenFallback). Kept as the differential
+    * reference pinning the codegen'd ArithMinhashSig expression.
+    */
+  def minhashSignatureHof(df: DataFrame, idCol: String, textCol: String,
+      nPerms: Int = 8): DataFrame = {
     val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
     val M = lit(FingerprintMod)
     val C = lit(ShingleComb)

@@ -78,6 +78,24 @@ class VecExprSpec extends SparkSpec {
     }
   }
 
+  test("arith_minhash_sig == pure-built-ins minhash signature") {
+    import graft.llm.DedupOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      // exercise the <3-token and whitespace-edge paths too
+      .unionByName(spark.createDataFrame(Seq(
+        (90001L, "one two"), (90002L, "single"), (90003L, "  padded  text  here "),
+        (90004L, "a b c d")))
+        .toDF("doc_id", "text").select(col("doc_id"), col("text"),
+          lit("en").as("lang"), lit("x").as("source"), length(col("text")).as("n_chars")))
+    val fast = DedupOps.minhashSignature(docs, "doc_id", "text")
+    val ref = DedupOps.minhashSignatureHof(docs, "doc_id", "text")
+    val diff = fast.as("f").join(ref.as("r"), Seq("doc_id"))
+      .filter((0 until 8).map(i =>
+        col(s"f.mh$i") =!= col(s"r.mh$i")).reduce(_ || _))
+      .count()
+    assert(diff == 0)
+  }
+
   test("wrong input types rejected at analysis time") {
     val df = spark.range(3).select(col("id"), array(lit("x")).as("strs"))
     intercept[AnalysisException] {
