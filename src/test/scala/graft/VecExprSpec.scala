@@ -96,6 +96,35 @@ class VecExprSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("arith_minhash_sig == built-ins on random ASCII strings (property)") {
+    import graft.llm.DedupOps
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.Parameters
+    val token = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(33.toChar, 126.toChar)).map(_.mkString))
+    val ws = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val doc = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, token)
+      seps <- Gen.listOfN(n + 1, ws)
+    } yield seps.zipAll(toks, "", "").map { case (s, t) => s + t }.mkString
+    val docsGen = Gen.listOfN(40, doc)
+    val prop = Prop.forAll(docsGen) { texts =>
+      val df = spark.createDataFrame(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+        .toDF("doc_id", "text")
+      val fast = DedupOps.minhashSignature(df, "doc_id", "text")
+      val ref = DedupOps.minhashSignatureHof(df, "doc_id", "text")
+      fast.as("f").join(ref.as("r"), Seq("doc_id"))
+        .filter((0 until 8).map(i =>
+          col(s"f.mh$i") =!= col(s"r.mh$i")).reduce(_ || _))
+        .count() == 0
+    }
+    val res = org.scalacheck.Test.check(
+      Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("wrong input types rejected at analysis time") {
     val df = spark.range(3).select(col("id"), array(lit("x")).as("strs"))
     intercept[AnalysisException] {
