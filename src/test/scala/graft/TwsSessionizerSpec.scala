@@ -54,4 +54,53 @@ class TwsSessionizerSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("tws: out-of-order assembly, timer re-arm, late traces dropped") {
+    import graft.model.Addresses
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[TraceRow]
+      val commits = TwsSessionizer.sessionCommit(mem.toDS(),
+        gapSeconds = 5L, watermarkDelay = "0 seconds")
+      val q = commits.writeStream.format("memory")
+        .queryName("tws_ooo").outputMode("append").start()
+      try {
+        def tr(hash: String, from: String, to: String, root: Boolean,
+            ta: Seq[Int], ts: Long): TraceRow =
+          TraceRow(1L, hash, Some(0), Some(from), Some(to), None, Some("0x1234567890"),
+            None, Some(10L), root, Some(1L), Some(ts), Some("0xb"), None)
+        val rec = Addresses.EcRecover
+        // child before root, across micro-batches; each arrival re-arms
+        // the tx's timer to last-event + gap
+        mem.addData(tr("0xs1", "0xb", rec, root = false, Seq(1), ts = 1000L))
+        q.processAllAvailable()
+        mem.addData(tr("0xs1", "0xa", "0xb", root = true, Seq.empty, ts = 1001L))
+        q.processAllAvailable()
+        assert(spark.table("tws_ooo").count() == 0) // timer not expired yet
+        // advance the watermark past 1001 + 5 s: the timer fires
+        mem.addData(tr("0xtick1", "0xa", "0xb", root = true, Seq.empty, ts = 2000L))
+        q.processAllAvailable()
+        mem.addData(tr("0xtick2", "0xa", "0xb", root = true, Seq.empty, ts = 2001L))
+        q.processAllAvailable()
+        val out = spark.sql(
+          "SELECT transaction.* FROM tws_ooo WHERE transaction IS NOT NULL").collect()
+        assert(out.length == 1 && out.head.getAs[String]("transaction_hash") == "0xs1")
+        assert(out.head.getAs[Long]("ec_recover_count") == 1L)
+        // a late trace for the committed tx (event time far behind the
+        // watermark) must NOT resurrect it or corrupt a neighbor
+        mem.addData(tr("0xs1", "0xz", rec, root = false, Seq(2), ts = 1002L))
+        q.processAllAvailable()
+        mem.addData(tr("0xtick3", "0xa", "0xb", root = true, Seq.empty, ts = 3000L))
+        q.processAllAvailable()
+        val again = spark.sql(
+          "SELECT transaction.* FROM tws_ooo WHERE transaction IS NOT NULL " +
+            "AND transaction.transaction_hash = '0xs1'").count()
+        assert(again == 1, s"late trace resurrected the committed tx ($again rows)")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
