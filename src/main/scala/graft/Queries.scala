@@ -480,6 +480,43 @@ object Queries {
       |  '0x0000000000000000000000000000000000000000' AS miner
       |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin
 
+  // Full blocks path: JSON decode (P5) with pending-drop + re-emitted
+  // blocks deduped keep-LAST per (chain, number) — the final table
+  // state the reference's ON CONFLICT DO UPDATE overwrite converges to
+  // (etl_result.rs:267-281 + D1 dedup).
+  private val etlBlocks: Q = (s, dir) => {
+    val orders = t(s, dir, "orders")
+    def payload(tsBump: Column, gasBump: Column) = to_json(struct(
+      col("o_orderkey").as("number"),
+      (col("o_orderkey") + 1000 + tsBump).as("timestamp"),
+      when(col("o_orderkey") % 10 =!= 0,
+        concat(lit("0x"), lpad(lower(hex(col("o_orderkey"))), 64, "0"))).as("hash"),
+      lit("0xparent").as("parent_hash"),
+      ((col("o_totalprice").cast("long") + gasBump) % 1000).cast("int").as("gas_used")))
+    val first = orders.select(payload(lit(0), lit(0)).as("value"))
+    // ~14% of blocks re-emitted (reorg/update) with newer timestamp
+    val reEmit = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(payload(lit(5), lit(1)).as("value"))
+    val decoded = graft.sources.Ingest.decodeBlocks(first.unionByName(reEmit), chainId = 3)
+    val w = Window.partitionBy("chain_id", "number")
+      .orderBy(col("timestamp").desc)
+    decoded.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("chain_id", "number", "timestamp", "hash", "gas_used")
+  }
+  private val etlBlocksOracle =
+    """WITH raw AS (
+      |  SELECT o_orderkey AS number, o_orderkey + 1000 AS timestamp,
+      |    CAST(trunc(o_totalprice) AS BIGINT) % 1000 AS gas_used, o_orderkey % 10 AS pend
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderkey + 1005,
+      |    (CAST(trunc(o_totalprice) AS BIGINT) + 1) % 1000, o_orderkey % 10
+      |  FROM orders WHERE o_orderkey % 7 = 0)
+      |SELECT 3 AS chain_id, number, timestamp,
+      |  '0x' || lpad(lower(hex(number)), 64, '0') AS hash, gas_used
+      |FROM raw WHERE pend <> 0
+      |QUALIFY row_number() OVER (PARTITION BY number ORDER BY timestamp DESC) = 1""".stripMargin
+
   // D3: cross-batch seen-set — which contract keys exist
   private val d3SeenSet: Q = (s, dir) => {
     val contracts = t(s, dir, "documents")
@@ -842,6 +879,7 @@ object Queries {
     "q_keccak256" -> keccakHex,
     "q_etl_transactions" -> etlTransactions,
     "q_etl_contracts" -> etlContracts,
+    "q_etl_blocks" -> etlBlocks,
     "q_llm_exact_dedup" -> llmExactDedup,
     "q_llm_norm_dedup" -> llmNormDedup,
     "q_llm_token_stats" -> llmTokenStats,
@@ -909,6 +947,7 @@ object Queries {
     "q_llm_minhash_sig" -> llmMinhashSigOracle,
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshOracle,
     "q_mm_bin_counts" -> mmBinCountsOracle,
+    "q_etl_blocks" -> etlBlocksOracle,
     "q_emb_neardup" -> embNearDupOracle,
     "q_ann_topk_dot" -> annTopkDotOracle,
     "q_emb_stats" -> embStatsOracle,
