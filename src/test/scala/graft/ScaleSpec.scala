@@ -21,6 +21,36 @@ class ScaleSpec extends SparkSpec {
     assert(salted("hot") == 50000L * 50001L / 2)
   }
 
+  test("skewed monster transaction: 100k traces, 20k distinct addresses, one tx") {
+    import graft.model._
+    import graft.operators.TraceEtl
+    import spark.implicits._
+    val rec = Addresses.EcRecover
+    // one transaction holding 100k traces across 20k distinct callers —
+    // the irreducible-skew worst case for the per-tx buffer (a hot
+    // groupBy key cannot be salted; the buffer must absorb it)
+    val monster = spark.range(100000).map { i =>
+      val caller = f"0xc${i % 20000}%039x"
+      TraceRow(1L, "0xmonster", Some(1), Some(caller),
+        Some(if (i % 5 == 0) rec else f"0xd${i % 1000}%039x"),
+        None, Some("0x1234567890ab"), Some(f"0x${i}%064x"), Some(21L),
+        is_root = false, Some(1L), Some(1700000000L), Some("0xb"), None)
+    }
+    val root = Seq(TraceRow(1L, "0xmonster", Some(1), Some("0xeoa"), Some("0xentry"),
+      Some("5"), Some("0x1234567890"), None, Some(900000L),
+      is_root = true, Some(1L), Some(1700000000L), Some("0xb"), None)).toDS()
+    val traces = monster.unionByName(root).repartition(16) // spread across tasks
+    val (txs, contracts) = TraceEtl.split(TraceEtl.commitTraces(traces))
+    val tx = txs.collect()
+    assert(tx.length == 1)
+    assert(tx.head.ec_recover_count == 20000L)
+    // first-degree callers: the 20k÷5-stride callers that hit 0x..01
+    val c = contracts.collect()
+    assert(c.count(_.degree == 0) == 4000, s"got ${c.count(_.degree == 0)}")
+    // per-degree gas adds up over the full caller set
+    assert(tx.head.gas_used_first_degree > 0)
+  }
+
   test("bronze layer: partition pruning reaches the scan") {
     val traces = graft.sources.SyntheticTraces.fromTpch(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft_bronze").toString
