@@ -703,6 +703,40 @@ object Queries {
       |FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
 
+  // Near-dup clustering: connected components over the arithmetic
+  // LSH pairs, min-reachable-id labels + canonical pick. Oracle is the
+  // same fixpoint via a recursive CTE.
+  private val llmDedupClusters: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.llm.DedupOps.dedupClusters(docs, "doc_id",
+      graft.llm.DedupOps.minhashSignaturePairs(docs, "doc_id", "text"))
+  }
+  private val llmDedupClustersOracle = {
+    val cte = minhashFpsCte.replace("WITH tokfp", "WITH RECURSIVE tokfp")
+    s"""$cte,
+      |sig AS (SELECT doc_id,
+      |$minhashSigSelect
+      |FROM d),
+      |bands AS (
+      |  SELECT doc_id, i AS band,
+      |    CASE i WHEN 0 THEN mh0*2147483647+mh1 WHEN 1 THEN mh2*2147483647+mh3
+      |           WHEN 2 THEN mh4*2147483647+mh5 ELSE mh6*2147483647+mh7 END AS key
+      |  FROM sig, (SELECT unnest(range(4)) AS i) t),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |undir AS (SELECT id1 AS a, id2 AS b FROM pairs
+      |          UNION ALL SELECT id2, id1 FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN undir e ON r.dst = e.a)
+      |SELECT src AS doc_id, min(dst) AS cluster_id,
+      |  CAST(src = min(dst) AS INT) AS is_canonical
+      |FROM reach GROUP BY 1""".stripMargin
+  }
+
   // Embedding-cosine near-dup: multi-table sign-LSH candidates +
   // integer-exact cosine-threshold verification — deterministic across
   // engines, full DuckDB oracle (the dedup-by-embedding path; the
@@ -890,6 +924,7 @@ object Queries {
     "q_llm_minhash_pairs" -> llmMinhashPairs,
     "q_llm_minhash_sig" -> llmMinhashSig,
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshPairs,
+    "q_llm_dedup_clusters" -> llmDedupClusters,
     "q_mm_bin_counts" -> mmBinCounts,
     "q_emb_neardup" -> embNearDup,
     "q_llm_simhash_pairs" -> llmSimhashPairs,
@@ -946,6 +981,7 @@ object Queries {
     "q_llm_jaccard_pairs" -> llmJaccardOracle,
     "q_llm_minhash_sig" -> llmMinhashSigOracle,
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshOracle,
+    "q_llm_dedup_clusters" -> llmDedupClustersOracle,
     "q_mm_bin_counts" -> mmBinCountsOracle,
     "q_etl_blocks" -> etlBlocksOracle,
     "q_emb_neardup" -> embNearDupOracle,

@@ -167,6 +167,47 @@ object DedupOps {
       .distinct()
   }
 
+  /** Near-duplicate CLUSTERING: connected components over a candidate
+    * pair set, labeling every document with the minimum doc id
+    * reachable through near-dup edges — the canonical representative a
+    * dedup pipeline keeps (`is_canonical = 1`, one per cluster).
+    *
+    * Algorithm: Pregel-style min-label propagation. Each iteration is
+    * one distributed join + min-aggregate; labels decrease
+    * monotonically, so the total-label sum strictly decreases until
+    * the fixpoint, which we detect with a cheap scalar aggregate (no
+    * data ever collects to the driver). Iterations = cluster diameter
+    * (near-dup clusters are shallow; 20 covers any realistic corpus —
+    * at web scale swap in large-star/small-star for the same result
+    * in O(log n) rounds). `localCheckpoint` truncates the per-round
+    * lineage so the plan stays flat.
+    */
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("ea"), col("id2").as("eb"))
+      .unionByName(pairs.select(col("id2").as("ea"), col("id1").as("eb")))
+      .localCheckpoint()
+    var labels = docs.select(col(idCol).cast("long").as("id"),
+      col(idCol).cast("long").as("lab")).localCheckpoint()
+    var prevSum = labels.agg(sum("lab")).head.getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, col("eb") === col("id"))
+        .groupBy(col("ea")).agg(min("lab").as("nbr_lab"))
+      labels = labels.join(nbrMin, col("id") === col("ea"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      val s = labels.agg(sum("lab")).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"),
+      (col("id") === col("lab")).cast("int").as("is_canonical"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signature split into four 16-bit
     * chunks; pairs sharing ANY chunk (pigeonhole: hamming<=3 implies
     * at least one chunk equal) are candidates, then filtered by exact

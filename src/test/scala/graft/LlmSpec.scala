@@ -72,6 +72,28 @@ class LlmSpec extends SparkSpec {
     assert(exactPairs >= planted.size / 10 * 9 / 10)
   }
 
+  test("dedup clustering: transitive chains collapse to one canonical doc") {
+    val corpus = corpusWithDups // base d, near-dup d+100000, exact dup d+200000 (d%10==0)
+    val pairs = DedupOps.minhashSignaturePairs(corpus, "doc_id", "text")
+    val clusters = DedupOps.dedupClusters(corpus, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc got a label; labels are cluster minima (self-consistent)
+    assert(clusters.size == corpus.count())
+    clusters.values.foreach(lab => assert(clusters(lab) == lab,
+      s"non-canonical cluster id $lab"))
+    // exact dup chains: base d, its near-dup, and its exact copy must
+    // share one cluster whose canonical id is the base (minimum) id
+    val bases = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    val merged = bases.count(d =>
+      clusters(d + 200000) == clusters(d) && clusters(d) <= d)
+    assert(merged >= bases.length * 9 / 10,
+      s"only $merged/${bases.length} exact-dup chains merged")
+    // canonical count == distinct clusters
+    val canon = clusters.count { case (id, lab) => id == lab }
+    assert(canon == clusters.values.toSet.size)
+  }
+
   test("cosine near-dup pairs: subset of brute-force threshold pairs, exact dups found") {
     import graft.llm.SimilarityOps
     // plant exact duplicates (cosine 1.0 -> identical sign pattern in
