@@ -711,7 +711,11 @@ object Queries {
     graft.llm.DedupOps.dedupClusters(docs, "doc_id",
       graft.llm.DedupOps.minhashSignaturePairs(docs, "doc_id", "text"))
   }
-  private val llmDedupClustersOracle = {
+  /** CTE chain ending in `reach(src, dst)` — the transitive closure of
+    * the arithmetic-LSH near-dup graph; shared by the clustering and
+    * curation oracles.
+    */
+  private val clustersReachCte = {
     val cte = minhashFpsCte.replace("WITH tokfp", "WITH RECURSIVE tokfp")
     s"""$cte,
       |sig AS (SELECT doc_id,
@@ -731,10 +735,46 @@ object Queries {
       |reach(src, dst) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT r.src, e.b FROM reach r JOIN undir e ON r.dst = e.a)
+      |  SELECT r.src, e.b FROM reach r JOIN undir e ON r.dst = e.a)""".stripMargin
+  }
+
+  private val llmDedupClustersOracle =
+    s"""$clustersReachCte
       |SELECT src AS doc_id, min(dst) AS cluster_id,
       |  CAST(src = min(dst) AS INT) AS is_canonical
       |FROM reach GROUP BY 1""".stripMargin
+
+  // Composite curation: cluster-canonical + length band + language
+  // confidence, every leg an independently-oracled operator
+  private val llmCurate: Q = (s, dir) =>
+    graft.llm.TextOps.curate(t(s, dir, "documents"), "doc_id", "text")
+  private val llmCurateOracle = {
+    def cnt(words: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val en = cnt(Seq("the", "a", "is", "and"))
+    val es = cnt(Seq("la", "el", "y", "de"))
+    val fr = cnt(Seq("le", "la", "et", "un"))
+    val de = cnt(Seq("der", "die", "und", "ein"))
+    val zh = cnt(Seq("de", "shi", "he", "zai"))
+    s"""$clustersReachCte,
+      |cc AS (
+      |  SELECT src AS doc_id, min(dst) AS cluster_id,
+      |    CAST(src = min(dst) AS INT) AS is_canonical
+      |  FROM reach GROUP BY 1),
+      |lang AS (
+      |  SELECT doc_id,
+      |    CASE WHEN $en >= greatest($es, $fr, $de, $zh) THEN 'en'
+      |         WHEN $es >= greatest($fr, $de, $zh) THEN 'es'
+      |         WHEN $fr >= greatest($de, $zh) THEN 'fr'
+      |         WHEN $de >= $zh THEN 'de'
+      |         ELSE 'zh' END AS predicted,
+      |    $en AS score_en,
+      |    len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents)
+      |SELECT c.doc_id AS doc_id, c.cluster_id, l.predicted, l.n_tokens,
+      |  CAST(c.is_canonical = 1 AND l.n_tokens >= 20 AND l.n_tokens <= 200
+      |       AND l.score_en > 0 AS INT) AS kept
+      |FROM cc c JOIN lang l ON c.doc_id = l.doc_id""".stripMargin
   }
 
   // Embedding-cosine near-dup: multi-table sign-LSH candidates +
@@ -925,6 +965,7 @@ object Queries {
     "q_llm_minhash_sig" -> llmMinhashSig,
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshPairs,
     "q_llm_dedup_clusters" -> llmDedupClusters,
+    "q_llm_curate" -> llmCurate,
     "q_mm_bin_counts" -> mmBinCounts,
     "q_emb_neardup" -> embNearDup,
     "q_llm_simhash_pairs" -> llmSimhashPairs,
@@ -982,6 +1023,7 @@ object Queries {
     "q_llm_minhash_sig" -> llmMinhashSigOracle,
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshOracle,
     "q_llm_dedup_clusters" -> llmDedupClustersOracle,
+    "q_llm_curate" -> llmCurateOracle,
     "q_mm_bin_counts" -> mmBinCountsOracle,
     "q_etl_blocks" -> etlBlocksOracle,
     "q_emb_neardup" -> embNearDupOracle,

@@ -67,6 +67,30 @@ object TextOps {
     * profile order). Deterministic and SQL-expressible so the oracle
     * can replay it exactly.
     */
+  /** End-to-end curation verdict: one row per document with its
+    * cluster label (near-dup connected component), language call,
+    * token count, and the final `kept` decision — canonical in its
+    * cluster ∧ length in band ∧ confident language call. This is the
+    * composed pipeline a training-data run executes before writing the
+    * kept set; every input is itself an oracled operator.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.llm.DedupOps
+    val clusters = DedupOps.dedupClusters(docs, idCol,
+      DedupOps.minhashSignaturePairs(docs, idCol, textCol))
+    val toks = tokens(col(textCol))
+    val enriched = langId(docs, idCol, textCol)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col("predicted"), col("score_en"))
+    val lengths = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(toks).as("n_tokens"))
+    clusters.join(enriched, "doc_id").join(lengths, "doc_id")
+      .select(col("doc_id"), col("cluster_id"), col("predicted"), col("n_tokens"),
+        (col("is_canonical") === 1 &&
+          col("n_tokens") >= 20 && col("n_tokens") <= 200 &&
+          col("score_en") > 0).cast("int").as("kept"))
+  }
+
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val scores = LangMarkers.map { case (lang, words) =>
       markerCount(col(textCol), words).as(s"score_$lang")
