@@ -14,6 +14,11 @@ object ExplainMain {
     Queries.all("q_a9_degree_gas")(spark, "/root/testdata/sf0.01").explain("formatted")
     // pushdown check
     Queries.all("q_j1_commit_filter")(spark, "/root/testdata/sf0.01").explain("formatted")
+    // bucketed candidate generation + codegen'd integer verification
+    Queries.all("q_emb_neardup")(spark, "/root/testdata/sf0.01").explain("formatted")
+    // iterative clustering: final (post-propagation) plan is flat —
+    // localCheckpoint truncates the per-round lineage
+    Queries.all("q_llm_dedup_clusters")(spark, "/root/testdata/sf0.01").explain("formatted")
     spark.stop()
   }
 }
