@@ -91,6 +91,14 @@ object GraftFunctions {
     f(es.head)
   }
 
+  private def binary(name: String, f: (Expression, Expression) => Expression)(
+      es: Seq[Expression]): Expression = {
+    if (es.length != 2)
+      throw new IllegalArgumentException(
+        s"$name expects exactly 2 arguments, got ${es.length}")
+    f(es.head, es(1))
+  }
+
   /** Register SQL-callable names on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -102,5 +110,13 @@ object GraftFunctions {
       "simhash64", unary("simhash64", SimHash64), "built-in")
     reg.createOrReplaceTempFunction(
       "flatten_calls", unary("flatten_calls", FlattenCalls.apply), "built-in")
+    reg.createOrReplaceTempFunction(
+      "quantized_dot", binary("quantized_dot", QuantizedDot.apply), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_long", binary("dot_long", DotLong.apply), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cosine_sim", binary("cosine_sim", CosineSim.apply), "built-in")
+    reg.createOrReplaceTempFunction(
+      "arith_minhash_sig", unary("arith_minhash_sig", ArithMinhashSig(_, 8)), "built-in")
   }
 }

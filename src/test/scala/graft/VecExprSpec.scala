@@ -125,6 +125,26 @@ class VecExprSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("SQL surface: registered vector functions callable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    emb.limit(50).createOrReplaceTempView("vexpr_emb")
+    val rows = spark.sql(
+      """SELECT a.vec_id, quantized_dot(a.embedding, b.embedding) AS dq,
+        |       cosine_sim(a.embedding, b.embedding) AS cs
+        |FROM vexpr_emb a JOIN vexpr_emb b ON a.vec_id + 1 = b.vec_id""".stripMargin)
+      .collect()
+    assert(rows.nonEmpty)
+    val sig = spark.sql(
+      "SELECT arith_minhash_sig('the quick brown fox jumps over dogs') AS s")
+      .head.getSeq[Long](0)
+    assert(sig.length == 8 && sig.forall(_ >= 0))
+    // wrong arity rejected with a clear message
+    val e = intercept[Exception] {
+      spark.sql("SELECT quantized_dot(array(1.0f))").collect()
+    }
+    assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("quantized_dot"))
+  }
+
   test("wrong input types rejected at analysis time") {
     val df = spark.range(3).select(col("id"), array(lit("x")).as("strs"))
     intercept[AnalysisException] {
