@@ -55,6 +55,56 @@ class TwsSessionizerSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("tws: state and timers survive a checkpoint restart") {
+    import graft.model.Addresses
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[TxCommit]()
+      val mem = MemoryStream[TraceRow]
+      def startQuery() =
+        graft.streaming.TwsSessionizer.sessionCommit(mem.toDS(),
+            gapSeconds = 1L, watermarkDelay = "0 seconds")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[TxCommit], _: Long) =>
+            batch.collect().foreach(got.add)
+          }.start()
+      def tr(hash: String, to: String, root: Boolean, ta: Seq[Int], ts: Long) =
+        TraceRow(1L, hash, Some(0), Some("0xa"), Some(to), None, Some("0x1234567890"),
+          None, Some(7L), root, Some(1L), Some(ts), Some("0xb"), None)
+
+      // run 1: open a tx (root + recover call), stop BEFORE its timer fires
+      val q1 = startQuery()
+      mem.addData(
+        tr("0xr1", "0xb", root = true, Seq.empty, 1000L),
+        tr("0xr1", Addresses.EcRecover, root = false, Seq(0), 1000L))
+      q1.processAllAvailable()
+      q1.stop()
+      assert(got.isEmpty, "tx committed before its gap elapsed")
+
+      // run 2: restart on the same checkpoint; RocksDB state + the
+      // registered timer must be restored, so a watermark-advancing
+      // event commits the pre-restart transaction with its full tree
+      val q2 = startQuery()
+      mem.addData(tr("0xtick", "0xb", root = true, Seq.empty, 50000L))
+      q2.processAllAvailable()
+      mem.addData() // timer delivery batch
+      q2.processAllAvailable()
+      q2.stop()
+      val committed = got.toArray(Array.empty[TxCommit])
+        .flatMap(_.transaction).filter(_.transaction_hash == "0xr1")
+      assert(committed.length == 1, s"expected 1 commit of 0xr1, got ${committed.length}")
+      assert(committed.head.ec_recover_count == 1L,
+        "pre-restart traces missing from restored state")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("tws: out-of-order assembly, timer re-arm, late traces dropped") {
     import graft.model.Addresses
     import spark.implicits._
