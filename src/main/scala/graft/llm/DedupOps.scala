@@ -78,12 +78,20 @@ object DedupOps {
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), shingleSet(col(textCol)).as("toks"))
+    // join candidates to the RAW text first and shingle only the
+    // surviving rows: shingleSet is an interpreted higher-order
+    // expression, and materializing it for the whole corpus (twice)
+    // costs more than the banding itself — candidates are orders of
+    // magnitude fewer than documents
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("txt"))
     val cands = minhashCandidates(df, idCol, textCol)
-    val (num, den) = jaccardParts(col("a.toks"), col("b.toks"))
-    cands
+    val withText = cands
       .join(docs.as("a"), col("id1") === col("a.id"))
       .join(docs.as("b"), col("id2") === col("b.id"))
+      .select(col("id1"), col("id2"),
+        shingleSet(col("a.txt")).as("toks1"), shingleSet(col("b.txt")).as("toks2"))
+    val (num, den) = jaccardParts(col("toks1"), col("toks2"))
+    withText
       .select(col("id1"), col("id2"),
         num.as("inter"), den.as("uni"),
         (num.cast("double") / den).as("jaccard"))
