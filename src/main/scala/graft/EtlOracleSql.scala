@@ -213,7 +213,24 @@ object EtlOracleSql {
       |  LEFT JOIN firstaddrs fa USING (chain_id, transaction_hash)
       |  LEFT JOIN secondaddrs sa USING (chain_id, transaction_hash)
       |)
-      |SELECT * FROM transactions""".stripMargin
+      |-- scalar verify surface: arrays → CSV, aggregates → BIGINT
+      |-- (pandas can't sort ndarray cells; DuckDB SUM surfaces as float64)
+      |SELECT chain_id, transaction_hash, from_address, to_address,
+      |  coalesce(array_to_string(closest_address, ','), '') AS closest_address,
+      |  function_signature, CAST(transaction_index AS INT) AS transaction_index,
+      |  block_number, block_timestamp, block_hash,
+      |  value, input,
+      |  CAST(gas_used_total AS BIGINT) AS gas_used_total,
+      |  CAST(gas_used_first_degree AS BIGINT) AS gas_used_first_degree,
+      |  CAST(gas_used_second_degree AS BIGINT) AS gas_used_second_degree,
+      |  CAST(ec_recover_count AS BIGINT) AS ec_recover_count,
+      |  CAST(ec_add_count AS BIGINT) AS ec_add_count,
+      |  CAST(ec_mul_count AS BIGINT) AS ec_mul_count,
+      |  CAST(ec_pairing_count AS BIGINT) AS ec_pairing_count,
+      |  coalesce(array_to_string(ec_pairing_input_sizes, ','), '') AS ec_pairing_input_sizes,
+      |  coalesce(array_to_string(ec_recover_addresses, ','), '') AS ec_recover_addresses,
+      |  error
+      |FROM transactions""".stripMargin
 
   val contracts: String =
     """-- DuckDB replica of the full trace-ETL pipeline over the synthetic
@@ -422,5 +439,15 @@ object EtlOracleSql {
       |  LEFT JOIN firstaddrs fa USING (chain_id, transaction_hash)
       |  LEFT JOIN secondaddrs sa USING (chain_id, transaction_hash)
       |)
-      |SELECT chain_id, address, function_signatures, degree, ec_recover_count, ec_add_count, ec_mul_count, ec_pairing_count, ec_pairing_input_sizes, call FROM contracts""".stripMargin
+      |-- scalar verify surface: arrays → CSV, aggregates → BIGINT
+      |SELECT chain_id, address,
+      |  coalesce(array_to_string(function_signatures, ','), '') AS function_signatures,
+      |  degree,
+      |  CAST(ec_recover_count AS BIGINT) AS ec_recover_count,
+      |  CAST(ec_add_count AS BIGINT) AS ec_add_count,
+      |  CAST(ec_mul_count AS BIGINT) AS ec_mul_count,
+      |  CAST(ec_pairing_count AS BIGINT) AS ec_pairing_count,
+      |  coalesce(array_to_string(ec_pairing_input_sizes, ','), '') AS ec_pairing_input_sizes,
+      |  coalesce(array_to_string(call, ','), '') AS call
+      |FROM contracts""".stripMargin
 }

@@ -32,6 +32,14 @@ object Queries {
 
   private def qty(c: Column): Column = floor(c).cast("long")
 
+  /** Join an array column to a CSV string — the external verifier
+    * compares via pandas, which can neither sort nor hash ndarray
+    * cells, and DuckDB's SUM/list_sum surface as float64/object there;
+    * so catalog outputs are scalars only: arrays → sorted CSV strings,
+    * aggregates → explicit BIGINT casts on both sides.
+    */
+  private def csv(c: Column): Column = concat_ws(",", c.cast("array<string>"))
+
   type Q = (SparkSession, String) => DataFrame
 
   // ---------------------------------------------------------------
@@ -59,8 +67,8 @@ object Queries {
       |           OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
       |), sess AS (
-      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flags
       |)
       |SELECT user_id, session_id, count(*) AS n_events,
@@ -113,24 +121,24 @@ object Queries {
       .groupBy("l_suppkey", "l_partkey")
       .agg(sum(qty(col("l_quantity"))).as("sum_qty"))
   private val a2Oracle =
-    "SELECT l_suppkey, l_partkey, sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty FROM lineitem GROUP BY 1,2"
+    "SELECT l_suppkey, l_partkey, CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem GROUP BY 1,2"
 
   // A3: signature_tree — selector set per callee
   private val a3SignatureTree: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy("l_orderkey", "l_suppkey")
-      .agg(array_sort(collect_set(col("l_returnflag"))).as("sigs"))
+      .agg(csv(array_sort(collect_set(col("l_returnflag")))).as("sigs"))
   private val a3Oracle =
-    "SELECT l_orderkey, l_suppkey, list_sort(list(DISTINCT l_returnflag)) AS sigs FROM lineitem GROUP BY 1,2"
+    "SELECT l_orderkey, l_suppkey, coalesce(array_to_string(list_sort(list(DISTINCT l_returnflag)), ','), '') AS sigs FROM lineitem GROUP BY 1,2"
 
   // A4: pairing input-size multiset per caller (list, not set)
   private val a4PairingSizes: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .filter(col("l_returnflag") === "R")
       .groupBy("l_orderkey")
-      .agg(sort_array(collect_list(qty(col("l_quantity")))).as("sizes"))
+      .agg(csv(sort_array(collect_list(qty(col("l_quantity"))))).as("sizes"))
   private val a4Oracle =
-    """SELECT l_orderkey, list_sort(list(CAST(floor(l_quantity) AS BIGINT))) AS sizes
+    """SELECT l_orderkey, coalesce(array_to_string(list_sort(list(CAST(floor(l_quantity) AS BIGINT))), ','), '') AS sizes
       |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1""".stripMargin
 
   // A5: recovered-address set (filtered collect_set)
@@ -138,9 +146,9 @@ object Queries {
     t(s, dir, "lineitem")
       .filter(col("l_quantity") < 10)
       .groupBy("l_orderkey")
-      .agg(array_sort(collect_set(col("l_linestatus"))).as("statuses"))
+      .agg(csv(array_sort(collect_set(col("l_linestatus")))).as("statuses"))
   private val a5Oracle =
-    """SELECT l_orderkey, list_sort(list(DISTINCT l_linestatus)) AS statuses
+    """SELECT l_orderkey, coalesce(array_to_string(list_sort(list(DISTINCT l_linestatus)), ','), '') AS statuses
       |FROM lineitem WHERE l_quantity < 10 GROUP BY 1""".stripMargin
 
   // A6: first_trace — root row per group via min_by
@@ -164,9 +172,9 @@ object Queries {
         sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("n_n"))
   private val a7Oracle =
     """SELECT l_orderkey,
-      |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_r,
-      |  sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n_a,
-      |  sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_n
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+      |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n
       |FROM lineitem GROUP BY 1""".stripMargin
 
   // A8: two-level flatten of per-caller lists to tx level
@@ -176,9 +184,9 @@ object Queries {
       .groupBy("l_orderkey", "l_suppkey")
       .agg(collect_list(qty(col("l_quantity"))).as("per_supp"))
       .groupBy("l_orderkey")
-      .agg(sort_array(flatten(collect_list(col("per_supp")))).as("all_sizes"))
+      .agg(csv(sort_array(flatten(collect_list(col("per_supp"))))).as("all_sizes"))
   private val a8Oracle =
-    """SELECT l_orderkey, list_sort(list(CAST(floor(l_quantity) AS BIGINT))) AS all_sizes
+    """SELECT l_orderkey, coalesce(array_to_string(list_sort(list(CAST(floor(l_quantity) AS BIGINT))), ','), '') AS all_sizes
       |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1""".stripMargin
 
   // A9: degree-scoped gas — join degree set with per-caller out-gas
@@ -196,7 +204,7 @@ object Queries {
     """WITH deg AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
       |outg AS (SELECT l_orderkey, l_suppkey, sum(CAST(floor(l_quantity) AS BIGINT)) AS g
       |         FROM lineitem GROUP BY 1, 2)
-      |SELECT d.l_orderkey AS l_orderkey, sum(g) AS deg_gas
+      |SELECT d.l_orderkey AS l_orderkey, CAST(sum(g) AS BIGINT) AS deg_gas
       |FROM deg d JOIN outg o ON d.l_orderkey = o.l_orderkey AND d.l_suppkey = o.l_suppkey
       |GROUP BY 1""".stripMargin
 
@@ -218,9 +226,9 @@ object Queries {
     t(s, dir, "lineitem")
       .filter(col("l_returnflag").isin("R", "A"))
       .groupBy("l_orderkey", "l_suppkey")
-      .agg(array_sort(collect_set(col("l_returnflag"))).as("call"))
+      .agg(csv(array_sort(collect_set(col("l_returnflag")))).as("call"))
   private val j2Oracle =
-    """SELECT l_orderkey, l_suppkey, list_sort(list(DISTINCT l_returnflag)) AS call
+    """SELECT l_orderkey, l_suppkey, coalesce(array_to_string(list_sort(list(DISTINCT l_returnflag)), ','), '') AS call
       |FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1, 2""".stripMargin
 
   // J3: second-degree (2-hop self-join) + EOA anti-filter
@@ -283,7 +291,7 @@ object Queries {
     contracts.join(sigs, Seq("ok", "addr"), "left")
       .join(cnts, Seq("ok", "addr"), "left")
       .select(col("ok"), col("addr"),
-        coalesce(col("sigs"), array().cast("array<string>")).as("sigs"),
+        csv(coalesce(col("sigs"), array().cast("array<string>"))).as("sigs"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
   private val j5Oracle =
@@ -295,8 +303,8 @@ object Queries {
       |cnts AS (SELECT l_orderkey AS ok, l_suppkey AS addr, count(*) AS cnt
       |         FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1, 2)
       |SELECT c.ok AS ok, c.addr AS addr,
-      |       coalesce(s.sigs, CAST([] AS VARCHAR[])) AS sigs,
-      |       coalesce(n.cnt, 0) AS cnt
+      |       coalesce(array_to_string(s.sigs, ','), '') AS sigs,
+      |       CAST(coalesce(n.cnt, 0) AS BIGINT) AS cnt
       |FROM c LEFT JOIN sigs s ON c.ok = s.ok AND c.addr = s.addr
       |       LEFT JOIN cnts n ON c.ok = n.ok AND c.addr = n.addr""".stripMargin
 
@@ -313,8 +321,8 @@ object Queries {
       .agg(array_sort(collect_set(col("src"))).as("second_arr"))
     first.join(second, Seq("ok"), "left")
       .select(col("ok"),
-        when(size(coalesce(col("second_arr"), array())) > 0, col("second_arr"))
-          .otherwise(col("first_arr")).as("closest"))
+        csv(when(size(coalesce(col("second_arr"), array())) > 0, col("second_arr"))
+          .otherwise(col("first_arr"))).as("closest"))
   }
   private val j6Oracle =
     """WITH e AS (SELECT l_orderkey AS ok, l_partkey % 100 AS src, l_suppkey AS dst,
@@ -325,8 +333,9 @@ object Queries {
       |scnd AS (SELECT e.ok AS ok, list_sort(list(DISTINCT e.src)) AS second_arr
       |         FROM e JOIN fset f ON e.ok = f.ok AND e.dst = f.src GROUP BY 1)
       |SELECT f.ok AS ok,
-      |       CASE WHEN len(coalesce(s.second_arr, CAST([] AS BIGINT[]))) > 0
-      |            THEN s.second_arr ELSE f.first_arr END AS closest
+      |       coalesce(array_to_string(
+      |         CASE WHEN len(coalesce(s.second_arr, CAST([] AS BIGINT[]))) > 0
+      |              THEN s.second_arr ELSE f.first_arr END, ','), '') AS closest
       |FROM frst f LEFT JOIN scnd s ON f.ok = s.ok""".stripMargin
 
   // ---------------------------------------------------------------
@@ -365,13 +374,16 @@ object Queries {
   private val p2U256Cast: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
+        // verify surface: lossless decimal STRING — a DECIMAL(38,0)
+        // wider than 18 digits degrades to float64 in the verifier's
+        // pandas bridge, so the U256 round-trips as its string shadow
         (col("l_orderkey").cast("decimal(38,0)") *
           lit("1000000000000000000").cast("decimal(19,0)"))
-          .cast("decimal(38,0)").as("wei"))
+          .cast("decimal(38,0)").cast("string").as("wei"))
   private val p2Oracle =
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(CAST(l_orderkey AS DECIMAL(38,0)) * CAST('1000000000000000000' AS DECIMAL(19,0))
-      |       AS DECIMAL(38,0)) AS wei
+      |  CAST(CAST(CAST(l_orderkey AS DECIMAL(38,0)) * CAST('1000000000000000000' AS DECIMAL(19,0))
+      |       AS DECIMAL(38,0)) AS VARCHAR) AS wei
       |FROM lineitem""".stripMargin
 
   private val p6Selector: Q = (s, dir) =>
@@ -412,7 +424,7 @@ object Queries {
       .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
       .select(col("p_partkey"), (col("pos") + 1).as("idx"), col("col").as("word"))
   private val f2Oracle =
-    """SELECT p_partkey, i AS idx, ws[i] AS word
+    """SELECT p_partkey, CAST(i AS INT) AS idx, ws[i] AS word
       |FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part),
       |     LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t""".stripMargin
 
@@ -483,7 +495,7 @@ object Queries {
       .select("chain_id", "number", "timestamp", "hash", "transaction_count", "gas_used", "miner")
   }
   private val p5Oracle =
-    """SELECT 3 AS chain_id, o_orderkey AS number, o_orderkey + 1000 AS timestamp,
+    """SELECT CAST(3 AS BIGINT) AS chain_id, o_orderkey AS number, o_orderkey + 1000 AS timestamp,
       |  '0x' || lpad(lower(hex(o_orderkey)), 64, '0') AS hash,
       |  0 AS transaction_count,
       |  CAST(trunc(o_totalprice) AS BIGINT) % 1000 AS gas_used,
@@ -522,7 +534,7 @@ object Queries {
       |  SELECT o_orderkey, o_orderkey + 1005,
       |    (CAST(trunc(o_totalprice) AS BIGINT) + 1) % 1000, o_orderkey % 10
       |  FROM orders WHERE o_orderkey % 7 = 0)
-      |SELECT 3 AS chain_id, number, timestamp,
+      |SELECT CAST(3 AS BIGINT) AS chain_id, number, timestamp,
       |  '0x' || lpad(lower(hex(number)), 64, '0') AS hash, gas_used
       |FROM raw WHERE pend <> 0
       |QUALIFY row_number() OVER (PARTITION BY number ORDER BY timestamp DESC) = 1""".stripMargin
@@ -581,10 +593,10 @@ object Queries {
   private val llmTokenStats: Q = (s, dir) =>
     graft.llm.TextOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
   private val llmTokenStatsOracle =
-    """SELECT doc_id, length(text) AS n_chars,
-      |  len(string_split(text, ' ')) AS n_tokens,
-      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
-      |  length(text) - length(replace(text, ' ', '')) AS n_spaces
+    """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+      |  CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS n_spaces
       |FROM documents""".stripMargin
 
   private val llmBpeTokens: Q = (s, dir) =>
@@ -593,17 +605,17 @@ object Queries {
       size(array_distinct(graft.llm.TextOps.bpeishTokens(col("text")))).as("n_bpe_distinct"))
   private val llmBpeTokensOracle =
     """SELECT doc_id,
-      |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
-      |  len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS n_bpe_distinct
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpe_tokens,
+      |  CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS INT) AS n_bpe_distinct
       |FROM documents""".stripMargin
 
   private val llmQuality: Q = (s, dir) =>
     graft.llm.TextOps.qualityScore(t(s, dir, "documents"), "doc_id", "text")
   private val llmQualityOracle =
     """SELECT doc_id,
-      |  len(string_split(text, ' ')) AS n_tokens,
-      |  len(list_filter(string_split(text, ' '),
-      |      x -> x IN ('the','a','and','of','to','in','is'))) AS n_stopwords,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the','a','and','of','to','in','is'))) AS INT) AS n_stopwords,
       |  CAST(floor(1000.0 * len(list_filter(string_split(text, ' '),
       |      x -> x IN ('the','a','and','of','to','in','is')))
       |      / len(string_split(text, ' '))) AS BIGINT) AS stop_ratio_x1000,
@@ -622,8 +634,8 @@ object Queries {
     val fr = cnt(Seq("le", "la", "et", "un"))
     val de = cnt(Seq("der", "die", "und", "ein"))
     val zh = cnt(Seq("de", "shi", "he", "zai"))
-    s"""SELECT doc_id, $en AS score_en, $es AS score_es, $fr AS score_fr,
-       |  $de AS score_de, $zh AS score_zh,
+    s"""SELECT doc_id, CAST($en AS INT) AS score_en, CAST($es AS INT) AS score_es, CAST($fr AS INT) AS score_fr,
+       |  CAST($de AS INT) AS score_de, CAST($zh AS INT) AS score_zh,
        |  CASE WHEN $en >= greatest($es, $fr, $de, $zh) THEN 'en'
        |       WHEN $es >= greatest($fr, $de, $zh) THEN 'es'
        |       WHEN $fr >= greatest($de, $zh) THEN 'fr'
@@ -642,8 +654,8 @@ object Queries {
   private val llmJaccardOracle =
     """WITH d AS (SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS toks
       |           FROM documents)
-      |SELECT a.doc_id AS doc_id, len(list_intersect(a.toks, b.toks)) AS inter,
-      |       len(list_distinct(list_concat(a.toks, b.toks))) AS uni
+      |SELECT a.doc_id AS doc_id, CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS inter,
+      |       CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS INT) AS uni
       |FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id""".stripMargin
 
   private val annTopkDot: Q = (s, dir) => {
@@ -663,7 +675,7 @@ object Queries {
       |  CAST(list_dot_product(qv, cv) AS BIGINT) AS score
       |  FROM qz, cz WHERE query_id <> neighbor_id)
       |SELECT query_id, neighbor_id, score,
-      |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
       |FROM scored
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 5""".stripMargin
 
@@ -779,7 +791,7 @@ object Queries {
       |         WHEN $de >= $zh THEN 'de'
       |         ELSE 'zh' END AS predicted,
       |    $en AS score_en,
-      |    len(string_split(text, ' ')) AS n_tokens
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
       |  FROM documents)
       |SELECT c.doc_id AS doc_id, c.cluster_id, l.predicted, l.n_tokens,
       |  CAST(c.is_canonical = 1 AND l.n_tokens >= 20 AND l.n_tokens <= 200
@@ -824,6 +836,12 @@ object Queries {
   private val mmBinCounts: Q = (s, dir) =>
     graft.llm.Multimodal.binCounts(
       graft.llm.Multimodal.packFromDocuments(t(s, dir, "documents"))).toDF()
+      // exploded to (media, bin, count) rows so every comparison
+      // harness can hash it (array cells can't be sorted in pandas)
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        posexplode(col("bin_counts")))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("pos").cast("int").as("bin"), col("col").as("cnt"))
   private val mmBinCountsOracle =
     """WITH d AS (
       |  SELECT doc_id, text,
@@ -832,8 +850,9 @@ object Queries {
       |SELECT doc_id AS media_id,
       |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
       |  CAST(length(text) AS BIGINT) AS n_bytes,
-      |  list_transform(range(16), b -> len(list_filter(codes, c -> c // 16 = b))) AS bin_counts
-      |FROM d""".stripMargin
+      |  CAST(b AS INT) AS bin,
+      |  CAST(len(list_filter(codes, c -> c // 16 = b)) AS BIGINT) AS cnt
+      |FROM d, (SELECT unnest(range(16)) AS b) bins""".stripMargin
 
   // rows-only LLM entries (probabilistic / float / custom-hash — not
   // DuckDB-expressible; covered by ScalaTest recall + unit specs)
@@ -865,7 +884,7 @@ object Queries {
   private val embStats: Q = (s, dir) =>
     t(s, dir, "embeddings").select(
       col("vec_id"), col("label"),
-      size(col("embedding")).as("dims"),
+      size(col("embedding")).cast("long").as("dims"),
       aggregate(
         transform(col("embedding"), x =>
           floor(x.cast("double") * 1000).cast("long") *
@@ -876,12 +895,12 @@ object Queries {
           when(x > 0f, 1L).otherwise(0L)),
         lit(0L), (acc, v) => acc + v).as("n_positive"))
   private val embStatsOracle =
-    """SELECT vec_id, label, len(embedding) AS dims,
-      |  list_sum(list_transform(embedding,
+    """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dims,
+      |  CAST(list_sum(list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-      |       * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS sq_norm_q,
-      |  list_sum(list_transform(embedding,
-      |    x -> CASE WHEN x > 0 THEN 1 ELSE 0 END))::BIGINT AS n_positive
+      |       * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS sq_norm_q,
+      |  CAST(list_sum(list_transform(embedding,
+      |    x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_positive
       |FROM embeddings""".stripMargin
 
   private val annIvfTopk: Q = (s, dir) => {
@@ -893,6 +912,12 @@ object Queries {
   private val mmFeatures: Q = (s, dir) =>
     graft.llm.Multimodal.extractFeatures(
       graft.llm.Multimodal.packFromDocuments(t(s, dir, "documents"))).toDF()
+      // scalar projection of the float descriptor (rows-only check;
+      // the exact-integer decode path is fully oracled above)
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        size(col("features")).as("n_dims"),
+        floor(element_at(col("features"), 1).cast("double") * 1000)
+          .cast("long").as("f0_x1000"))
 
   // ---------------------------------------------------------------
   // P9 + custom expressions + full pipeline: rows-only (no SQL oracle;
@@ -914,13 +939,21 @@ object Queries {
   private val etlTransactions: Q = (s, dir) => {
     val traces = graft.sources.SyntheticTraces.bronze(s, dir)
     val (txs, _) = graft.operators.TraceEtl.transform(traces)
+    // arrays → sorted CSV for the verify surface (library callers get
+    // the typed Dataset[TransactionOut] with real array columns)
     txs.toDF()
+      .withColumn("closest_address", csv(col("closest_address")))
+      .withColumn("ec_pairing_input_sizes", csv(col("ec_pairing_input_sizes")))
+      .withColumn("ec_recover_addresses", csv(col("ec_recover_addresses")))
   }
 
   private val etlContracts: Q = (s, dir) => {
     val traces = graft.sources.SyntheticTraces.bronze(s, dir)
     val (_, cs) = graft.operators.TraceEtl.transform(traces)
     cs.toDF()
+      .withColumn("function_signatures", csv(col("function_signatures")))
+      .withColumn("ec_pairing_input_sizes", csv(col("ec_pairing_input_sizes")))
+      .withColumn("call", csv(col("call")))
   }
 
   // ---------------------------------------------------------------
