@@ -433,9 +433,16 @@ object Queries {
   // the trace bronze: real payloads land once, every consumer reads
   // the staged table), flatten it, verify node counts/depths
   private def frameTrees(s: SparkSession, dir: String): DataFrame = {
-    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    // cache key carries a fingerprint of the source file (length +
+    // mtime) so a regenerated dataset at the same path invalidates the
+    // staging dir; existence is re-checked INSIDE the lock so two
+    // concurrent first callers don't both run the overwrite write
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val fp = java.lang.Long.toHexString(src.length() * 31L + src.lastModified())
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" + fp
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_trees_$key"
     if (!new java.io.File(s"$path/_SUCCESS").isFile) synchronized {
+      if (new java.io.File(s"$path/_SUCCESS").isFile) return s.read.parquet(path)
       val li = t(s, dir, "lineitem")
       val child = struct(
         concat(lit("0x"), lpad(lower(hex(col("l_suppkey"))), 40, "0")).as("from"),

@@ -16,6 +16,21 @@ import org.apache.spark.sql.types._
   */
 object VecBridge {
 
+  /** Null-element probe: the kernels mirror zip_with/aggregate HOF
+    * semantics, where any null element nulls the whole result — without
+    * this check a null would be read as 0.0/0 (or unspecified bytes
+    * from UnsafeArrayData) and silently diverge from the oracles.
+    */
+  def anyNull(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Σ floor(a_i·1000)·floor(b_i·1000) over float arrays (the
     * engine-portable quantized dot used for oracle-comparable ranking).
     */
@@ -178,11 +193,22 @@ case class QuantizedDot(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "quantized_dot"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecBridge.quantizedDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val l = a.asInstanceOf[ArrayData]
+    val r = b.asInstanceOf[ArrayData]
+    if (VecBridge.anyNull(l) || VecBridge.anyNull(r)) null
+    else VecBridge.quantizedDot(l, r)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecBridge.quantizedDot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VecBridge.anyNull($a) || graft.functions.VecBridge.anyNull($b)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VecBridge.quantizedDot($a, $b);
+      }""")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedDot =
     copy(left = l, right = r)
@@ -195,11 +221,22 @@ case class DotLong(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_long"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecBridge.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val l = a.asInstanceOf[ArrayData]
+    val r = b.asInstanceOf[ArrayData]
+    if (VecBridge.anyNull(l) || VecBridge.anyNull(r)) null
+    else VecBridge.dotLong(l, r)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecBridge.dotLong($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VecBridge.anyNull($a) || graft.functions.VecBridge.anyNull($b)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VecBridge.dotLong($a, $b);
+      }""")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotLong =
     copy(left = l, right = r)
@@ -212,11 +249,22 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecBridge.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val l = a.asInstanceOf[ArrayData]
+    val r = b.asInstanceOf[ArrayData]
+    if (VecBridge.anyNull(l) || VecBridge.anyNull(r)) null
+    else VecBridge.cosineSim(l, r)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecBridge.cosineSim($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VecBridge.anyNull($a) || graft.functions.VecBridge.anyNull($b)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VecBridge.cosineSim($a, $b);
+      }""")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
@@ -234,12 +282,21 @@ case class PortableSignBucket(child: Expression, planes: Int, tbl: Int)
       s"$prettyName expects array<bigint>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    VecBridge.portableSignBucket(input.asInstanceOf[ArrayData], planes, tbl)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    if (VecBridge.anyNull(q)) null
+    else VecBridge.portableSignBucket(q, planes, tbl)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VecBridge.portableSignBucket($c, $planes, $tbl)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if (graft.functions.VecBridge.anyNull($c)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VecBridge.portableSignBucket($c, $planes, $tbl);
+      }""")
 
   override protected def withNewChildInternal(newChild: Expression): PortableSignBucket =
     copy(child = newChild)

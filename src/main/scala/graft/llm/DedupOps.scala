@@ -197,7 +197,11 @@ object DedupOps {
       .localCheckpoint()
     var labels = docs.select(col(idCol).cast("long").as("id"),
       col(idCol).cast("long").as("lab")).localCheckpoint()
-    var prevSum = labels.agg(sum("lab")).head.getLong(0)
+    // sum(lab) is NULL on an empty input — coalesce so an empty docs
+    // frame converges immediately instead of throwing on getLong
+    def labSum(): Long =
+      labels.agg(coalesce(sum("lab"), lit(0L))).head.getLong(0)
+    var prevSum = labSum()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -207,11 +211,16 @@ object DedupOps {
         .select(col("id"),
           least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
         .localCheckpoint()
-      val s = labels.agg(sum("lab")).head.getLong(0)
+      val s = labSum()
       converged = s == prevSum
       prevSum = s
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIter iterations - " +
+          "cluster diameter exceeds the cap; raise maxIter or switch " +
+          "to large-star/small-star for O(log n) rounds")
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"),
       (col("id") === col("lab")).cast("int").as("is_canonical"))
   }

@@ -12,6 +12,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 case class TimedTrace(trace: TraceRow, event_time: java.sql.Timestamp)
 
+/** Session state: the aggregation buffer plus the RUNNING max event
+  * time across micro-batches. The max must be persisted — a later
+  * batch can deliver a non-late trace below the earlier max, and
+  * re-arming the timeout from a batch-local max would regress the
+  * timer and split the session into two commits.
+  */
+case class SessionBuf(buf: TreeBuf, maxEventMs: Long)
+
 /** Structured-Streaming variants of the per-transaction commit.
   *
   * Two shapes, per SURVEY §2.9:
@@ -42,20 +50,21 @@ object StreamingEtl {
     import spark.implicits._
 
     def update(key: (Long, String), rows: Iterator[TimedTrace],
-        state: GroupState[TreeBuf]): Iterator[TxCommit] = {
+        state: GroupState[SessionBuf]): Iterator[TxCommit] = {
       if (state.hasTimedOut) {
         val out = state.getOption
-          .map(b => TraceTreeAggregator.commit(b, key._1, key._2))
+          .map(s => TraceTreeAggregator.commit(s.buf, key._1, key._2))
           .filter(c => c.transaction.nonEmpty || c.contracts.nonEmpty)
         state.remove()
         out.iterator
       } else {
-        var maxEventMs = Long.MinValue
-        val buf = rows.foldLeft(state.getOption.getOrElse(agg.zero)) { (b, tt) =>
+        val prior = state.getOption
+        var maxEventMs = prior.map(_.maxEventMs).getOrElse(Long.MinValue)
+        val buf = rows.foldLeft(prior.map(_.buf).getOrElse(agg.zero)) { (b, tt) =>
           if (tt.event_time != null) maxEventMs = math.max(maxEventMs, tt.event_time.getTime)
           agg.reduce(b, tt.trace)
         }
-        state.update(buf)
+        state.update(SessionBuf(buf, maxEventMs))
         val base = if (maxEventMs == Long.MinValue) state.getCurrentWatermarkMs() else maxEventMs
         state.setTimeoutTimestamp(
           math.max(base + gapSeconds * 1000L, state.getCurrentWatermarkMs() + 1L))

@@ -27,6 +27,7 @@ class TraceSessionProcessor(gapSeconds: Long)
 
   @transient private var buf: ValueState[TreeBuf] = _
   @transient private var timer: ValueState[Long] = _
+  @transient private var maxEvent: ValueState[Long] = _
   @transient private lazy val agg = new TraceTreeAggregator
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
@@ -34,11 +35,17 @@ class TraceSessionProcessor(gapSeconds: Long)
       "tree", Encoders.product[TreeBuf], TTLConfig.NONE)
     timer = getHandle.getValueState[Long](
       "timer", Encoders.scalaLong, TTLConfig.NONE)
+    maxEvent = getHandle.getValueState[Long](
+      "maxevent", Encoders.scalaLong, TTLConfig.NONE)
   }
 
   override def handleInputRows(key: (Long, String), rows: Iterator[TimedTrace],
       tv: TimerValues): Iterator[TxCommit] = {
-    var maxEventMs = Long.MinValue
+    // running max event time is PERSISTED: a later micro-batch may
+    // deliver a non-late trace whose timestamp is below the max seen
+    // earlier, and re-arming from the batch-local max alone would
+    // regress the timer and commit the session early
+    var maxEventMs = if (maxEvent.exists()) maxEvent.get() else Long.MinValue
     val merged = rows.foldLeft(if (buf.exists()) buf.get() else TreeBuf.empty) {
       (b, tt) =>
         if (tt.event_time != null)
@@ -46,8 +53,9 @@ class TraceSessionProcessor(gapSeconds: Long)
         agg.reduce(b, tt.trace)
     }
     buf.update(merged)
+    if (maxEventMs != Long.MinValue) maxEvent.update(maxEventMs)
     // one live timer per open tx: re-arm on every new trace so the
-    // session closes gapSeconds after the LAST trace's event time
+    // session closes gapSeconds after the LATEST trace's event time
     val base = if (maxEventMs == Long.MinValue) tv.getCurrentWatermarkInMs() else maxEventMs
     val at = math.max(base + gapSeconds * 1000L, tv.getCurrentWatermarkInMs() + 1L)
     if (timer.exists() && timer.get() != at) getHandle.deleteTimer(timer.get())
@@ -67,6 +75,7 @@ class TraceSessionProcessor(gapSeconds: Long)
       else None
     buf.clear()
     timer.clear()
+    maxEvent.clear()
     out.iterator
   }
 }

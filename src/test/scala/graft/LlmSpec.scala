@@ -94,6 +94,29 @@ class LlmSpec extends SparkSpec {
     assert(canon == clusters.values.toSet.size)
   }
 
+  test("dedup clustering: empty input converges to an empty frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(DedupOps.dedupClusters(empty, "doc_id", pairs).count() == 0)
+  }
+
+  test("dedup clustering: throws when the iteration cap truncates convergence") {
+    import spark.implicits._
+    // a 5-node path graph needs >1 round of min-label propagation;
+    // maxIter=1 must fail loudly, not return multiple 'canonical' rows
+    val docs = (1L to 5L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = (1L to 4L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val e = intercept[IllegalStateException] {
+      DedupOps.dedupClusters(docs, "doc_id", pairs, maxIter = 1).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with room to converge, the path collapses to one cluster
+    val ok = DedupOps.dedupClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(1L))
+  }
+
   test("cosine near-dup pairs: subset of brute-force threshold pairs, exact dups found") {
     import graft.llm.SimilarityOps
     // plant exact duplicates (cosine 1.0 -> identical sign pattern in

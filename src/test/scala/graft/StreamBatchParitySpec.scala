@@ -59,4 +59,44 @@ class StreamBatchParitySpec extends SparkSpec {
           "\nbatch-only: " + batchC.diff(streamC).take(2).mkString(" | "))
     } finally q.stop()
   }
+
+  test("classic sessionizer: timer never regresses on an earlier non-late timestamp") {
+    import graft.model.Addresses
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TraceRow]
+    val commits = StreamingEtl.sessionCommit(mem.toDS(),
+      gapSeconds = 5L, watermarkDelay = "10 seconds")
+    val q = commits.writeStream.format("memory")
+      .queryName("classic_regress").outputMode("append").start()
+    try {
+      def tr(hash: String, to: String, root: Boolean, ta: Seq[Int], ts: Long) =
+        TraceRow(1L, hash, Some(0), Some("0xa"), Some(to), None, Some("0x1234567890"),
+          None, Some(10L), root, Some(1L), Some(ts), Some("0xb"), None)
+      val rec = Addresses.EcRecover
+      // same scenario as the tws variant: max-so-far 2000, then a
+      // later batch delivers a NON-LATE trace at 1993; the persisted
+      // running max must keep the session's close time at 2005+
+      mem.addData(tr("0xm1", "0xb", root = true, Seq.empty, 2000L))
+      q.processAllAvailable()
+      mem.addData(tr("0xm1", rec, root = false, Seq(0), 1993L))
+      q.processAllAvailable()
+      mem.addData(tr("0xtick1", "0xb", root = true, Seq.empty, 2012L)) // wm -> 2002
+      q.processAllAvailable()
+      assert(spark.table("classic_regress")
+        .filter("transaction.transaction_hash = '0xm1'").count() == 0,
+        "session committed early: timeout regressed to the batch-local max")
+      mem.addData(tr("0xm1", rec, root = false, Seq(1), 2003L)) // extends to 2008
+      q.processAllAvailable()
+      mem.addData(tr("0xtick2", "0xb", root = true, Seq.empty, 2030L)) // wm -> 2020
+      q.processAllAvailable()
+      mem.addData()
+      q.processAllAvailable()
+      val out = spark.sql("SELECT transaction.* FROM classic_regress " +
+        "WHERE transaction IS NOT NULL AND transaction.transaction_hash = '0xm1'").collect()
+      assert(out.length == 1, s"expected ONE commit of 0xm1, got ${out.length}")
+      assert(out.head.getAs[Long]("ec_recover_count") == 2L,
+        "commit missing traces that arrived after the would-be-regressed timeout")
+    } finally q.stop()
+  }
 }

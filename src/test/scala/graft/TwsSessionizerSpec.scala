@@ -153,4 +153,56 @@ class TwsSessionizerSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("tws: timer never regresses when a later batch carries an earlier timestamp") {
+    import graft.model.Addresses
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[TraceRow]
+      // 10 s watermark delay leaves room for NON-LATE traces whose
+      // event time is below the session's max-so-far
+      val commits = TwsSessionizer.sessionCommit(mem.toDS(),
+        gapSeconds = 5L, watermarkDelay = "10 seconds")
+      val q = commits.writeStream.format("memory")
+        .queryName("tws_regress").outputMode("append").start()
+      try {
+        def tr(hash: String, to: String, root: Boolean, ta: Seq[Int], ts: Long) =
+          TraceRow(1L, hash, Some(0), Some("0xa"), Some(to), None, Some("0x1234567890"),
+            None, Some(10L), root, Some(1L), Some(ts), Some("0xb"), None)
+        val rec = Addresses.EcRecover
+        // batch 1: root at t=2000 -> session closes at 2005, wm 1990
+        mem.addData(tr("0xm1", "0xb", root = true, Seq.empty, 2000L))
+        q.processAllAvailable()
+        // batch 2: non-late trace BELOW the max seen (1993 > wm 1990).
+        // With a batch-local max the timer would regress to 1998 and
+        // the session would commit early, splitting into two commits.
+        mem.addData(tr("0xm1", rec, root = false, Seq(0), 1993L))
+        q.processAllAvailable()
+        // batch 3: wm -> 2002, between the regressed (1998) and the
+        // correct (2005) close time — nothing may fire here
+        mem.addData(tr("0xtick1", "0xb", root = true, Seq.empty, 2012L))
+        q.processAllAvailable()
+        assert(spark.table("tws_regress")
+          .filter("transaction.transaction_hash = '0xm1'").count() == 0,
+          "session committed early: timer regressed to the batch-local max")
+        // batch 4: in-gap trace at 2003 extends the same session to 2008
+        mem.addData(tr("0xm1", rec, root = false, Seq(1), 2003L))
+        q.processAllAvailable()
+        // batch 5: wm -> 2020 past 2008, the single combined commit fires
+        mem.addData(tr("0xtick2", "0xb", root = true, Seq.empty, 2030L))
+        q.processAllAvailable()
+        mem.addData()
+        q.processAllAvailable()
+        val out = spark.sql("SELECT transaction.* FROM tws_regress " +
+          "WHERE transaction IS NOT NULL AND transaction.transaction_hash = '0xm1'").collect()
+        assert(out.length == 1, s"expected ONE commit of 0xm1, got ${out.length}")
+        assert(out.head.getAs[Long]("ec_recover_count") == 2L,
+          "commit missing traces that arrived after the would-be-regressed timer")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

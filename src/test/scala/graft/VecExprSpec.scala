@@ -145,6 +145,30 @@ class VecExprSpec extends SparkSpec {
     assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("quantized_dot"))
   }
 
+  test("null array elements propagate to a null result (HOF parity)") {
+    import spark.implicits._
+    // zip_with/aggregate null out the whole result on any null element;
+    // the kernels must match, not silently read 0
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](3f, 4f)),
+      (2L, Seq[java.lang.Float](1f, null), Seq[java.lang.Float](3f, 4f)),
+      (3L, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](null, 4f)))
+      .toDF("id", "ea", "eb")
+    val out = df.select(col("id"),
+      VecFunctions.quantized_dot(col("ea"), col("eb")).as("qd"),
+      VecFunctions.cosine_sim(col("ea"), col("eb")).as("cs"),
+      VecFunctions.dot_long(
+        transform(col("ea"), x => floor(x.cast("double") * 1000).cast("long")),
+        transform(col("eb"), x => floor(x.cast("double") * 1000).cast("long"))).as("dl"),
+      VecFunctions.portable_sign_bucket(
+        transform(col("ea"), x => floor(x.cast("double") * 1000).cast("long")), 4, 0).as("sb"))
+      .orderBy("id").collect()
+    assert(!out(0).isNullAt(1) && !out(0).isNullAt(2) && !out(0).isNullAt(3) && !out(0).isNullAt(4))
+    for (i <- 1 to 2; c <- 1 to 3)
+      assert(out(i).isNullAt(c), s"row ${i + 1} col $c should be null")
+    assert(out(1).isNullAt(4), "sign bucket of null-element vector should be null")
+  }
+
   test("wrong input types rejected at analysis time") {
     val df = spark.range(3).select(col("id"), array(lit("x")).as("strs"))
     intercept[AnalysisException] {
