@@ -22,7 +22,14 @@ object SyntheticTraces {
     * paid once instead of inside every query that consumes traces).
     */
   def bronze(spark: SparkSession, sfDir: String): DataFrame = {
-    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    // key carries a fingerprint of the source tables (length + mtime)
+    // so a regenerated dataset at the same path invalidates the cache
+    val fp = Seq("orders", "lineitem").map { t =>
+      val f = new java.io.File(s"$sfDir/$t.parquet")
+      f.length() * 31L + f.lastModified()
+    }.reduce(_ * 1000003L + _)
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") +
+      "_" + java.lang.Long.toHexString(fp)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_bronze_$key"
     val marker = new java.io.File(s"$path/_SUCCESS")
     if (!marker.isFile) synchronized {
