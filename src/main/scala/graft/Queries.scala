@@ -691,8 +691,12 @@ object Queries {
   // to the fast FNV-hash minhash path below.
   private val llmMinhashSig: Q = (s, dir) =>
     graft.llm.DedupOps.minhashSignature(t(s, dir, "documents"), "doc_id", "text")
-  private val minhashFpsCte =
-    """WITH tokfp AS (
+  /** DuckDB CTE computing each document's token-fingerprint list
+    * (31-polynomial mod 1e9+7 per token) — the shared base of the
+    * arithmetic minhash AND portable simhash oracles.
+    */
+  private val tokfpSub =
+    """tokfp AS (
       |  SELECT doc_id,
       |    list_transform(
       |      list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0),
@@ -700,7 +704,9 @@ object Queries {
       |             list_prepend(CAST(0 AS BIGINT),
       |               list_transform(range(length(t)), i -> CAST(ord(t[i+1]) AS BIGINT))),
       |             (acc, c) -> (acc * 31 + c) % 1000000007)) AS fpt
-      |  FROM documents),
+      |  FROM documents)""".stripMargin
+  private val minhashFpsCte =
+    s"""WITH $tokfpSub,
       |d AS (
       |  SELECT doc_id,
       |    CASE WHEN len(fpt) < 3 THEN
@@ -874,18 +880,186 @@ object Queries {
       graft.functions.GraftFunctions.simhash64(col("text")).as("simhash"),
       graft.functions.LlmFunctions.fingerprint64(col("text")).as("fingerprint"))
   }
+
+  // Engine-portable twins of the FNV simhash/fingerprint fast paths —
+  // same algorithms over the arithmetic mod-prime token/char hashes,
+  // so both get full DuckDB oracles (the FNV variants above stay
+  // rows-only: 64-bit wrapping multiplication isn't SQL-expressible).
+  private val llmSimhashPortablePairs: Q = (s, dir) =>
+    graft.llm.DedupOps.simhashPortablePairs(t(s, dir, "documents"), "doc_id", "text", 3)
+  private val llmSimhashPortableOracle = {
+    val bitExpr = (0 until 16).map { b =>
+      s"(CASE WHEN coalesce(list_sum(list_transform(fpt, f -> " +
+        s"CASE WHEN (f >> $b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH $tokfpSub,
+      |sig AS (SELECT doc_id, CAST($bitExpr AS BIGINT) AS sig FROM tokfp),
+      |chunks AS (
+      |  SELECT doc_id, sig, t.i AS chunk, (sig >> (4 * CAST(t.i AS INT))) & 15 AS key
+      |  FROM sig, (SELECT unnest(range(4)) AS i) t)
+      |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      |FROM chunks a JOIN chunks b
+      |  ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+  }
+
+  private val llmFingerprintPortable: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.llm.DedupOps.portableFingerprint(col("text")).as("fingerprint"))
+  private val llmFingerprintPortableOracle =
+    """SELECT doc_id,
+      |  CASE WHEN length(text) = 0 THEN 0
+      |       WHEN length(text) < 8 THEN
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(range(1, length(text)+1), j -> CAST(ord(text[j]) AS BIGINT))),
+      |           (a, c) -> (a*31 + c) % 1000000007)
+      |       ELSE list_min(list_transform(range(1, length(text)-6),
+      |         i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                list_transform(range(i, i+8), j -> CAST(ord(text[j]) AS BIGINT))),
+      |                (a, c) -> (a*31 + c) % 1000000007)))
+      |  END AS fingerprint
+      |FROM documents""".stripMargin
+  // Brute-force cosine top-k, rank-exact across engines: scores are
+  // floor(1e6·cos) over quantized vectors — every arithmetic step is
+  // exact-integer or a single correctly-rounded IEEE double op, so the
+  // RANKING (not just the row set) hash-matches DuckDB. The float
+  // cosine path stays in lshTopK/LlmSpec.
+  // ---------------------------------------------------------------
+  // Training-pipeline curation: decontamination, sampling, packing,
+  // n-gram stats — all deterministic, all fully oracled
+  // ---------------------------------------------------------------
+  // Benchmark decontamination: docs with doc_id % 50 == 0 stand in for
+  // the held-out eval set; any other doc sharing a 3-token shingle
+  // with them is flagged. The shingle set broadcasts — no corpus
+  // shuffle at 100 TB.
+  private val llmDecontaminate: Q = (s, dir) =>
+    graft.llm.PipelineOps.decontaminate(
+      t(s, dir, "documents"), "doc_id", "text", col("doc_id") % 50 === 0, 3)
+  private val llmDecontaminateOracle =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+      |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
+      |  FROM tk),
+      |bench AS (SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE doc_id % 50 = 0),
+      |hits AS (
+      |  SELECT s.doc_id, count(*) AS n_hits
+      |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE doc_id % 50 <> 0) s
+      |  JOIN bench b ON s.sh = b.sh GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 50 <> 0""".stripMargin
+
+  // Deterministic stratified sampling: English thinned to 20%, other
+  // strata to 50%, by a multiplicative id hash — re-derivable exactly,
+  // unlike df.sample.
+  private val llmStratifiedSample: Q = (s, dir) =>
+    graft.llm.PipelineOps.stratifiedSample(
+      t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+      when(col("lang") === "en", 200).otherwise(500))
+  private val llmStratifiedSampleOracle =
+    """SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS bucket
+      |FROM documents
+      |WHERE (doc_id * 2654435761) % 1000 < CASE WHEN lang = 'en' THEN 200 ELSE 500 END""".stripMargin
+
+  // Sequence packing: per-language concat-and-split into 2048-token
+  // packs via one cumulative-sum window.
+  private val llmSeqPack: Q = (s, dir) =>
+    graft.llm.PipelineOps.seqPack(t(s, dir, "documents"), "doc_id", "lang", "text")
+  private val llmSeqPackOracle =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+      |  FROM d)
+      |SELECT doc_id, lang, n_tokens, tokens_before // 2048 AS pack_id,
+      |  tokens_before % 2048 AS pack_offset FROM c""".stripMargin
+
+  // Global bigram top-100 (corpus n-gram statistics), deterministic cut.
+  private val llmNgramFreq: Q = (s, dir) =>
+    graft.llm.PipelineOps.ngramTopK(t(s, dir, "documents"), "text", 100)
+  private val llmNgramFreqOracle =
+    """WITH tk AS (
+      |  SELECT list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tk
+      |  FROM documents),
+      |bg AS (
+      |  SELECT unnest(CASE WHEN len(tk) >= 2
+      |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+      |    ELSE CAST([] AS VARCHAR[]) END) AS bigram
+      |  FROM tk)
+      |SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1
+      |QUALIFY row_number() OVER (ORDER BY count(*) DESC, bigram) <= 100""".stripMargin
+
   private val annCosineTopk: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     graft.llm.SimilarityOps.bruteForceTopK(
         emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5,
-        graft.llm.SimilarityOps.cosine)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+        graft.llm.SimilarityOps.quantizedCosineX1e6)
+      .select(col("query_id"), col("neighbor_id"),
+        col("score").as("score_x1e6"), col("rank"))
   }
+  /** `CASE … END` quantized-cosine score between two (q, nq) pairs —
+    * the SQL mirror of [[graft.llm.SimilarityOps.quantizedCosineX1e6]].
+    */
+  private def qcosSql(aq: String, anq: String, bq: String, bnq: String): String =
+    s"""CASE WHEN $anq = 0 OR $bnq = 0 THEN 0
+       |ELSE CAST(floor(CAST(list_dot_product($aq, $bq) AS DOUBLE) * 1000000
+       |     / sqrt(CAST($anq * $bnq AS DOUBLE))) AS BIGINT) END""".stripMargin
+  private val quantNormCte =
+    """WITH e AS (
+      |  SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT id, q, CAST(list_sum(list_transform(q, v -> v*v)) AS BIGINT) AS nq FROM e)""".stripMargin
+  private val annCosineTopkOracle =
+    s"""$quantNormCte,
+      |scored AS (
+      |  SELECT a.id AS query_id, b.id AS neighbor_id,
+      |    ${qcosSql("a.q", "a.nq", "b.q", "b.nq")} AS score_x1e6
+      |  FROM n a, n b WHERE a.id < 20 AND a.id <> b.id)
+      |SELECT query_id, neighbor_id, score_x1e6,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) AS INT) AS rank
+      |FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) <= 5""".stripMargin
+
+  // LSH top-k via the portable sign-bucket family (same construction
+  // embNearDup uses) + quantized-cosine ranking: the whole approximate
+  // result — candidate membership AND order — is engine-exact.
   private val annLshTopk: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    graft.llm.SimilarityOps.lshTopK(
+    graft.llm.SimilarityOps.lshTopKPortable(
         emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("score_x1e6"), col("rank"))
+  }
+  private val annLshTopkOracle = {
+    def proj(p: Int) =
+      s"list_sum(list_transform(range(len(q)), d -> " +
+        s"((((tbl*6+$p)*31 + d) * 2654435761) % 2147483648 - 1073741824) * q[d+1]))"
+    val bits = (0 until 6)
+      .map(p => s"(CASE WHEN ${proj(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    s"""$quantNormCte,
+      |bands AS (
+      |  SELECT id, q, nq, t.tbl AS tbl, $bits AS bucket
+      |  FROM n, (SELECT unnest(range(4)) AS tbl) t),
+      |cands AS (
+      |  SELECT DISTINCT qb.id AS query_id, cb.id AS neighbor_id,
+      |    ${qcosSql("qb.q", "qb.nq", "cb.q", "cb.nq")} AS score_x1e6
+      |  FROM bands qb JOIN bands cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+      |  WHERE qb.id < 20 AND qb.id <> cb.id)
+      |SELECT query_id, neighbor_id, score_x1e6,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) AS INT) AS rank
+      |FROM cands
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) <= 5""".stripMargin
   }
   // embedding column statistics with exact integer arithmetic
   private val embStats: Q = (s, dir) =>
@@ -910,21 +1084,67 @@ object Queries {
       |    x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_positive
       |FROM embeddings""".stripMargin
 
+  // IVF top-k with deterministic stride centroids + quantized-cosine
+  // assignment/probe/rank — cell membership and final order both
+  // engine-exact (nlist=16, nprobe=4 mirrored in the SQL literals).
   private val annIvfTopk: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     graft.llm.SimilarityOps.ivfTopK(
-        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5,
+        score = graft.llm.SimilarityOps.quantizedCosineX1e6)
+      .select(col("query_id"), col("neighbor_id"),
+        col("score").as("score_x1e6"), col("rank"))
   }
+  private val annIvfTopkOracle =
+    s"""$quantNormCte,
+      |params AS (SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+      |cent AS (SELECT id AS cell, q AS cq, nq AS cnq FROM n, params
+      |         WHERE id % stride = 0 AND id < stride * 16),
+      |assigned AS (
+      |  SELECT neighbor_id, q, nq, cell FROM (
+      |    SELECT v.id AS neighbor_id, v.q AS q, v.nq AS nq, c.cell AS cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+      |    FROM n v, cent c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, q, nq, cell FROM (
+      |    SELECT v.id AS query_id, v.q AS q, v.nq AS nq, c.cell AS cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+      |    FROM n v, cent c WHERE v.id < 20) WHERE rn <= 4),
+      |scored AS (
+      |  SELECT p.query_id, a.neighbor_id,
+      |    ${qcosSql("p.q", "p.nq", "a.q", "a.nq")} AS score_x1e6
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell
+      |  WHERE p.query_id <> a.neighbor_id)
+      |SELECT query_id, neighbor_id, score_x1e6,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) AS INT) AS rank
+      |FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) <= 5""".stripMargin
+  // The float32 descriptor path, oracled exactly: feature = bin-6
+  // count / n_bytes computed in FLOAT (one correctly-rounded single-
+  // precision division in both engines), then widened and quantized.
+  // Bin 6 covers codepoints 96-111 (most lowercase letters) so the
+  // value is non-trivial on text payloads.
   private val mmFeatures: Q = (s, dir) =>
     graft.llm.Multimodal.extractFeatures(
       graft.llm.Multimodal.packFromDocuments(t(s, dir, "documents"))).toDF()
-      // scalar projection of the float descriptor (rows-only check;
-      // the exact-integer decode path is fully oracled above)
       .select(col("media_id"), col("kind"), col("n_bytes"),
         size(col("features")).as("n_dims"),
-        floor(element_at(col("features"), 1).cast("double") * 1000)
-          .cast("long").as("f0_x1000"))
+        floor(element_at(col("features"), 7).cast("double") * 1000)
+          .cast("long").as("f6_x1000"))
+  private val mmFeaturesOracle =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    list_transform(range(length(text)), i -> ord(text[i+1])) AS codes
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CAST(16 AS INT) AS n_dims,
+      |  CAST(floor(CAST(CAST(CAST(len(list_filter(codes, c -> c // 16 = 6)) AS REAL)
+      |       / CAST(length(text) AS REAL) AS REAL) AS DOUBLE) * 1000) AS BIGINT) AS f6_x1000
+      |FROM d""".stripMargin
 
   // ---------------------------------------------------------------
   // P9 + custom expressions + full pipeline: rows-only (no SQL oracle;
@@ -1016,10 +1236,16 @@ object Queries {
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshPairs,
     "q_llm_dedup_clusters" -> llmDedupClusters,
     "q_llm_curate" -> llmCurate,
+    "q_llm_decontaminate" -> llmDecontaminate,
+    "q_llm_stratified_sample" -> llmStratifiedSample,
+    "q_llm_seq_pack" -> llmSeqPack,
+    "q_llm_ngram_freq" -> llmNgramFreq,
     "q_mm_bin_counts" -> mmBinCounts,
     "q_emb_neardup" -> embNearDup,
     "q_llm_simhash_pairs" -> llmSimhashPairs,
+    "q_llm_simhash_portable_pairs" -> llmSimhashPortablePairs,
     "q_llm_fingerprints" -> llmFingerprints,
+    "q_llm_fingerprint_portable" -> llmFingerprintPortable,
     "q_ann_topk_dot" -> annTopkDot,
     "q_ann_cosine_topk" -> annCosineTopk,
     "q_ann_lsh_topk" -> annLshTopk,
@@ -1074,10 +1300,20 @@ object Queries {
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshOracle,
     "q_llm_dedup_clusters" -> llmDedupClustersOracle,
     "q_llm_curate" -> llmCurateOracle,
+    "q_llm_decontaminate" -> llmDecontaminateOracle,
+    "q_llm_stratified_sample" -> llmStratifiedSampleOracle,
+    "q_llm_seq_pack" -> llmSeqPackOracle,
+    "q_llm_ngram_freq" -> llmNgramFreqOracle,
     "q_mm_bin_counts" -> mmBinCountsOracle,
     "q_etl_blocks" -> etlBlocksOracle,
     "q_emb_neardup" -> embNearDupOracle,
     "q_ann_topk_dot" -> annTopkDotOracle,
+    "q_ann_cosine_topk" -> annCosineTopkOracle,
+    "q_ann_lsh_topk" -> annLshTopkOracle,
+    "q_ann_ivf_topk" -> annIvfTopkOracle,
+    "q_llm_simhash_portable_pairs" -> llmSimhashPortableOracle,
+    "q_llm_fingerprint_portable" -> llmFingerprintPortableOracle,
+    "q_mm_features" -> mmFeaturesOracle,
     "q_emb_stats" -> embStatsOracle,
   )
 }

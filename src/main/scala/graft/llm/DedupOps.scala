@@ -225,6 +225,66 @@ object DedupOps {
       (col("id") === col("lab")).cast("int").as("is_canonical"))
   }
 
+  /** Engine-portable 16-bit SimHash: bit b of the signature is the
+    * majority vote of bit b across the document's token fingerprints
+    * (the same 31-polynomial mod-1e9+7 fingerprint the arithmetic
+    * MinHash uses). Exact integer arithmetic throughout, so an
+    * external SQL engine reproduces every signature bit-for-bit —
+    * the deterministic complement to the FNV-based 64-bit
+    * [[simhashPairs]] fast path.
+    */
+  def portableSimhashSig(textCol: Column, bits: Int = 16): Column = {
+    val toks = filter(split(textCol, "\\s+"), t => length(t) > 0)
+    val fpt = transform(toks, tokenFingerprint(_))
+    (0 until bits).map { b =>
+      when(aggregate(fpt, lit(0L), (acc, f) =>
+          acc + when(shiftright(f, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Near-dup pairs over [[portableSimhashSig]]: four 4-bit chunks
+    * bucket the candidates (pigeonhole: hamming<=3 implies an equal
+    * chunk), exact `bit_count(xor)` hamming filters them. Same
+    * per-bucket pair-space shape as [[simhashPairs]], but every row
+    * hash-matches a SQL oracle.
+    */
+  def simhashPortablePairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole only guarantees recall for hamming <= 3")
+    val sigs = df.select(col(idCol).as("id"), portableSimhashSig(col(textCol)).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("sig"), i * 4).bitwiseAND(lit(0xfL))): _*)))
+      .select(col("id"), col("sig"), col("pos").as("chunk"), col("col").as("key"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Engine-portable winnowing fingerprint: the minimum over all
+    * `w`-char windows of the 31-polynomial rolling hash mod 1e9+7
+    * (same scheme as Schleimer et al.'s winnowing, with the portable
+    * arithmetic hash instead of FNV — see
+    * [[graft.functions.TextHash.fingerprint]] for the fast path).
+    * Documents shorter than `w` hash whole; empty text maps to 0.
+    */
+  def portableFingerprint(c: Column, w: Int = 8): Column = {
+    val M = lit(FingerprintMod)
+    def winHash(start: Column, len: Column): Column =
+      aggregate(sequence(start, start + len - 1), lit(0L),
+        (acc, j) => (acc * 31L + ascii(c.substr(j, lit(1)))) % M)
+    when(length(c) === 0, 0L)
+      .when(length(c) < w, winHash(lit(1), length(c)))
+      .otherwise(array_min(transform(
+        sequence(lit(1), length(c) - (w - 1)),
+        i => winHash(i, lit(w)))))
+  }
+
   /** SimHash near-dup pairs: 64-bit signature split into four 16-bit
     * chunks; pairs sharing ANY chunk (pigeonhole: hamming<=3 implies
     * at least one chunk equal) are candidates, then filtered by exact

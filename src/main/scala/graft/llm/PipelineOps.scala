@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * needs beyond dedup: benchmark decontamination, deterministic
+  * stratified sampling, sequence packing, and global n-gram stats.
+  *
+  * Scale design notes (100 TB corpus):
+  *   - decontaminate: the benchmark shingle set is tiny (benchmarks
+  *     are MBs, corpora are TBs) — it broadcasts, so the corpus side
+  *     is one linear scan + broadcast hash join, no corpus shuffle.
+  *   - stratifiedSample: pure per-row arithmetic on (id, stratum) —
+  *     a map-only filter, no shuffle, and deterministic across runs
+  *     (unlike `df.sample`, which depends on partitioning).
+  *   - seqPack: one window shuffle per stratum, cumulative sums only
+  *     (no per-group iteration); the pack assignment is the standard
+  *     concat-and-split packing used for LLM pretraining batches.
+  *   - ngramTopK: map-side partial aggregation collapses the n-gram
+  *     explosion before the shuffle; top-k is TakeOrdered (no global
+  *     sort materialization).
+  */
+object PipelineOps {
+
+  /** Whitespace tokens with empties dropped (the shared tokenizer). */
+  private def toks(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** Benchmark decontamination: flag every corpus document sharing at
+    * least one `n`-token shingle with any benchmark document. Returns
+    * non-benchmark docs with their contaminated-shingle count.
+    *
+    * `isBenchmark` partitions the input (the held-out eval set vs the
+    * training corpus); shingling mirrors [[DedupOps.shingleSet]] so
+    * contamination and near-dup detection share a similarity space.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      isBenchmark: Column, n: Int = 3): DataFrame = {
+    val shingled = docs.select(col(idCol).as("doc_id"),
+      isBenchmark.as("is_bench"),
+      DedupOps.shingleSet(col(textCol), n).as("shingles"))
+    val bench = shingled.filter(col("is_bench"))
+      .select(explode(col("shingles")).as("sh")).distinct()
+    val corpus = shingled.filter(!col("is_bench"))
+    val hits = corpus.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    corpus.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
+  /** Deterministic stratified sampling: keep a row iff
+    * (id · 2654435761) mod 1000 < quota(stratum), i.e. a Knuth
+    * multiplicative hash of the id thins each stratum to quota/1000.
+    * Reproducible across engines, runs, and partitionings — the
+    * property `df.sample` cannot give — so downstream training sets
+    * are exactly re-derivable from the raw corpus.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      quotaPerMille: Column): DataFrame = {
+    val bucket = (col(idCol) * lit(2654435761L)) % 1000
+    df.withColumn("bucket", bucket)
+      .filter(col("bucket") < quotaPerMille)
+  }
+
+  /** Sequence packing (concat-and-split): documents are laid out
+    * back-to-back per stratum in id order and cut into fixed
+    * `capacity`-token packs; a document starts in pack
+    * floor(prefix_tokens / capacity) at offset prefix_tokens mod
+    * capacity. One cumulative-sum window per stratum — no per-group
+    * iteration, no driver loop.
+    */
+  def seqPack(df: DataFrame, idCol: String, stratumCol: String,
+      textCol: String, capacity: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(stratumCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(stratumCol),
+        size(toks(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("tokens_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col(idCol), col(stratumCol), col("n_tokens"),
+        (col("tokens_before") / capacity).cast("long").as("pack_id"),
+        (col("tokens_before") % capacity).as("pack_offset"))
+  }
+
+  /** Global top-k word bigrams by frequency (corpus-level n-gram
+    * statistics). Ties broken lexicographically so the cut is
+    * deterministic.
+    */
+  def ngramTopK(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    val t = toks(col(textCol))
+    val bigrams = transform(sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    df.select(explode(when(size(t) >= 2, bigrams)
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(k)
+  }
+}

@@ -30,6 +30,27 @@ object SimilarityOps {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VecFunctions.cosine_sim(a, b)
 
+  /** Engine-exact quantized cosine score: floor(10^6 · dot_q /
+    * √(|a|²_q·|b|²_q)) over floor(x·1000) quantized vectors. Every
+    * step is either exact 64-bit integer arithmetic or a single
+    * correctly-rounded IEEE-754 double operation (long→double convert,
+    * multiply, sqrt, divide, floor), so an external SQL engine
+    * reproduces the score bit-for-bit — unlike raw float cosine, this
+    * makes top-k RANKINGS hash-comparable across engines. Zero-norm
+    * vectors score 0.
+    */
+  def quantizedCosineX1e6(a: Column, b: Column): Column = {
+    def q(c: Column) = transform(c, x => floor(x.cast("double") * 1000).cast("long"))
+    val V = graft.functions.VecFunctions
+    val qa = q(a); val qb = q(b)
+    val dot = V.dot_long(qa, qb)
+    val na = V.dot_long(qa, qa)
+    val nb = V.dot_long(qb, qb)
+    when(na === 0 || nb === 0, 0L).otherwise(
+      floor(dot.cast("double") * lit(1e6) / sqrt((na * nb).cast("double")))
+        .cast("long"))
+  }
+
   /** Exact top-k neighbors of each query vector by `score` (a column
     * function of the two embedding columns), ranked descending with
     * id tie-break. Query set × corpus — the baseline ANN oracle.
@@ -91,6 +112,42 @@ object SimilarityOps {
   private def portableBucket(q: Column, planes: Int, tbl: Int): Column =
     graft.functions.VecFunctions.portable_sign_bucket(q, planes, tbl)
 
+  /** The engine-portable twin of [[lshTopK]]: sign-LSH buckets from
+    * [[portableBucket]] generate candidates, [[quantizedCosineX1e6]]
+    * ranks them — every step deterministic integer/IEEE arithmetic, so
+    * the full approximate top-k result (including which neighbors were
+    * candidates at all) hash-matches a SQL oracle. Same bucketed scale
+    * shape as [[lshTopK]]: pair space is per-(table, bucket), never a
+    * cross-join.
+    */
+  def lshTopKPortable(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, planes: Int = 6, tables: Int = 4): DataFrame = {
+    val quant = transform(col(embCol), x => floor(x.cast("double") * 1000).cast("long"))
+    def banded(df: DataFrame, idAs: String, qAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), quant.as(qAs))
+        .select(col(idAs), col(qAs),
+          posexplode(array((0 until tables).map(tbl =>
+            portableBucket(col(qAs), planes, tbl)): _*)))
+        .select(col(idAs), col(qAs), col("pos").as("tbl"), col("col").as("bucket"))
+    val V = graft.functions.VecFunctions
+    val cands = banded(queries, "query_id", "qq")
+      .join(banded(corpus, "neighbor_id", "cq"), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // score BEFORE dedup (see cosineNearDupPairs: the dedup aggregate
+      // keeps the dot from being re-evaluated inside the rank window)
+      .select(col("query_id"), col("neighbor_id"),
+        when(V.dot_long(col("qq"), col("qq")) === 0 ||
+             V.dot_long(col("cq"), col("cq")) === 0, 0L)
+          .otherwise(floor(V.dot_long(col("qq"), col("cq")).cast("double") * lit(1e6) /
+            sqrt((V.dot_long(col("qq"), col("qq")) *
+              V.dot_long(col("cq"), col("cq"))).cast("double"))).cast("long"))
+          .as("score_x1e6"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_x1e6").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, fully deterministic:
     * multi-table sign-LSH bucketing generates candidates (never a
     * cross-join), then an exact integer test keeps pairs with
@@ -140,17 +197,22 @@ object SimilarityOps {
     * the plan is identical.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      score: (Column, Column) => Column = cosine): DataFrame = {
+    val sc = score
     val n = corpus.count()
     val stride = math.max(n / nlist, 1L)
+    // id-stride selection without limit(): limit on an unordered frame
+    // is nondeterministic across runs/engines — the explicit id bound
+    // pins exactly the first nlist stride multiples
     val centroids = corpus
-      .filter(col(idCol) % stride === 0).limit(nlist)
+      .filter(col(idCol) % stride === 0 && col(idCol) < lit(stride * nlist))
       .select(col(idCol).as("cell"), col(embCol).as("centroid"))
     // assignment pass: each corpus vector -> nearest centroid
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
       .crossJoin(broadcast(centroids))
       .select(col("neighbor_id"), col("c_emb"), col("cell"),
-        cosine(col("c_emb"), col("centroid")).as("sim"))
+        sc(col("c_emb"), col("centroid")).as("sim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("neighbor_id").orderBy(col("sim").desc, col("cell").asc)))
       .filter(col("rn") === 1)
@@ -159,7 +221,7 @@ object SimilarityOps {
     val probes = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
       .crossJoin(broadcast(centroids))
       .select(col("query_id"), col("q_emb"), col("cell"),
-        cosine(col("q_emb"), col("centroid")).as("sim"))
+        sc(col("q_emb"), col("centroid")).as("sim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell").asc)))
       .filter(col("rn") <= nprobe)
@@ -168,7 +230,7 @@ object SimilarityOps {
     val cands = broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_emb"), col("c_emb")).as("score"))
+        sc(col("q_emb"), col("c_emb")).as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

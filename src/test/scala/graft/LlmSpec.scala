@@ -201,6 +201,188 @@ class LlmSpec extends SparkSpec {
     assert(q.filter(col("stop_ratio_x1000") < 0 || col("stop_ratio_x1000") > 1000).count() == 0)
   }
 
+  test("portable simhash pairs: exact dups at hamming 0; matches local reference") {
+    import spark.implicits._
+    val corpus = corpusWithDups
+    val pairs = DedupOps.simhashPortablePairs(corpus, "doc_id", "text", 3)
+    val zero = pairs.filter(col("hamming") === 0)
+      .filter(col("id2") >= 200000).count()
+    val planted = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(zero >= planted, s"expected >=$planted hamming-0 pairs, got $zero")
+    // signature matches an independent Scala computation of the same
+    // arithmetic (mod-prime token fp, per-bit majority vote)
+    def refSig(text: String): Long = {
+      val M = DedupOps.FingerprintMod
+      val fps = text.split("\\s+").filter(_.nonEmpty)
+        .map(t => t.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % M))
+      (0 until 16).map { b =>
+        val vote = fps.map(f => if (((f >> b) & 1L) == 1L) 1 else -1).sum
+        if (vote > 0) 1L << b else 0L
+      }.sum
+    }
+    val got = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id"), DedupOps.portableSimhashSig(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val txts = docs.filter(col("doc_id") < 5)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    for ((id, sig) <- got) assert(sig == refSig(txts(id)), s"doc $id")
+  }
+
+  test("portable fingerprint matches local winnowing reference; stable on dups") {
+    import spark.implicits._
+    def refFp(text: String, w: Int = 8): Long = {
+      val M = DedupOps.FingerprintMod
+      def h(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % M)
+      if (text.isEmpty) 0L
+      else if (text.length < w) h(text)
+      else (0 to text.length - w).map(i => h(text.substring(i, i + w))).min
+    }
+    val got = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), DedupOps.portableFingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val txts = docs.filter(col("doc_id") < 10)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    for ((id, fp) <- got) assert(fp == refFp(txts(id)), s"doc $id")
+    // exact dups share the fingerprint
+    val joined = corpusWithDups.filter(col("doc_id") % 10 === 0 || col("doc_id") >= 200000)
+      .select(col("doc_id"), DedupOps.portableFingerprint(col("text")).as("fp"))
+    val byFp = joined.filter(col("doc_id") >= 200000).as("d")
+      .join(joined.filter(col("doc_id") < 100000).as("o"),
+        col("d.doc_id") === col("o.doc_id") + 200000)
+      .filter(col("d.fp") =!= col("o.fp")).count()
+    assert(byFp == 0, "exact dup changed the winnowing fingerprint")
+  }
+
+  test("quantized cosine score: matches reference and ranks like float cosine top-1") {
+    import spark.implicits._
+    val vecs = emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val got = SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") === 1),
+        "vec_id", "embedding", 4, SimilarityOps.quantizedCosineX1e6)
+      .select("neighbor_id", "score").as[(Long, Long)].collect().toMap
+    def q(a: Array[Float]) = a.map(x => math.floor(x.toDouble * 1000).toLong)
+    def ref(a: Array[Float], b: Array[Float]): Long = {
+      val (qa, qb) = (q(a), q(b))
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      val (na, nb) = (qa.map(x => x * x).sum, qb.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0L
+      else math.floor(dot.toDouble * 1e6 / math.sqrt((na * nb).toDouble)).toLong
+    }
+    for ((nid, score) <- got)
+      assert(score == ref(vecs(1L), vecs(nid)), s"neighbor $nid")
+    // quantization at 1e-3 of unit-ish vectors preserves the float top-1
+    val floatTop = SimilarityOps.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 1), "vec_id", "embedding", 1,
+        SimilarityOps.cosine)
+      .select("neighbor_id").as[Long].head()
+    val quantTop = SimilarityOps.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 1), "vec_id", "embedding", 1,
+        SimilarityOps.quantizedCosineX1e6)
+      .select("neighbor_id").as[Long].head()
+    assert(floatTop == quantTop)
+  }
+
+  test("portable lsh top-k: candidates bucket-bounded, scores exact, decent recall") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val truth = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5,
+        SimilarityOps.quantizedCosineX1e6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilarityOps.lshTopKPortable(emb, queries, "vec_id", "embedding", 5,
+        planes = 4, tables = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(approx.contains).toDouble / truth.size
+    assert(recall >= 0.4, s"recall@5 = $recall")
+    info(s"portable LSH ANN recall@5 = $recall")
+  }
+
+  test("ivf centroids: deterministic stride selection, exactly nlist cells") {
+    val out = SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 3, score = SimilarityOps.quantizedCosineX1e6)
+    assert(out.count() > 0)
+    // re-running yields the identical result set (no limit() nondeterminism)
+    val a = out.collect().map(_.toString).sorted
+    val b = SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 3, score = SimilarityOps.quantizedCosineX1e6)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("decontaminate: benchmark docs flag their exact copies, clean docs pass") {
+    import graft.llm.PipelineOps
+    // corpus = docs, benchmark = every 10th doc's exact text under a
+    // shifted id -> every benchmark original must come back contaminated
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    val all = docs.select(col("doc_id"), col("text")).unionByName(bench)
+    val out = PipelineOps.decontaminate(all, "doc_id", "text",
+      col("doc_id") >= 500000, 3)
+    val flagged = out.filter(col("contaminated") === 1)
+      .filter(col("doc_id") % 10 === 0).filter(col("doc_id") < 500000).count()
+    val planted = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(flagged == planted, s"expected all $planted originals flagged, got $flagged")
+    // output never contains benchmark rows
+    assert(out.filter(col("doc_id") >= 500000).count() == 0)
+  }
+
+  test("stratified sample: quota respected per stratum, deterministic") {
+    import graft.llm.PipelineOps
+    val quota = when(col("lang") === "en", 200).otherwise(500)
+    val in = docs.select("doc_id", "lang")
+    val out = PipelineOps.stratifiedSample(in, "doc_id", "lang", quota)
+    // kept fraction tracks quota/1000 loosely (multiplicative hash)
+    val byLang = in.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, total) <- byLang if total >= 50) {
+      val q = if (lang == "en") 0.2 else 0.5
+      val frac = kept.getOrElse(lang, 0L).toDouble / total
+      assert(math.abs(frac - q) < 0.2, s"$lang kept $frac of $total, quota $q")
+    }
+    // exact determinism across runs
+    val again = PipelineOps.stratifiedSample(in, "doc_id", "lang", quota)
+      .collect().map(_.toString).sorted
+    assert(out.collect().map(_.toString).sorted.sameElements(again))
+  }
+
+  test("seq pack: offsets stay under capacity and chain correctly per stratum") {
+    import spark.implicits._
+    import graft.llm.PipelineOps
+    val out = PipelineOps.seqPack(docs, "doc_id", "lang", "text", 2048)
+    assert(out.filter(col("pack_offset") >= 2048 || col("pack_offset") < 0).count() == 0)
+    // per stratum: tokens_before of doc i+1 == tokens_before + n_tokens of doc i
+    val rows = out.select("lang", "doc_id", "n_tokens", "pack_id", "pack_offset")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).values
+    for (group <- rows) {
+      val sorted = group.sortBy(_._2)
+      var before = 0L
+      for ((_, id, n, pid, off) <- sorted) {
+        assert(pid == before / 2048, s"doc $id pack_id")
+        assert(off == before % 2048, s"doc $id pack_offset")
+        before += n
+      }
+    }
+  }
+
+  test("ngram top-k: counts match a local reference on a small slice") {
+    import spark.implicits._
+    import graft.llm.PipelineOps
+    val slice = docs.filter(col("doc_id") < 50)
+    val got = PipelineOps.ngramTopK(slice, "text", 20)
+      .as[(String, Long)].collect()
+    val texts = slice.select("text").as[String].collect()
+    val ref = texts.flatMap { t =>
+      val ts = t.split("\\s+").filter(_.nonEmpty)
+      ts.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val top = ref.toSeq.sortBy { case (bg, c) => (-c, bg) }.take(20)
+    assert(got.toSeq == top, s"got ${got.take(3).toSeq}... want ${top.take(3)}...")
+  }
+
   test("multimodal: stub decode produces 16-dim normalized features") {
     val feats = Multimodal.extractFeatures(Multimodal.packFromDocuments(docs)).collect()
     assert(feats.length == docs.count())
