@@ -37,6 +37,9 @@ object EtlPhaseProbe {
       val (txs, cs) = TraceEtl.transform(bronze)
       time("full_tx")(noop(txs.toDF()))
       time("full_contracts")(noop(cs.toDF()))
+      val (rtx, rcs) = graft.operators.TraceEtlRelational.transform(TraceEtl.normalize(bronze))
+      time("rel_tx")(noop(rtx))
+      time("rel_contracts")(noop(rcs))
     }
     spark.stop()
   }

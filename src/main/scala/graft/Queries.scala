@@ -189,17 +189,19 @@ object Queries {
     """SELECT l_orderkey, coalesce(array_to_string(list_sort(list(CAST(floor(l_quantity) AS BIGINT))), ','), '') AS all_sizes
       |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1""".stripMargin
 
-  // A9: degree-scoped gas — join degree set with per-caller out-gas
-  private val a9DegreeGas: Q = (s, dir) => {
-    val li = t(s, dir, "lineitem")
-    val deg = li.filter(col("l_returnflag") === "R")
-      .select("l_orderkey", "l_suppkey").distinct()
-    val outg = li.groupBy("l_orderkey", "l_suppkey")
-      .agg(sum(qty(col("l_quantity"))).as("g"))
-    deg.join(outg, Seq("l_orderkey", "l_suppkey"))
+  // A9: degree-scoped gas. The degree membership (any R row) and the
+  // per-caller out-gas share the (orderkey, suppkey) key, so one
+  // conditional aggregate replaces the distinct + aggregate + join
+  // cascade — 2 exchanges instead of 3 + a join, same rows. (The
+  // join-shaped decomposition lives in TraceEtlRelational.)
+  private val a9DegreeGas: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(qty(col("l_quantity"))).as("g"),
+        max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("in_deg"))
+      .filter(col("in_deg") === 1)
       .groupBy("l_orderkey")
       .agg(sum("g").as("deg_gas"))
-  }
   private val a9Oracle =
     """WITH deg AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
       |outg AS (SELECT l_orderkey, l_suppkey, sum(CAST(floor(l_quantity) AS BIGINT)) AS g
@@ -278,22 +280,23 @@ object Queries {
       |SELECT ok, src, 0 AS degree FROM frst
       |UNION ALL SELECT ok, src, 1 AS degree FROM scnd""".stripMargin
 
-  // J5: enrichment left-joins with coalesced defaults
-  private val j5Enrichment: Q = (s, dir) => {
-    val li = t(s, dir, "lineitem")
-    val contracts = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("addr")).distinct()
-    val sigs = li.groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("addr"))
-      .agg(array_sort(collect_set(col("l_linestatus"))).as("sigs"))
-    val cnts = li.filter(col("l_returnflag") === "N")
+  // J5: contract enrichment. All three legs (membership, signature
+  // set, filtered count) group on the same (orderkey, suppkey) key, so
+  // one conditional aggregate replaces the 3-aggregate + 2-left-join
+  // cascade — 1 exchange instead of 3, identical output (the membership
+  // row always contributes to the sig group, so the old coalesce
+  // defaults were only reachable for cnt). Join-shaped decomposition:
+  // TraceEtlRelational.
+  private val j5Enrichment: Q = (s, dir) =>
+    t(s, dir, "lineitem")
       .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("addr"))
-      .agg(count(lit(1)).as("cnt"))
-    contracts.join(sigs, Seq("ok", "addr"), "left")
-      .join(cnts, Seq("ok", "addr"), "left")
+      .agg(
+        max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("is_contract"),
+        array_sort(collect_set(col("l_linestatus"))).as("sig_arr"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("n_cnt"))
+      .filter(col("is_contract") === 1)
       .select(col("ok"), col("addr"),
-        csv(coalesce(col("sigs"), array().cast("array<string>"))).as("sigs"),
-        coalesce(col("cnt"), lit(0L)).as("cnt"))
-  }
+        csv(col("sig_arr")).as("sigs"), col("n_cnt").as("cnt"))
   private val j5Oracle =
     """WITH c AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS addr
       |           FROM lineitem WHERE l_returnflag = 'R'),
@@ -487,17 +490,13 @@ object Queries {
       |  TRUE AS is_root
       |FROM orders""".stripMargin
 
-  // P5: block normalizer — JSON decode with pending-drop + defaults
+  // P5: block normalizer — JSON decode with pending-drop + defaults.
+  // Reads the staged raw-JSON block corpus (encode paid once, like the
+  // trace bronze) so the measured path is the decode that exists in
+  // production. Every 10th block is "pending" (no hash) → dropped.
   private val p5BlockDecode: Q = (s, dir) => {
-    val raw = t(s, dir, "orders").select(
-      to_json(struct(
-        col("o_orderkey").as("number"),
-        (col("o_orderkey") + 1000).as("timestamp"),
-        // every 10th block is "pending" (no hash) and must be dropped
-        when(col("o_orderkey") % 10 =!= 0,
-          concat(lit("0x"), lpad(lower(hex(col("o_orderkey"))), 64, "0"))).as("hash"),
-        lit("0xparent").as("parent_hash"),
-        (col("o_totalprice").cast("long") % 1000).cast("int").as("gas_used"))).as("value"))
+    val raw = graft.sources.SyntheticTraces.blocksBronze(s, dir)
+      .filter(col("re_emit") === 0).select("value")
     graft.sources.Ingest.decodeBlocks(raw, chainId = 3)
       .select("chain_id", "number", "timestamp", "hash", "transaction_count", "gas_used", "miner")
   }
@@ -514,19 +513,10 @@ object Queries {
   // state the reference's ON CONFLICT DO UPDATE overwrite converges to
   // (etl_result.rs:267-281 + D1 dedup).
   private val etlBlocks: Q = (s, dir) => {
-    val orders = t(s, dir, "orders")
-    def payload(tsBump: Column, gasBump: Column) = to_json(struct(
-      col("o_orderkey").as("number"),
-      (col("o_orderkey") + 1000 + tsBump).as("timestamp"),
-      when(col("o_orderkey") % 10 =!= 0,
-        concat(lit("0x"), lpad(lower(hex(col("o_orderkey"))), 64, "0"))).as("hash"),
-      lit("0xparent").as("parent_hash"),
-      ((col("o_totalprice").cast("long") + gasBump) % 1000).cast("int").as("gas_used")))
-    val first = orders.select(payload(lit(0), lit(0)).as("value"))
-    // ~14% of blocks re-emitted (reorg/update) with newer timestamp
-    val reEmit = orders.filter(col("o_orderkey") % 7 === 0)
-      .select(payload(lit(5), lit(1)).as("value"))
-    val decoded = graft.sources.Ingest.decodeBlocks(first.unionByName(reEmit), chainId = 3)
+    // staged raw corpus includes the ~14% reorg/update re-emissions
+    // with newer timestamps (see SyntheticTraces.blocksBronze)
+    val raw = graft.sources.SyntheticTraces.blocksBronze(s, dir).select("value")
+    val decoded = graft.sources.Ingest.decodeBlocks(raw, chainId = 3)
     val w = Window.partitionBy("chain_id", "number")
       .orderBy(col("timestamp").desc)
     decoded.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -703,7 +693,13 @@ object Queries {
       |      t -> list_reduce(
       |             list_prepend(CAST(0 AS BIGINT),
       |               list_transform(range(length(t)), i -> CAST(ord(t[i+1]) AS BIGINT))),
-      |             (acc, c) -> (acc * 31 + c) % 1000000007)) AS fpt
+      |             (acc, c) -> (acc * 31 + c) % 1000000007)) AS fpt,
+      |    list_transform(
+      |      list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0),
+      |      t -> list_reduce(
+      |             list_prepend(CAST(0 AS BIGINT),
+      |               list_transform(range(length(t)), i -> CAST(ord(t[i+1]) AS BIGINT))),
+      |             (acc, c) -> (acc * 37 + c) % 1000000007)) AS fpt37
       |  FROM documents)""".stripMargin
   private val minhashFpsCte =
     s"""WITH $tokfpSub,
@@ -888,14 +884,15 @@ object Queries {
   private val llmSimhashPortablePairs: Q = (s, dir) =>
     graft.llm.DedupOps.simhashPortablePairs(t(s, dir, "documents"), "doc_id", "text", 3)
   private val llmSimhashPortableOracle = {
-    val bitExpr = (0 until 16).map { b =>
-      s"(CASE WHEN coalesce(list_sum(list_transform(fpt, f -> " +
-        s"CASE WHEN (f >> $b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 THEN ${1 << b} ELSE 0 END)"
-    }.mkString("\n    + ")
+    def bit(src: String, b: Int, w: Long) =
+      s"(CASE WHEN coalesce(list_sum(list_transform($src, f -> " +
+        s"CASE WHEN (f >> $b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 THEN ${w} ELSE 0 END)"
+    val bitExpr = ((0 until 30).map(b => bit("fpt", b, 1L << b)) ++
+      (0 until 30).map(b => bit("fpt37", b, 1L << (b + 30)))).mkString("\n    + ")
     s"""WITH $tokfpSub,
       |sig AS (SELECT doc_id, CAST($bitExpr AS BIGINT) AS sig FROM tokfp),
       |chunks AS (
-      |  SELECT doc_id, sig, t.i AS chunk, (sig >> (4 * CAST(t.i AS INT))) & 15 AS key
+      |  SELECT doc_id, sig, t.i AS chunk, (sig >> (15 * CAST(t.i AS INT))) & 32767 AS key
       |  FROM sig, (SELECT unnest(range(4)) AS i) t)
       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
@@ -935,26 +932,19 @@ object Queries {
   // shuffle at 100 TB.
   private val llmDecontaminate: Q = (s, dir) =>
     graft.llm.PipelineOps.decontaminate(
-      t(s, dir, "documents"), "doc_id", "text", col("doc_id") % 50 === 0, 3)
+      t(s, dir, "documents"), "doc_id", "text", col("doc_id") % 50 === 0)
   private val llmDecontaminateOracle =
-    """WITH tk AS (
-      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tk
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-      |         ELSE list_distinct(list_transform(range(1, len(tk) - 1),
-      |                i -> array_to_string(tk[i:i+2], ' '))) END AS shingles
-      |  FROM tk),
-      |bench AS (SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE doc_id % 50 = 0),
+    s"""$minhashFpsCte,
+      |s AS (SELECT doc_id, list_distinct(fps) AS fps FROM d),
+      |bench AS (SELECT DISTINCT unnest(fps) AS fp FROM s WHERE doc_id % 50 = 0),
       |hits AS (
-      |  SELECT s.doc_id, count(*) AS n_hits
-      |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE doc_id % 50 <> 0) s
-      |  JOIN bench b ON s.sh = b.sh GROUP BY 1)
-      |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  SELECT t.doc_id, count(*) AS n_hits
+      |  FROM (SELECT doc_id, unnest(fps) AS fp FROM s WHERE doc_id % 50 <> 0) t
+      |  JOIN bench b ON t.fp = b.fp GROUP BY 1)
+      |SELECT d2.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
       |  CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
-      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-      |WHERE d.doc_id % 50 <> 0""".stripMargin
+      |FROM documents d2 LEFT JOIN hits h ON d2.doc_id = h.doc_id
+      |WHERE d2.doc_id % 50 <> 0""".stripMargin
 
   // Deterministic stratified sampling: English thinned to 20%, other
   // strata to 50%, by a multiplicative id hash — re-derivable exactly,

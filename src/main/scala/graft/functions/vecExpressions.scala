@@ -148,6 +148,121 @@ object VecBridge {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
   }
 
+  /** Shingle fingerprints of a document (the intermediate
+    * [[arithMinhashSig]] min-reduces): 3-token shingle fps, mod-prime
+    * arithmetic, <3-token docs collapse to one whole-doc fp. Exposed
+    * for operators that need the fps themselves (decontamination joins
+    * on them) rather than a signature.
+    */
+  def arithShingleFps(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val M = 1000000007L
+    val C = 1000003L
+    val fpt = new java.util.ArrayList[Long]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        var acc = 0L
+        while (i < n && !isWs(s.charAt(i))) {
+          acc = (acc * 31L + s.charAt(i).toInt) % M
+          i += 1
+        }
+        fpt.add(acc)
+      }
+    }
+    val nt = fpt.size()
+    val fps: Array[Long] =
+      if (nt < 3) {
+        var acc = 0L
+        var j = 0
+        while (j < nt) { acc = (acc * C + fpt.get(j)) % M; j += 1 }
+        Array(acc)
+      } else {
+        val out = new Array[Long](nt - 2)
+        var j = 0
+        while (j < nt - 2) {
+          out(j) = ((fpt.get(j) * C + fpt.get(j + 1)) % M * C + fpt.get(j + 2)) % M
+          j += 1
+        }
+        out
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(fps)
+  }
+
+  /** Engine-portable 60-bit SimHash: majority vote per bit over TWO
+    * independent mod-prime token fingerprints (31- and 37-polynomial;
+    * each prime-mod fp carries ~30 usable bits, so two give the 60-bit
+    * signature that 15-bit pigeonhole chunks need — a 16-bit signature
+    * yields only 16 buckets per chunk and floods the candidate join).
+    * Bits 0-29 vote on fp31, bits 30-59 on fp37. Codegen'd twin of
+    * DedupOps.portableSimhashSigHof, pinned by spec + DuckDB oracle.
+    */
+  def portableSimhash60(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val s = text.toString
+    val M = 1000000007L
+    val votes = new Array[Int](60)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        var a31 = 0L
+        var a37 = 0L
+        while (i < n && !isWs(s.charAt(i))) {
+          val c = s.charAt(i).toInt
+          a31 = (a31 * 31L + c) % M
+          a37 = (a37 * 37L + c) % M
+          i += 1
+        }
+        var b = 0
+        while (b < 30) {
+          if (((a31 >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          if (((a37 >> b) & 1L) == 1L) votes(b + 30) += 1 else votes(b + 30) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Engine-portable winnowing fingerprint: min over all `w`-char
+    * windows of the 31-polynomial hash mod 1e9+7; shorter docs hash
+    * whole, empty → 0. O(n·w) tight loop — the HOF formulation is
+    * ~500x slower interpreted.
+    */
+  def portableFingerprint(text: org.apache.spark.unsafe.types.UTF8String,
+      w: Int): Long = {
+    val s = text.toString
+    val M = 1000000007L
+    val n = s.length
+    if (n == 0) return 0L
+    if (n < w) {
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc = (acc * 31L + s.charAt(i).toInt) % M; i += 1 }
+      return acc
+    }
+    var mn = Long.MaxValue
+    var i = 0
+    while (i + w <= n) {
+      var acc = 0L
+      var j = i
+      while (j < i + w) { acc = (acc * 31L + s.charAt(j).toInt) % M; j += 1 }
+      if (acc < mn) mn = acc
+      i += 1
+    }
+    mn
+  }
+
   /** Sign-LSH bucket over a pre-quantized array<long> vector, with the
     * Knuth-multiplicative integer coefficient formula
     * coef(g, d) = ((g·31 + d)·2654435761) mod 2^31 − 2^30 — exactly the
@@ -323,9 +438,67 @@ case class ArithMinhashSig(child: Expression, nPerms: Int)
     copy(child = newChild)
 }
 
+/** Shingle-fp array (see [[VecBridge.arithShingleFps]]). */
+case class ArithShingleFps(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringUnaryInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "arith_shingle_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    VecBridge.arithShingleFps(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecBridge.arithShingleFps($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ArithShingleFps =
+    copy(child = newChild)
+}
+
+/** Portable 60-bit simhash (see [[VecBridge.portableSimhash60]]). */
+case class PortableSimhash60(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringUnaryInput {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_simhash60"
+
+  override def nullSafeEval(input: Any): Any =
+    VecBridge.portableSimhash60(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecBridge.portableSimhash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableSimhash60 =
+    copy(child = newChild)
+}
+
+/** Portable winnowing fingerprint (see [[VecBridge.portableFingerprint]]). */
+case class PortableFingerprintExpr(child: Expression, w: Int)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringUnaryInput {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    VecBridge.portableFingerprint(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecBridge.portableFingerprint($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableFingerprintExpr =
+    copy(child = newChild)
+}
+
 object VecFunctions {
   def arith_minhash_sig(c: Column, nPerms: Int = 8): Column =
     GraftShim.column(ArithMinhashSig(GraftShim.expression(c), nPerms))
+  def arith_shingle_fps(c: Column): Column =
+    GraftShim.column(ArithShingleFps(GraftShim.expression(c)))
+  def portable_simhash60(c: Column): Column =
+    GraftShim.column(PortableSimhash60(GraftShim.expression(c)))
+  def portable_fingerprint(c: Column, w: Int = 8): Column =
+    GraftShim.column(PortableFingerprintExpr(GraftShim.expression(c), w))
   def quantized_dot(a: Column, b: Column): Column =
     GraftShim.column(QuantizedDot(GraftShim.expression(a), GraftShim.expression(b)))
   def dot_long(a: Column, b: Column): Column =

@@ -195,8 +195,12 @@ object DedupOps {
     val edges = pairs.select(col("id1").as("ea"), col("id2").as("eb"))
       .unionByName(pairs.select(col("id2").as("ea"), col("id1").as("eb")))
       .localCheckpoint()
+    // LAZY localCheckpoint: the convergence-check aggregate below is
+    // the action that materializes it, so each iteration runs ONE
+    // Spark job instead of two (eager checkpoint + labSum) — at small
+    // per-iteration data the job-launch overhead IS the runtime
     var labels = docs.select(col(idCol).cast("long").as("id"),
-      col(idCol).cast("long").as("lab")).localCheckpoint()
+      col(idCol).cast("long").as("lab")).localCheckpoint(false)
     // sum(lab) is NULL on an empty input — coalesce so an empty docs
     // frame converges immediately instead of throwing on getLong
     def labSum(): Long =
@@ -210,7 +214,7 @@ object DedupOps {
       labels = labels.join(nbrMin, col("id") === col("ea"), "left")
         .select(col("id"),
           least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = labSum()
       converged = s == prevSum
       prevSum = s
@@ -225,29 +229,42 @@ object DedupOps {
       (col("id") === col("lab")).cast("int").as("is_canonical"))
   }
 
-  /** Engine-portable 16-bit SimHash: bit b of the signature is the
-    * majority vote of bit b across the document's token fingerprints
-    * (the same 31-polynomial mod-1e9+7 fingerprint the arithmetic
-    * MinHash uses). Exact integer arithmetic throughout, so an
-    * external SQL engine reproduces every signature bit-for-bit —
-    * the deterministic complement to the FNV-based 64-bit
-    * [[simhashPairs]] fast path.
+  /** Engine-portable 60-bit SimHash: bit b is the majority vote of
+    * bit b across the document's token fingerprints — bits 0-29 over
+    * the 31-polynomial mod-1e9+7 fingerprint (the arithmetic-MinHash
+    * hash), bits 30-59 over an independent 37-polynomial. Exact
+    * integer arithmetic throughout, so an external SQL engine
+    * reproduces every signature bit-for-bit — the deterministic
+    * complement to the FNV-based 64-bit [[simhashPairs]] fast path.
     */
-  def portableSimhashSig(textCol: Column, bits: Int = 16): Column = {
+  def portableSimhashSig(textCol: Column): Column =
+    graft.functions.VecFunctions.portable_simhash60(textCol)
+
+  /** The pure-built-ins formulation of [[portableSimhashSig]] (HOFs,
+    * CodegenFallback, ~50x slower) — kept as the differential reference
+    * pinning the codegen'd PortableSimhash60 expression.
+    */
+  def portableSimhashSigHof(textCol: Column): Column = {
     val toks = filter(split(textCol, "\\s+"), t => length(t) > 0)
-    val fpt = transform(toks, tokenFingerprint(_))
-    (0 until bits).map { b =>
-      when(aggregate(fpt, lit(0L), (acc, f) =>
+    def fpt(mult: Long) = transform(toks, t =>
+      aggregate(sequence(lit(1), length(t)), lit(0L),
+        (acc, i) => (acc * mult + ascii(t.substr(i, lit(1)))) % lit(FingerprintMod)))
+    def vote(fptCol: Column, b: Int, weight: Long): Column =
+      when(aggregate(fptCol, lit(0L), (acc, f) =>
           acc + when(shiftright(f, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0,
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+        lit(weight)).otherwise(lit(0L))
+    val f31 = fpt(31L)
+    val f37 = fpt(37L)
+    ((0 until 30).map(b => vote(f31, b, 1L << b)) ++
+      (0 until 30).map(b => vote(f37, b, 1L << (b + 30)))).reduce(_ + _)
   }
 
-  /** Near-dup pairs over [[portableSimhashSig]]: four 4-bit chunks
+  /** Near-dup pairs over [[portableSimhashSig]]: four 15-bit chunks
     * bucket the candidates (pigeonhole: hamming<=3 implies an equal
-    * chunk), exact `bit_count(xor)` hamming filters them. Same
-    * per-bucket pair-space shape as [[simhashPairs]], but every row
-    * hash-matches a SQL oracle.
+    * chunk; 32k buckets per chunk keeps the bucket join sparse), exact
+    * `bit_count(xor)` hamming filters them. Same per-bucket pair-space
+    * shape as [[simhashPairs]], but every row hash-matches a SQL
+    * oracle.
     */
   def simhashPortablePairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
@@ -255,7 +272,7 @@ object DedupOps {
     val sigs = df.select(col(idCol).as("id"), portableSimhashSig(col(textCol)).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
         posexplode(array((0 until 4).map(i =>
-          shiftright(col("sig"), i * 4).bitwiseAND(lit(0xfL))): _*)))
+          shiftright(col("sig"), i * 15).bitwiseAND(lit(0x7fffL))): _*)))
       .select(col("id"), col("sig"), col("pos").as("chunk"), col("col").as("key"))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
@@ -273,7 +290,13 @@ object DedupOps {
     * [[graft.functions.TextHash.fingerprint]] for the fast path).
     * Documents shorter than `w` hash whole; empty text maps to 0.
     */
-  def portableFingerprint(c: Column, w: Int = 8): Column = {
+  def portableFingerprint(c: Column, w: Int = 8): Column =
+    graft.functions.VecFunctions.portable_fingerprint(c, w)
+
+  /** HOF formulation of [[portableFingerprint]] (differential
+    * reference for the codegen'd expression; O(n·w) interpreted).
+    */
+  def portableFingerprintHof(c: Column, w: Int = 8): Column = {
     val M = lit(FingerprintMod)
     def winHash(start: Column, len: Column): Column =
       aggregate(sequence(start, start + len - 1), lit(0L),

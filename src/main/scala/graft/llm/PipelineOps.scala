@@ -29,23 +29,27 @@ object PipelineOps {
     filter(split(c, "\\s+"), t => length(t) > 0)
 
   /** Benchmark decontamination: flag every corpus document sharing at
-    * least one `n`-token shingle with any benchmark document. Returns
+    * least one 3-token shingle with any benchmark document. Returns
     * non-benchmark docs with their contaminated-shingle count.
     *
     * `isBenchmark` partitions the input (the held-out eval set vs the
-    * training corpus); shingling mirrors [[DedupOps.shingleSet]] so
-    * contamination and near-dup detection share a similarity space.
+    * training corpus). Matching is on the codegen'd mod-prime shingle
+    * FINGERPRINT (the same unit the arithmetic MinHash min-reduces) —
+    * an 8-byte join key instead of a shingle string, which keeps the
+    * explode narrow and the scan inside whole-stage codegen (the
+    * string-shingle HOF formulation measured ~10x slower).
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
-      isBenchmark: Column, n: Int = 3): DataFrame = {
+      isBenchmark: Column): DataFrame = {
+    val fps = array_distinct(
+      graft.functions.VecFunctions.arith_shingle_fps(col(textCol)))
     val shingled = docs.select(col(idCol).as("doc_id"),
-      isBenchmark.as("is_bench"),
-      DedupOps.shingleSet(col(textCol), n).as("shingles"))
+      isBenchmark.as("is_bench"), fps.as("fps"))
     val bench = shingled.filter(col("is_bench"))
-      .select(explode(col("shingles")).as("sh")).distinct()
+      .select(explode(col("fps")).as("fp")).distinct()
     val corpus = shingled.filter(!col("is_bench"))
-    val hits = corpus.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .join(broadcast(bench), Seq("sh"))
+    val hits = corpus.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .join(broadcast(bench), Seq("fp"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     corpus.select("doc_id").join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -51,10 +51,12 @@ object TraceEtl {
     * reference: trace_tree.rs:67-70.)
     */
   def pruneNonZk(traces: Dataset[TraceRow]): Dataset[TraceRow] = {
+    // no distinct(): that's a full shuffle of the key set, and the
+    // broadcast semi-join's build-side hash table collapses duplicate
+    // keys anyway — same result, one exchange fewer
     val zkTx = traces
       .filter(col("to_address").isin(Addresses.FirstDegreeFilter: _*))
       .select("chain_id", "transaction_hash")
-      .distinct()
     traces.join(broadcast(zkTx), Seq("chain_id", "transaction_hash"), "left_semi")
       .as[TraceRow](traces.encoder)
   }

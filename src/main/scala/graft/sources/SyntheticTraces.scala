@@ -46,6 +46,38 @@ object SyntheticTraces {
     concat(lit("0x"), lpad(lower(hex(n)), width, "0"))
   private def addr(n: org.apache.spark.sql.Column) = hexPad(n, 40)
 
+  /** Raw block-JSON corpus (the Kafka block-topic stand-in), staged
+    * like [[bronze]] so the synthetic ENCODE cost is paid once — the
+    * queries that consume it measure the decode path, which is the
+    * part that exists in production. Columns: `value` (JSON payload),
+    * `re_emit` (0 = first emission, 1 = reorg/update re-emission with
+    * a newer timestamp; ~14% of blocks re-emit).
+    */
+  def blocksBronze(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = new java.io.File(s"$sfDir/orders.parquet")
+    val fp = java.lang.Long.toHexString(f.length() * 31L + f.lastModified())
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" + fp
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_blocks_$key"
+    val marker = new java.io.File(s"$path/_SUCCESS")
+    if (!marker.isFile) synchronized {
+      if (!marker.isFile) {
+        val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        def payload(tsBump: Int, gasBump: Int) = to_json(struct(
+          col("o_orderkey").as("number"),
+          (col("o_orderkey") + 1000 + tsBump).as("timestamp"),
+          when(col("o_orderkey") % 10 =!= 0,
+            hexPad(col("o_orderkey"), 64)).as("hash"),
+          lit("0xparent").as("parent_hash"),
+          ((col("o_totalprice").cast("long") + gasBump) % 1000).cast("int").as("gas_used")))
+        orders.select(payload(0, 0).as("value"), lit(0).as("re_emit"))
+          .unionByName(orders.filter(col("o_orderkey") % 7 === 0)
+            .select(payload(5, 1).as("value"), lit(1).as("re_emit")))
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   def fromTpch(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -210,15 +210,20 @@ class LlmSpec extends SparkSpec {
     val planted = docs.filter(col("doc_id") % 10 === 0).count()
     assert(zero >= planted, s"expected >=$planted hamming-0 pairs, got $zero")
     // signature matches an independent Scala computation of the same
-    // arithmetic (mod-prime token fp, per-bit majority vote)
+    // arithmetic (two mod-prime token fps, per-bit majority vote)
     def refSig(text: String): Long = {
       val M = DedupOps.FingerprintMod
-      val fps = text.split("\\s+").filter(_.nonEmpty)
-        .map(t => t.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % M))
-      (0 until 16).map { b =>
-        val vote = fps.map(f => if (((f >> b) & 1L) == 1L) 1 else -1).sum
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      def fps(mult: Long) =
+        toks.map(t => t.foldLeft(0L)((acc, c) => (acc * mult + c.toInt) % M))
+      val (f31, f37) = (fps(31), fps(37))
+      ((0 until 30).map { b =>
+        val vote = f31.map(f => if (((f >> b) & 1L) == 1L) 1 else -1).sum
         if (vote > 0) 1L << b else 0L
-      }.sum
+      } ++ (0 until 30).map { b =>
+        val vote = f37.map(f => if (((f >> b) & 1L) == 1L) 1 else -1).sum
+        if (vote > 0) 1L << (b + 30) else 0L
+      }).sum
     }
     val got = docs.filter(col("doc_id") < 5)
       .select(col("doc_id"), DedupOps.portableSimhashSig(col("text")).as("sig"))
@@ -318,7 +323,7 @@ class LlmSpec extends SparkSpec {
       .select((col("doc_id") + 500000).as("doc_id"), col("text"))
     val all = docs.select(col("doc_id"), col("text")).unionByName(bench)
     val out = PipelineOps.decontaminate(all, "doc_id", "text",
-      col("doc_id") >= 500000, 3)
+      col("doc_id") >= 500000)
     val flagged = out.filter(col("contaminated") === 1)
       .filter(col("doc_id") % 10 === 0).filter(col("doc_id") < 500000).count()
     val planted = docs.filter(col("doc_id") % 10 === 0).count()
@@ -381,6 +386,19 @@ class LlmSpec extends SparkSpec {
     }.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
     val top = ref.toSeq.sortBy { case (bg, c) => (-c, bg) }.take(20)
     assert(got.toSeq == top, s"got ${got.take(3).toSeq}... want ${top.take(3)}...")
+  }
+
+  test("codegen'd portable simhash/fingerprint match their HOF formulations") {
+    val diff1 = docs.select(
+        DedupOps.portableSimhashSig(col("text")).as("a"),
+        DedupOps.portableSimhashSigHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff1 == 0, s"$diff1 simhash divergences")
+    val diff2 = docs.select(
+        DedupOps.portableFingerprint(col("text")).as("a"),
+        DedupOps.portableFingerprintHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff2 == 0, s"$diff2 fingerprint divergences")
   }
 
   test("multimodal: stub decode produces 16-dim normalized features") {
