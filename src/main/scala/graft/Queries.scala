@@ -991,11 +991,9 @@ object Queries {
 
   private val annCosineTopk: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    graft.llm.SimilarityOps.bruteForceTopK(
-        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5,
-        graft.llm.SimilarityOps.quantizedCosineX1e6)
-      .select(col("query_id"), col("neighbor_id"),
-        col("score").as("score_x1e6"), col("rank"))
+    graft.llm.SimilarityOps.bruteForceTopKPortable(
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("score_x1e6"), col("rank"))
   }
   /** `CASE … END` quantized-cosine score between two (q, nq) pairs —
     * the SQL mirror of [[graft.llm.SimilarityOps.quantizedCosineX1e6]].

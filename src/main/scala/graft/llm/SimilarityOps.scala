@@ -70,6 +70,32 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Pre-quantized variant of [[bruteForceTopK]] ranking with the
+    * engine-exact [[quantizedCosineX1e6]] score: vectors are quantized
+    * and normed ONCE per row (not per pair), so the cross join scores
+    * with one codegen'd integer dot and no per-pair array work.
+    */
+  def bruteForceTopKPortable(corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int): DataFrame = {
+    val V = graft.functions.VecFunctions
+    val quant = transform(col(embCol), x => floor(x.cast("double") * 1000).cast("long"))
+    def base(df: DataFrame, idAs: String, qAs: String, nqAs: String) =
+      df.select(col(idCol).as(idAs), quant.as(qAs))
+        .select(col(idAs), col(qAs), V.dot_long(col(qAs), col(qAs)).as(nqAs))
+    val q = base(queries, "query_id", "qq", "nq1")
+    val c = base(corpus, "neighbor_id", "cq", "nq2")
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("nq1") === 0 || col("nq2") === 0, 0L)
+          .otherwise(floor(V.dot_long(col("qq"), col("cq")).cast("double") * lit(1e6) /
+            sqrt((col("nq1") * col("nq2")).cast("double"))).cast("long"))
+          .as("score_x1e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_x1e6").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Bucketed approximate top-k via multi-table random-hyperplane LSH
     * (the standard L-tables construction): each of `tables` tables
     * hashes every vector into 2^planes buckets with an independent

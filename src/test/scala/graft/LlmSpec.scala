@@ -288,6 +288,18 @@ class LlmSpec extends SparkSpec {
     assert(floatTop == quantTop)
   }
 
+  test("pre-quantized brute-force top-k == generic formulation with quantized score") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val a = SimilarityOps.bruteForceTopKPortable(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "score_x1e6", "rank")
+      .collect().map(_.toString).sorted
+    val b = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5,
+        SimilarityOps.quantizedCosineX1e6)
+      .select(col("query_id"), col("neighbor_id"), col("score").as("score_x1e6"), col("rank"))
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("portable lsh top-k: candidates bucket-bounded, scores exact, decent recall") {
     val queries = emb.filter(col("vec_id") < 20)
     val truth = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5,
