@@ -91,6 +91,27 @@ case class TraceRow(
     error: Option[String],
 )
 
+/** Slim row fed to the fused aggregation after relational
+  * pre-computation of the per-trace scalars: the selector, pairing
+  * byte length, and recovered address are codegen'd column
+  * expressions, and the heavy payload strings (input/output/value/
+  * hashes) survive only inside the `root` struct of root rows —
+  * non-root rows shrink ~4x, which is what the typed path
+  * deserializes and the partial aggregation iterates.
+  */
+case class AggRow(
+    chain_id: Long,
+    transaction_hash: String,
+    from_address: Option[String],
+    to_address: Option[String],
+    gas_used: Long,
+    sig: Option[String], //   masked selector; defined iff from+to are
+    pair_len: Int, //         input byte length (used when to=ecPairing)
+    recovered: Option[String], // defined iff to=ecRecover ∧ output≠null
+    is_root: Boolean,
+    root: Option[RootInfo],
+)
+
 /** Root-trace fields retained in the aggregation buffer
   * (reference: trace_tree.rs:25, first_trace). */
 case class RootInfo(

@@ -61,10 +61,57 @@ object TraceEtl {
       .as[TraceRow](traces.encoder)
   }
 
+  /** Relational pre-computation feeding the fused aggregator: the
+    * per-trace scalars (masked selector, pairing byte length,
+    * recovered address) become codegen'd column expressions, and the
+    * heavy payload strings survive only inside root rows' `root`
+    * struct — so the typed path deserializes ~4x-slimmer rows and the
+    * shuffle carries no dead payload. Shares its scalar expressions
+    * with [[TraceEtlRelational]], which the differential specs pin to
+    * the JVM-side [[TraceOps]] semantics.
+    */
+  def prepare(traces: Dataset[TraceRow]): Dataset[AggRow] = {
+    val spark = traces.sparkSession
+    import spark.implicits._
+    import TraceEtlRelational.{byteLen, recovered, selectorWithTo}
+    traces.select(
+      col("chain_id"),
+      col("transaction_hash"),
+      col("from_address"),
+      col("to_address"),
+      coalesce(col("gas_used"), lit(0L)).as("gas_used"),
+      when(col("from_address").isNotNull && col("to_address").isNotNull,
+        selectorWithTo(col("input"), col("to_address"))).as("sig"),
+      byteLen(col("input")).as("pair_len"),
+      when(col("to_address") === Addresses.EcRecover && col("output").isNotNull,
+        recovered(col("output"))).as("recovered"),
+      col("is_root"),
+      when(col("is_root"), struct(
+        col("transaction_index"), col("from_address"), col("to_address"),
+        col("value"), col("input"), col("gas_used"), col("block_number"),
+        col("block_timestamp"), col("block_hash"), col("error"))).as("root"),
+    ).as[AggRow]
+  }
+
   /** The fused per-tx commit: one shuffle on (chain_id, tx_hash),
     * map-side partial aggregation, graph traversal inside `finish`.
     */
   def commitTraces(traces: Dataset[TraceRow], prefilter: Boolean = true): Dataset[TxCommit] = {
+    val spark = traces.sparkSession
+    import spark.implicits._
+    val in = traces.filter(col("transaction_hash").isNotNull).as[TraceRow]
+    val pruned = if (prefilter) pruneNonZk(in) else in
+    prepare(pruned)
+      .groupByKey(t => (t.chain_id, t.transaction_hash))
+      .agg(new SlimTraceTreeAggregator().toColumn.name("commit"))
+      .map(_._2)
+  }
+
+  /** The pre-`prepare` formulation (full TraceRow into the typed
+    * aggregator) — kept as the differential reference for the slim
+    * path.
+    */
+  def commitTracesClassic(traces: Dataset[TraceRow], prefilter: Boolean = true): Dataset[TxCommit] = {
     val spark = traces.sparkSession
     import spark.implicits._
     val in = traces.filter(col("transaction_hash").isNotNull).as[TraceRow]

@@ -20,11 +20,11 @@ object TraceEtlRelational {
 
   private val txKey = Seq("chain_id", "transaction_hash")
 
-  private def byteLen(c: Column): Column =
+  private[operators] def byteLen(c: Column): Column =
     when(c.isNull, 0).otherwise(((length(c) - 2) / 2).cast("int"))
 
   /** P6/P7 as built-in expressions (strict `> 4` quirk preserved). */
-  private def selectorWithTo(input: Column, to: Column): Column =
+  private[operators] def selectorWithTo(input: Column, to: Column): Column =
     when(to.isin(FirstDegreeFilter: _*), ZeroSelector)
       .when(input.isNull || byteLen(input) <= 4, ZeroSelector)
       .otherwise(concat(lit("0x"), substring(input, 3, 8)))
@@ -34,7 +34,7 @@ object TraceEtlRelational {
       .otherwise(concat(lit("0x"), substring(input, 3, 8)))
 
   /** P8 as built-ins: short output → zero address, else bytes [12,32). */
-  private def recovered(output: Column): Column =
+  private[operators] def recovered(output: Column): Column =
     when(byteLen(output) < 32, Zero)
       .otherwise(concat(lit("0x"), substring(output, 27, 40)))
 

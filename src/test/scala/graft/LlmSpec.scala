@@ -400,6 +400,26 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq == top, s"got ${got.take(3).toSeq}... want ${top.take(3)}...")
   }
 
+  test("pipeline ops: degenerate inputs (empty bench set, empty/1-token docs, zero quota)") {
+    import spark.implicits._
+    import graft.llm.PipelineOps
+    // empty benchmark set: nothing is contaminated, no rows lost
+    val out = PipelineOps.decontaminate(docs, "doc_id", "text", lit(false))
+    assert(out.count() == docs.count())
+    assert(out.filter(col("contaminated") =!= 0).count() == 0)
+    // empty and 1-token texts: zero tokens/bigrams, packing well-defined
+    val weird = Seq((1L, "en", ""), (2L, "en", "solo"), (3L, "en", "   "),
+      (4L, "fr", "a b")).toDF("doc_id", "lang", "text")
+    val packed = PipelineOps.seqPack(weird, "doc_id", "lang", "text", 10)
+      .orderBy("doc_id").collect()
+    assert(packed.map(_.getAs[Long]("n_tokens")).toSeq == Seq(0L, 1L, 0L, 2L))
+    assert(packed.forall(_.getAs[Long]("pack_offset") < 10))
+    val grams = PipelineOps.ngramTopK(weird, "text", 5).as[(String, Long)].collect()
+    assert(grams.toSeq == Seq(("a b", 1L)))
+    // zero quota drops everything, deterministic
+    assert(PipelineOps.stratifiedSample(weird, "doc_id", "lang", lit(0)).count() == 0)
+  }
+
   test("codegen'd portable simhash/fingerprint match their HOF formulations") {
     val diff1 = docs.select(
         DedupOps.portableSimhashSig(col("text")).as("a"),

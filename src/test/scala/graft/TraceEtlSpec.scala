@@ -102,6 +102,20 @@ class TraceEtlSpec extends SparkSpec {
     assert(TraceOps.recoveredAddress(recOut) == recAddr)
   }
 
+  test("differential: slim prepared aggregator == classic full-row aggregator") {
+    val traces = SyntheticTraces.fromTpch(spark, "/root/testdata/sf0.001")
+    val norm = TraceEtl.normalize(traces)
+    def canon(df: DataFrame): Seq[String] = {
+      val cols = df.columns.sorted
+      df.selectExpr(cols: _*).collect().map(_.toString).toSeq.sorted
+    }
+    val (sTx, sC) = TraceEtl.split(TraceEtl.commitTraces(norm))
+    val (cTx, cC) = TraceEtl.split(TraceEtl.commitTracesClassic(norm))
+    assert(canon(sTx.toDF).nonEmpty)
+    assert(canon(sTx.toDF) == canon(cTx.toDF), "transactions differ")
+    assert(canon(sC.toDF) == canon(cC.toDF), "contracts differ")
+  }
+
   test("differential: relational plan == fused aggregator on synthetic sf0.001") {
     val traces = SyntheticTraces.fromTpch(spark, "/root/testdata/sf0.001")
     val norm = TraceEtl.normalize(traces)
