@@ -974,6 +974,68 @@ object Queries {
       |SELECT doc_id, lang, n_tokens, tokens_before // 2048 AS pack_id,
       |  tokens_before % 2048 AS pack_offset FROM c""".stripMargin
 
+  // PII-pattern scan: per-doc email/phone/IPv4-shaped match counts
+  // (RE2-compatible patterns so both engines count identically).
+  private val llmPiiCounts: Q = (s, dir) =>
+    graft.llm.PipelineOps.piiCounts(t(s, dir, "documents"), "doc_id", "text")
+  private val llmPiiCountsOracle = {
+    import graft.llm.PipelineOps.{EmailRe, Ipv4Re, PhoneRe}
+    s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(text, '\\+[0-9]{7,15}')) AS BIGINT) AS n_phone,
+      |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ipv4
+      |FROM documents""".stripMargin
+  }
+
+  // Common-bigram coverage: per-doc fraction (per mille) of bigram
+  // instances landing in the corpus-wide top-1000 list.
+  private val llmLmCoverage: Q = (s, dir) =>
+    graft.llm.PipelineOps.lmCoverage(t(s, dir, "documents"), "doc_id", "text", 1000)
+  private val llmLmCoverageOracle =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tk
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+      |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+      |    ELSE CAST([] AS VARCHAR[]) END) AS bigram
+      |  FROM tk),
+      |top AS (
+      |  SELECT bigram FROM bg GROUP BY 1
+      |  QUALIFY row_number() OVER (ORDER BY count(*) DESC, bigram) <= 1000),
+      |cov AS (
+      |  SELECT b.doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(CASE WHEN t.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+      |  FROM bg b LEFT JOIN top t ON b.bigram = t.bigram GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(c.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+      |  CAST(CASE WHEN coalesce(c.n_bigrams, 0) = 0 THEN 0
+      |       ELSE floor(1000 * c.n_common / c.n_bigrams) END AS BIGINT) AS cov_permille
+      |FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id""".stripMargin
+
+  // Int8 embedding quantization: symmetric-scale codes with scalar
+  // evidence (position-weighted checksum + saturation count).
+  private val embInt8Quant: Q = (s, dir) =>
+    graft.llm.SimilarityOps.int8QuantStats(t(s, dir, "embeddings"), "vec_id", "embedding")
+  private val embInt8QuantOracle =
+    """WITH z AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |m AS (SELECT vec_id, q, list_max(list_transform(q, v -> abs(v))) AS max_q FROM z),
+      |c AS (
+      |  SELECT vec_id, max_q,
+      |    list_transform(q, v -> CASE WHEN max_q = 0 THEN 0
+      |      WHEN v >= 0 THEN CAST(floor(v * 127 / max_q) AS BIGINT)
+      |      ELSE -CAST(floor(-v * 127 / max_q) AS BIGINT) END) AS codes
+      |  FROM m)
+      |SELECT vec_id, CAST(max_q AS BIGINT) AS max_q,
+      |  CAST(coalesce(list_sum(list_transform(range(len(codes)),
+      |    i -> codes[i+1] * (i+1))), 0) AS BIGINT) AS code_checksum,
+      |  CAST(len(list_filter(codes, x -> abs(x) = 127)) AS INT) AS n_sat
+      |FROM c""".stripMargin
+
   // Global bigram top-100 (corpus n-gram statistics), deterministic cut.
   private val llmNgramFreq: Q = (s, dir) =>
     graft.llm.PipelineOps.ngramTopK(t(s, dir, "documents"), "text", 100)
@@ -1228,6 +1290,9 @@ object Queries {
     "q_llm_stratified_sample" -> llmStratifiedSample,
     "q_llm_seq_pack" -> llmSeqPack,
     "q_llm_ngram_freq" -> llmNgramFreq,
+    "q_llm_pii_counts" -> llmPiiCounts,
+    "q_llm_lm_coverage" -> llmLmCoverage,
+    "q_emb_int8_quant" -> embInt8Quant,
     "q_mm_bin_counts" -> mmBinCounts,
     "q_emb_neardup" -> embNearDup,
     "q_llm_simhash_pairs" -> llmSimhashPairs,
@@ -1292,6 +1357,9 @@ object Queries {
     "q_llm_stratified_sample" -> llmStratifiedSampleOracle,
     "q_llm_seq_pack" -> llmSeqPackOracle,
     "q_llm_ngram_freq" -> llmNgramFreqOracle,
+    "q_llm_pii_counts" -> llmPiiCountsOracle,
+    "q_llm_lm_coverage" -> llmLmCoverageOracle,
+    "q_emb_int8_quant" -> embInt8QuantOracle,
     "q_mm_bin_counts" -> mmBinCountsOracle,
     "q_etl_blocks" -> etlBlocksOracle,
     "q_emb_neardup" -> embNearDupOracle,

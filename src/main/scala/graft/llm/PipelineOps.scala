@@ -90,6 +90,49 @@ object PipelineOps {
         (col("tokens_before") % capacity).as("pack_offset"))
   }
 
+  /** PII-pattern scan (the redaction/filter pre-pass of a training
+    * corpus): counts of email-, phone- and IPv4-shaped matches per
+    * document. Patterns stay in the RE2-compatible subset so external
+    * engines count identically; a production pass would swap in a
+    * vetted PII ruleset — the operator shape (scan-only, map-side,
+    * no shuffle) is the point.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{7,15}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  def piiCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phone"),
+      regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ipv4"))
+
+  /** Common-bigram coverage — a cheap LM-flavored quality score: the
+    * fraction (per mille) of a document's bigram INSTANCES that appear
+    * in the corpus-wide top-`k` bigram list. Fluent text reuses common
+    * transitions; gibberish and boilerplate don't. Two passes: the
+    * top-k list (tiny) broadcasts back over the corpus — no
+    * corpus-sized shuffle.
+    */
+  def lmCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 1000): DataFrame = {
+    val top = ngramTopK(df, textCol, k).select(col("bigram"))
+    val exploded = df.select(col(idCol),
+        explode(graft.functions.VecFunctions.word_bigrams(col(textCol))).as("bigram"))
+    val counts = exploded.join(broadcast(top.withColumn("hit", lit(1L))),
+        Seq("bigram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_common"))
+    df.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, 0L)
+          .otherwise(floor(lit(1000) * coalesce(col("n_common"), lit(0L)) /
+            col("n_bigrams")).cast("long")).as("cov_permille"))
+  }
+
   /** Global top-k word bigrams by frequency (corpus-level n-gram
     * statistics), via the codegen'd `word_bigrams` kernel (the HOF
     * transform/element_at formulation is interpreted, ~20x slower).

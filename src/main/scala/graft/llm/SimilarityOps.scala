@@ -96,6 +96,30 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Int8 embedding quantization stats (the storage-compression pass a
+    * vector corpus runs before indexing): per vector, symmetric-scale
+    * int8 codes code_i = sign(q_i)·⌊|q_i|·127 / max|q|⌋ over the
+    * floor(x·1000) integer quantization — exact integer/IEEE steps
+    * only, so codes reproduce across engines. Emits scalar evidence of
+    * the whole code vector (position-weighted checksum + saturation
+    * count) so the op is hash-comparable.
+    */
+  def int8QuantStats(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val q = transform(col(embCol), x => floor(x.cast("double") * 1000).cast("long"))
+    val base = df.select(col(idCol), q.as("q"))
+      .select(col(idCol), col("q"),
+        array_max(transform(col("q"), v => abs(v))).as("max_q"))
+    val codes = transform(col("q"), v =>
+      when(col("max_q") === 0, 0L)
+        .when(v >= 0, floor(v * 127 / col("max_q")).cast("long"))
+        .otherwise(-floor(-v * 127 / col("max_q")).cast("long")))
+    base.select(col(idCol), col("max_q"), codes.as("codes"))
+      .select(col(idCol), col("max_q"),
+        aggregate(zip_with(col("codes"), sequence(lit(1), size(col("codes"))),
+          (c, i) => c * i), lit(0L), (acc, v) => acc + v).as("code_checksum"),
+        size(filter(col("codes"), c => abs(c) === 127)).as("n_sat"))
+  }
+
   /** Bucketed approximate top-k via multi-table random-hyperplane LSH
     * (the standard L-tables construction): each of `tables` tables
     * hashes every vector into 2^planes buckets with an independent

@@ -420,6 +420,60 @@ class LlmSpec extends SparkSpec {
     assert(PipelineOps.stratifiedSample(weird, "doc_id", "lang", lit(0)).count() == 0)
   }
 
+  test("pii counts: planted emails/phones/ips found, clean text zero") {
+    import spark.implicits._
+    import graft.llm.PipelineOps
+    val d = Seq(
+      (1L, "contact me at alice@example.com or bob@test.org thanks"),
+      (2L, "call +4915112345678 now"),
+      (3L, "server at 10.0.0.1 and 192.168.1.255"),
+      (4L, "perfectly clean prose with no identifiers at all"),
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.piiCounts(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 0 && out(0).getLong(3) == 0)
+    assert(out(1).getLong(2) == 1)
+    assert(out(2).getLong(3) == 2)
+    assert(out(3).getLong(1) + out(3).getLong(2) + out(3).getLong(3) == 0)
+  }
+
+  test("lm coverage: repeated-bigram text scores high, unique-bigram text low") {
+    import spark.implicits._
+    import graft.llm.PipelineOps
+    // 20 docs of a shared phrase + 1 doc of unique gibberish
+    val common = (1L to 20L).map(i => (i, "the quick brown fox jumps"))
+    val odd = Seq((99L, "zxq wvu tsr qpo nml"))
+    val d = (common ++ odd).toDF("doc_id", "text")
+    val out = PipelineOps.lmCoverage(d, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) == 1000, s"common doc coverage ${out(1L)}")
+    assert(out(99L) == 0, s"gibberish coverage ${out(99L)}")
+  }
+
+  test("int8 quantization matches a local reference; saturation at max dim") {
+    import spark.implicits._
+    val vecs = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val out = SimilarityOps.int8QuantStats(
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    for ((id, (maxQ, checksum, nSat)) <- out) {
+      val q = vecs(id).map(x => math.floor(x.toDouble * 1000).toLong)
+      val m = q.map(math.abs).max
+      assert(maxQ == m, s"vec $id max")
+      val codes = q.map { v =>
+        if (m == 0) 0L
+        else if (v >= 0) math.floor(v.toDouble * 127 / m).toLong
+        else -math.floor(-v.toDouble * 127 / m).toLong
+      }
+      assert(checksum == codes.zipWithIndex.map { case (c, i) => c * (i + 1) }.sum,
+        s"vec $id checksum")
+      assert(nSat == codes.count(c => math.abs(c) == 127), s"vec $id nSat")
+      // the max-magnitude dimension always saturates (for m > 0)
+      if (m > 0) assert(nSat >= 1)
+    }
+  }
+
   test("codegen'd portable simhash/fingerprint match their HOF formulations") {
     val diff1 = docs.select(
         DedupOps.portableSimhashSig(col("text")).as("a"),
