@@ -342,6 +342,56 @@ object Queries {
       |FROM frst f LEFT JOIN scnd s ON f.ok = s.ok""".stripMargin
 
   // ---------------------------------------------------------------
+  // As-of joins: per-user latest 'view' for every other event (keyed,
+  // relational window form) and the latest global 'signup' checkpoint
+  // for every event (unkeyed — the custom range-partitioned operator).
+  // Oracles are DuckDB's native ASOF LEFT JOIN; state timestamps are
+  // deduplicated so the at-or-before pick is unique.
+  // ---------------------------------------------------------------
+  private val asofKeyed: Q = (s, dir) => {
+    val ev = events(s, dir).select("event_id", "user_id", "event_type", "sec")
+    val probes = ev.filter(col("event_type") =!= "view")
+      .select("event_id", "user_id", "sec")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "sec").agg(max("event_id").as("view_id"))
+      .withColumn("view_sec", col("sec"))
+    graft.operators.AsofJoin.keyed(probes, views,
+      Seq("user_id"), "sec", Seq("view_id", "view_sec"))
+  }
+  private val asofKeyedOracle =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |probes AS (SELECT event_id, user_id, sec FROM ev WHERE event_type <> 'view'),
+      |views AS (
+      |  SELECT user_id, sec, max(event_id) AS view_id, sec AS view_sec
+      |  FROM ev WHERE event_type = 'view' GROUP BY user_id, sec)
+      |SELECT p.user_id, p.sec, p.event_id,
+      |       v.view_id AS asof_view_id, v.view_sec AS asof_view_sec
+      |FROM probes p ASOF LEFT JOIN views v
+      |  ON p.user_id = v.user_id AND p.sec >= v.sec""".stripMargin
+
+  private val asofGlobal: Q = (s, dir) => {
+    val ev = events(s, dir).select("event_id", "user_id", "event_type", "sec")
+    val probes = ev.select("event_id", "user_id", "sec")
+    val states = ev.filter(col("event_type") === "signup")
+      .groupBy("sec").agg(max("event_id").as("signup_id"))
+      .withColumn("signup_sec", col("sec"))
+    graft.operators.AsofJoin.global(probes, states,
+      "sec", Seq("signup_id", "signup_sec"))
+  }
+  private val asofGlobalOracle =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |states AS (
+      |  SELECT sec, max(event_id) AS signup_id, sec AS signup_sec
+      |  FROM ev WHERE event_type = 'signup' GROUP BY sec)
+      |SELECT p.sec, p.event_id, p.user_id,
+      |       s2.signup_id AS asof_signup_id, s2.signup_sec AS asof_signup_sec
+      |FROM ev p ASOF LEFT JOIN states s2 ON p.sec >= s2.sec""".stripMargin
+
+  // ---------------------------------------------------------------
   // D1/D2: keep-last / keep-first dedup via window row_number
   // ---------------------------------------------------------------
   private def dedup(s: SparkSession, dir: String, desc_ : Boolean): DataFrame = {
@@ -1253,6 +1303,8 @@ object Queries {
     "q_j4_degree_union" -> j4DegreeUnion,
     "q_j5_enrichment" -> j5Enrichment,
     "q_j6_closest" -> j6Closest,
+    "q_asof_keyed" -> asofKeyed,
+    "q_asof_global" -> asofGlobal,
     "q_d1_dedup_keep_last" -> d1KeepLast,
     "q_d2_dedup_keep_first" -> d2KeepFirst,
     "q_p1_json_decode" -> p1JsonDecode,
@@ -1325,6 +1377,8 @@ object Queries {
     "q_j4_degree_union" -> j4Oracle,
     "q_j5_enrichment" -> j5Oracle,
     "q_j6_closest" -> j6Oracle,
+    "q_asof_keyed" -> asofKeyedOracle,
+    "q_asof_global" -> asofGlobalOracle,
     "q_d1_dedup_keep_last" -> d1Oracle,
     "q_d2_dedup_keep_first" -> d2Oracle,
     "q_p1_json_decode" -> p1Oracle,

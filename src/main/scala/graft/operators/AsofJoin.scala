@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of (backward) join: attach to every probe row the state row with
+  * the greatest timestamp at-or-before the probe's — the canonical
+  * "latest reading / latest block / latest session marker" lookup
+  * Spark lacks natively (DuckDB's ASOF JOIN, pandas merge_asof).
+  *
+  * Two scale shapes:
+  *  - [[keyed]]: per-key as-of. Pure relational — one shuffle on the
+  *    key, a running `last(..., ignoreNulls)` window over the
+  *    timestamp-ordered union. This is the common case (per user /
+  *    per chain / per instrument) and scales with key cardinality.
+  *  - [[global]]: unkeyed as-of. There is no key to shuffle on, so
+  *    this is a genuine custom operator: range-repartition the union
+  *    on timestamp, scan each partition once carrying the running
+  *    state, and seed every partition with the last state of the
+  *    partitions before it (a per-partition summary — bounded by the
+  *    partition count, never the data — crosses the driver). A naive
+  *    range join (probe.ts >= state.ts) is quadratic; a global window
+  *    is a single-partition bottleneck; this is neither.
+  *
+  * Tie discipline: a state AT the probe's timestamp matches (>=), and
+  * the caller must make state timestamps unique (per key) — both
+  * mirrored by the DuckDB ASOF JOIN oracles.
+  */
+object AsofJoin {
+
+  /** Per-key backward as-of join. `states` must carry
+    * `keyCols ++ tsCol ++ stateCols`; output is every `probes` row
+    * plus `asof_<c>` for each state column (null when no state at or
+    * before the probe's timestamp).
+    */
+  def keyed(probes: DataFrame, states: DataFrame, keyCols: Seq[String],
+      tsCol: String, stateCols: Seq[String]): DataFrame = {
+    val probeCols = probes.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val p = probes.select(
+      keyCols.map(col) ++ Seq(col(tsCol), lit(1).as("_tag")) ++
+        probeCols.map(col) ++
+        stateCols.map(c => lit(null).cast(states.schema(c).dataType).as(s"_s_$c")): _*)
+    val s = states.select(
+      keyCols.map(col) ++ Seq(col(tsCol), lit(0).as("_tag")) ++
+        probeCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
+        stateCols.map(c => col(c).as(s"_s_$c")): _*)
+    // state sorts before probe at equal ts -> ">=" semantics
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the carry must be null-gated on _tag: struct() of nulls is a
+    // NON-null struct, so last(ignoreNulls) would latch probe rows
+    val carry = last(
+      when(col("_tag") === 0, struct(stateCols.map(c => col(s"_s_$c")): _*)),
+      ignoreNulls = true).over(w)
+    p.unionByName(s)
+      .withColumn("_carry", carry)
+      .filter(col("_tag") === 1)
+      .select(
+        keyCols.map(col) ++ Seq(col(tsCol)) ++ probeCols.map(col) ++
+          stateCols.map(c => col(s"_carry._s_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Global (unkeyed) backward as-of join; `tsCol` must be LongType in
+    * both inputs and state timestamps must be unique.
+    */
+  def global(probes: DataFrame, states: DataFrame, tsCol: String,
+      stateCols: Seq[String], numPartitions: Int = 0): DataFrame = {
+    val spark = probes.sparkSession
+    val probeCols = probes.columns.filterNot(_ == tsCol)
+    val p = probes.select(
+      Seq(col(tsCol), lit(1).as("_tag")) ++ probeCols.map(col) ++
+        stateCols.map(c => lit(null).cast(states.schema(c).dataType).as(s"_s_$c")): _*)
+    val s = states.select(
+      Seq(col(tsCol), lit(0).as("_tag")) ++
+        probeCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
+        stateCols.map(c => col(c).as(s"_s_$c")): _*)
+    val n = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // range partitions are ordered by id, so "the partitions before
+    // me" is a prefix; materialize once for the two passes
+    val parted = p.unionByName(s)
+      .repartitionByRange(n, col(tsCol), col("_tag"))
+      .sortWithinPartitions(col(tsCol), col("_tag"))
+      .localCheckpoint()
+    val unionSchema = parted.schema
+    val nProbeCols = probeCols.length
+    val stateOffset = 2 + nProbeCols
+
+    val rdd = parted.rdd
+    // pass 1: last state per partition (tiny: one row per partition)
+    val lastStates: Array[(Int, Option[Seq[Any]])] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var lastState: Option[Seq[Any]] = None
+        it.foreach(r => if (r.getInt(1) == 0) lastState = Some(r.toSeq))
+        Iterator((pid, lastState))
+      }.collect()
+    val seeds: Map[Int, Option[Seq[Any]]] = {
+      val byPid = lastStates.sortBy(_._1)
+      var carry: Option[Seq[Any]] = None
+      byPid.map { case (pid, st) =>
+        val seed = pid -> carry
+        if (st.isDefined) carry = st
+        seed
+      }.toMap
+    }
+    // pass 2: seeded single scan per partition
+    val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var carry: Option[Seq[Any]] = seeds.getOrElse(pid, None)
+      it.flatMap { r =>
+        if (r.getInt(1) == 0) { carry = Some(r.toSeq); None }
+        else {
+          val stateVals = carry match {
+            case Some(st) => st.slice(stateOffset, stateOffset + stateCols.length)
+            case None => Seq.fill[Any](stateCols.length)(null)
+          }
+          Some(Row.fromSeq(Seq(r.get(0)) ++
+            (2 until 2 + nProbeCols).map(r.get) ++ stateVals))
+        }
+      }
+    }
+    val outSchema = StructType(
+      unionSchema(tsCol) +:
+        (probeCols.map(c => unionSchema(c)) ++
+          stateCols.map(c => unionSchema(s"_s_$c").copy(name = s"asof_$c"))))
+    spark.createDataFrame(outRdd, outSchema)
+  }
+}
