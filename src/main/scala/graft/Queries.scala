@@ -391,6 +391,67 @@ object Queries {
       |       s2.signup_id AS asof_signup_id, s2.signup_sec AS asof_signup_sec
       |FROM ev p ASOF LEFT JOIN states s2 ON p.sec >= s2.sec""".stripMargin
 
+  // Bucketed point-in-interval join: overlapping per-order intervals
+  // probed by per-lineitem points — the equi-join on time buckets
+  // replaces the quadratic theta-join plan. Oracle is DuckDB's native
+  // range join (IEJoin).
+  private val rangeJoin: Q = (s, dir) => {
+    val intervals = t(s, dir, "orders").select(
+      col("o_orderkey").as("iv_id"),
+      (col("o_orderkey") * 4).as("iv_start"),
+      (col("o_orderkey") * 4 + col("o_custkey") % 50 + 1).as("iv_end"))
+    val probes = t(s, dir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("p_id"),
+      (col("l_orderkey") * 4 + col("l_linenumber")).as("pts"))
+    graft.operators.RangeJoin.pointInInterval(
+        probes, intervals, "pts", "iv_start", "iv_end", bucketWidth = 32)
+      .select("p_id", "pts", "iv_id", "iv_start", "iv_end")
+  }
+  private val rangeJoinOracle =
+    """WITH iv AS (
+      |  SELECT o_orderkey AS iv_id, o_orderkey*4 AS iv_start,
+      |         o_orderkey*4 + o_custkey % 50 + 1 AS iv_end
+      |  FROM orders),
+      |p AS (
+      |  SELECT l_orderkey*10 + l_linenumber AS p_id,
+      |         l_orderkey*4 + l_linenumber AS pts
+      |  FROM lineitem)
+      |SELECT p_id, pts, iv_id, iv_start, iv_end
+      |FROM p JOIN iv ON pts >= iv_start AND pts < iv_end""".stripMargin
+
+  // Exact per-group quantiles (order statistics, not a sketch): the
+  // value telemetry a pipeline tracks where approx quantiles can't be
+  // oracle-compared. k-th smallest via row_number is well-defined
+  // under ties.
+  private val oQuantiles: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_type"),
+      floor(col("value") * 100).cast("long").as("v"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+    val ranked = ev.withColumn("rn", row_number().over(w))
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    def pick(p: Double) = ceil(lit(p) * col("n")).cast("long")
+    ranked.join(broadcast(counts), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        max(when(col("rn") === pick(0.5), col("v"))).as("p50"),
+        max(when(col("rn") === pick(0.9), col("v"))).as("p90"),
+        max(when(col("rn") === pick(0.99), col("v"))).as("p99"))
+  }
+  private val oQuantilesOracle =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+      |ranked AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+      |  FROM ev),
+      |counts AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1)
+      |SELECT r.event_type, CAST(max(n) AS BIGINT) AS n,
+      |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50,
+      |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END) AS p90,
+      |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v END) AS p99
+      |FROM ranked r JOIN counts c ON r.event_type = c.event_type
+      |GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------
   // D1/D2: keep-last / keep-first dedup via window row_number
   // ---------------------------------------------------------------
@@ -1305,6 +1366,8 @@ object Queries {
     "q_j6_closest" -> j6Closest,
     "q_asof_keyed" -> asofKeyed,
     "q_asof_global" -> asofGlobal,
+    "q_range_join" -> rangeJoin,
+    "q_o_quantiles" -> oQuantiles,
     "q_d1_dedup_keep_last" -> d1KeepLast,
     "q_d2_dedup_keep_first" -> d2KeepFirst,
     "q_p1_json_decode" -> p1JsonDecode,
@@ -1379,6 +1442,8 @@ object Queries {
     "q_j6_closest" -> j6Oracle,
     "q_asof_keyed" -> asofKeyedOracle,
     "q_asof_global" -> asofGlobalOracle,
+    "q_range_join" -> rangeJoinOracle,
+    "q_o_quantiles" -> oQuantilesOracle,
     "q_d1_dedup_keep_last" -> d1Oracle,
     "q_d2_dedup_keep_first" -> d2Oracle,
     "q_p1_json_decode" -> p1Oracle,

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketed point-in-interval join: probes (a point column) against
+  * intervals [start, end) WITHOUT the quadratic theta-join a naive
+  * `p >= start AND p < end` condition plans (BroadcastNestedLoop /
+  * cartesian): both sides map to fixed-width buckets — an interval
+  * explodes into every bucket it overlaps, a probe into exactly one —
+  * the equi-join on bucket bounds the pair space, and the exact
+  * containment predicate filters inside the bucket.
+  *
+  * Cost shape at scale: explode factor = ⌈interval length /
+  * bucketWidth⌉ (pick bucketWidth near the median interval length so
+  * it stays ~2), pair space = Σ_bucket |probes| · |intervals|
+  * per bucket. No duplicate pairs by construction — a probe meets an
+  * interval only in the probe's own bucket.
+  */
+object RangeJoin {
+
+  def pointInInterval(probes: DataFrame, intervals: DataFrame,
+      ptsCol: String, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pb = probes.withColumn("_bucket",
+      floor(col(ptsCol) / bucketWidth).cast("long"))
+    val ib = intervals.withColumn("_bucket",
+      explode(sequence(
+        floor(col(startCol) / bucketWidth).cast("long"),
+        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+    pb.join(ib, Seq("_bucket"))
+      .filter(col(ptsCol) >= col(startCol) && col(ptsCol) < col(endCol))
+      .drop("_bucket")
+  }
+}
