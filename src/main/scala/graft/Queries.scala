@@ -1069,6 +1069,19 @@ object Queries {
       |FROM documents
       |WHERE (doc_id * 2654435761) % 1000 < CASE WHEN lang = 'en' THEN 200 ELSE 500 END""".stripMargin
 
+  // Per-language quota cap: at most 60 docs per language, picked in
+  // deterministic hash order — re-derivable, unlike a random sample.
+  private val llmGroupQuota: Q = (s, dir) =>
+    graft.llm.PipelineOps.groupQuota(
+      t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang", 60)
+  private val llmGroupQuotaOracle =
+    """SELECT doc_id, lang,
+      |  CAST(row_number() OVER (PARTITION BY lang
+      |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS smpl_rank
+      |FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY lang
+      |  ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) <= 60""".stripMargin
+
   // Sequence packing: per-language concat-and-split into 2048-token
   // packs via one cumulative-sum window.
   private val llmSeqPack: Q = (s, dir) =>
@@ -1404,6 +1417,7 @@ object Queries {
     "q_llm_decontaminate" -> llmDecontaminate,
     "q_llm_stratified_sample" -> llmStratifiedSample,
     "q_llm_seq_pack" -> llmSeqPack,
+    "q_llm_group_quota" -> llmGroupQuota,
     "q_llm_ngram_freq" -> llmNgramFreq,
     "q_llm_pii_counts" -> llmPiiCounts,
     "q_llm_lm_coverage" -> llmLmCoverage,
@@ -1475,6 +1489,7 @@ object Queries {
     "q_llm_decontaminate" -> llmDecontaminateOracle,
     "q_llm_stratified_sample" -> llmStratifiedSampleOracle,
     "q_llm_seq_pack" -> llmSeqPackOracle,
+    "q_llm_group_quota" -> llmGroupQuotaOracle,
     "q_llm_ngram_freq" -> llmNgramFreqOracle,
     "q_llm_pii_counts" -> llmPiiCountsOracle,
     "q_llm_lm_coverage" -> llmLmCoverageOracle,

@@ -71,6 +71,20 @@ object PipelineOps {
       .filter(col("bucket") < quotaPerMille)
   }
 
+  /** Per-stratum quota cap: keep at most `k` rows per stratum, chosen
+    * deterministically by multiplicative-hash order of the id (the
+    * "at most N documents per domain" cap of web-corpus curation —
+    * hash order makes the kept set a uniform-ish, re-derivable sample
+    * rather than an id-ordered prefix). One window shuffle.
+    */
+  def groupQuota(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int): DataFrame = {
+    val h = (col(idCol) * lit(2654435761L)) % lit(1000000007L)
+    val w = Window.partitionBy(stratumCol).orderBy(h, col(idCol))
+    df.withColumn("smpl_rank", row_number().over(w).cast("long"))
+      .filter(col("smpl_rank") <= k)
+  }
+
   /** Sequence packing (concat-and-split): documents are laid out
     * back-to-back per stratum in id order and cut into fixed
     * `capacity`-token packs; a document starts in pack

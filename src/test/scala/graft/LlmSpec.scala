@@ -420,6 +420,26 @@ class LlmSpec extends SparkSpec {
     assert(PipelineOps.stratifiedSample(weird, "doc_id", "lang", lit(0)).count() == 0)
   }
 
+  test("group quota: cap respected per stratum, kept set stable across runs") {
+    import graft.llm.PipelineOps
+    val in = docs.select(col("doc_id"), col("lang"))
+    val out = PipelineOps.groupQuota(in, "doc_id", "lang", 30)
+    val over = out.groupBy("lang").count().filter(col("count") > 30).count()
+    assert(over == 0, "stratum exceeded its quota")
+    // strata smaller than the quota keep everything
+    val sizes = in.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- sizes)
+      assert(kept.getOrElse(lang, 0L) == math.min(n, 30L), s"$lang")
+    // deterministic: identical kept set + ranks on a second run
+    val a = out.collect().map(_.toString).sorted
+    val b = PipelineOps.groupQuota(in, "doc_id", "lang", 30)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("pii counts: planted emails/phones/ips found, clean text zero") {
     import spark.implicits._
     import graft.llm.PipelineOps
