@@ -19,6 +19,12 @@ object ExplainMain {
     // iterative clustering: final (post-propagation) plan is flat —
     // localCheckpoint truncates the per-round lineage
     Queries.all("q_llm_dedup_clusters")(spark, "/root/testdata/sf0.01").explain("formatted")
+    // interval join: bucket equi-join (broadcast), NOT a nested-loop
+    Queries.all("q_range_join")(spark, "/root/testdata/sf0.01").explain("formatted")
+    // keyed as-of: one key shuffle + running-last window, no join
+    Queries.all("q_asof_keyed")(spark, "/root/testdata/sf0.01").explain("formatted")
+    // decontamination: broadcast shingle-fp semi-join over the corpus
+    Queries.all("q_llm_decontaminate")(spark, "/root/testdata/sf0.01").explain("formatted")
     spark.stop()
   }
 }
