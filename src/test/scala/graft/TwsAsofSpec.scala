@@ -53,6 +53,49 @@ class TwsAsofSpec extends SparkSpec {
     }
   }
 
+  test("buffered probes, states, and timers survive a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocks {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ckpt").toString
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.AsofOut]()
+      val mem = MemoryStream[AsofInput]
+      def startQuery() =
+        TwsAsof.asofKeyed(mem.toDS(), "60 seconds").writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.AsofOut], _: Long) =>
+            b.collect().foreach(got.add)
+          }.start()
+      // run 1: probe at t=1015 and a state at t=1005 buffer; the
+      // watermark stays behind, nothing resolves, query stops
+      val q1 = startQuery()
+      mem.addData(
+        AsofInput(1L, 1, 100L, 1015L, ts(1015)),
+        AsofInput(1L, 0, 900L, 1005L, ts(1005)))
+      q1.processAllAvailable()
+      q1.stop()
+      assert(got.isEmpty, "probe resolved before the watermark passed")
+      // run 2: restart on the same checkpoint; a newer out-of-order
+      // state arrives, then the watermark advances — the pre-restart
+      // probe must resolve against the POST-restart state, proving
+      // pending probes, the state list, and the timer were restored
+      val q2 = startQuery()
+      mem.addData(AsofInput(1L, 0, 901L, 1012L, ts(1012)))
+      q2.processAllAvailable()
+      mem.addData(AsofInput(2L, 0, 999L, 5000L, ts(5000)))
+      q2.processAllAvailable()
+      mem.addData()
+      q2.processAllAvailable()
+      q2.stop()
+      val matches = got.toArray(Array.empty[graft.streaming.AsofOut])
+        .filter(_.probe_id == 100L)
+      assert(matches.length == 1, s"expected 1 resolution, got ${matches.length}")
+      assert(matches.head.state_id.contains(901L),
+        s"restored probe must match the post-restart state, got ${matches.head}")
+    }
+  }
+
   test("streaming asof == batch AsofJoin.keyed on a random keyed corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
