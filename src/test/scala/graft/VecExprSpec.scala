@@ -125,6 +125,65 @@ class VecExprSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("portable simhash60/fingerprint/shingle-fps/bigrams == references on random strings") {
+    import graft.llm.DedupOps
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.Parameters
+    val M = DedupOps.FingerprintMod
+    val token = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(33.toChar, 126.toChar)).map(_.mkString))
+    val ws = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val doc = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, token)
+      seps <- Gen.listOfN(n + 1, ws)
+    } yield seps.zipAll(toks, "", "").map { case (s, t) => s + t }.mkString
+    def refToks(t: String) = t.split("\\s+").filter(_.nonEmpty)
+    def tokFp(t: String, mult: Long) =
+      t.foldLeft(0L)((a, c) => (a * mult + c.toInt) % M)
+    def refSimhash(t: String): Long = {
+      val (f31, f37) = (refToks(t).map(tokFp(_, 31)), refToks(t).map(tokFp(_, 37)))
+      ((0 until 30).map { b =>
+        if (f31.map(f => if (((f >> b) & 1L) == 1L) 1 else -1).sum > 0) 1L << b else 0L
+      } ++ (0 until 30).map { b =>
+        if (f37.map(f => if (((f >> b) & 1L) == 1L) 1 else -1).sum > 0) 1L << (b + 30) else 0L
+      }).sum
+    }
+    def refFp(t: String, w: Int = 8): Long =
+      if (t.isEmpty) 0L
+      else if (t.length < w) tokFp(t, 31)
+      else (0 to t.length - w).map(i => tokFp(t.substring(i, i + w), 31)).min
+    def refShingles(t: String): Seq[Long] = {
+      val fps = refToks(t).map(tokFp(_, 31)).toSeq
+      if (fps.length < 3) Seq(fps.foldLeft(0L)((a, f) => (a * 1000003L + f) % M))
+      else fps.sliding(3).map(s =>
+        ((s(0) * 1000003L + s(1)) % M * 1000003L + s(2)) % M).toSeq
+    }
+    def refBigrams(t: String): Seq[String] =
+      refToks(t).sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    val prop = Prop.forAll(Gen.listOfN(30, doc)) { texts =>
+      val df = spark.createDataFrame(
+          texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+        .toDF("doc_id", "text")
+      val got = df.select(col("doc_id"),
+          VecFunctions.portable_simhash60(col("text")).as("sh"),
+          VecFunctions.portable_fingerprint(col("text")).as("fp"),
+          VecFunctions.arith_shingle_fps(col("text")).as("fps"),
+          VecFunctions.word_bigrams(col("text")).as("bg"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getSeq[Long](3).toSeq, r.getSeq[String](4).toSeq)))
+        .toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val (sh, fp, fps, bg) = got(i.toLong)
+        sh == refSimhash(t) && fp == refFp(t) &&
+          fps == refShingles(t) && bg == refBigrams(t)
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("SQL surface: registered vector functions callable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     emb.limit(50).createOrReplaceTempView("vexpr_emb")
