@@ -1324,18 +1324,48 @@ object Queries {
   // P9 + custom expressions + full pipeline: rows-only (no SQL oracle;
   // semantics covered by ScalaTest golden/differential specs)
   // ---------------------------------------------------------------
+  // P9 / keccak over the PUBLISHED test vectors (Ethereum empty-hash +
+  // the standard "abc" keccak vector; EIP-55's four canonical
+  // addresses in lower- AND upper-case input forms): the oracle
+  // compares against the spec constants, so the Catalyst expressions
+  // are verified end-to-end even though DuckDB has no keccak.
+  // Table-scale hashing stays exercised by KeccakSpec and the
+  // checksummed-upsert sink path.
+  private val Eip55Vectors = Seq(
+    "0x5aaeb6053f3e94c9b9a09f33669435e7ef1beaed" -> "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed",
+    "0xfb6916095ca1df60bb79ce92ce3ea74c37c5d359" -> "0xfB6916095ca1df60bB79Ce92cE3Ea74c37c5d359",
+    "0xdbf03b407c01e7cd3cbea99509d93f8dddc8c6fb" -> "0xdbF03B407c01E7cD3CBea99509d93f8DDDC8C6FB",
+    "0xd1220a0cf47c7b9be7a2e6ba89f429762e7b9adb" -> "0xD1220A0cf47c7B9Be7A2E6BA89F429762e7b9aDb",
+  )
+
   private val p9Checksum: Q = (s, dir) => {
     graft.functions.GraftFunctions.register(s)
-    t(s, dir, "supplier").select(col("s_suppkey"),
-      graft.functions.GraftFunctions.checksum_address(
-        format_string("0x%040x", col("s_suppkey") * 7919)).as("checksummed"))
+    val spark2 = s
+    import spark2.implicits._
+    val in = Eip55Vectors.map(_._1).zipWithIndex.flatMap { case (a, i) =>
+      Seq((i.toLong * 2, a), (i.toLong * 2 + 1, "0x" + a.drop(2).toUpperCase))
+    }
+    in.toDF("id", "addr").select(col("id"),
+      graft.functions.GraftFunctions.checksum_address(col("addr")).as("checksummed"))
   }
+  private val p9ChecksumOracle = Eip55Vectors.map(_._2).zipWithIndex.flatMap {
+    case (want, i) => Seq(s"SELECT CAST(${i * 2} AS BIGINT) AS id, '$want' AS checksummed",
+      s"SELECT CAST(${i * 2 + 1} AS BIGINT), '$want'")
+  }.mkString("\nUNION ALL ")
 
   private val keccakHex: Q = (s, dir) => {
     graft.functions.GraftFunctions.register(s)
-    t(s, dir, "supplier").select(col("s_suppkey"),
-      graft.functions.GraftFunctions.keccak256_hex(col("s_name")).as("digest"))
+    val spark2 = s
+    import spark2.implicits._
+    Seq((1L, ""), (2L, "abc")).toDF("id", "msg")
+      .select(col("id"),
+        graft.functions.GraftFunctions.keccak256_hex(col("msg")).as("digest"))
   }
+  private val keccakHexOracle =
+    """SELECT CAST(1 AS BIGINT) AS id,
+      |  'c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470' AS digest
+      |UNION ALL SELECT CAST(2 AS BIGINT),
+      |  '4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45'""".stripMargin
 
   private val etlTransactions: Q = (s, dir) => {
     val traces = graft.sources.SyntheticTraces.bronze(s, dir)
@@ -1473,6 +1503,8 @@ object Queries {
     "q_d3_seen_set" -> d3Oracle,
     "q_o1_latest_block" -> o1Oracle,
     "q_o2_latest_tx_block" -> o2Oracle,
+    "q_p9_checksum" -> p9ChecksumOracle,
+    "q_keccak256" -> keccakHexOracle,
     "q_etl_transactions" -> EtlOracleSql.transactions,
     "q_etl_contracts" -> EtlOracleSql.contracts,
     "q_llm_exact_dedup" -> llmExactDedupOracle,
