@@ -974,6 +974,39 @@ object Queries {
       |  CAST(len(list_filter(codes, c -> c // 16 = b)) AS BIGINT) AS cnt
       |FROM d, (SELECT unnest(range(16)) AS b) bins""".stripMargin
 
+  // Frame sampling (video stub): every 2nd 64-byte frame, exact
+  // per-frame checksum — the demux/decode plumbing hash-checked.
+  private val mmFrames: Q = (s, dir) =>
+    graft.llm.Multimodal.frameSample(
+      graft.llm.Multimodal.packFromDocuments(t(s, dir, "documents"))).toDF()
+  private val mmFramesOracle =
+    """WITH d AS (
+      |  SELECT doc_id, list_transform(range(length(text)), i -> CAST(ord(text[i+1]) AS BIGINT)) AS codes,
+      |         length(text) // 64 AS nf
+      |  FROM documents)
+      |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, CAST(64 AS INT) AS n_bytes,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes[f*64+1 : (f+1)*64]),
+      |    (a, c) -> (a*31 + c) % 1000000007) AS checksum
+      |FROM d, LATERAL (SELECT unnest(range(nf)) AS f) t
+      |WHERE f % 2 = 0""".stripMargin
+
+  // Resize (image stub): 64-point stride resample, exact checksum.
+  private val mmResize: Q = (s, dir) =>
+    graft.llm.Multimodal.resize(
+      graft.llm.Multimodal.packFromDocuments(t(s, dir, "documents"))).toDF()
+  private val mmResizeOracle =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    list_transform(range(length(text)), i -> CAST(ord(text[i+1]) AS BIGINT)) AS codes
+      |  FROM documents)
+      |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_bytes_in,
+      |  CAST(CASE WHEN n > 0 THEN 64 ELSE 0 END AS INT) AS n_samples,
+      |  CASE WHEN n = 0 THEN 0 ELSE
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(64), i -> codes[(i*n) // 64 + 1])),
+      |      (a, c) -> (a*31 + c) % 1000000007) END AS checksum
+      |FROM d""".stripMargin
+
   // rows-only LLM entries (probabilistic / float / custom-hash — not
   // DuckDB-expressible; covered by ScalaTest recall + unit specs)
   private val llmMinhashPairs: Q = (s, dir) =>
@@ -1453,6 +1486,8 @@ object Queries {
     "q_llm_lm_coverage" -> llmLmCoverage,
     "q_emb_int8_quant" -> embInt8Quant,
     "q_mm_bin_counts" -> mmBinCounts,
+    "q_mm_frames" -> mmFrames,
+    "q_mm_resize" -> mmResize,
     "q_emb_neardup" -> embNearDup,
     "q_llm_simhash_pairs" -> llmSimhashPairs,
     "q_llm_simhash_portable_pairs" -> llmSimhashPortablePairs,
@@ -1527,6 +1562,8 @@ object Queries {
     "q_llm_lm_coverage" -> llmLmCoverageOracle,
     "q_emb_int8_quant" -> embInt8QuantOracle,
     "q_mm_bin_counts" -> mmBinCountsOracle,
+    "q_mm_frames" -> mmFramesOracle,
+    "q_mm_resize" -> mmResizeOracle,
     "q_etl_blocks" -> etlBlocksOracle,
     "q_emb_neardup" -> embNearDupOracle,
     "q_ann_topk_dot" -> annTopkDotOracle,

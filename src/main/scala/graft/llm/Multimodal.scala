@@ -31,6 +31,20 @@ case class MediaBinCounts(
     bin_counts: Array[Long], // 16 high-nibble byte-histogram bins
 )
 
+case class MediaFrame(
+    media_id: Long,
+    frame_idx: Int,
+    n_bytes: Int,
+    checksum: Long, // 31-polynomial mod-prime fold of the frame bytes
+)
+
+case class MediaResized(
+    media_id: Long,
+    n_bytes_in: Long,
+    n_samples: Int,
+    checksum: Long, // fold of the stride-sampled bytes
+)
+
 /** Multimodal-column handling: opaque binary payloads with typed
   * metadata, and a per-partition feature-extraction stage.
   *
@@ -95,6 +109,59 @@ object Multimodal {
           i += 1
         }
         MediaBinCounts(m.media_id, m.kind, m.n_bytes, counts)
+      }
+    }
+  }
+
+  /** STUB frame sampler (the video path): the payload is cut into
+    * non-overlapping `frameSize`-byte frames ("decoded frames"),
+    * every `stride`-th frame is kept, and each kept frame is reduced
+    * to an exact mod-prime checksum so the sampling plumbing is
+    * hash-comparable. A real implementation would demux/decode and
+    * emit pixel tensors per sampled frame; the iterator shape,
+    * explode factor, and per-frame row schema are what carries over.
+    */
+  def frameSample(media: Dataset[MediaRow], frameSize: Int = 64,
+      stride: Int = 2): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val nFrames = m.payload.length / frameSize
+        (0 until nFrames by stride).iterator.map { f =>
+          var s = 0L
+          var i = f * frameSize
+          while (i < (f + 1) * frameSize) {
+            s = (s * 31L + (m.payload(i) & 0xffL)) % 1000000007L
+            i += 1
+          }
+          MediaFrame(m.media_id, f, frameSize, s)
+        }
+      }
+    }
+  }
+
+  /** STUB resizer (the image path): deterministic stride resampling of
+    * the payload to `nSamples` points — sample i is byte
+    * ⌊i·len/nSamples⌋ — reduced to an exact checksum. A real
+    * implementation would decode pixels and interpolate; the per-row
+    * compute shape and exact-output contract are the same.
+    */
+  def resize(media: Dataset[MediaRow], nSamples: Int = 64): Dataset[MediaResized] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val n = m.payload.length
+        var s = 0L
+        if (n > 0) {
+          var i = 0
+          while (i < nSamples) {
+            s = (s * 31L + (m.payload(((i.toLong * n) / nSamples).toInt) & 0xffL)) % 1000000007L
+            i += 1
+          }
+        }
+        MediaResized(m.media_id, n.toLong, if (n > 0) nSamples else 0, s)
       }
     }
   }

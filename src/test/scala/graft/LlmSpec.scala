@@ -507,6 +507,31 @@ class LlmSpec extends SparkSpec {
     assert(diff2 == 0, s"$diff2 fingerprint divergences")
   }
 
+  test("multimodal: frame sampling and resize stubs are exact and shape-correct") {
+    val media = Multimodal.packFromDocuments(docs.filter(col("doc_id") < 50))
+    val frames = Multimodal.frameSample(media, frameSize = 64, stride = 2).collect()
+    val payloads = media.collect().map(m => m.media_id -> m.payload).toMap
+    // per-media frame count = sampled subset of full frames
+    val byMedia = frames.groupBy(_.media_id)
+    for ((id, fs) <- byMedia) {
+      val expected = (0 until payloads(id).length / 64 by 2).toSet
+      assert(fs.map(_.frame_idx).toSet == expected, s"media $id frame set")
+      // checksum matches a direct fold of that frame's bytes
+      for (f <- fs) {
+        val bytes = payloads(id).slice(f.frame_idx * 64, f.frame_idx * 64 + 64)
+        val want = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+        assert(f.checksum == want, s"media $id frame ${f.frame_idx}")
+      }
+    }
+    val resized = Multimodal.resize(media, 64).collect()
+    for (r <- resized) {
+      val p = payloads(r.media_id)
+      val want = (0 until 64).foldLeft(0L)((a, i) =>
+        (a * 31 + (p(((i.toLong * p.length) / 64).toInt) & 0xff)) % 1000000007L)
+      assert(r.checksum == want && r.n_samples == 64, s"media ${r.media_id}")
+    }
+  }
+
   test("multimodal: stub decode produces 16-dim normalized features") {
     val feats = Multimodal.extractFeatures(Multimodal.packFromDocuments(docs)).collect()
     assert(feats.length == docs.count())
