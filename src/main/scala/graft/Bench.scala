@@ -90,8 +90,12 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full + "\n")
-    catch { case _: Throwable => () }
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
+      full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_FULL.json: $e")
+    }
     System.err.println(s"[bench] full per-query map: $full")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()

@@ -1098,9 +1098,9 @@ object Queries {
       t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
       when(col("lang") === "en", 200).otherwise(500))
   private val llmStratifiedSampleOracle =
-    """SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS bucket
+    """SELECT doc_id, lang, ((doc_id & 2147483647) * 2654435761) % 1000 AS bucket
       |FROM documents
-      |WHERE (doc_id * 2654435761) % 1000 < CASE WHEN lang = 'en' THEN 200 ELSE 500 END""".stripMargin
+      |WHERE ((doc_id & 2147483647) * 2654435761) % 1000 < CASE WHEN lang = 'en' THEN 200 ELSE 500 END""".stripMargin
 
   // Per-language quota cap: at most 60 docs per language, picked in
   // deterministic hash order — re-derivable, unlike a random sample.
@@ -1110,10 +1110,10 @@ object Queries {
   private val llmGroupQuotaOracle =
     """SELECT doc_id, lang,
       |  CAST(row_number() OVER (PARTITION BY lang
-      |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS smpl_rank
+      |    ORDER BY ((doc_id & 2147483647) * 2654435761) % 1000000007, doc_id) AS BIGINT) AS smpl_rank
       |FROM documents
       |QUALIFY row_number() OVER (PARTITION BY lang
-      |  ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) <= 60""".stripMargin
+      |  ORDER BY ((doc_id & 2147483647) * 2654435761) % 1000000007, doc_id) <= 60""".stripMargin
 
   // Sequence packing: per-language concat-and-split into 2048-token
   // packs via one cumulative-sum window.

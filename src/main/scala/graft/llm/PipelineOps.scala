@@ -58,18 +58,30 @@ object PipelineOps {
   }
 
   /** Deterministic stratified sampling: keep a row iff
-    * (id · 2654435761) mod 1000 < quota(stratum), i.e. a Knuth
-    * multiplicative hash of the id thins each stratum to quota/1000.
-    * Reproducible across engines, runs, and partitionings — the
-    * property `df.sample` cannot give — so downstream training sets
+    * ((id & 0x7fffffff) · 2654435761) mod 1000 < quota(stratum), i.e.
+    * a Knuth multiplicative hash of the id thins each stratum to
+    * quota/1000. Reproducible across engines, runs, and partitionings —
+    * the property `df.sample` cannot give — so downstream training sets
     * are exactly re-derivable from the raw corpus.
+    *
+    * The id is masked to 31 bits BEFORE the multiply: the product is
+    * then < 2^31 · 2654435761 ≈ 5.7e18 < Long.MaxValue, so the same
+    * formula evaluates identically in Spark (which would silently wrap
+    * in non-ANSI mode) and in ANSI engines (which would raise) for ids
+    * beyond ~3.46e9 — production id scales hit that.
     */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       quotaPerMille: Column): DataFrame = {
-    val bucket = (col(idCol) * lit(2654435761L)) % 1000
+    val bucket = sampleHash(col(idCol)) % 1000
     df.withColumn("bucket", bucket)
       .filter(col("bucket") < quotaPerMille)
   }
+
+  /** Overflow-safe Knuth multiplicative hash shared by the sampling
+    * operators (mask to 31 bits, then multiply — never wraps a Long).
+    */
+  private def sampleHash(id: Column): Column =
+    id.bitwiseAND(lit(2147483647L)) * lit(2654435761L)
 
   /** Per-stratum quota cap: keep at most `k` rows per stratum, chosen
     * deterministically by multiplicative-hash order of the id (the
@@ -79,7 +91,7 @@ object PipelineOps {
     */
   def groupQuota(df: DataFrame, idCol: String, stratumCol: String,
       k: Int): DataFrame = {
-    val h = (col(idCol) * lit(2654435761L)) % lit(1000000007L)
+    val h = sampleHash(col(idCol)) % lit(1000000007L)
     val w = Window.partitionBy(stratumCol).orderBy(h, col(idCol))
     df.withColumn("smpl_rank", row_number().over(w).cast("long"))
       .filter(col("smpl_rank") <= k)

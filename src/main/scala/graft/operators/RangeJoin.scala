@@ -25,10 +25,14 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val pb = probes.withColumn("_bucket",
       floor(col(ptsCol) / bucketWidth).cast("long"))
+    // guard: an empty/inverted interval (end <= start) must produce
+    // ZERO bucket rows, not a descending sequence (Spark auto-steps
+    // -1, which would explode |start-end|/width spurious rows before
+    // the containment filter drops them). explode(null) drops the row.
     val ib = intervals.withColumn("_bucket",
-      explode(sequence(
+      explode(when(col(endCol) > col(startCol), sequence(
         floor(col(startCol) / bucketWidth).cast("long"),
-        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+        floor((col(endCol) - 1) / bucketWidth).cast("long")))))
     pb.join(ib, Seq("_bucket"))
       .filter(col(ptsCol) >= col(startCol) && col(ptsCol) < col(endCol))
       .drop("_bucket")

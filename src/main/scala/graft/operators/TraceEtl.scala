@@ -44,20 +44,37 @@ object TraceEtl {
 
   /** J1 pushed below the aggregation: transactions that never touch
     * ecRecover/ecPairing (99%+ of traffic at mainnet scale) die at the
-    * scan via a semi-join against the tiny set of qualifying tx keys.
-    * The qualifying-key set is broadcast, so the only wide exchange in
-    * the whole pipeline is the per-tx aggregation of the survivors.
+    * scan via a semi-join against the set of qualifying tx keys.
     * (Correct because `commit` emits nothing for such txs anyway —
     * reference: trace_tree.rs:67-70.)
+    *
+    * The key set is broadcast ONLY when the plan-time size estimate of
+    * the filtered scan fits `spark.sql.autoBroadcastJoinThreshold` —
+    * at 100× mainnet scale the qualifying keys are tens of millions of
+    * rows and an unconditional broadcast hint would OOM the driver.
+    * Above the threshold the join is a plain shuffle left-semi, and
+    * AQE's runtime join selection still converts it back to broadcast
+    * if the ACTUAL built size turns out small (the estimate is the
+    * un-filtered upper bound, so the gate errs toward shuffle — the
+    * safe direction). `broadcastKeys` forces a side for differential
+    * testing (ScaleSpec proves both paths identical).
     */
-  def pruneNonZk(traces: Dataset[TraceRow]): Dataset[TraceRow] = {
+  def pruneNonZk(traces: Dataset[TraceRow],
+      broadcastKeys: Option[Boolean] = None): Dataset[TraceRow] = {
     // no distinct(): that's a full shuffle of the key set, and the
-    // broadcast semi-join's build-side hash table collapses duplicate
-    // keys anyway — same result, one exchange fewer
+    // semi-join's build-side hash table collapses duplicate keys
+    // anyway — same result, one exchange fewer
     val zkTx = traces
       .filter(col("to_address").isin(Addresses.FirstDegreeFilter: _*))
       .select("chain_id", "transaction_hash")
-    traces.join(broadcast(zkTx), Seq("chain_id", "transaction_hash"), "left_semi")
+    val useBroadcast = broadcastKeys.getOrElse {
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      threshold > 0 &&
+        zkTx.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
+    }
+    val build = if (useBroadcast) broadcast(zkTx) else zkTx
+    traces.join(build, Seq("chain_id", "transaction_hash"), "left_semi")
       .as[TraceRow](traces.encoder)
   }
 

@@ -56,8 +56,9 @@ class AsofProcessor extends StatefulProcessor[Long, AsofInput, AsofOut] {
   override def handleInputRows(key: Long, rows: Iterator[AsofInput],
       tv: TimerValues): Iterator[AsofOut] = {
     var minPending = if (timer.exists()) timer.get() - 1L else Long.MaxValue
+    var sawState = false
     rows.foreach { r =>
-      if (r.tag == 0) states.appendValue((r.ts, r.id))
+      if (r.tag == 0) { states.appendValue((r.ts, r.id)); sawState = true }
       else {
         pending.appendValue((r.ts, r.id))
         minPending = math.min(minPending, r.ts * 1000L)
@@ -66,7 +67,25 @@ class AsofProcessor extends StatefulProcessor[Long, AsofInput, AsofOut] {
     // fire strictly AFTER the watermark passes the probe ts: an
     // equal-ts state is not late and may still arrive
     if (minPending != Long.MaxValue) armTimer(minPending + 1L)
+    // no probe pending → no timer will fire, so prune here: a key that
+    // only ever receives states must not accumulate them unboundedly.
+    // The prune rule is safe even for future probes (any probe the
+    // watermark hasn't passed has ts >= wm, and the latest before-wm
+    // state dominates all earlier ones for it).
+    else if (sawState) pruneStates(tv.getCurrentWatermarkInMs())
     Iterator.empty
+  }
+
+  /** Keep the single latest state before the watermark plus everything
+    * at-or-after it — an older state can never again be the "latest
+    * at-or-before" answer for any resolvable probe.
+    */
+  private def pruneStates(wm: Long): Unit = {
+    val st = states.get().toArray.sortBy(identity)
+    val (before, after) = st.partition(_._1 * 1000L < wm)
+    val kept = (before.lastOption.toSeq ++ after).distinct.toArray
+    states.clear()
+    if (kept.nonEmpty) states.put(kept)
   }
 
   override def handleExpiredTimer(key: Long, tv: TimerValues,
@@ -79,12 +98,7 @@ class AsofProcessor extends StatefulProcessor[Long, AsofInput, AsofOut] {
       val latest = st.view.filter(_._1 <= pts).lastOption
       AsofOut(key, pid, pts, latest.map(_._2), latest.map(_._1))
     }
-    // prune: keep the single latest state before the watermark plus
-    // everything at-or-after it
-    val (before, after) = st.partition(_._1 * 1000L < wm)
-    val kept = (before.lastOption.toSeq ++ after).distinct.toArray
-    states.clear()
-    if (kept.nonEmpty) states.put(kept)
+    pruneStates(wm)
     pending.clear()
     if (stillPending.nonEmpty) pending.put(stillPending)
     timer.clear()

@@ -51,6 +51,31 @@ class ScaleSpec extends SparkSpec {
     assert(tx.head.gas_used_first_degree > 0)
   }
 
+  test("pruneNonZk: broadcast and shuffle semi-join paths identical; size gate flips") {
+    import graft.operators.TraceEtl
+    val traces = TraceEtl.normalize(
+      graft.sources.SyntheticTraces.fromTpch(spark, "/root/testdata/sf0.001"))
+    def rows(b: Option[Boolean]) =
+      TraceEtl.pruneNonZk(traces, b).collect().map(_.toString).sorted.toSeq
+    val viaBroadcast = rows(Some(true))
+    val viaShuffle = rows(Some(false))
+    assert(viaBroadcast.nonEmpty)
+    assert(viaBroadcast == viaShuffle)
+    // the auto gate: key-set estimate over the threshold → shuffle
+    // left-semi (no driver-sized broadcast); under it → broadcast
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val shuffled = TraceEtl.pruneNonZk(traces).queryExecution.executedPlan.toString
+      assert(!shuffled.contains("BroadcastHashJoin"),
+        s"gate failed to fall back to shuffle:\n${shuffled.take(600)}")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1L << 30).toString)
+      val bcast = TraceEtl.pruneNonZk(traces).queryExecution.executedPlan.toString
+      assert(bcast.contains("BroadcastHashJoin"),
+        s"gate failed to broadcast a small key set:\n${bcast.take(600)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("bronze layer: partition pruning reaches the scan") {
     val traces = graft.sources.SyntheticTraces.fromTpch(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft_bronze").toString
