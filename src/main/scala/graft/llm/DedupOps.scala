@@ -180,29 +180,117 @@ object DedupOps {
     * reachable through near-dup edges — the canonical representative a
     * dedup pipeline keeps (`is_canonical = 1`, one per cluster).
     *
-    * Algorithm: Pregel-style min-label propagation. Each iteration is
-    * one distributed join + min-aggregate; labels decrease
-    * monotonically, so the total-label sum strictly decreases until
-    * the fixpoint, which we detect with a cheap scalar aggregate (no
-    * data ever collects to the driver). Iterations = cluster diameter
-    * (near-dup clusters are shallow; 20 covers any realistic corpus —
-    * at web scale swap in large-star/small-star for the same result
-    * in O(log n) rounds). `localCheckpoint` truncates the per-round
+    * Algorithm: alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14).
+    * Each round rewires edges toward neighborhood minima; the edge set
+    * contracts to a two-level forest of stars — center = component
+    * minimum — in O(log n) rounds on ANY graph shape, including the
+    * adversarial long-path diameters where min-label propagation needs
+    * O(diameter) rounds. The fixpoint test is structural (the graph IS
+    * a star forest: no node both child and parent, one parent per
+    * child) and runs as ONE driver action every `CheckEvery` rounds —
+    * ~3 barriers for a realistic corpus vs one per round for the
+    * min-label loop ([[dedupClustersMinLabel]], kept as the
+    * differential reference). `localCheckpoint` truncates per-round
     * lineage so the plan stays flat.
     */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    val CheckEvery = 2
+    // canonical edges (hi > lo): self-loops dropped, both orientations
+    // collapsed — the star invariant below keeps hi > lo through every
+    // rewiring, so "child" is always the hi slot
+    var edges = pairs.select(
+        greatest(col("id1"), col("id2")).cast("long").as("hi"),
+        least(col("id1"), col("id2")).cast("long").as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint(false)
+
+    // large-star: every node u connects its LARGER neighbors to
+    // m = min(N(u) ∪ {u}); each edge is emitted exactly once (from its
+    // smaller endpoint's neighborhood), so connectivity is preserved
+    // while long tails rewire directly onto local minima
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+
+    // small-star: every node connects its smaller neighbors (and
+    // itself) to its neighborhood minimum — on canonical edges that is
+    // one groupBy(hi) + rewire
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("hi").agg(min("lo").as("m"))
+      val rewired = e.join(mins, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+      rewired.unionByName(mins.select(col("hi"), col("m").as("lo")))
+        .distinct()
+    }
+
+    // fixpoint ⇔ star forest: no lo (parent) is also a hi (child),
+    // and every child has exactly one parent. Centers are then the
+    // component minima (lo < hi on every edge). One action.
+    def isStarForest(e: DataFrame): Boolean = {
+      val chained = e.select(col("lo").as("n"))
+        .join(e.select(col("hi").as("n")), Seq("n"), "left_semi")
+        .select(lit(1).as("bad"))
+      val multiParent = e.groupBy("hi").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select(lit(1).as("bad"))
+      chained.unionByName(multiParent).isEmpty
+    }
+
+    var converged = isStarForest(edges)
+    var i = 0
+    while (!converged && i < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(false)
+      i += 1
+      if (i % CheckEvery == 0 || i == maxIter) converged = isStarForest(edges)
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIter rounds - " +
+          "raise maxIter (large-star/small-star needs O(log n) rounds)")
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(edges.select(col("hi").as("doc_id"), col("lo").as("cid")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cid"), col("doc_id")).as("cluster_id"),
+        col("cid").isNull.cast("int").as("is_canonical"))
+  }
+
+  /** Pregel-style min-label propagation — the original formulation,
+    * kept as the differential reference pinning [[dedupClusters]]
+    * (LlmSpec proves both identical on path/star/random graphs). Each
+    * iteration is one distributed join + min-aggregate; labels
+    * decrease monotonically, so the total-label sum is non-increasing
+    * and strictly decreases while anything changes — which lets the
+    * convergence check (a scalar aggregate, the only driver action)
+    * run every third round instead of every round. Iterations =
+    * cluster diameter.
+    */
+  def dedupClustersMinLabel(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 21): DataFrame = {
+    val CheckEvery = 3
     val edges = pairs.select(col("id1").as("ea"), col("id2").as("eb"))
       .unionByName(pairs.select(col("id2").as("ea"), col("id1").as("eb")))
       .localCheckpoint()
     // LAZY localCheckpoint: the convergence-check aggregate below is
-    // the action that materializes it, so each iteration runs ONE
-    // Spark job instead of two (eager checkpoint + labSum) — at small
-    // per-iteration data the job-launch overhead IS the runtime
+    // the action that materializes it, so each checked iteration runs
+    // ONE Spark job instead of two (eager checkpoint + labSum) — at
+    // small per-iteration data the job-launch overhead IS the runtime
     var labels = docs.select(col(idCol).cast("long").as("id"),
       col(idCol).cast("long").as("lab")).localCheckpoint(false)
     // sum(lab) is NULL on an empty input — coalesce so an empty docs
-    // frame converges immediately instead of throwing on getLong
+    // frame converges immediately instead of throwing on getLong.
+    // The sum is non-increasing and STRICTLY decreases while any label
+    // changes, so equal sums CheckEvery rounds apart prove nothing
+    // changed in between — the check is sound at any stride.
     def labSum(): Long =
       labels.agg(coalesce(sum("lab"), lit(0L))).head.getLong(0)
     var prevSum = labSum()
@@ -215,16 +303,18 @@ object DedupOps {
         .select(col("id"),
           least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
         .localCheckpoint(false)
-      val s = labSum()
-      converged = s == prevSum
-      prevSum = s
       i += 1
+      if (i % CheckEvery == 0 || i == maxIter) {
+        val s = labSum()
+        converged = s == prevSum
+        prevSum = s
+      }
     }
     if (!converged)
       throw new IllegalStateException(
-        s"dedupClusters did not converge in $maxIter iterations - " +
-          "cluster diameter exceeds the cap; raise maxIter or switch " +
-          "to large-star/small-star for O(log n) rounds")
+        s"dedupClustersMinLabel did not converge in $maxIter iterations - " +
+          "cluster diameter exceeds the cap; raise maxIter or use " +
+          "dedupClusters (large-star/small-star, O(log n) rounds)")
     labels.select(col("id").as("doc_id"), col("lab").as("cluster_id"),
       (col("id") === col("lab")).cast("int").as("is_canonical"))
   }

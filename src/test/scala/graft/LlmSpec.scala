@@ -94,6 +94,33 @@ class LlmSpec extends SparkSpec {
     assert(canon == clusters.values.toSet.size)
   }
 
+  test("dedup clustering: large-star/small-star matches the min-label reference") {
+    import spark.implicits._
+    def labelsOf(df: DataFrame): Map[Long, (Long, Int)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // adversarial shapes for the round counts: a long path (diameter
+    // 30 — the min-label worst case), a star, two merged triangles,
+    // and singletons with no edges at all
+    val docs = (1L to 60L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val path = (1L until 30L).map(i => (i, i + 1))
+    val star = (32L to 40L).map(i => (31L, i))
+    val tris = Seq((41L, 42L), (42L, 43L), (43L, 41L), (43L, 44L),
+      (44L, 45L), (45L, 43L))
+    val pairs = (path ++ star ++ tris).toDF("id1", "id2")
+    val viaStars = labelsOf(DedupOps.dedupClusters(docs, "doc_id", pairs))
+    val viaMinLabel = labelsOf(DedupOps.dedupClustersMinLabel(docs, "doc_id", pairs, 40))
+    assert(viaStars == viaMinLabel)
+    // and the expected shape: path collapses to 1, star to 31, tris to 41
+    assert(viaStars(30L) == ((1L, 0)) && viaStars(40L) == ((31L, 0)) &&
+      viaStars(45L) == ((41L, 0)) && viaStars(60L) == ((60L, 1)))
+    // the real corpus: identical clustering from both algorithms
+    val corpus = corpusWithDups
+    val cands = DedupOps.minhashSignaturePairs(corpus, "doc_id", "text")
+      .localCheckpoint()
+    assert(labelsOf(DedupOps.dedupClusters(corpus, "doc_id", cands)) ==
+      labelsOf(DedupOps.dedupClustersMinLabel(corpus, "doc_id", cands)))
+  }
+
   test("dedup clustering: empty input converges to an empty frame") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
