@@ -1291,9 +1291,11 @@ object Queries {
       |    x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_positive
       |FROM embeddings""".stripMargin
 
-  // IVF top-k with deterministic stride centroids + quantized-cosine
-  // assignment/probe/rank — cell membership and final order both
-  // engine-exact (nlist=16, nprobe=4 mirrored in the SQL literals).
+  // IVF top-k with deterministic hash-order centroids (the nlist ids
+  // minimizing the overflow-safe Knuth hash — no count() pre-scan, no
+  // dense-id assumption) + quantized-cosine assignment/probe/rank —
+  // cell membership and final order both engine-exact (nlist=16,
+  // nprobe=4 mirrored in the SQL literals).
   private val annIvfTopk: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     graft.llm.SimilarityOps.ivfTopK(
@@ -1304,9 +1306,9 @@ object Queries {
   }
   private val annIvfTopkOracle =
     s"""$quantNormCte,
-      |params AS (SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
-      |cent AS (SELECT id AS cell, q AS cq, nq AS cnq FROM n, params
-      |         WHERE id % stride = 0 AND id < stride * 16),
+      |cent AS (SELECT id AS cell, q AS cq, nq AS cnq FROM n
+      |         ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id
+      |         LIMIT 16),
       |assigned AS (
       |  SELECT neighbor_id, q, nq, cell FROM (
       |    SELECT v.id AS neighbor_id, v.q AS q, v.nq AS nq, c.cell AS cell,

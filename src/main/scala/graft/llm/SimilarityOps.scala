@@ -236,31 +236,36 @@ object SimilarityOps {
   }
 
   /** IVF (inverted-file) approximate top-k: a deterministic coarse
-    * quantizer — `nlist` corpus vectors chosen by id stride act as
-    * centroids — partitions the corpus into cells; queries probe their
+    * quantizer — by default the `nlist` corpus vectors minimizing an
+    * overflow-safe Knuth hash of the id (a deterministic pseudo-random
+    * sample) — partitions the corpus into cells; queries probe their
     * `nprobe` nearest cells and exact-rank only those cells' members.
     *
-    * Scale shape: the centroid table is tiny and broadcast twice
+    * Scale shape: centroid selection plans as TakeOrderedAndProject —
+    * a distributed partial top-k, no count() pre-scan and no dense-id
+    * assumption; the centroid table is tiny and broadcast twice
     * (assignment pass + probe pass); the corpus shuffles once on
-    * cell id; per-query work is nprobe/nlist of the corpus. Swap the
-    * stride-sampled centroids for k-means output when quality matters —
-    * the plan is identical.
+    * cell id; per-query work is nprobe/nlist of the corpus. Pass
+    * `centroids` (cell, centroid) — e.g. k-means output — when
+    * quality matters; the plan is identical.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      score: (Column, Column) => Column = cosine): DataFrame = {
+      score: (Column, Column) => Column = cosine,
+      centroids: Option[DataFrame] = None): DataFrame = {
     val sc = score
-    val n = corpus.count()
-    val stride = math.max(n / nlist, 1L)
-    // id-stride selection without limit(): limit on an unordered frame
-    // is nondeterministic across runs/engines — the explicit id bound
-    // pins exactly the first nlist stride multiples
-    val centroids = corpus
-      .filter(col(idCol) % stride === 0 && col(idCol) < lit(stride * nlist))
-      .select(col(idCol).as("cell"), col(embCol).as("centroid"))
+    val cents = centroids.getOrElse {
+      // hash order, id tie-break: reproducible across runs, engines,
+      // and partitionings (unlike limit() on an unordered frame); the
+      // 31-bit mask keeps the multiply inside a Long for any id
+      corpus.select(col(idCol).as("cell"), col(embCol).as("centroid"))
+        .orderBy(col("cell").bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+          % lit(1000000007L), col("cell"))
+        .limit(nlist)
+    }
     // assignment pass: each corpus vector -> nearest centroid
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(cents))
       .select(col("neighbor_id"), col("c_emb"), col("cell"),
         sc(col("c_emb"), col("centroid")).as("sim"))
       .withColumn("rn", row_number().over(
@@ -269,7 +274,7 @@ object SimilarityOps {
       .select("neighbor_id", "c_emb", "cell")
     // probe pass: each query -> its nprobe nearest cells
     val probes = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(cents))
       .select(col("query_id"), col("q_emb"), col("cell"),
         sc(col("q_emb"), col("centroid")).as("sim"))
       .withColumn("rn", row_number().over(

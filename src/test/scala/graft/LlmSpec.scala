@@ -342,16 +342,27 @@ class LlmSpec extends SparkSpec {
     info(s"portable LSH ANN recall@5 = $recall")
   }
 
-  test("ivf centroids: deterministic stride selection, exactly nlist cells") {
+  test("ivf centroids: deterministic hash-order selection, no count pre-scan") {
     val out = SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 3),
       "vec_id", "embedding", 3, score = SimilarityOps.quantizedCosineX1e6)
     assert(out.count() > 0)
+    // centroid selection is a distributed partial top-k, not a global
+    // sort (and building the frame ran no count() job on the corpus)
+    assert(out.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
     // re-running yields the identical result set (no limit() nondeterminism)
     val a = out.collect().map(_.toString).sorted
     val b = SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 3),
       "vec_id", "embedding", 3, score = SimilarityOps.quantizedCosineX1e6)
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
+    // injected coarse quantizer (the k-means seam): same plan, cells
+    // follow the supplied table
+    val custom = emb.filter(col("vec_id").isin(7, 42, 99))
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val viaCustom = SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 3, score = SimilarityOps.quantizedCosineX1e6,
+      centroids = Some(custom))
+    assert(viaCustom.count() > 0)
   }
 
   test("decontaminate: benchmark docs flag their exact copies, clean docs pass") {
