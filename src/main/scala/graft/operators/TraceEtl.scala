@@ -67,14 +67,8 @@ object TraceEtl {
     val zkTx = traces
       .filter(col("to_address").isin(Addresses.FirstDegreeFilter: _*))
       .select("chain_id", "transaction_hash")
-    val useBroadcast = broadcastKeys.getOrElse {
-      val threshold =
-        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-      threshold > 0 &&
-        zkTx.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
-    }
-    val build = if (useBroadcast) broadcast(zkTx) else zkTx
-    traces.join(build, Seq("chain_id", "transaction_hash"), "left_semi")
+    traces.join(Hints.maybeBroadcast(zkTx, broadcastKeys),
+        Seq("chain_id", "transaction_hash"), "left_semi")
       .as[TraceRow](traces.encoder)
   }
 

@@ -75,7 +75,7 @@ object TraceEtlRelational {
         org.apache.spark.sql.expressions.Window
           .partitionBy(txKey.map(col): _*).orderBy(rootOrder: _*)))
       .filter(col("_rn") === 1).drop("_rn")
-      .join(broadcast(zkTx), txKey, "left_semi")
+      .join(Hints.maybeBroadcast(zkTx), txKey, "left_semi")
       .filter(col("transaction_index").isNotNull &&
         col("from_address").isNotNull && col("to_address").isNotNull)
 
@@ -83,7 +83,7 @@ object TraceEtlRelational {
     // NOTHING (reference: commit() returns None) — contracts included,
     // so the edge prune keys on valid roots, not just zk membership
     val validTx = roots.select(txKey.map(col): _*)
-    val prunedEdges = edges.join(broadcast(validTx), txKey, "left_semi")
+    val prunedEdges = edges.join(Hints.maybeBroadcast(validTx), txKey, "left_semi")
 
     // J2: first-degree callers + the precompiles they called
     val firstDeg = prunedEdges.filter(col("to").isin(FirstDegreeFilter: _*))
