@@ -89,9 +89,11 @@ object Bench {
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}"""
+    // absolute default: a cwd-relative path silently lands wherever the
+    // harness happened to launch the JVM and consumers miss the artifact
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")),
       full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_FULL.json: $e")

@@ -243,11 +243,15 @@ object SimilarityOps {
     *
     * Scale shape: centroid selection plans as TakeOrderedAndProject —
     * a distributed partial top-k, no count() pre-scan and no dense-id
-    * assumption; the centroid table is tiny and broadcast twice
-    * (assignment pass + probe pass); the corpus shuffles once on
-    * cell id; per-query work is nprobe/nlist of the corpus. Pass
-    * `centroids` (cell, centroid) — e.g. k-means output — when
-    * quality matters; the plan is identical.
+    * assumption. The centroid set is folded into ONE row (an array of
+    * (cell, centroid) structs) and broadcast-nested-loop-joined to
+    * both sides, so cell assignment is a per-row argmax projection:
+    * the corpus is never exploded ×nlist and never shuffles for
+    * assignment (the only corpus shuffle is the cell-id equi-join,
+    * and that too disappears when the probe side broadcasts).
+    * Per-query work is nprobe/nlist of the corpus. Pass `centroids`
+    * (cell, centroid) — e.g. k-means output — when quality matters;
+    * the plan is identical.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
@@ -263,26 +267,31 @@ object SimilarityOps {
           % lit(1000000007L), col("cell"))
         .limit(nlist)
     }
-    // assignment pass: each corpus vector -> nearest centroid
+    // all nlist centroids folded into one array row; BNL-joining this
+    // single row broadcasts it without exploding either side ×nlist
+    val centArr = cents
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cents"))
+    // n nearest cells of `vec`, per row, zero shuffle: score each
+    // centroid in the array, sort by (-sim, cell) — sim desc with the
+    // same cell-asc tie-break the Window form used — and slice
+    def nearestCells(vec: Column, n: Int): Column =
+      slice(array_sort(transform(col("cents"), c =>
+        struct((-sc(vec, c("centroid"))).as("negsim"),
+          c("cell").as("cell")))), 1, n)
+    // assignment pass: each corpus vector -> nearest centroid (argmax
+    // projection; no corpus×nlist explode, no Window shuffle)
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
-      .crossJoin(broadcast(cents))
-      .select(col("neighbor_id"), col("c_emb"), col("cell"),
-        sc(col("c_emb"), col("centroid")).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("neighbor_id").orderBy(col("sim").desc, col("cell").asc)))
-      .filter(col("rn") === 1)
-      .select("neighbor_id", "c_emb", "cell")
+      .crossJoin(broadcast(centArr))
+      .select(col("neighbor_id"), col("c_emb"),
+        element_at(nearestCells(col("c_emb"), 1), 1)("cell").as("cell"))
     // probe pass: each query -> its nprobe nearest cells
     val probes = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("q_emb"), col("cell"),
-        sc(col("q_emb"), col("centroid")).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell").asc)))
-      .filter(col("rn") <= nprobe)
-      .select("query_id", "q_emb", "cell")
-    // probe side is queries × nprobe — always the small side
-    val cands = broadcast(probes).join(assigned, Seq("cell"))
+      .crossJoin(broadcast(centArr))
+      .select(col("query_id"), col("q_emb"),
+        explode(nearestCells(col("q_emb"), nprobe)("cell")).as("cell"))
+    // probe side is queries × nprobe — usually the small side, but
+    // gated: a large probe frame falls back to a shuffle join
+    val cands = graft.operators.Hints.maybeBroadcast(probes).join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         sc(col("q_emb"), col("c_emb")).as("score"))
