@@ -67,12 +67,18 @@ class AsofProcessor extends StatefulProcessor[Long, AsofInput, AsofOut] {
     // fire strictly AFTER the watermark passes the probe ts: an
     // equal-ts state is not late and may still arrive
     if (minPending != Long.MaxValue) armTimer(minPending + 1L)
-    // no probe pending → no timer will fire, so prune here: a key that
-    // only ever receives states must not accumulate them unboundedly.
-    // The prune rule is safe even for future probes (any probe the
-    // watermark hasn't passed has ts >= wm, and the latest before-wm
-    // state dominates all earlier ones for it).
-    else if (sawState) pruneStates(tv.getCurrentWatermarkInMs())
+    // prune whenever states were appended, NOT only when no probe is
+    // pending: one far-future probe would otherwise pin the timer and
+    // let state-only batches grow the list unboundedly until the
+    // watermark reaches it. The threshold is min(watermark, earliest
+    // pending probe) rather than the bare watermark — a just-ripe
+    // probe's timer fires AFTER this batch's input rows, so pruning
+    // at the watermark alone could discard the pre-watermark state
+    // that probe still needs. Every pending probe has ts >= the
+    // threshold, and the latest state before the threshold dominates
+    // all earlier ones for it, so this is always safe.
+    if (sawState)
+      pruneStates(math.min(tv.getCurrentWatermarkInMs(), minPending))
     Iterator.empty
   }
 

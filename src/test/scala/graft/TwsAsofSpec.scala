@@ -96,6 +96,60 @@ class TwsAsofSpec extends SparkSpec {
     }
   }
 
+  test("state stays bounded while a far-future probe pins the timer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocks {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_pin").toString
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.AsofOut]()
+      val mem = MemoryStream[AsofInput]
+      def startQuery() =
+        TwsAsof.asofKeyed(mem.toDS(), "5000 seconds").writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.AsofOut], _: Long) =>
+            b.collect().foreach(got.add)
+          }.start()
+      val q1 = startQuery()
+      // one probe ahead of every state: pins the per-key timer at
+      // t=60000 for the whole run
+      mem.addData(AsofInput(1L, 1, 100L, 60000L, ts(60000L)))
+      q1.processAllAvailable()
+      // 60 state-only batches marching the watermark up to (but never
+      // past) the probe: states the watermark has passed must collapse
+      // to the single dominating one instead of accumulating behind
+      // the pinned timer
+      (1 to 60).foreach { i =>
+        mem.addData(AsofInput(1L, 0, 9000L + i, 56000L + 150L * i,
+          ts(56000L + 150L * i)))
+        q1.processAllAvailable()
+      }
+      q1.stop()
+      assert(got.isEmpty, "probe resolved before the watermark passed it")
+      val stateRows = spark.read.format("statestore")
+        .option("path", ckpt).option("stateVarName", "states").load()
+      val n = stateRows.count()
+      // kept: 1 dominated-latest below the watermark (t=59900) plus the
+      // ~34 states inside the 5000s watermark window; unpruned would
+      // be all 60
+      assert(n <= 45, s"state not pruned under a pinned timer: $n rows buffered")
+      // restart and advance the watermark past the probe: it must
+      // resolve against t=59900 — the exact state the prune is
+      // required to keep (latest at-or-before an unresolved probe)
+      val q2 = startQuery()
+      mem.addData(AsofInput(2L, 0, 999L, 70000L, ts(70000L)))
+      q2.processAllAvailable()
+      mem.addData()
+      q2.processAllAvailable()
+      q2.stop()
+      val matches = got.toArray(Array.empty[graft.streaming.AsofOut])
+        .filter(_.probe_id == 100L)
+      assert(matches.length == 1, s"expected 1 resolution, got ${matches.length}")
+      assert(matches.head.state_id.contains(9026L),
+        s"pruning discarded the probe's dominating state: ${matches.head}")
+    }
+  }
+
   test("streaming asof == batch AsofJoin.keyed on a random keyed corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
