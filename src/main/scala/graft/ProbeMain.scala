@@ -1,9 +1,11 @@
 package graft
 
-/** Ad-hoc single-query profiler: runMain graft.ProbeMain <query> [sfDir] [n]. */
+/** Ad-hoc query profiler: runMain graft.ProbeMain <query>[,<query>…] [sfDir] [n]
+  * — comma-separate names to amortize the JVM/session start across probes.
+  */
 object ProbeMain {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val n = if (args.length > 2) args(2).toInt else 3
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -13,11 +15,13 @@ object ProbeMain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    val fn = SparkEntry.queries(name)
-    for (i <- 1 to n) {
-      val t0 = System.nanoTime()
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
-      println(f"PROBE $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      for (i <- 1 to n) {
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        println(f"PROBE $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }

@@ -293,6 +293,60 @@ object VecBridge {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Top-`n` nearest IVF cells of a pre-quantized vector, by the
+    * engine-exact quantized cosine (floor(10^6·dot/√(nq·cnq)); zero
+    * norms score 0) with cell-asc tie-break. `cents` is an
+    * array<struct<cell:long, cq:array<long>, cnq:long>> — the whole
+    * (tiny) centroid table riding along each row via a broadcast
+    * nested-loop join, so one kernel call scores all nlist centroids
+    * in a tight loop: no ×nlist row explode, no Window shuffle, no
+    * interpreted per-centroid lambda.
+    */
+  def nearestCellsQ(qv: ArrayData, cents: ArrayData, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    var nq = 0L
+    var d = 0
+    val dims = qv.numElements()
+    while (d < dims) { val x = qv.getLong(d); nq += x * x; d += 1 }
+    val m = cents.numElements()
+    val k = math.min(n, m)
+    // insertion top-k over (score desc, cell asc) — nlist is small
+    val topScore = new Array[Long](k)
+    val topCell = new Array[Long](k)
+    var filled = 0
+    var i = 0
+    while (i < m) {
+      val c = cents.getStruct(i, 3)
+      val cell = c.getLong(0)
+      val cq = c.getArray(1)
+      val cnq = c.getLong(2)
+      var dot = 0L
+      var j = 0
+      val cd = math.min(dims, cq.numElements())
+      while (j < cd) { dot += qv.getLong(j) * cq.getLong(j); j += 1 }
+      val score =
+        if (nq == 0L || cnq == 0L) 0L
+        else math.floor(dot.toDouble * 1e6 /
+          math.sqrt(nq.toDouble * cnq.toDouble)).toLong
+      // find insert position
+      var p = filled
+      while (p > 0 && (topScore(p - 1) < score ||
+          (topScore(p - 1) == score && topCell(p - 1) > cell))) p -= 1
+      if (p < k) {
+        val last = math.min(filled, k - 1)
+        var q = last
+        while (q > p) { topScore(q) = topScore(q - 1); topCell(q) = topCell(q - 1); q -= 1 }
+        topScore(p) = score
+        topCell(p) = cell
+        if (filled < k) filled += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](filled)
+    System.arraycopy(topCell, 0, out, 0, filled)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Sign-LSH bucket over a pre-quantized array<long> vector, with the
     * Knuth-multiplicative integer coefficient formula
     * coef(g, d) = ((g·31 + d)·2654435761) mod 2^31 − 2^30 — exactly the
@@ -412,6 +466,34 @@ case class CosineSim(left: Expression, right: Expression)
       }""")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** Top-n IVF cells by quantized cosine (see [[VecBridge.nearestCellsQ]]). */
+case class NearestCellsQ(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells_q"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(_: StructType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, array<struct<cell,cq,cnq>>), " +
+          s"got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecBridge.nearestCellsQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecBridge.nearestCellsQ($a, $b, $n)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCellsQ =
     copy(left = l, right = r)
 }
 
@@ -556,4 +638,6 @@ object VecFunctions {
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
   def portable_sign_bucket(q: Column, planes: Int, tbl: Int): Column =
     GraftShim.column(PortableSignBucket(GraftShim.expression(q), planes, tbl))
+  def nearest_cells_q(qv: Column, cents: Column, n: Int): Column =
+    GraftShim.column(NearestCellsQ(GraftShim.expression(qv), GraftShim.expression(cents), n))
 }

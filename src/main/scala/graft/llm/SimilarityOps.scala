@@ -243,15 +243,17 @@ object SimilarityOps {
     *
     * Scale shape: centroid selection plans as TakeOrderedAndProject —
     * a distributed partial top-k, no count() pre-scan and no dense-id
-    * assumption. The centroid set is folded into ONE row (an array of
-    * (cell, centroid) structs) and broadcast-nested-loop-joined to
-    * both sides, so cell assignment is a per-row argmax projection:
-    * the corpus is never exploded ×nlist and never shuffles for
-    * assignment (the only corpus shuffle is the cell-id equi-join,
-    * and that too disappears when the probe side broadcasts).
-    * Per-query work is nprobe/nlist of the corpus. Pass `centroids`
-    * (cell, centroid) — e.g. k-means output — when quality matters;
-    * the plan is identical.
+    * assumption. The pre-quantized centroid table is folded into ONE
+    * array row and broadcast-nested-loop-joined to both sides, and
+    * cell selection is one codegen'd kernel call per row
+    * ([[graft.functions.VecBridge.nearestCellsQ]]): the corpus is
+    * never exploded ×nlist and never shuffles for assignment. Cell
+    * selection always uses the engine-exact quantized cosine (so
+    * membership is deterministic and oracle-comparable across
+    * engines); `score` ranks the final candidates. Cell ids must be
+    * long-castable. Per-query work is nprobe/nlist of the corpus.
+    * Pass `centroids` (cell, centroid) — e.g. k-means output — when
+    * quality matters; the plan is identical.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
@@ -267,28 +269,36 @@ object SimilarityOps {
           % lit(1000000007L), col("cell"))
         .limit(nlist)
     }
+    val V = graft.functions.VecFunctions
+    def quant(c: Column) =
+      transform(c, x => floor(x.cast("double") * 1000).cast("long"))
     // all nlist centroids folded into one array row; BNL-joining this
-    // single row broadcasts it without exploding either side ×nlist
+    // single row broadcasts it to every partition without exploding
+    // either side ×nlist. The agg consumes orderBy+limit DIRECTLY so
+    // centroid selection keeps planning as TakeOrderedAndProject (a
+    // projection in between gets pushed through the limit and degrades
+    // it to a full global sort); quantization + norming then run once,
+    // on the single aggregated row, before broadcast.
     val centArr = cents
-      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cents"))
-    // n nearest cells of `vec`, per row, zero shuffle: score each
-    // centroid in the array, sort by (-sim, cell) — sim desc with the
-    // same cell-asc tie-break the Window form used — and slice
-    def nearestCells(vec: Column, n: Int): Column =
-      slice(array_sort(transform(col("cents"), c =>
-        struct((-sc(vec, c("centroid"))).as("negsim"),
-          c("cell").as("cell")))), 1, n)
-    // assignment pass: each corpus vector -> nearest centroid (argmax
-    // projection; no corpus×nlist explode, no Window shuffle)
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("raw"))
+      .select(transform(col("raw"), c => {
+        val cq = quant(c("centroid"))
+        struct(c("cell").cast("long").as("cell"), cq.as("cq"),
+          V.dot_long(cq, cq).as("cnq"))
+      }).as("cents"))
+    // assignment pass: each corpus vector -> nearest centroid (one
+    // kernel call per row; no corpus×nlist explode, no Window shuffle)
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
       .crossJoin(broadcast(centArr))
       .select(col("neighbor_id"), col("c_emb"),
-        element_at(nearestCells(col("c_emb"), 1), 1)("cell").as("cell"))
+        element_at(V.nearest_cells_q(quant(col("c_emb")), col("cents"), 1), 1)
+          .as("cell"))
     // probe pass: each query -> its nprobe nearest cells
     val probes = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
       .crossJoin(broadcast(centArr))
       .select(col("query_id"), col("q_emb"),
-        explode(nearestCells(col("q_emb"), nprobe)("cell")).as("cell"))
+        explode(V.nearest_cells_q(quant(col("q_emb")), col("cents"), nprobe))
+          .as("cell"))
     // probe side is queries × nprobe — usually the small side, but
     // gated: a large probe frame falls back to a shuffle join
     val cands = graft.operators.Hints.maybeBroadcast(probes).join(assigned, Seq("cell"))
