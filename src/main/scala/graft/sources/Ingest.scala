@@ -101,10 +101,18 @@ object Ingest {
     raw.select(col("value").cast("string").as("payload"))
       .select(from_json(col("payload"), schema,
         Map("mode" -> "PERMISSIVE",
-          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("b"))
-      .filter(col("b._corrupt_record").isNull)
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("b0"))
+      // corrupt-drop + pending-drop gated via explode(when), NOT a
+      // Filter: PushPredicateThroughProject rewrites a filter on
+      // parsed fields into one from_json COPY PER REFERENCED FIELD
+      // (3 extra interpreted parses per row — JsonToStructs is
+      // CodegenFallback), while CollapseProject's expensive-alias
+      // guard keeps this single parse out of the explode expression,
+      // so each payload is parsed exactly once.
+      .select(explode(when(col("b0._corrupt_record").isNull &&
+          col("b0.hash").isNotNull && col("b0.number").isNotNull,
+        array(col("b0"))).otherwise(array().cast(new org.apache.spark.sql.types.ArrayType(schema, false)))).as("b"))
       .select(lit(chainId).as("chain_id"), col("b.*")).drop("_corrupt_record")
-      .filter(col("hash").isNotNull && col("number").isNotNull)
       .select(
         col("chain_id"), col("number"), col("timestamp"), col("hash"),
         col("parent_hash"),

@@ -57,7 +57,7 @@ object SyntheticTraces {
     val f = new java.io.File(s"$sfDir/orders.parquet")
     val fp = java.lang.Long.toHexString(f.length() * 31L + f.lastModified())
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" + fp
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_blocks_$key"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_blocks_v2_$key"
     val marker = new java.io.File(s"$path/_SUCCESS")
     if (!marker.isFile) synchronized {
       if (!marker.isFile) {
@@ -72,6 +72,10 @@ object SyntheticTraces {
         orders.select(payload(0, 0).as("value"), lit(0).as("re_emit"))
           .unionByName(orders.filter(col("o_orderkey") % 7 === 0)
             .select(payload(5, 1).as("value"), lit(1).as("re_emit")))
+          // stage in enough files that the downstream interpreted
+          // from_json (CodegenFallback, ~75µs/row) parses in parallel
+          // — a Kafka source would arrive partitioned the same way
+          .repartition(16)
           .write.mode("overwrite").parquet(path)
       }
     }
