@@ -661,12 +661,24 @@ object Queries {
   // Sketch-based distinct gauge (HLL++): approximate distinct users
   // per event type — the kind of cardinality telemetry a 100 TB
   // pipeline keeps where exact distinct would be a full shuffle of
-  // keys. No SQL oracle (sketch-estimates are engine-specific);
-  // bounded-error property tested in ObsSpec.
+  // keys. Sketch estimates are engine-specific, so the raw estimate
+  // can't hash-compare; the oracle surface is the ERROR-BOUND
+  // assertion instead: the exact count (computed here only for the
+  // oracle; the production gauge is sketch-only) plus a within-5%
+  // flag that DuckDB pins to 1 — the hash matches iff every group's
+  // estimate is inside the bound (rsd=0.02 → 5% ≈ 2.5σ).
   private val oApproxDistinct: Q = (s, dir) =>
     events(s, dir).groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users").cast("double") * 0.05).cast("int").as("within_5pct"))
+  private val oApproxDistinctOracle =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  count(*) AS n_events, CAST(1 AS INT) AS within_5pct
+      |FROM events GROUP BY 1""".stripMargin
 
   // O1/O2: latest-per-group gauges
   private val o1Latest: Q = (s, dir) =>
@@ -1007,8 +1019,9 @@ object Queries {
       |      (a, c) -> (a*31 + c) % 1000000007) END AS checksum
       |FROM d""".stripMargin
 
-  // rows-only LLM entries (probabilistic / float / custom-hash — not
-  // DuckDB-expressible; covered by ScalaTest recall + unit specs)
+  // FNV/splitmix fast-path entries — fully DuckDB-oracled via HUGEINT
+  // mod-2^64 arithmetic (see [[FnvOracleSql]]; previously rows-only
+  // under a wrong "not SQL-expressible" note)
   private val llmMinhashPairs: Q = (s, dir) =>
     graft.llm.DedupOps.nearDupPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
   private val llmSimhashPairs: Q = (s, dir) =>
@@ -1022,9 +1035,9 @@ object Queries {
   }
 
   // Engine-portable twins of the FNV simhash/fingerprint fast paths —
-  // same algorithms over the arithmetic mod-prime token/char hashes,
-  // so both get full DuckDB oracles (the FNV variants above stay
-  // rows-only: 64-bit wrapping multiplication isn't SQL-expressible).
+  // same algorithms over the arithmetic mod-prime token/char hashes
+  // (cheaper oracles, and cross-engine-reproducible signatures for
+  // callers that need them).
   private val llmSimhashPortablePairs: Q = (s, dir) =>
     graft.llm.DedupOps.simhashPortablePairs(t(s, dir, "documents"), "doc_id", "text", 3)
   private val llmSimhashPortableOracle = {
@@ -1571,6 +1584,10 @@ object Queries {
     "q_llm_jaccard_pairs" -> llmJaccardOracle,
     "q_llm_minhash_sig" -> llmMinhashSigOracle,
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshOracle,
+    "q_llm_minhash_pairs" -> FnvOracleSql.minhashPairs,
+    "q_llm_simhash_pairs" -> FnvOracleSql.simhashPairs,
+    "q_llm_fingerprints" -> FnvOracleSql.fingerprints,
+    "q_o_approx_distinct" -> oApproxDistinctOracle,
     "q_llm_dedup_clusters" -> llmDedupClustersOracle,
     "q_llm_curate" -> llmCurateOracle,
     "q_llm_decontaminate" -> llmDecontaminateOracle,
