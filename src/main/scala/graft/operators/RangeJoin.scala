@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   * it stays ~2), pair space = Σ_bucket |probes| · |intervals|
   * per bucket. No duplicate pairs by construction — a probe meets an
   * interval only in the probe's own bucket.
+  *
+  * Memory watch (SCALE_r06 rehearsal): the per-bucket hash build is
+  * the peak-memory site (5.8 GB task peak at sf1). If a deployment
+  * grows buckets past executor memory, narrow `bucketWidth` (more,
+  * smaller buckets) — AQE's skew-join splitting also applies, since
+  * the bucket id is the shuffle key.
   */
 object RangeJoin {
 

@@ -86,7 +86,13 @@ object Ingest {
       .select(from_json(col("payload"), schema,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> "_corrupt_record")).as("t"), col("payload"))
-    val good = parsed.filter(col("t._corrupt_record").isNull)
+    // good rows gated via explode(when), not a Filter — predicate
+    // pushdown through the parse projection would re-evaluate
+    // from_json once per referenced field (see decodeBlocks)
+    val good = parsed
+      .select(explode(when(col("t._corrupt_record").isNull, array(col("t")))
+        .otherwise(array().cast(
+          new org.apache.spark.sql.types.ArrayType(schema, false)))).as("t"))
       .select(lit(chainId).as("chain_id"), col("t.*")).drop("_corrupt_record")
     val corrupt = parsed.filter(col("t._corrupt_record").isNotNull)
       .select(lit(chainId).as("chain_id"), col("payload"))
