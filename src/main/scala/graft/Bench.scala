@@ -53,12 +53,18 @@ object Bench {
     // 4-5x slower than steady state (page cache + JIT) — the second
     // pass is precisely when it's most needed.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    // the ETL table queries share one persisted commit per corpus (the
+    // reference's one-pass design); reset between passes so each pass
+    // pays the full pipeline exactly once — otherwise pass 2 reads
+    // pass 1's cache and best-of-2 would record the compute nowhere
+    Queries.clearCommitCache()
     val pass1 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(fn)
     }
     System.err.println(f"[bench] pass1 total: ${pass1.map(_._2).filter(_ >= 0).sum}%.1f s")
     val results =
       if (runs > 1 && pass1.map(_._2).filter(_ >= 0).sum < 360.0) {
+        Queries.clearCommitCache()
         val pass2 = pass1.map { case (name, t1) =>
           val t2 = run(SparkEntry.queries(name))
           name -> (if (t2 >= 0 && (t1 < 0 || t2 < t1)) t2 else t1)

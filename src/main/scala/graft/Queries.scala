@@ -1435,6 +1435,16 @@ object Queries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Drop the shared-commit cache. The bench calls this between
+    * measurement passes: without it, a best-of-N pass reads the
+    * previous pass's persisted commit and the full pipeline cost
+    * would appear in NO recorded number.
+    */
+  def clearCommitCache(): Unit = {
+    commitCache.values().forEach(ds => ds.unpersist())
+    commitCache.clear()
+  }
+
   private val etlTransactions: Q = (s, dir) => {
     val (txs, _) = graft.operators.TraceEtl.split(commits(s, dir))
     // arrays → sorted CSV for the verify surface (library callers get
