@@ -44,9 +44,13 @@ object ScaleRehearsal {
       else Seq("q_etl_transactions", "q_etl_contracts", "q_etl_blocks",
         "q_llm_curate", "q_llm_dedup_clusters", "q_ann_ivf_topk",
         "q_llm_minhash_lsh_pairs", "q_range_join")
+    // SPARK_GRAFT_SHUFFLE overrides the partition count — the sf3
+    // rehearsal uses it to show the commit spill disappears when
+    // partitions are sized to the data (SCALE_r06.md finding 6)
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
