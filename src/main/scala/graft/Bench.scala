@@ -58,7 +58,14 @@ object Bench {
     // pays the full pipeline exactly once — otherwise pass 2 reads
     // pass 1's cache and best-of-2 would record the compute nowhere
     Queries.clearCommitCache()
-    val pass1 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // name order, except the flagship q_etl_transactions runs before
+    // q_etl_contracts: the pair shares one persisted commit per pass,
+    // and the single pipeline cost should be attributed to the
+    // flagship entry, with contracts measuring the table split
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
+      if (n == "q_etl_contracts") "q_etl_transactions~" else n
+    }
+    val pass1 = ordered.map { case (name, fn) =>
       name -> run(fn)
     }
     System.err.println(f"[bench] pass1 total: ${pass1.map(_._2).filter(_ >= 0).sum}%.1f s")

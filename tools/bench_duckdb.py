@@ -37,6 +37,13 @@ def main():
                 break
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            # the FNV-kernel oracles (q_llm_minhash_pairs ~4 min,
+            # q_llm_fingerprints ~100 s at sf0.1) emulate 64-bit
+            # wrapping hashes in HUGEINT SQL — 150-380x slower than
+            # the engine's codegen'd kernels by design; one run is
+            # representative, don't double the wait
+            if dt > 30:
+                break
         out[name] = round(best, 3)
     total = sum(v for v in out.values() if v >= 0)
     print(json.dumps({"metric": "duckdb_oracle_total", "value": round(total, 2),
