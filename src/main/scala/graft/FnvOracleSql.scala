@@ -9,11 +9,14 @@ package graft
   *     2^104, so one HUGEINT multiply + `% 2^64` wraps exactly; the
   *     byte xor touches only the low 8 bits (`h - h%256 + xor(h%256,c)`).
   *   - splitmix64: the mix constants are 64-bit, so the 64×64 wrapping
-  *     multiply splits 32/32: `((a>>32)*b % 2^32)*2^32 + (a%2^32)*b`
+  *     multiply splits 32/32: `(((a>>32)*b) & (2^32-1))*2^32 + (a & (2^32-1))*b`
   *     (every term stays under 2^97). DuckDB does no common-subexpr
   *     elimination, so the three mix stages are staged through CTE
   *     columns — inlining them re-evaluates the tree per reference and
-  *     was measured 15× slower.
+  *     was measured 15× slower. All mod-2^64/2^32 reductions are
+  *     bitmasks and the 2^32 divide is a shift: HUGEINT division is
+  *     ~25× slower than masking (20 s → 0.8 s on the 1.6M-row
+  *     permutation pipeline at sf0.01).
   *   - Signatures live in the unsigned [0,2^64) HUGEINT domain and are
   *     converted to Spark's signed BIGINT only at the output edge
   *     (`u2s`); MinHash's per-slot min is a SIGNED min (TextHash uses
@@ -25,17 +28,18 @@ package graft
 object FnvOracleSql {
 
   private val Mod = "18446744073709551616::HUGEINT"
-  private val B32 = "4294967296::HUGEINT"
+  private val Mask = "18446744073709551615::HUGEINT" // 2^64-1
+  private val M32 = "4294967295::HUGEINT" // 2^32-1
 
   /** 64×64→64 wrapping multiply of HUGEINT `a` in [0,2^64) by constant `b`. */
   private def mul64(a: String, b: String): String =
-    s"(((($a) // $B32) * ($b)) % $B32 * $B32 + (($a) % $B32) * ($b)) % $Mod"
+    s"((((($a) >> 32) * ($b)) & $M32) * 4294967296::HUGEINT + (($a) & $M32) * ($b)) & $Mask"
 
   /** FNV-1a64 fold over a list of byte codes (HUGEINT). */
   private def fnvList(charList: String): String =
     s"""list_reduce(list_prepend(14695981039346656037::HUGEINT, $charList),
-       |    (h, c) -> ((h - h % 256 + xor((h % 256)::BIGINT, c::BIGINT)::HUGEINT)
-       |               * 1099511628211::HUGEINT) % $Mod)""".stripMargin
+       |    (h, c) -> ((h - (h & 255) + xor((h & 255)::BIGINT, c::BIGINT)::HUGEINT)
+       |               * 1099511628211::HUGEINT) & $Mask)""".stripMargin
 
   /** FNV-1a64 of a string expression (ASCII corpus: ord == byte). */
   private def fnvStr(s: String): String =
@@ -50,7 +54,7 @@ object FnvOracleSql {
     */
   private def mix64Ctes(prefix: String, src: String, ks: Seq[String]): String = {
     val k = ks.mkString(", ")
-    s"""${prefix}a AS (SELECT $k, (z0 + 11400714819323198485::HUGEINT) % $Mod AS z1 FROM $src),
+    s"""${prefix}a AS (SELECT $k, (z0 + 11400714819323198485::HUGEINT) & $Mask AS z1 FROM $src),
        |${prefix}b AS (SELECT $k, xor(z1, z1 >> 30) AS x1 FROM ${prefix}a),
        |${prefix}c AS (SELECT $k, ${mul64("x1", "13787848793156543929::HUGEINT")} AS z2 FROM ${prefix}b),
        |${prefix}d AS (SELECT $k, xor(z2, z2 >> 27) AS x2 FROM ${prefix}c),
@@ -123,7 +127,7 @@ object FnvOracleSql {
        |bases AS (SELECT doc_id, ${fnvStr("s.sh")} AS base
        |  FROM shing, LATERAL (SELECT unnest(shs) AS sh) s),
        |seeded AS (SELECT doc_id, t.i AS i,
-       |    (base + (${mul64("t.i::HUGEINT", "11400714819323198485::HUGEINT")})) % $Mod AS z0
+       |    (base + (${mul64("t.i::HUGEINT", "11400714819323198485::HUGEINT")})) & $Mask AS z0
        |  FROM bases, (SELECT unnest(range(64)) AS i) t),
        |${mix64Ctes("m", "seeded", Seq("doc_id", "i"))},
        |perms AS (SELECT doc_id, i, min(${u2s("h")}) AS mn FROM mf GROUP BY doc_id, i),
@@ -131,7 +135,7 @@ object FnvOracleSql {
        |    list(CASE WHEN mn < 0 THEN mn::HUGEINT + $Mod ELSE mn::HUGEINT END ORDER BY i) AS sl
        |  FROM perms GROUP BY doc_id),
        |bandh AS (SELECT doc_id, t.b AS band,
-       |    (${fnvList(byteList)} + t.b::HUGEINT) % $Mod AS z0
+       |    (${fnvList(byteList)} + t.b::HUGEINT) & $Mask AS z0
        |  FROM slots, (SELECT unnest(range(16)) AS b) t),
        |${mix64Ctes("k", "bandh", Seq("doc_id", "band"))},
        |cands AS (
