@@ -486,12 +486,19 @@ case class NearestCellsQ(left: Expression, right: Expression, n: Int)
 
   override def nullable: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecBridge.nearestCellsQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], n)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val qv = a.asInstanceOf[ArrayData]
+    if (VecBridge.anyNull(qv)) null
+    else VecBridge.nearestCellsQ(qv, b.asInstanceOf[ArrayData], n)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VecBridge.nearestCellsQ($a, $b, $n)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VecBridge.anyNull($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VecBridge.nearestCellsQ($a, $b, $n);
+      }""")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCellsQ =
     copy(left = l, right = r)
