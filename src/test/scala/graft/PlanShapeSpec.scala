@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Enforced plan-shape invariants — the properties the per-round plan
+  * audits check by hand, pinned as tests so a regression fails `sbt
+  * test` instead of waiting for a bench diff:
+  *
+  *   - block/trace JSON decode parses each payload exactly ONCE
+  *     (predicate pushdown through the parse projection used to clone
+  *     the interpreted from_json per referenced field — a 4× decode);
+  *   - IVF cell assignment never shuffles the corpus (the ×nlist
+  *     explode + Window form was the one scale-killer left in r5) and
+  *     centroid selection stays a distributed partial top-k;
+  *   - the LSH near-dup candidate join is never a cartesian product;
+  *   - the fused commit keeps its single data shuffle.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllIn(hay).size
+
+  // parquet-backed input: a local literal relation constant-folds the
+  // whole parse away and the count would trivially pass at 0
+  test("decodeBlocks parses each payload exactly once") {
+    val raw = graft.sources.SyntheticTraces.blocksBronze(spark, dir).select("value")
+    val p = plan(graft.sources.Ingest.decodeBlocks(raw, chainId = 1))
+    assert(count(p, "from_json") == 1,
+      s"decode must parse once, found ${count(p, "from_json")} parses:\n$p")
+  }
+
+  test("decodeTraces good leg parses each payload exactly once") {
+    val raw = graft.sources.SyntheticTraces.blocksBronze(spark, dir).select("value")
+    val (good, _) = graft.sources.Ingest.decodeTraces(raw, chainId = 1)
+    val p = plan(good)
+    assert(count(p, "from_json") == 1,
+      s"decode must parse once, found ${count(p, "from_json")} parses:\n$p")
+  }
+
+  test("IVF: corpus never shuffles for cell assignment; partial top-k centroids") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = graft.llm.SimilarityOps.ivfTopK(
+      emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3)
+    val p = plan(out)
+    // the ONLY hash exchange is the final per-query top-k window;
+    // assignment rides the broadcast nested-loop join of the single
+    // centroid-array row
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"IVF must not shuffle for assignment:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), "centroid array must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "centroid selection must stay a distributed partial top-k (not a global sort)")
+  }
+
+  test("LSH candidate generation is a bucket equi-join, never cartesian") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.DedupOps.minhashCandidates(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), s"candidate join went cartesian:\n$p")
+    val p2 = plan(graft.llm.DedupOps.simhashPairs(docs, "doc_id", "text", 3))
+    assert(!p2.contains("CartesianProduct"), s"simhash pair join went cartesian:\n$p2")
+  }
+
+  test("fused commit: one data shuffle, no cartesian") {
+    val traces = graft.sources.SyntheticTraces.bronze(spark, dir)
+    val commits = graft.operators.TraceEtl.commitTraces(
+      graft.operators.TraceEtl.normalize(traces))
+    val p = plan(commits.toDF())
+    assert(!p.contains("CartesianProduct"), s"commit plan went cartesian:\n$p")
+    // one exchange for the typed aggregation; the J1 semi-join adds at
+    // most a broadcast (gated) or one more hash exchange above the
+    // threshold — never more
+    assert(count(p, "Exchange hashpartitioning") <= 2,
+      s"commit must keep its single data shuffle (+ at most the gated semi-join):\n$p")
+  }
+}
