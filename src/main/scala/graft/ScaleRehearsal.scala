@@ -46,14 +46,20 @@ object ScaleRehearsal {
         "q_llm_minhash_lsh_pairs", "q_range_join")
     // SPARK_GRAFT_SHUFFLE overrides the partition count — the sf3
     // rehearsal uses it to show the commit spill disappears when
-    // partitions are sized to the data (SCALE_r06.md finding 6)
+    // partitions are sized to the data (SCALE_r06.md finding 6).
+    // SPARK_GRAFT_AGG_FALLBACK overrides the object-hash-agg group
+    // threshold: the bench value (1M groups/partition) trades memory
+    // for speed and OOMs a 16 GiB/32-thread JVM at 100× — the sf10
+    // rehearsal lowers it so the aggregation falls back to sort-based
+    // (bounded memory, spills instead of dying).
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
+    val aggFallback = sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK", "1000000")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", aggFallback)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
