@@ -1343,6 +1343,48 @@ object Queries {
       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) AS INT) AS rank
       |FROM scored
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) <= 5""".stripMargin
+  // PQ top-k — the compression tier of the ANN ladder. Codes, ADC
+  // tables and distances are exact integer math over the quantized
+  // vectors, so the oracle mirrors everything: the dist CTE (per
+  // vector × subspace × codeword integer L2) serves BOTH the encode
+  // argmin and the query-side table lookups (m=8, ksub=16, dims=64
+  // mirrored in the literals; codes use 0-based codebook POSITION
+  // with position tie-break).
+  private val annPqTopk: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.llm.SimilarityOps.pqTopK(
+      emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+  }
+  private val annPqTopkOracle =
+    s"""$quantNormCte,
+      |cb AS (SELECT q AS cq,
+      |         CAST(row_number() OVER (
+      |           ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id) AS INT) - 1 AS cpos
+      |       FROM n
+      |       ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id
+      |       LIMIT 16),
+      |dist AS (
+      |  SELECT v.id AS vid, CAST(t.j AS INT) AS j, c.cpos AS c,
+      |    CAST(list_sum(list_transform(range(8),
+      |      i -> (v.q[CAST(t.j AS INT)*8 + CAST(i AS INT) + 1] - c.cq[CAST(t.j AS INT)*8 + CAST(i AS INT) + 1])
+      |         * (v.q[CAST(t.j AS INT)*8 + CAST(i AS INT) + 1] - c.cq[CAST(t.j AS INT)*8 + CAST(i AS INT) + 1]))) AS BIGINT) AS d2
+      |  FROM n v, (SELECT unnest(range(8)) AS j) t, cb c),
+      |codes AS (
+      |  SELECT vid, j, c FROM (
+      |    SELECT vid, j, c,
+      |      row_number() OVER (PARTITION BY vid, j ORDER BY d2, c) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |adist AS (
+      |  SELECT dq.vid AS query_id, cx.vid AS neighbor_id,
+      |    CAST(sum(dq.d2) AS BIGINT) AS adist
+      |  FROM codes cx JOIN dist dq ON dq.j = cx.j AND dq.c = cx.c
+      |  WHERE dq.vid < 20 AND dq.vid <> cx.vid
+      |  GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, adist,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank
+      |FROM adist
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 5""".stripMargin
+
   // The float32 descriptor path, oracled exactly: feature = bin-6
   // count / n_bytes computed in FLOAT (one correctly-rounded single-
   // precision division in both engines), then widened and quantized.
@@ -1540,6 +1582,7 @@ object Queries {
     "q_ann_cosine_topk" -> annCosineTopk,
     "q_ann_lsh_topk" -> annLshTopk,
     "q_ann_ivf_topk" -> annIvfTopk,
+    "q_ann_pq_topk" -> annPqTopk,
     "q_emb_stats" -> embStats,
     "q_mm_features" -> mmFeatures,
   )
@@ -1617,6 +1660,7 @@ object Queries {
     "q_ann_cosine_topk" -> annCosineTopkOracle,
     "q_ann_lsh_topk" -> annLshTopkOracle,
     "q_ann_ivf_topk" -> annIvfTopkOracle,
+    "q_ann_pq_topk" -> annPqTopkOracle,
     "q_llm_simhash_portable_pairs" -> llmSimhashPortableOracle,
     "q_llm_fingerprint_portable" -> llmFingerprintPortableOracle,
     "q_mm_features" -> mmFeaturesOracle,

@@ -347,6 +347,93 @@ object VecBridge {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Product-quantization kernels over pre-quantized (floor(x·1000))
+    * long vectors — all-integer math so codes, tables, and ADC
+    * distances hash-compare across engines. The codebook is an
+    * array<struct<cid:long, cq:array<long>>> of ksub full vectors
+    * riding along each row via a broadcast nested-loop join (the IVF
+    * centroid pattern); codeword (j, c) is subvector j of codebook
+    * entry c. Subspace j of a d-dim vector covers
+    * [j·(d/m), (j+1)·(d/m)) with the division remainder folded into
+    * the LAST subspace.
+    */
+  private def pqSubL2(qv: ArrayData, cq: ArrayData, from: Int, until: Int): Long = {
+    var s = 0L
+    var i = from
+    val n = math.min(until, math.min(qv.numElements(), cq.numElements()))
+    while (i < n) {
+      val d = qv.getLong(i) - cq.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** PQ codes of a vector: per subspace, the POSITION (0-based, in
+    * codebook order) of the codeword minimizing the exact integer
+    * subspace L2, position tie-break.
+    */
+  def pqEncode(qv: ArrayData, cb: ArrayData, m: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val dims = qv.numElements()
+    val sub = dims / m
+    val ksub = cb.numElements()
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val from = j * sub
+      val until = if (j == m - 1) dims else (j + 1) * sub
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val d = pqSubL2(qv, cb.getStruct(c, 2).getArray(1), from, until)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-query ADC lookup table: entry [j·ksub + c] = exact integer
+    * subspace-j L2 between the query and codeword (j, c).
+    */
+  def pqTable(qv: ArrayData, cb: ArrayData, m: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val dims = qv.numElements()
+    val sub = dims / m
+    val ksub = cb.numElements()
+    val out = new Array[Long](m * ksub)
+    var j = 0
+    while (j < m) {
+      val from = j * sub
+      val until = if (j == m - 1) dims else (j + 1) * sub
+      var c = 0
+      while (c < ksub) {
+        out(j * ksub + c) = pqSubL2(qv, cb.getStruct(c, 2).getArray(1), from, until)
+        c += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance computation: Σ_j table[j·ksub + codes[j]] —
+    * O(m) per candidate pair instead of O(d).
+    */
+  def pqAdc(table: ArrayData, codes: ArrayData, ksub: Int): Long = {
+    var s = 0L
+    var j = 0
+    val m = codes.numElements()
+    while (j < m) {
+      s += table.getLong(j * ksub + codes.getInt(j))
+      j += 1
+    }
+    s
+  }
+
   /** Sign-LSH bucket over a pre-quantized array<long> vector, with the
     * Knuth-multiplicative integer coefficient formula
     * coef(g, d) = ((g·31 + d)·2654435761) mod 2^31 − 2^30 — exactly the
@@ -504,6 +591,104 @@ case class NearestCellsQ(left: Expression, right: Expression, n: Int)
     copy(left = l, right = r)
 }
 
+/** PQ codes (see [[VecBridge.pqEncode]]). */
+case class PqEncode(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(_: StructType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, array<struct<cid,cq>>), " +
+          s"got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val qv = a.asInstanceOf[ArrayData]
+    if (VecBridge.anyNull(qv)) null
+    else VecBridge.pqEncode(qv, b.asInstanceOf[ArrayData], m)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VecBridge.anyNull($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VecBridge.pqEncode($a, $b, $m);
+      }""")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+    copy(left = l, right = r)
+}
+
+/** PQ ADC lookup table (see [[VecBridge.pqTable]]). */
+case class PqTable(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_table"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(_: StructType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, array<struct<cid,cq>>), " +
+          s"got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val qv = a.asInstanceOf[ArrayData]
+    if (VecBridge.anyNull(qv)) null
+    else VecBridge.pqTable(qv, b.asInstanceOf[ArrayData], m)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (graft.functions.VecBridge.anyNull($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VecBridge.pqTable($a, $b, $m);
+      }""")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqTable =
+    copy(left = l, right = r)
+}
+
+/** PQ asymmetric distance (see [[VecBridge.pqAdc]]). */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, array<int>), " +
+          s"got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecBridge.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecBridge.pqAdc($a, $b, $ksub)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+}
+
 /** Oracle-portable sign-LSH bucket of a quantized array<long> vector. */
 case class PortableSignBucket(child: Expression, planes: Int, tbl: Int)
     extends UnaryExpression {
@@ -647,4 +832,10 @@ object VecFunctions {
     GraftShim.column(PortableSignBucket(GraftShim.expression(q), planes, tbl))
   def nearest_cells_q(qv: Column, cents: Column, n: Int): Column =
     GraftShim.column(NearestCellsQ(GraftShim.expression(qv), GraftShim.expression(cents), n))
+  def pq_encode(qv: Column, cb: Column, m: Int): Column =
+    GraftShim.column(PqEncode(GraftShim.expression(qv), GraftShim.expression(cb), m))
+  def pq_table(qv: Column, cb: Column, m: Int): Column =
+    GraftShim.column(PqTable(GraftShim.expression(qv), GraftShim.expression(cb), m))
+  def pq_adc(table: Column, codes: Column, ksub: Int): Column =
+    GraftShim.column(PqAdc(GraftShim.expression(table), GraftShim.expression(codes), ksub))
 }

@@ -309,4 +309,60 @@ object SimilarityOps {
       .orderBy(col("score").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Product-quantization top-k (the compression tier of the ANN
+    * ladder: brute → LSH → IVF → PQ). Each corpus vector is encoded
+    * once into m codebook positions (m ints vs d floats — 32× smaller
+    * at d=64/m=8, the representation a 100 TB vector corpus actually
+    * stores); each query precomputes an m×ksub ADC lookup table, and
+    * candidate scoring is O(m) table adds per pair instead of O(d)
+    * multiply-adds.
+    *
+    * Deterministic + oracle-able by construction: vectors are
+    * floor(x·1000)-quantized, subspace distances are exact integer
+    * L2, and the default codebook is the ksub hash-order corpus
+    * vectors (the same quantizer seam as [[ivfTopK]] — pass trained
+    * centroids via `codebook` when quality matters; the plan is
+    * identical). Ranking ascends by (adc_distance, neighbor_id).
+    *
+    * Scale shape: the codebook folds into ONE broadcast array row
+    * (encode and table passes are per-row kernel projections, zero
+    * shuffle); scoring scans the code table once per query batch —
+    * compose with [[ivfTopK]] cells to prune candidates when the
+    * corpus outgrows a full code scan. Requires dims ≥ m; the
+    * division remainder folds into the last subspace.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val V = graft.functions.VecFunctions
+    def quant(c: Column) =
+      transform(c, x => floor(x.cast("double") * 1000).cast("long"))
+    val cb = codebook.getOrElse {
+      corpus.select(col(idCol).as("cid"), col(embCol).as("cvec"))
+        .orderBy(col("cid").bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+          % lit(1000000007L), col("cid"))
+        .limit(ksub)
+    }
+    // aggregate orderBy+limit directly (keeps TakeOrderedAndProject),
+    // quantize on the single array row before broadcast — see ivfTopK
+    val cbArr = cb
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("raw"))
+      .select(transform(col("raw"), c =>
+        struct(c("cid").cast("long").as("cid"), quant(c("cvec")).as("cq"))).as("cb"))
+    val codes = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
+      .crossJoin(broadcast(cbArr))
+      .select(col("neighbor_id"),
+        V.pq_encode(quant(col("emb")), col("cb"), m).as("codes"))
+    val tables = queries.select(col(idCol).as("query_id"), col(embCol).as("qemb"))
+      .crossJoin(broadcast(cbArr))
+      .select(col("query_id"), V.pq_table(quant(col("qemb")), col("cb"), m).as("tbl"))
+    val scored = graft.operators.Hints.maybeBroadcast(tables).crossJoin(codes)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        V.pq_adc(col("tbl"), col("codes"), ksub).as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

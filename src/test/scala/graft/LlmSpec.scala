@@ -365,6 +365,40 @@ class LlmSpec extends SparkSpec {
     assert(viaCustom.count() > 0)
   }
 
+  test("pq top-k: codes bounded, deterministic, recall over random ranking") {
+    val queries = emb.filter(col("vec_id") < 20)
+    // codes: m ints, each < ksub
+    val codes = SimilarityOps.pqTopK(emb, queries, "vec_id", "embedding", 5)
+    val a = codes.collect().map(_.toString).sorted
+    val b = SimilarityOps.pqTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b), "PQ ranking must be deterministic")
+    // recall@5 vs exact integer-L2 brute force (the metric PQ
+    // approximates — NOT cosine): 16 codewords per subspace is a
+    // coarse codebook, the assertion is a sanity floor far above the
+    // ~0.0025 random-pairs baseline
+    val ql2 = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) => {
+      val V = graft.functions.VecFunctions
+      def q(c: org.apache.spark.sql.Column) =
+        transform(c, v => floor(v.cast("double") * 1000).cast("long"))
+      -(V.dot_long(q(x), q(x)) - lit(2) * V.dot_long(q(x), q(y)) + V.dot_long(q(y), q(y)))
+    }
+    val truth = SimilarityOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5, ql2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilarityOps.pqTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(approx.contains).toDouble / truth.size
+    // random top-5 over 2000 vectors would hit 5/1999 ≈ 0.0025; the
+    // untrained hash-order codebook must beat that by an order of
+    // magnitude (ranking QUALITY comes from a trained codebook via
+    // the `codebook` seam — ranking CORRECTNESS is pinned exactly by
+    // the q_ann_pq_topk DuckDB oracle)
+    assert(recall >= 0.03, s"PQ recall@5 = $recall (random baseline ~0.0025)")
+    info(s"PQ ANN recall@5 = $recall (untrained hash-order codebook, m=8, ksub=16)")
+  }
+
   test("decontaminate: benchmark docs flag their exact copies, clean docs pass") {
     import graft.llm.PipelineOps
     // corpus = docs, benchmark = every 10th doc's exact text under a
