@@ -47,7 +47,7 @@ object EtlPhaseProbe {
         val pruned = TraceEtl.pruneNonZk(norm)
         val fn = udaf(new graft.operators.TraceTreeAggregator(),
           org.apache.spark.sql.Encoders.product[graft.model.TraceRow])
-        val cols = pruned.toDF().columns.map(col)
+        val cols = pruned.toDF().columns.toIndexedSeq.map(col)
         noop(pruned.groupBy(col("chain_id"), col("transaction_hash"))
           .agg(fn(cols: _*).as("commit")).select(col("commit.*")))
       }

@@ -1527,7 +1527,7 @@ object Queries {
   private val commitCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Dataset[graft.model.TxCommit]]()
   private def commits(s: SparkSession, dir: String) =
-    commitCache.computeIfAbsent(System.identityHashCode(s) + "|" + dir, _ => {
+    commitCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ => {
       val traces = graft.sources.SyntheticTraces.bronze(s, dir)
       graft.operators.TraceEtl.commitTraces(graft.operators.TraceEtl.normalize(traces))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -292,7 +292,7 @@ object DedupOps {
     // changes, so equal sums CheckEvery rounds apart prove nothing
     // changed in between — the check is sound at any stride.
     def labSum(): Long =
-      labels.agg(coalesce(sum("lab"), lit(0L))).head.getLong(0)
+      labels.agg(coalesce(sum("lab"), lit(0L))).head().getLong(0)
     var prevSum = labSum()
     var converged = false
     var i = 0
