@@ -399,21 +399,28 @@ object SimilarityOps {
       .agg(collect_list(struct(col("cid"), col("cvec"))).as("raw"))
       .select(transform(col("raw"), c =>
         struct(c("cid").cast("long").as("cid"), quant(c("cvec")).as("cq"))).as("cb"))
+    // quantizer + codebook fold into ONE broadcast row (two stacked
+    // BNL joins would square the plan-size estimate and trip the
+    // probe-side broadcast gate into a needless sort-merge join)
+    val lookups = broadcast(centArr.crossJoin(cbArr))
     // corpus stores exactly what an IVF-PQ index stores: cell + codes
     val indexed = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
-      .crossJoin(broadcast(centArr))
-      .crossJoin(broadcast(cbArr))
+      .crossJoin(lookups)
       .select(col("neighbor_id"),
         element_at(V.nearest_cells_q(quant(col("emb")), col("cents"), 1), 1)
           .as("cell"),
         V.pq_encode(quant(col("emb")), col("cb"), m).as("codes"))
     val probes = queries.select(col(idCol).as("query_id"), col(embCol).as("qemb"))
-      .crossJoin(broadcast(centArr))
-      .crossJoin(broadcast(cbArr))
+      .crossJoin(lookups)
       .select(col("query_id"),
         explode(V.nearest_cells_q(quant(col("qemb")), col("cents"), nprobe))
           .as("cell"),
         V.pq_table(quant(col("qemb")), col("cb"), m).as("tbl"))
+    // the probe plan (BNL + explode) has no usable plan-time size
+    // estimate, so the gate usually declines the hint here; that is
+    // the designed fallback — AQE's runtime join selection sees the
+    // ACTUAL probe size (|queries| × nprobe rows) and converts the
+    // cell join back to broadcast when it is small
     val scored = graft.operators.Hints.maybeBroadcast(probes)
       .join(indexed, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
