@@ -90,7 +90,7 @@ object Bench {
       "q_g1_sessionize", "q_f1_flatten", "q_j5_enrichment",
       "q_j3_second_degree", "q_d1_dedup_keep_last", "q_p1_json_decode",
       "q_llm_exact_dedup", "q_llm_minhash_lsh_pairs", "q_llm_dedup_clusters",
-      "q_llm_curate", "q_ann_topk_dot", "q_emb_neardup",
+      "q_llm_curate", "q_ann_topk_dot", "q_ann_ivfpq_topk", "q_emb_neardup",
       "q_asof_keyed", "q_asof_global", "q_range_join",
       "q_llm_decontaminate", "q_llm_seq_pack", "q_llm_fingerprint_portable")
     val byName = results.toMap

@@ -1385,6 +1385,40 @@ object Queries {
       |FROM adist
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 5""".stripMargin
 
+  // Gopher/MassiveText repetition filter evidence: duplicate bigram/
+  // trigram fractions per document (the published repetition quality
+  // rules), all-integer so both engines hash-match.
+  private val llmRepetition: Q = (s, dir) =>
+    graft.llm.TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+  private val llmRepetitionOracle =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tk
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id, len(tk) AS nt,
+      |    CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+      |    ELSE list_transform(range(len(tk)-1), j -> tk[j+1] || ' ' || tk[j+2]) END AS bg,
+      |    CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+      |    ELSE list_transform(range(len(tk)-2), j -> tk[j+1] || ' ' || tk[j+2] || ' ' || tk[j+3]) END AS tg
+      |  FROM tk),
+      |top AS (
+      |  SELECT doc_id, max(c) AS topb FROM (
+      |    SELECT doc_id, count(*) AS c
+      |    FROM gr, LATERAL (SELECT unnest(bg) AS b) x
+      |    GROUP BY doc_id, b) GROUP BY doc_id)
+      |SELECT g.doc_id,
+      |  CAST(nt AS INT) AS n_tokens,
+      |  CAST(len(bg) AS INT) AS n_bigrams,
+      |  CAST(coalesce(t.topb, 0) AS INT) AS top_bigram_count,
+      |  CAST(len(tg) AS INT) AS n_trigrams,
+      |  CAST(len(list_distinct(tg)) AS INT) AS distinct_trigrams,
+      |  CAST(CASE WHEN len(bg) = 0 THEN 0
+      |    ELSE (coalesce(t.topb, 0) * 1000000) // len(bg) END AS BIGINT) AS top_bigram_frac_x1e6,
+      |  CAST(CASE WHEN len(tg) = 0 THEN 0
+      |    ELSE ((len(tg) - len(list_distinct(tg))) * 1000000) // len(tg) END AS BIGINT) AS dup_trigram_frac_x1e6
+      |FROM gr g LEFT JOIN top t ON g.doc_id = t.doc_id""".stripMargin
+
   // IVF-PQ — the composed big-corpus ANN shape: candidates pruned to
   // the query's nprobe cells (quantized-cosine assignment, same CTEs
   // as q_ann_ivf_topk), each scored from its PQ code via the query's
@@ -1640,6 +1674,7 @@ object Queries {
     "q_ann_ivf_topk" -> annIvfTopk,
     "q_ann_pq_topk" -> annPqTopk,
     "q_ann_ivfpq_topk" -> annIvfPqTopk,
+    "q_llm_repetition" -> llmRepetition,
     "q_emb_stats" -> embStats,
     "q_mm_features" -> mmFeatures,
   )
@@ -1719,6 +1754,7 @@ object Queries {
     "q_ann_ivf_topk" -> annIvfTopkOracle,
     "q_ann_pq_topk" -> annPqTopkOracle,
     "q_ann_ivfpq_topk" -> annIvfPqTopkOracle,
+    "q_llm_repetition" -> llmRepetitionOracle,
     "q_llm_simhash_portable_pairs" -> llmSimhashPortableOracle,
     "q_llm_fingerprint_portable" -> llmFingerprintPortableOracle,
     "q_mm_features" -> mmFeaturesOracle,

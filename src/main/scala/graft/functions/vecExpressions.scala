@@ -263,6 +263,47 @@ object VecBridge {
     mn
   }
 
+  /** Repetition evidence for Gopher/MassiveText-style quality filters
+    * (Rae et al. 2021 §A1.1 filter repetitious documents by duplicate
+    * n-gram fractions): one pass over the whitespace tokens returns
+    * [n_tokens, n_bigrams, top_bigram_count, n_trigrams,
+    * distinct_trigrams] — the exact integers the duplicate-fraction
+    * thresholds derive from, map-only and oracle-comparable.
+    */
+  def repetitionStats(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(s.charAt(i))) i += 1
+        toks.add(s.substring(start, i))
+      }
+    }
+    val nt = toks.size()
+    val biCounts = new java.util.HashMap[String, Int]()
+    var top = 0
+    var j = 0
+    while (j < nt - 1) {
+      val b = toks.get(j) + " " + toks.get(j + 1)
+      val c = biCounts.merge(b, 1, Integer.sum)
+      if (c > top) top = c
+      j += 1
+    }
+    val triSet = new java.util.HashSet[String]()
+    j = 0
+    while (j < nt - 2) {
+      triSet.add(toks.get(j) + " " + toks.get(j + 1) + " " + toks.get(j + 2))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Long](
+      nt, math.max(nt - 1, 0), top, math.max(nt - 2, 0), triSet.size()))
+  }
+
   /** Word bigrams of a document ("tok1 tok2" strings, whitespace
     * tokenization identical to the hash kernels above). One pass, no
     * regex — the transform/element_at HOF formulation is interpreted
@@ -776,6 +817,23 @@ case class PortableSimhash60(child: Expression)
     copy(child = newChild)
 }
 
+/** Repetition evidence (see [[VecBridge.repetitionStats]]). */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringUnaryInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    VecBridge.repetitionStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecBridge.repetitionStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
 /** Word-bigram array (see [[VecBridge.wordBigrams]]). */
 case class WordBigrams(child: Expression)
     extends UnaryExpression with org.apache.spark.sql.GraftStringUnaryInput {
@@ -822,6 +880,8 @@ object VecFunctions {
     GraftShim.column(PortableFingerprintExpr(GraftShim.expression(c), w))
   def word_bigrams(c: Column): Column =
     GraftShim.column(WordBigrams(GraftShim.expression(c)))
+  def repetition_stats(c: Column): Column =
+    GraftShim.column(RepetitionStats(GraftShim.expression(c)))
   def quantized_dot(a: Column, b: Column): Column =
     GraftShim.column(QuantizedDot(GraftShim.expression(a), GraftShim.expression(b)))
   def dot_long(a: Column, b: Column): Column =

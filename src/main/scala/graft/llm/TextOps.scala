@@ -36,6 +36,31 @@ object TextOps {
   def markerCount(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), t => t.isin(words.map(lit(_)): _*)))
 
+  /** Gopher/MassiveText-style repetition evidence (Rae et al. 2021
+    * §A1.1 filter repetitious documents by duplicate n-gram
+    * fractions): per document, exact counts of bigram/trigram
+    * repetition from one codegen'd kernel pass, plus the two derived
+    * duplicate fractions quantized to exact integers
+    * (floor(1e6·frac), integer division) — map-only, streams at IO
+    * speed, and every value hash-compares against the SQL oracle.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = graft.functions.VecFunctions.repetition_stats(col(textCol))
+    df.select(col(idCol), st.as("st"))
+      .select(col(idCol),
+        element_at(col("st"), 1).cast("int").as("n_tokens"),
+        element_at(col("st"), 2).cast("int").as("n_bigrams"),
+        element_at(col("st"), 3).cast("int").as("top_bigram_count"),
+        element_at(col("st"), 4).cast("int").as("n_trigrams"),
+        element_at(col("st"), 5).cast("int").as("distinct_trigrams"))
+      .withColumn("top_bigram_frac_x1e6",
+        when(col("n_bigrams") === 0, 0L).otherwise(
+          expr("(top_bigram_count * CAST(1000000 AS BIGINT)) DIV n_bigrams")))
+      .withColumn("dup_trigram_frac_x1e6",
+        when(col("n_trigrams") === 0, 0L).otherwise(
+          expr("((n_trigrams - distinct_trigrams) * CAST(1000000 AS BIGINT)) DIV n_trigrams")))
+  }
+
   /** Heuristic quality score, scaled to exact integers:
     * floor(1000 * stopword_ratio) and floor(100 * avg token length) —
     * the usual length/stopword quality filters of LLM data pipelines

@@ -421,6 +421,30 @@ class LlmSpec extends SparkSpec {
       }
   }
 
+  test("repetition stats: planted repetitious doc vs clean doc") {
+    import spark.implicits._
+    val planted = Seq(
+      // "spam spam"×: 7 tokens, 6 bigrams all "spam spam" -> top 6;
+      // 5 trigrams all identical -> 1 distinct
+      (1L, "spam spam spam spam spam spam spam"),
+      // all-distinct tokens: top bigram 1, trigrams all distinct
+      (2L, "one two three four five six seven"),
+      (3L, "x"), // degenerate: no bigrams/trigrams
+      (4L, "")).toDF("doc_id", "text")
+    val out = graft.llm.TextOps.repetitionStats(planted, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val spam = out(1L)
+    assert(spam.getAs[Int]("top_bigram_count") == 6 &&
+      spam.getAs[Int]("distinct_trigrams") == 1 &&
+      spam.getAs[Long]("top_bigram_frac_x1e6") == 1000000L &&
+      spam.getAs[Long]("dup_trigram_frac_x1e6") == 800000L, s"spam row: $spam")
+    val clean = out(2L)
+    assert(clean.getAs[Int]("top_bigram_count") == 1 &&
+      clean.getAs[Long]("dup_trigram_frac_x1e6") == 0L, s"clean row: $clean")
+    assert(out(3L).getAs[Long]("top_bigram_frac_x1e6") == 0L)
+    assert(out(4L).getAs[Int]("n_tokens") == 0)
+  }
+
   test("decontaminate: benchmark docs flag their exact copies, clean docs pass") {
     import graft.llm.PipelineOps
     // corpus = docs, benchmark = every 10th doc's exact text under a
