@@ -102,11 +102,14 @@ object Bench {
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}"""
-    // absolute default: a cwd-relative path silently lands wherever the
-    // harness happened to launch the JVM and consumers miss the artifact
+    // default anchors to the launch directory (sbt runs in the project
+    // root), resolved to an absolute path up front so the log line below
+    // tells consumers exactly where the artifact landed; the env var
+    // overrides for harnesses that launch the JVM elsewhere
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")),
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
+          .resolve("BENCH_FULL.json").toAbsolutePath.toString)),
       full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_FULL.json: $e")

@@ -1559,13 +1559,20 @@ object Queries {
     * at any SF).
     */
   private val commitCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Dataset[graft.model.TxCommit]]()
-  private def commits(s: SparkSession, dir: String) =
-    commitCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ => {
-      val traces = graft.sources.SyntheticTraces.bronze(s, dir)
-      graft.operators.TraceEtl.commitTraces(graft.operators.TraceEtl.normalize(traces))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, org.apache.spark.sql.Dataset[graft.model.TxCommit])]()
+  private def commits(s: SparkSession, dir: String) = {
+    // prune entries bound to stopped sessions (test-suite churn): their
+    // persisted Datasets are unusable and would pin executor memory
+    // metadata; keying on the session UUID (stable, never reused —
+    // unlike an identity hash after GC) makes aliasing impossible
+    commitCache.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
+    commitCache.computeIfAbsent(
+      s"${org.apache.spark.sql.GraftShim.sessionUUID(s)}|$dir", _ => (s, {
+        val traces = graft.sources.SyntheticTraces.bronze(s, dir)
+        graft.operators.TraceEtl.commitTraces(graft.operators.TraceEtl.normalize(traces))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }))._2
+  }
 
   /** Drop the shared-commit cache. The bench calls this between
     * measurement passes: without it, a best-of-N pass reads the
@@ -1573,7 +1580,9 @@ object Queries {
     * would appear in NO recorded number.
     */
   def clearCommitCache(): Unit = {
-    commitCache.values().forEach(ds => ds.unpersist())
+    commitCache.values().forEach { case (s, ds) =>
+      if (!s.sparkContext.isStopped) ds.unpersist()
+    }
     commitCache.clear()
   }
 

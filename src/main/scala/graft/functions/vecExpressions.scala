@@ -267,8 +267,12 @@ object VecBridge {
     * (Rae et al. 2021 §A1.1 filter repetitious documents by duplicate
     * n-gram fractions): one pass over the whitespace tokens returns
     * [n_tokens, n_bigrams, top_bigram_count, n_trigrams,
-    * distinct_trigrams] — the exact integers the duplicate-fraction
-    * thresholds derive from, map-only and oracle-comparable.
+    * distinct_trigrams] — a count-based ANALOGUE of the Gopher
+    * fractions, map-only and oracle-comparable. Note the paper's
+    * fractions are character-weighted (fraction of characters inside
+    * duplicate n-grams); these are occurrence-count-weighted, so the
+    * published thresholds don't transfer verbatim — calibrate
+    * per-corpus.
     */
   def repetitionStats(text: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
@@ -361,10 +365,14 @@ object VecBridge {
       val cell = c.getLong(0)
       val cq = c.getArray(1)
       val cnq = c.getLong(2)
+      // a truncated min-length dot would yield plausible-but-wrong
+      // scores from a malformed centroid row — fail loudly instead
+      if (cq.numElements() != dims)
+        throw new IllegalArgumentException(
+          s"nearest_cells_q: centroid $cell has ${cq.numElements()} dims, vector has $dims")
       var dot = 0L
       var j = 0
-      val cd = math.min(dims, cq.numElements())
-      while (j < cd) { dot += qv.getLong(j) * cq.getLong(j); j += 1 }
+      while (j < dims) { dot += qv.getLong(j) * cq.getLong(j); j += 1 }
       val score =
         if (nq == 0L || cnq == 0L) 0L
         else math.floor(dot.toDouble * 1e6 /
@@ -401,13 +409,32 @@ object VecBridge {
   private def pqSubL2(qv: ArrayData, cq: ArrayData, from: Int, until: Int): Long = {
     var s = 0L
     var i = from
-    val n = math.min(until, math.min(qv.numElements(), cq.numElements()))
-    while (i < n) {
+    while (i < until) {
       val d = qv.getLong(i) - cq.getLong(i)
       s += d * d
       i += 1
     }
     s
+  }
+
+  /** Codeword/vector width mismatch check shared by [[pqEncode]] and
+    * [[pqTable]]: silent min-length truncation would produce
+    * plausible-but-wrong codes and distances from a malformed
+    * codebook row, so mismatches fail loudly.
+    */
+  private def checkCodebookDims(cb: ArrayData, dims: Int, m: Int, name: String): Unit = {
+    if (dims < m)
+      throw new IllegalArgumentException(
+        s"$name: vector has $dims dims but m=$m subspaces (requires dims >= m)")
+    val ksub = cb.numElements()
+    var c = 0
+    while (c < ksub) {
+      val cq = cb.getStruct(c, 2).getArray(1)
+      if (cq.numElements() != dims)
+        throw new IllegalArgumentException(
+          s"$name: codebook entry $c has ${cq.numElements()} dims, vector has $dims")
+      c += 1
+    }
   }
 
   /** PQ codes of a vector: per subspace, the POSITION (0-based, in
@@ -417,6 +444,7 @@ object VecBridge {
   def pqEncode(qv: ArrayData, cb: ArrayData, m: Int)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val dims = qv.numElements()
+    checkCodebookDims(cb, dims, m, "pq_encode")
     val sub = dims / m
     val ksub = cb.numElements()
     val out = new Array[Int](m)
@@ -444,6 +472,7 @@ object VecBridge {
   def pqTable(qv: ArrayData, cb: ArrayData, m: Int)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val dims = qv.numElements()
+    checkCodebookDims(cb, dims, m, "pq_table")
     val sub = dims / m
     val ksub = cb.numElements()
     val out = new Array[Long](m * ksub)

@@ -374,12 +374,16 @@ object SimilarityOps {
     * O(m) — neither a full scan nor full-width vectors. Corpus side
     * stores (cell, codes): one kernel projection per row, zero
     * shuffle before the cell equi-join. Deterministic hash-order
-    * quantizer + codebook (both pluggable); exact-integer ADC keeps
-    * the ranking hash-comparable.
+    * quantizer + codebook by default — pass trained `centroids`
+    * (cell, centroid) / `codebook` (cid, cvec) frames (e.g.
+    * [[Quantizers]] output) when quality matters, the plan is
+    * identical; exact-integer ADC keeps the ranking hash-comparable.
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 8, ksub: Int = 16): DataFrame = {
+      m: Int = 8, ksub: Int = 16,
+      centroids: Option[DataFrame] = None,
+      codebook: Option[DataFrame] = None): DataFrame = {
     val V = graft.functions.VecFunctions
     def quant(c: Column) =
       transform(c, x => floor(x.cast("double") * 1000).cast("long"))
@@ -388,14 +392,18 @@ object SimilarityOps {
         .orderBy(col(cidAs).bitwiseAND(lit(2147483647L)) * lit(2654435761L)
           % lit(1000000007L), col(cidAs))
         .limit(n)
-    val centArr = hashOrderTopK(nlist, "cell", "centroid")
+    val centArr = centroids
+      .map(_.select(col("cell"), col("centroid")))
+      .getOrElse(hashOrderTopK(nlist, "cell", "centroid"))
       .agg(collect_list(struct(col("cell"), col("centroid"))).as("raw"))
       .select(transform(col("raw"), c => {
         val cq = quant(c("centroid"))
         struct(c("cell").cast("long").as("cell"), cq.as("cq"),
           V.dot_long(cq, cq).as("cnq"))
       }).as("cents"))
-    val cbArr = hashOrderTopK(ksub, "cid", "cvec")
+    val cbArr = codebook
+      .map(_.select(col("cid"), col("cvec")))
+      .getOrElse(hashOrderTopK(ksub, "cid", "cvec"))
       .agg(collect_list(struct(col("cid"), col("cvec"))).as("raw"))
       .select(transform(col("raw"), c =>
         struct(c("cid").cast("long").as("cid"), quant(c("cvec")).as("cq"))).as("cb"))

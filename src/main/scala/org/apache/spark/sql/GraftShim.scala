@@ -13,6 +13,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Stable per-session unique id (`classic.SparkSession.sessionUUID`,
+    * not surfaced on the api-level class). Unlike
+    * `System.identityHashCode`, a UUID is never reused after GC, so
+    * caches keyed on it cannot alias a dead session's entries.
+    */
+  def sessionUUID(s: SparkSession): String = s match {
+    case c: classic.SparkSession => c.sessionUUID
+    case other => "idhash-" + System.identityHashCode(other)
+  }
 }
 
 /** Mixin declaring "exactly one StringType input" for graft's unary

@@ -658,4 +658,40 @@ class LlmSpec extends SparkSpec {
     assert(feats.forall(f => math.abs(f.features.sum - 1.0) < 1e-3))
     assert(feats.forall(f => Set("image", "audio", "video").contains(f.kind)))
   }
+
+  /** All messages down an exception's cause chain (executor failures
+    * surface wrapped in SparkException layers).
+    */
+  private def chainMessages(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+
+  test("pq: dims < m fails loudly; remainder dims fold into the last subspace") {
+    import spark.implicits._
+    val tiny = Seq((0L, Array(1f, 2f, 3f, 4f, 5f)), (1L, Array(5f, 4f, 3f, 2f, 1f)),
+        (2L, Array(0f, 1f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Throwable] {
+      SimilarityOps.pqTopK(tiny, tiny.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 1, m = 8, ksub = 2).collect()
+    }
+    assert(chainMessages(ex).exists(_.contains("requires dims >= m")),
+      s"expected dims<m error, got: ${chainMessages(ex).mkString(" | ")}")
+    // dims=64, m=7: 64 = 7*9+1, last subspace covers 10 dims — encode
+    // emits exactly m codes and top-k runs green
+    val out = SimilarityOps.pqTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 3, m = 7, ksub = 8)
+    assert(out.count() == 9)
+  }
+
+  test("ivf: malformed centroid dims fail loudly, not truncate-and-score") {
+    val badCents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cell"), slice(col("embedding"), 1, 10).as("centroid"))
+    val ex = intercept[Throwable] {
+      SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 2),
+        "vec_id", "embedding", 3, centroids = Some(badCents)).collect()
+    }
+    assert(chainMessages(ex).exists(_.contains("nearest_cells_q")),
+      s"expected dimension-mismatch error, got: ${chainMessages(ex).mkString(" | ")}")
+  }
 }
