@@ -1429,7 +1429,11 @@ object Queries {
     graft.llm.SimilarityOps.ivfPqTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
   }
-  private val annIvfPqTopkOracle =
+  // the CTE chain through per-pair ADC distance, shared by the plain
+  // IVF-PQ oracle (ranks on adist) and the rerank oracle (takes
+  // top-32 by adist, re-scores those pairs with the exact quantized
+  // cosine, ranks on that)
+  private val annIvfPqAdistCtes =
     s"""$quantNormCte,
       |cent AS (SELECT id AS cell, q AS cq, nq AS cnq FROM n
       |         ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id
@@ -1469,11 +1473,36 @@ object Queries {
       |  JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.neighbor_id
       |  JOIN codes cx ON cx.vid = a.neighbor_id
       |  JOIN dist dq ON dq.vid = p.query_id AND dq.j = cx.j AND dq.c = cx.c
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+  private val annIvfPqTopkOracle =
+    s"""$annIvfPqAdistCtes
       |SELECT query_id, neighbor_id, adist,
       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank
       |FROM adist
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 5""".stripMargin
+
+  // IVF-PQ + exact re-rank (FAISS refine): top-32 by compressed ADC,
+  // re-scored pair-by-pair with the exact quantized cosine.
+  private val annIvfPqRerank: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.llm.SimilarityOps.ivfPqRerankTopK(
+      emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+  }
+  private val annIvfPqRerankOracle =
+    s"""$annIvfPqAdistCtes,
+      |cands AS (
+      |  SELECT query_id, neighbor_id FROM adist
+      |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 32),
+      |exact AS (
+      |  SELECT cd.query_id, cd.neighbor_id,
+      |    ${qcosSql("qn.q", "qn.nq", "cn.q", "cn.nq")} AS score_x1e6
+      |  FROM cands cd
+      |  JOIN n qn ON qn.id = cd.query_id
+      |  JOIN n cn ON cn.id = cd.neighbor_id)
+      |SELECT query_id, neighbor_id, score_x1e6,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) AS INT) AS rank
+      |FROM exact
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) <= 5""".stripMargin
 
   // The float32 descriptor path, oracled exactly: feature = bin-6
   // count / n_bytes computed in FLOAT (one correctly-rounded single-
@@ -1683,6 +1712,7 @@ object Queries {
     "q_ann_ivf_topk" -> annIvfTopk,
     "q_ann_pq_topk" -> annPqTopk,
     "q_ann_ivfpq_topk" -> annIvfPqTopk,
+    "q_ann_ivfpq_rerank" -> annIvfPqRerank,
     "q_llm_repetition" -> llmRepetition,
     "q_emb_stats" -> embStats,
     "q_mm_features" -> mmFeatures,
@@ -1763,6 +1793,7 @@ object Queries {
     "q_ann_ivf_topk" -> annIvfTopkOracle,
     "q_ann_pq_topk" -> annPqTopkOracle,
     "q_ann_ivfpq_topk" -> annIvfPqTopkOracle,
+    "q_ann_ivfpq_rerank" -> annIvfPqRerankOracle,
     "q_llm_repetition" -> llmRepetitionOracle,
     "q_llm_simhash_portable_pairs" -> llmSimhashPortableOracle,
     "q_llm_fingerprint_portable" -> llmFingerprintPortableOracle,

@@ -438,4 +438,48 @@ object SimilarityOps {
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF-PQ with an exact re-rank refinement (the standard FAISS
+    * refine stage): [[ivfPqTopK]] produces each query's top-`rerank`
+    * candidates by compressed ADC distance, then ONLY those
+    * |queries|·rerank pairs are re-scored against the full-width
+    * vectors with the engine-exact [[quantizedCosineX1e6]] and the
+    * final top-k ranks on the exact score. Buys back the recall the
+    * m-int codes lose for the cost of `rerank` exact dots per query —
+    * negligible next to the candidate scan, and the refine join ships
+    * the (tiny) candidate id-list INTO the corpus scan (broadcast,
+    * size-gated), never the corpus out.
+    *
+    * Deterministic end-to-end (ADC integers → quantized-cosine
+    * integers), so candidate membership AND final order
+    * hash-compare with a SQL oracle.
+    */
+  def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+      centroids: Option[DataFrame] = None,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val V = graft.functions.VecFunctions
+    val cands = ivfPqTopK(corpus, queries, idCol, embCol, rerank,
+        nlist, nprobe, m, ksub, centroids, codebook)
+      .select(col("query_id"), col("neighbor_id"))
+    val quant = transform(col(embCol), x => floor(x.cast("double") * 1000).cast("long"))
+    def base(df: DataFrame, idAs: String, qAs: String, nqAs: String) =
+      df.select(col(idCol).as(idAs), quant.as(qAs))
+        .select(col(idAs), col(qAs), V.dot_long(col(qAs), col(qAs)).as(nqAs))
+    val c = base(corpus, "neighbor_id", "cq", "cnq")
+    val q = base(queries, "query_id", "qq", "qnq")
+    val exact = graft.operators.Hints.maybeBroadcast(cands)
+      .join(c, Seq("neighbor_id"))
+      .join(graft.operators.Hints.maybeBroadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("qnq") === 0 || col("cnq") === 0, 0L)
+          .otherwise(floor(V.dot_long(col("qq"), col("cq")).cast("double") * lit(1e6) /
+            sqrt((col("qnq") * col("cnq")).cast("double"))).cast("long"))
+          .as("score_x1e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_x1e6").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -684,6 +684,43 @@ class LlmSpec extends SparkSpec {
     assert(out.count() == 9)
   }
 
+  test("trained quantizers beat hash-order defaults; rerank beats plain ivf-pq") {
+    // sf0.01 (500 vectors): large enough that k-means has structure to
+    // fit, small enough to train in seconds. Everything below is exact
+    // integer math over a fixed corpus, so the recalls are fully
+    // deterministic (measured: ivf 0.458→0.544, pq 0.150→0.272,
+    // ivf-pq+rerank 0.224→0.422 trained) — the floors have real margin.
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 50)
+    val k = 10
+    val truth = SimilarityOps.bruteForceTopKPortable(e, queries, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recall(df: DataFrame): Double = RecallEval.recallAtK(truth, df)
+    val cents = graft.llm.Quantizers.trainIvfCentroids(e, "vec_id", "embedding", 16)
+    val cb = graft.llm.Quantizers.trainPqCodebook(e, "vec_id", "embedding", 8, 16)
+    val qcos = SimilarityOps.quantizedCosineX1e6 _
+    val ivfHash = recall(SimilarityOps.ivfTopK(e, queries, "vec_id", "embedding", k, score = qcos))
+    val ivfTrained = recall(SimilarityOps.ivfTopK(e, queries, "vec_id", "embedding", k,
+      score = qcos, centroids = Some(cents)))
+    val pqHash = recall(SimilarityOps.pqTopK(e, queries, "vec_id", "embedding", k))
+    val pqTrained = recall(SimilarityOps.pqTopK(e, queries, "vec_id", "embedding", k,
+      codebook = Some(cb)))
+    val ivfPqTrained = recall(SimilarityOps.ivfPqTopK(e, queries, "vec_id", "embedding", k,
+      centroids = Some(cents), codebook = Some(cb)))
+    val rerankTrained = recall(SimilarityOps.ivfPqRerankTopK(e, queries, "vec_id", "embedding", k,
+      centroids = Some(cents), codebook = Some(cb)))
+    info(f"ivf $ivfHash%.3f→$ivfTrained%.3f  pq $pqHash%.3f→$pqTrained%.3f  " +
+      f"ivfpq $ivfPqTrained%.3f→rerank $rerankTrained%.3f")
+    assert(ivfTrained >= ivfHash, s"training worsened IVF recall: $ivfHash -> $ivfTrained")
+    assert(pqTrained > pqHash, s"training worsened PQ recall: $pqHash -> $pqTrained")
+    assert(rerankTrained >= ivfPqTrained + 0.1,
+      s"rerank gained <0.1 recall: $ivfPqTrained -> $rerankTrained")
+    assert(ivfTrained >= 0.5, s"trained IVF recall@10 = $ivfTrained")
+    assert(pqTrained >= 0.2, s"trained PQ recall@10 = $pqTrained")
+    assert(rerankTrained >= 0.35, s"trained rerank recall@10 = $rerankTrained")
+  }
+
   test("ivf: malformed centroid dims fail loudly, not truncate-and-score") {
     val badCents = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cell"), slice(col("embedding"), 1, 10).as("centroid"))
