@@ -57,6 +57,42 @@ class PlanShapeSpec extends SparkSpec {
       "centroid selection must stay a distributed partial top-k (not a global sort)")
   }
 
+  test("PQ: encode/table ride the broadcast codebook row; only the rank window shuffles") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.llm.SimilarityOps.pqTopK(
+      emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3))
+    assert(!p.contains("CartesianProduct"), s"PQ scoring went cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), "codebook array must broadcast")
+    // corpus encode is ONE kernel projection (an exploded ×ksub form
+    // would clone it), and the only hash exchange in the whole plan is
+    // the final per-query rank window — scan → encode → score is
+    // projection-only
+    assert(count(p, "pq_encode") == 1,
+      s"corpus must encode once, found ${count(p, "pq_encode")}:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"PQ must not shuffle outside the rank window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "codebook selection must stay a distributed partial top-k")
+  }
+
+  test("IVF-PQ: zero-shuffle index build; exchanges only at cell join + rank window") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.llm.SimilarityOps.ivfPqTopK(
+      emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3))
+    assert(!p.contains("CartesianProduct"), s"IVF-PQ went cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "quantizer+codebook lookup row must broadcast")
+    // (cell, codes) index build and the probe (cell, tbl) build are
+    // single kernel projections each — one pq_encode, one pq_table
+    assert(count(p, "pq_encode") == 1 && count(p, "pq_table") == 1,
+      s"index/probe builds must be single projections:\n$p")
+    // hash exchanges: at most the un-estimable probe side's cell-join
+    // fallback (2 sides; AQE converts back to broadcast at runtime —
+    // see the gate note in ivfPqTopK) + the final rank window
+    assert(count(p, "Exchange hashpartitioning") <= 3,
+      s"IVF-PQ grew an extra shuffle:\n$p")
+  }
+
   test("LSH candidate generation is a bucket equi-join, never cartesian") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.llm.DedupOps.minhashCandidates(docs, "doc_id", "text"))
