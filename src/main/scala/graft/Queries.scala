@@ -667,11 +667,21 @@ object Queries {
   // oracle; the production gauge is sketch-only) plus a within-5%
   // flag that DuckDB pins to 1 — the hash matches iff every group's
   // estimate is inside the bound (rsd=0.02 → 5% ≈ 2.5σ).
+  // Two-stage form instead of one agg mixing countDistinct with the
+  // sketch: the mixed form plans an Expand that pushes every row
+  // through the aggregation twice (once per distinct-group, once for
+  // the plain count). Pre-aggregating to (event_type, user_id) pairs
+  // makes the exact count a plain count, and the HLL sketch is
+  // insertion-idempotent, so running it over the deduplicated pairs
+  // yields the IDENTICAL estimate — one pass over the data, and the
+  // second shuffle carries only the distinct pairs.
   private val oApproxDistinct: Q = (s, dir) =>
-    events(s, dir).groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
-        countDistinct(col("user_id")).as("exact_users"),
-        count(lit(1)).as("n_events"))
+    events(s, dir).groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("exact_users"),
+        sum(col("n")).as("n_events"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
       .select(col("event_type"), col("exact_users"), col("n_events"),
         (abs(col("approx") - col("exact_users")) <=
           col("exact_users").cast("double") * 0.05).cast("int").as("within_5pct"))
