@@ -57,7 +57,7 @@ object Bench {
     // reference's one-pass design); reset between passes so each pass
     // pays the full pipeline exactly once — otherwise pass 2 reads
     // pass 1's cache and best-of-2 would record the compute nowhere
-    Queries.clearCommitCache()
+    Queries.clearCaches()
     // name order, except the flagship q_etl_transactions runs before
     // q_etl_contracts: the pair shares one persisted commit per pass,
     // and the single pipeline cost should be attributed to the
@@ -71,7 +71,7 @@ object Bench {
     System.err.println(f"[bench] pass1 total: ${pass1.map(_._2).filter(_ >= 0).sum}%.1f s")
     val results =
       if (runs > 1 && pass1.map(_._2).filter(_ >= 0).sum < 360.0) {
-        Queries.clearCommitCache()
+        Queries.clearCaches()
         val pass2 = pass1.map { case (name, t1) =>
           val t2 = run(SparkEntry.queries(name))
           name -> (if (t2 >= 0 && (t1 < 0 || t2 < t1)) t2 else t1)
