@@ -471,8 +471,9 @@ object Queries {
     val probes = t(s, dir, "lineitem").select(
       (col("l_orderkey") * 10 + col("l_linenumber")).as("p_id"),
       (col("l_orderkey") * 4 + col("l_linenumber")).as("pts"))
+    // width auto-derived from the median interval length (~25 here)
     graft.operators.RangeJoin.pointInInterval(
-        probes, intervals, "pts", "iv_start", "iv_end", bucketWidth = 32)
+        probes, intervals, "pts", "iv_start", "iv_end")
       .select("p_id", "pts", "iv_id", "iv_start", "iv_end")
   }
   private val rangeJoinOracle =
