@@ -1,0 +1,267 @@
+package graft
+
+import graft.model._
+import graft.operators.TraceEtl
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming load rehearsal — the streaming twin of graft.ScaleRehearsal:
+  * drives the stateful operators (TwsSessionizer, the classic
+  * flatMapGroupsWithState sessionizer, TwsAsof) with a real file
+  * stream at sf1 volume and records, per micro-batch: duration, input
+  * rows, state-store rows/memory, and the event-time watermark — plus
+  * an end-state parity checksum against the batch path (computed
+  * distributed, never collected).
+  *
+  *   sbt "runMain graft.StreamRehearsal [sfDir] [nSlices]"
+  *
+  * Input staging: the corpus is sliced into `nSlices` time-range
+  * parquet files with strictly increasing modification times, so the
+  * file source (maxFilesPerTrigger=1, Trigger.AvailableNow) replays
+  * them as an ordered stream of micro-batches — arrival order mirrors
+  * event time the way a live topic would, and the 10 s watermark
+  * delay covers within-slice disorder exactly as it would cover
+  * consumer reordering in production. Two far-future sentinel slices
+  * close the stream: the first advances the watermark past every real
+  * session, the second gives the timers a batch to fire in (watermark
+  * updates are visible one batch later); sentinel keys are excluded
+  * from parity.
+  */
+object StreamRehearsal {
+
+  private case class B(batchId: Long, rows: Long, ms: Long, stateRows: Long,
+      stateMB: Double, watermark: String)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/tmp/sf1")
+    val nSlices = if (args.length > 1) args(1).toInt else 20
+    val work = "/root/repo/tmp/stream_rehearsal"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(work))
+    try run(spark, sfDir, nSlices, work)
+    finally spark.stop()
+  }
+
+  // ---------------------------------------------------------------- staging
+
+  /** Write `df` as `nSlices` single-file time-range slices under
+    * `watchDir`, modification times strictly increasing with the time
+    * range, so FileStreamSource replays them in event-time order.
+    */
+  private def stageSlices(df: DataFrame, tsCol: String, nSlices: Int,
+      stageDir: String, watchDir: String): Unit = {
+    val r = df.agg(min(col(tsCol)), max(col(tsCol))).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val width = math.max((mx - mn) / nSlices + 1, 1L)
+    df.withColumn("_slice",
+        least(floor((col(tsCol) - mn) / width), lit(nSlices - 1)).cast("int"))
+      .repartition(col("_slice"))
+      .write.partitionBy("_slice").mode("overwrite").parquet(stageDir)
+    moveSlices(stageDir, watchDir, 0)
+  }
+
+  /** Move `_slice=i` part files into the watch dir as slice_<i>_<j>
+    * with mtime base+i — the file source orders on (mtime, path).
+    */
+  private def moveSlices(stageDir: String, watchDir: String, idxOffset: Int): Unit = {
+    val base = 1700000000000L
+    new java.io.File(watchDir).mkdirs()
+    val stage = new java.io.File(stageDir)
+    stage.listFiles().filter(_.getName.startsWith("_slice=")).sortBy(_.getName).foreach { d =>
+      val i = d.getName.stripPrefix("_slice=").toInt + idxOffset
+      d.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (f, j) =>
+          val dst = new java.io.File(watchDir, f"slice_$i%04d_$j.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(base + i * 60000L)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- driving
+
+  /** Run a streaming Dataset to a parquet sink with AvailableNow and
+    * return (wall seconds, per-batch metrics from query progress).
+    */
+  private def drive(out: Dataset[_], outDir: String, ckDir: String): (Double, Seq[B]) = {
+    val t0 = System.nanoTime()
+    val q = out.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val ms = q.recentProgress.toIndexedSeq.map { p =>
+      val so = p.stateOperators.headOption
+      B(p.batchId, p.numInputRows,
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
+        so.map(_.numRowsTotal).getOrElse(0L),
+        so.map(_.memoryUsedBytes / 1048576.0).getOrElse(0.0),
+        Option(p.eventTime.get("watermark")).getOrElse("-"))
+    }
+    (wall, ms)
+  }
+
+  private def report(name: String, wall: Double, bs: Seq[B]): Unit = {
+    println(s"\n### $name")
+    println("| batch | input rows | duration ms | state rows | state MB | watermark |")
+    println("|---|---|---|---|---|---|")
+    bs.foreach(b => println(
+      f"| ${b.batchId} | ${b.rows} | ${b.ms} | ${b.stateRows} | ${b.stateMB}%.1f | ${b.watermark} |"))
+    val rows = bs.map(_.rows).sum
+    println(f"$name: wall $wall%.1f s, $rows rows, ${bs.size} batches, " +
+      f"peak state rows ${if (bs.isEmpty) 0L else bs.map(_.stateRows).max}, " +
+      f"peak state ${if (bs.isEmpty) 0.0 else bs.map(_.stateMB).max}%.1f MB, " +
+      f"throughput ${rows / math.max(wall, 0.001)}%.0f rows/s")
+  }
+
+  /** Distributed order-insensitive checksum: (row count, sum of
+    * per-row xxhash64 over the name-sorted JSON projection).
+    */
+  private def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+    val cols = df.columns.sorted.map(col)
+    val r = df.select(xxhash64(to_json(struct(cols: _*))).as("h"))
+      .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).head()
+    (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+  }
+
+  private def assertParity(what: String, stream: DataFrame, batch: DataFrame): Unit = {
+    val (sc, sh) = checksum(stream)
+    val (bc, bh) = checksum(batch)
+    val ok = sc == bc && sh.compareTo(bh) == 0
+    println(s"parity[$what]: stream=($sc, $sh) batch=($bc, $bh) " +
+      (if (ok) "MATCH" else "MISMATCH"))
+    require(ok, s"$what: stream/batch parity failed")
+  }
+
+  // ---------------------------------------------------------------- scenarios
+
+  def run(spark: SparkSession, sfDir: String, nSlices: Int, work: String): Unit = {
+    import spark.implicits._
+
+    // ---- corpus: normalized traces, staged once, shared by both sessionizers
+    val norm = TraceEtl.normalize(graft.sources.SyntheticTraces.fromTpch(spark, sfDir))
+      .filter(col("transaction_hash").isNotNull && col("block_timestamp").isNotNull)
+    val traceWatch = s"$work/traces_in"
+    stageSlices(norm.toDF(), "block_timestamp", nSlices, s"$work/traces_stage", traceWatch)
+    val mx = spark.read.parquet(traceWatch).agg(max("block_timestamp")).head().getLong(0)
+    // sentinel slices: advance the watermark, then give timers a batch
+    Seq(
+      (nSlices, TraceRow(1L, "0xsentinel1", Some(0), Some("0xa"), Some("0xb"), None,
+        Some("0x00"), None, Some(1L), is_root = true, Some(1L),
+        Some(mx + 1000000L), Some("0xb"), None)),
+      (nSlices + 1, TraceRow(1L, "0xsentinel2", Some(0), Some("0xa"), Some("0xb"), None,
+        Some("0x00"), None, Some(1L), is_root = true, Some(1L),
+        Some(mx + 2000000L), Some("0xb"), None)),
+    ).foreach { case (i, row) =>
+      Seq(row).toDS().withColumn("_slice", lit(i))
+        .write.partitionBy("_slice").mode("overwrite").parquet(s"$work/sent_$i")
+      moveSlices(s"$work/sent_$i", traceWatch, 0)
+    }
+    val traceSchema = spark.read.parquet(traceWatch).schema
+    def traceStream: Dataset[TraceRow] =
+      spark.readStream.schema(traceSchema)
+        .option("maxFilesPerTrigger", 1).parquet(traceWatch).as[TraceRow]
+
+    // batch reference for parity (no sentinels: computed from `norm`)
+    val (bTx, bC) = TraceEtl.split(TraceEtl.commitTraces(norm))
+    val t0 = System.nanoTime()
+    val bTxDf = bTx.toDF().persist(); val bCDf = bC.toDF().persist()
+    val batchRows = bTxDf.count() + bCDf.count()
+    val batchSec = (System.nanoTime() - t0) / 1e9
+    println(f"batch commit reference: $batchRows rows in $batchSec%.1f s")
+
+    def sessionParity(outDir: String, what: String): Unit = {
+      val outp = spark.read.parquet(outDir)
+      val sTx = outp.filter(col("transaction").isNotNull &&
+          !col("transaction.transaction_hash").startsWith("0xsentinel"))
+        .select("transaction.*")
+      // sentinels never commit (their timers outlive the last batch)
+      // and call no precompiles, so contracts need no sentinel filter
+      val sC = outp.select(explode(col("contracts")).as("c")).select("c.*")
+      assertParity(s"$what transactions", sTx, bTxDf)
+      assertParity(s"$what contracts", sC, bCDf)
+    }
+
+    // ---- 1) transformWithState sessionizer (RocksDB)
+    locally {
+      val (wall, bs) = drive(
+        graft.streaming.TwsSessionizer.sessionCommit(traceStream, gapSeconds = 1L),
+        s"$work/tws_out", s"$work/tws_ck")
+      report("TwsSessionizer (transformWithState, RocksDB)", wall, bs)
+      sessionParity(s"$work/tws_out", "tws")
+    }
+
+    // ---- 2) classic flatMapGroupsWithState sessionizer
+    locally {
+      val (wall, bs) = drive(
+        graft.streaming.StreamingEtl.sessionCommit(traceStream, gapSeconds = 1L),
+        s"$work/fmgws_out", s"$work/fmgws_ck")
+      report("StreamingEtl.sessionCommit (flatMapGroupsWithState)", wall, bs)
+      sessionParity(s"$work/fmgws_out", "fmgws")
+    }
+
+    // ---- 3) streaming as-of join at 1M events
+    locally {
+      // unique (key, tag, ts) so equal-ts resolution ties cannot differ
+      // between the streaming operator and the batch window form
+      val asofIn = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("user_id").as("key"),
+          when(col("event_type") === "signup", 0).otherwise(1).as("tag"),
+          col("event_id").as("id"),
+          expr("CAST(ts DIV 1000000000 AS BIGINT)").as("ts"))
+        .groupBy("key", "tag", "ts").agg(max("id").as("id"))
+        .select(col("key"), col("tag"), col("id"), col("ts"),
+          col("ts").cast("timestamp").as("event_time"))
+      val asofWatch = s"$work/asof_in"
+      stageSlices(asofIn, "ts", nSlices, s"$work/asof_stage", asofWatch)
+      val amx = spark.read.parquet(asofWatch).agg(max("ts")).head().getLong(0)
+      Seq((nSlices, (-1L, 0, -1L, amx + 1000000L)),
+          (nSlices + 1, (-1L, 0, -2L, amx + 2000000L))).foreach { case (i, (k, tg, id, ts)) =>
+        Seq((k, tg, id, ts)).toDF("key", "tag", "id", "ts")
+          .select(col("key"), col("tag"), col("id"), col("ts"),
+            col("ts").cast("timestamp").as("event_time"))
+          .withColumn("_slice", lit(i))
+          .write.partitionBy("_slice").mode("overwrite").parquet(s"$work/asent_$i")
+        moveSlices(s"$work/asent_$i", asofWatch, 0)
+      }
+      val aSchema = spark.read.parquet(asofWatch).schema
+      val aStream = spark.readStream.schema(aSchema)
+        .option("maxFilesPerTrigger", 1).parquet(asofWatch)
+        .as[graft.streaming.AsofInput]
+      val (wall, bs) = drive(graft.streaming.TwsAsof.asofKeyed(aStream),
+        s"$work/asof_out", s"$work/asof_ck")
+      report("TwsAsof.asofKeyed (transformWithState, RocksDB)", wall, bs)
+
+      // batch reference: AsofJoin.keyed over the same probe/state split
+      val probes = asofIn.filter(col("tag") === 1)
+        .select(col("key"), col("ts"), col("id").as("probe_id"))
+      val states = asofIn.filter(col("tag") === 0)
+        .select(col("key"), col("ts"), col("id").as("state_id"))
+      val bAsof = graft.operators.AsofJoin.keyed(
+          probes, states, Seq("key"), "ts", Seq("state_id"))
+        .select(col("key"), col("probe_id"), col("ts").as("probe_ts"),
+          col("asof_state_id").as("state_id"))
+      val sAsof = spark.read.parquet(s"$work/asof_out")
+        .filter(col("key") >= 0)
+        .select(col("key"), col("probe_id"), col("probe_ts"), col("state_id"))
+      assertParity("asof", sAsof, bAsof)
+    }
+
+    println("\nstream rehearsal complete")
+  }
+}
