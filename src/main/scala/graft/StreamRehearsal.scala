@@ -262,6 +262,39 @@ object StreamRehearsal {
       assertParity("asof", sAsof, bAsof)
     }
 
+    // ---- 4) streaming curation: high-duplicate document stream
+    locally {
+      // amplify the corpus into 20 arrival waves of exact duplicates
+      // (every wave re-delivers every document): the dedup seen-set is
+      // the only stateful piece, so this is its stress shape — state
+      // must plateau at the DISTINCT count while 95% of input drops
+      val reps = 20
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val amplified = docs
+        .select(col("doc_id"), col("text"), explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+        .select((col("doc_id") * reps + col("rep")).as("doc_id"), col("text"),
+          (col("rep") * 100000L + col("doc_id") % 100000L).as("ts"))
+      val curWatch = s"$work/cur_in"
+      stageSlices(amplified, "ts", nSlices, s"$work/cur_stage", curWatch)
+      val cSchema = spark.read.parquet(curWatch).schema
+      val cStream = spark.readStream.schema(cSchema)
+        .option("maxFilesPerTrigger", 1).parquet(curWatch)
+      // no sentinels: dropDuplicates has no timers — rows emit in
+      // their own batch and the seen-set simply persists
+      val (wall, bs) = drive(
+        graft.llm.StreamingCuration.curateStream(cStream, "doc_id", "text"),
+        s"$work/cur_out", s"$work/cur_ck")
+      report("StreamingCuration.curateStream (dropDuplicates seen-set)", wall, bs)
+      // parity on the KEPT CONTENT SET: which doc_id survives a
+      // duplicate group depends on arrival order (stream) vs plan
+      // order (batch), but the gated distinct-hash set must agree
+      val sSet = spark.read.parquet(s"$work/cur_out").select("text_hash")
+      val bSet = graft.llm.StreamingCuration.curateStream(
+        amplified, "doc_id", "text").select("text_hash")
+      assertParity("curation kept-hash set", sSet, bSet)
+    }
+
     println("\nstream rehearsal complete")
   }
 }

@@ -93,6 +93,10 @@ object Quantizers {
     * (cell, centroid) frame directly pluggable into
     * [[SimilarityOps.ivfTopK]] / [[SimilarityOps.ivfPqTopK]].
     * Assignment metric is the serving path's exact quantized cosine.
+    * Degenerate inputs degrade, never throw: a corpus smaller than k
+    * yields one centroid per vector, an empty corpus an empty frame
+    * (serving with either stays well-defined), and cells that lose
+    * all members keep their previous centroid.
     */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, embCol: String,
       k: Int, iters: Int = 5, trainSize: Int = 4096): DataFrame = {
@@ -149,7 +153,10 @@ object Quantizers {
     val sample = sampleQ(corpus, idCol, embCol, trainSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val dims = sample.select(size(col("q"))).limit(1).as[Int].head()
+      val dimsOpt = sample.select(size(col("q"))).limit(1).as[Int].collect().headOption
+      if (dimsOpt.isEmpty)
+        return Seq.empty[(Long, Array[Float])].toDF("cid", "cvec")
+      val dims = dimsOpt.get
       require(dims >= m, s"vectors have $dims dims but m=$m subspaces")
       val sub = dims / m
       val seed = sample.orderBy(hashOrder(col("id")), col("id")).limit(ksub)

@@ -721,6 +721,31 @@ class LlmSpec extends SparkSpec {
     assert(rerankTrained >= 0.35, s"trained rerank recall@10 = $rerankTrained")
   }
 
+  test("quantizer training: degenerate inputs degrade, never throw") {
+    import spark.implicits._
+    val Q = graft.llm.Quantizers
+    // corpus smaller than k: one centroid per vector
+    val tiny = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    assert(Q.trainIvfCentroids(tiny, "vec_id", "embedding", 8, iters = 2, trainSize = 8)
+      .count() == 2)
+    // empty corpus: empty quantizer, and serving with it yields empty
+    // results rather than an error
+    val empty = tiny.filter(col("vec_id") < 0)
+    val c0 = Q.trainIvfCentroids(empty, "vec_id", "embedding", 4, iters = 1, trainSize = 4)
+    assert(c0.count() == 0)
+    assert(Q.trainPqCodebook(empty, "vec_id", "embedding", 2, 4, iters = 1, trainSize = 4)
+      .count() == 0)
+    assert(SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 2),
+      "vec_id", "embedding", 3, centroids = Some(c0)).count() == 0)
+    // constant vectors: all mass in one cell, empty cells keep their
+    // seed centroid — k entries out, deterministic
+    val const = (1L to 40L).map(i => (i, Array(1f, 1f, 1f, 1f))).toDF("vec_id", "embedding")
+    assert(Q.trainIvfCentroids(const, "vec_id", "embedding", 4, iters = 3, trainSize = 40)
+      .count() == 4)
+    assert(Q.trainPqCodebook(const, "vec_id", "embedding", 2, 4, iters = 2, trainSize = 40)
+      .count() == 4)
+  }
+
   test("ivf: malformed centroid dims fail loudly, not truncate-and-score") {
     val badCents = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cell"), slice(col("embedding"), 1, 10).as("centroid"))
