@@ -1508,11 +1508,9 @@ object Queries {
     graft.llm.SimilarityOps.ivfPqTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
   }
-  // the CTE chain through per-pair ADC distance, shared by the plain
-  // IVF-PQ oracle (ranks on adist) and the rerank oracle (takes
-  // top-32 by adist, re-scores those pairs with the exact quantized
-  // cosine, ranks on that)
-  private val annIvfPqAdistCtes =
+  // quantizer/codebook + cell assignment/probing CTEs shared by every
+  // IVF-PQ oracle (plain, rerank, residual)
+  private val annIvfPqFrontCtes =
     s"""$quantNormCte,
       |cent AS (SELECT id AS cell, q AS cq, nq AS cnq FROM n
       |         ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id
@@ -1534,7 +1532,13 @@ object Queries {
       |    SELECT v.id AS query_id, c.cell AS cell,
       |      row_number() OVER (PARTITION BY v.id
       |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
-      |    FROM n v, cent c WHERE v.id < 20) WHERE rn <= 4),
+      |    FROM n v, cent c WHERE v.id < 20) WHERE rn <= 4)""".stripMargin
+  // the CTE chain through per-pair ADC distance, shared by the plain
+  // IVF-PQ oracle (ranks on adist) and the rerank oracle (takes
+  // top-32 by adist, re-scores those pairs with the exact quantized
+  // cosine, ranks on that)
+  private val annIvfPqAdistCtes =
+    s"""$annIvfPqFrontCtes,
       |dist AS (
       |  SELECT v.id AS vid, CAST(t.j AS INT) AS j, c.cpos AS c,
       |    CAST(list_sum(list_transform(range(8),
@@ -1582,6 +1586,56 @@ object Queries {
       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) AS INT) AS rank
       |FROM exact
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) <= 5""".stripMargin
+
+  // Residual IVF-PQ — corpus codes encode (x − cell centroid), query
+  // ADC tables are built per probed cell from (q − that centroid):
+  // the FAISS-standard encoding. Same integer domain end-to-end, so
+  // membership AND ranking hash-compare.
+  private val annIvfPqResidual: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    graft.llm.SimilarityOps.ivfPqTopK(
+      emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5,
+      residual = true)
+  }
+  private def subL2Sql(vec: String, cw: String): String =
+    s"""CAST(list_sum(list_transform(range(8),
+       |      i -> ($vec[CAST(t.j AS INT)*8 + CAST(i AS INT) + 1] - $cw[CAST(t.j AS INT)*8 + CAST(i AS INT) + 1])
+       |         * ($vec[CAST(t.j AS INT)*8 + CAST(i AS INT) + 1] - $cw[CAST(t.j AS INT)*8 + CAST(i AS INT) + 1]))) AS BIGINT)""".stripMargin
+  private val annIvfPqResidualOracle =
+    s"""$annIvfPqFrontCtes,
+      |resc AS (
+      |  SELECT a.neighbor_id,
+      |    list_transform(range(64), i -> v.q[CAST(i AS INT)+1] - c.cq[CAST(i AS INT)+1]) AS rq
+      |  FROM assigned a JOIN n v ON v.id = a.neighbor_id JOIN cent c ON c.cell = a.cell),
+      |cdist AS (
+      |  SELECT r.neighbor_id AS vid, CAST(t.j AS INT) AS j, c.cpos AS c,
+      |    ${subL2Sql("r.rq", "c.cbq")} AS d2
+      |  FROM resc r, (SELECT unnest(range(8)) AS j) t, cb c),
+      |codes AS (
+      |  SELECT vid, j, c FROM (
+      |    SELECT vid, j, c,
+      |      row_number() OVER (PARTITION BY vid, j ORDER BY d2, c) AS rn
+      |    FROM cdist) WHERE rn = 1),
+      |resq AS (
+      |  SELECT p.query_id, p.cell,
+      |    list_transform(range(64), i -> v.q[CAST(i AS INT)+1] - c.cq[CAST(i AS INT)+1]) AS rq
+      |  FROM probes p JOIN n v ON v.id = p.query_id JOIN cent c ON c.cell = p.cell),
+      |qdist AS (
+      |  SELECT r.query_id, r.cell, CAST(t.j AS INT) AS j, c.cpos AS c,
+      |    ${subL2Sql("r.rq", "c.cbq")} AS d2
+      |  FROM resq r, (SELECT unnest(range(8)) AS j) t, cb c),
+      |adist AS (
+      |  SELECT p.query_id, a.neighbor_id, CAST(sum(dq.d2) AS BIGINT) AS adist
+      |  FROM probes p
+      |  JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.neighbor_id
+      |  JOIN codes cx ON cx.vid = a.neighbor_id
+      |  JOIN qdist dq ON dq.query_id = p.query_id AND dq.cell = p.cell
+      |              AND dq.j = cx.j AND dq.c = cx.c
+      |  GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, adist,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank
+      |FROM adist
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 5""".stripMargin
 
   // The float32 descriptor path, oracled exactly: feature = bin-6
   // count / n_bytes computed in FLOAT (one correctly-rounded single-
@@ -1804,6 +1858,7 @@ object Queries {
     "q_ann_pq_topk" -> annPqTopk,
     "q_ann_ivfpq_topk" -> annIvfPqTopk,
     "q_ann_ivfpq_rerank" -> annIvfPqRerank,
+    "q_ann_ivfpq_residual" -> annIvfPqResidual,
     "q_llm_repetition" -> llmRepetition,
     "q_emb_stats" -> embStats,
     "q_mm_features" -> mmFeatures,
@@ -1885,6 +1940,7 @@ object Queries {
     "q_ann_pq_topk" -> annPqTopkOracle,
     "q_ann_ivfpq_topk" -> annIvfPqTopkOracle,
     "q_ann_ivfpq_rerank" -> annIvfPqRerankOracle,
+    "q_ann_ivfpq_residual" -> annIvfPqResidualOracle,
     "q_llm_repetition" -> llmRepetitionOracle,
     "q_llm_simhash_portable_pairs" -> llmSimhashPortableOracle,
     "q_llm_fingerprint_portable" -> llmFingerprintPortableOracle,

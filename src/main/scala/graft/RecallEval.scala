@@ -62,7 +62,12 @@ object RecallEval {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     trainedCb.count()
     val t2 = System.nanoTime()
-    println(f"train: ivf centroids ${(t1 - t0) / 1e9}%.1f s, pq codebook ${(t2 - t1) / 1e9}%.1f s")
+    val residCb = Quantizers.trainResidualPqCodebook(emb, "vec_id", "embedding",
+        trainedCents, 8, 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    residCb.count()
+    val t3 = System.nanoTime()
+    println(f"train: ivf centroids ${(t1 - t0) / 1e9}%.1f s, pq codebook ${(t2 - t1) / 1e9}%.1f s, residual codebook ${(t3 - t2) / 1e9}%.1f s")
 
     val qcos = SimilarityOps.quantizedCosineX1e6 _
     val tiers: Seq[(String, DataFrame)] = Seq(
@@ -88,6 +93,17 @@ object RecallEval {
       "ivf-pq + rerank32 trained" ->
         SimilarityOps.ivfPqRerankTopK(emb, queries, "vec_id", "embedding", k,
           centroids = Some(trainedCents), codebook = Some(trainedCb)),
+      "ivf-pq residual hash-order" ->
+        SimilarityOps.ivfPqTopK(emb, queries, "vec_id", "embedding", k,
+          residual = true),
+      "ivf-pq residual trained (residual codebook)" ->
+        SimilarityOps.ivfPqTopK(emb, queries, "vec_id", "embedding", k,
+          centroids = Some(trainedCents), codebook = Some(residCb),
+          residual = true),
+      "ivf-pq residual + rerank32 trained" ->
+        SimilarityOps.ivfPqRerankTopK(emb, queries, "vec_id", "embedding", k,
+          centroids = Some(trainedCents), codebook = Some(residCb),
+          residual = true),
     )
     println(f"| tier | recall@$k |")
     println("|---|---|")

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -504,6 +504,38 @@ object VecBridge {
     s
   }
 
+  /** Residual of a pre-quantized vector against IVF cell `cell`:
+    * qv[i] − cq[i] elementwise, in the exact integer domain, so
+    * residual-encoded PQ codes and ADC distances stay
+    * hash-comparable. `cents` is the same
+    * array<struct<cell:long, cq:array<long>, cnq:long>> broadcast row
+    * [[nearestCellsQ]] scores against; an unknown cell id or a dims
+    * mismatch fails loudly (a silent fallback would score candidates
+    * against the wrong reference point).
+    */
+  def residualQ(qv: ArrayData, cents: ArrayData, cell: Long)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val dims = qv.numElements()
+    val m = cents.numElements()
+    var i = 0
+    while (i < m) {
+      val c = cents.getStruct(i, 3)
+      if (c.getLong(0) == cell) {
+        val cq = c.getArray(1)
+        if (cq.numElements() != dims)
+          throw new IllegalArgumentException(
+            s"residual_q: centroid $cell has ${cq.numElements()} dims, vector has $dims")
+        val out = new Array[Long](dims)
+        var d = 0
+        while (d < dims) { out(d) = qv.getLong(d) - cq.getLong(d); d += 1 }
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"residual_q: cell $cell not present in the $m-entry centroid table")
+  }
+
   /** Sign-LSH bucket over a pre-quantized array<long> vector, with the
     * Knuth-multiplicative integer coefficient formula
     * coef(g, d) = ((g·31 + d)·2654435761) mod 2^31 − 2^30 — exactly the
@@ -659,6 +691,42 @@ case class NearestCellsQ(left: Expression, right: Expression, n: Int)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCellsQ =
     copy(left = l, right = r)
+}
+
+/** IVF-cell residual of a quantized vector (see [[VecBridge.residualQ]]). */
+case class ResidualQ(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "residual_q"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(_: StructType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, array<struct<cell,cq,cnq>>, bigint), " +
+          s"got ${a.simpleString}, ${b.simpleString} and ${c.simpleString}")
+    }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val qv = a.asInstanceOf[ArrayData]
+    if (VecBridge.anyNull(qv)) null
+    else VecBridge.residualQ(qv, b.asInstanceOf[ArrayData], c.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => s"""
+      if (graft.functions.VecBridge.anyNull($a)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VecBridge.residualQ($a, $b, $c);
+      }""")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ResidualQ =
+    copy(first = f, second = s, third = t)
 }
 
 /** PQ codes (see [[VecBridge.pqEncode]]). */
@@ -921,6 +989,9 @@ object VecFunctions {
     GraftShim.column(PortableSignBucket(GraftShim.expression(q), planes, tbl))
   def nearest_cells_q(qv: Column, cents: Column, n: Int): Column =
     GraftShim.column(NearestCellsQ(GraftShim.expression(qv), GraftShim.expression(cents), n))
+  def residual_q(qv: Column, cents: Column, cell: Column): Column =
+    GraftShim.column(ResidualQ(GraftShim.expression(qv), GraftShim.expression(cents),
+      GraftShim.expression(cell)))
   def pq_encode(qv: Column, cb: Column, m: Int): Column =
     GraftShim.column(PqEncode(GraftShim.expression(qv), GraftShim.expression(cb), m))
   def pq_table(qv: Column, cb: Column, m: Int): Column =

@@ -148,10 +148,51 @@ object Quantizers {
     require(m > 0, s"m must be positive, got $m")
     require(ksub > 0, s"ksub must be positive, got $ksub")
     require(trainSize >= ksub, s"trainSize ($trainSize) must be >= ksub ($ksub)")
+    pqKmeans(sampleQ(corpus, idCol, embCol, trainSize), m, ksub, iters)
+  }
+
+  /** Residual PQ codebook for [[SimilarityOps.ivfPqTopK]]'s
+    * `residual = true` mode: the same per-subspace k-means, trained on
+    * (x − centroid of x's cell) instead of raw vectors — the
+    * FAISS-standard pairing where codewords model the within-cell
+    * spread the coarse quantizer leaves behind. `centroids` is the
+    * (cell, centroid) frame the serving call will use (train and
+    * serve against the SAME quantizer or the residual domains won't
+    * match); residuals are computed with the serving path's exact
+    * integer kernel, and an empty centroid frame degrades to an empty
+    * codebook.
+    */
+  def trainResidualPqCodebook(corpus: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 5,
+      trainSize: Int = 4096): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    require(ksub > 0, s"ksub must be positive, got $ksub")
+    require(trainSize >= ksub, s"trainSize ($trainSize) must be >= ksub ($ksub)")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample = sampleQ(corpus, idCol, embCol, trainSize)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cents = centroids.select(col("cell").cast("long"), col("centroid"))
+      .as[(Long, Array[Float])].collect()
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Array[Float])].toDF("cid", "cvec")
+    val centsLit = typedlit(cents.toSeq.map { case (cell, v) =>
+      val q = v.map(x => math.floor(x.toDouble * 1000).toLong)
+      (cell, q.toSeq, q.map(x => x * x).sum)
+    })
+    val residuals = sampleQ(corpus, idCol, embCol, trainSize)
+      .select(col("id"),
+        V.residual_q(col("q"), centsLit,
+          element_at(V.nearest_cells_q(col("q"), centsLit, 1), 1)).as("q"))
+    pqKmeans(residuals, m, ksub, iters)
+  }
+
+  /** Shared per-subspace Lloyd's loop over a prepared (id, q) sample
+    * (raw-vector or residual domain — the caller decides what `q` is).
+    */
+  private def pqKmeans(sampleDf: DataFrame, m: Int, ksub: Int,
+      iters: Int): DataFrame = {
+    val spark = sampleDf.sparkSession
+    import spark.implicits._
+    val sample = sampleDf.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val dimsOpt = sample.select(size(col("q"))).limit(1).as[Int].collect().headOption
       if (dimsOpt.isEmpty)

@@ -378,12 +378,27 @@ object SimilarityOps {
     * (cell, centroid) / `codebook` (cid, cvec) frames (e.g.
     * [[Quantizers]] output) when quality matters, the plan is
     * identical; exact-integer ADC keeps the ranking hash-comparable.
+    *
+    * `residual = true` switches to the FAISS-standard residual
+    * encoding: each corpus vector is PQ-encoded as (x − centroid of
+    * its cell) and each query builds one ADC table PER PROBED CELL
+    * from (q − that cell's centroid), so codewords only have to cover
+    * the within-cell spread instead of the whole space — the recall
+    * lever that makes composed IVF-PQ usable in practice. Residuals
+    * are computed in the same exact integer domain
+    * ([[graft.functions.VecFunctions.residual_q]]), so the ranking
+    * stays hash-comparable; train the codebook on residuals
+    * ([[Quantizers.trainResidualPqCodebook]]) for the matching
+    * quality half. Plan shape is unchanged: the per-cell tables add
+    * nprobe−1 extra rows per query BEFORE the cell join (still the
+    * tiny side), zero new shuffles.
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, ksub: Int = 16,
       centroids: Option[DataFrame] = None,
-      codebook: Option[DataFrame] = None): DataFrame = {
+      codebook: Option[DataFrame] = None,
+      residual: Boolean = false): DataFrame = {
     val V = graft.functions.VecFunctions
     def quant(c: Column) =
       transform(c, x => floor(x.cast("double") * 1000).cast("long"))
@@ -412,18 +427,38 @@ object SimilarityOps {
     // probe-side broadcast gate into a needless sort-merge join)
     val lookups = broadcast(centArr.crossJoin(cbArr))
     // corpus stores exactly what an IVF-PQ index stores: cell + codes
-    val indexed = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
-      .crossJoin(lookups)
-      .select(col("neighbor_id"),
-        element_at(V.nearest_cells_q(quant(col("emb")), col("cents"), 1), 1)
-          .as("cell"),
-        V.pq_encode(quant(col("emb")), col("cb"), m).as("codes"))
-    val probes = queries.select(col(idCol).as("query_id"), col(embCol).as("qemb"))
-      .crossJoin(lookups)
-      .select(col("query_id"),
-        explode(V.nearest_cells_q(quant(col("qemb")), col("cents"), nprobe))
-          .as("cell"),
-        V.pq_table(quant(col("qemb")), col("cb"), m).as("tbl"))
+    // (residual mode: the duplicated cell expression stays a single
+    // kernel call via whole-stage subexpression elimination — both
+    // uses sit in the same Project)
+    val indexed = {
+      val qe = quant(col("emb"))
+      val cell = element_at(V.nearest_cells_q(qe, col("cents"), 1), 1)
+      val enc = if (residual) V.residual_q(qe, col("cents"), cell) else qe
+      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
+        .crossJoin(lookups)
+        .select(col("neighbor_id"), cell.as("cell"),
+          V.pq_encode(enc, col("cb"), m).as("codes"))
+    }
+    val probes =
+      if (!residual)
+        queries.select(col(idCol).as("query_id"), col(embCol).as("qemb"))
+          .crossJoin(lookups)
+          .select(col("query_id"),
+            explode(V.nearest_cells_q(quant(col("qemb")), col("cents"), nprobe))
+              .as("cell"),
+            V.pq_table(quant(col("qemb")), col("cb"), m).as("tbl"))
+      else
+        // per-cell ADC tables: the table projection runs AFTER the
+        // explode (|queries|·nprobe rows — still the tiny side), and
+        // the lookup arrays ride through that one projection only
+        queries.select(col(idCol).as("query_id"), col(embCol).as("qemb"))
+          .crossJoin(lookups)
+          .select(col("query_id"), col("qemb"), col("cents"), col("cb"),
+            explode(V.nearest_cells_q(quant(col("qemb")), col("cents"), nprobe))
+              .as("cell"))
+          .select(col("query_id"), col("cell"),
+            V.pq_table(V.residual_q(quant(col("qemb")), col("cents"), col("cell")),
+              col("cb"), m).as("tbl"))
     // the probe plan (BNL + explode) has no usable plan-time size
     // estimate, so the gate usually declines the hint here; that is
     // the designed fallback — AQE's runtime join selection sees the
@@ -458,11 +493,12 @@ object SimilarityOps {
       embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, ksub: Int = 16, rerank: Int = 32,
       centroids: Option[DataFrame] = None,
-      codebook: Option[DataFrame] = None): DataFrame = {
+      codebook: Option[DataFrame] = None,
+      residual: Boolean = false): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val V = graft.functions.VecFunctions
     val cands = ivfPqTopK(corpus, queries, idCol, embCol, rerank,
-        nlist, nprobe, m, ksub, centroids, codebook)
+        nlist, nprobe, m, ksub, centroids, codebook, residual)
       .select(col("query_id"), col("neighbor_id"))
     val quant = transform(col(embCol), x => floor(x.cast("double") * 1000).cast("long"))
     def base(df: DataFrame, idAs: String, qAs: String, nqAs: String) =

@@ -721,6 +721,46 @@ class LlmSpec extends SparkSpec {
     assert(rerankTrained >= 0.35, s"trained rerank recall@10 = $rerankTrained")
   }
 
+  test("residual ivf-pq: needs the residual-domain codebook, then lifts recall") {
+    // Same deterministic setup as the trained-quantizer test. On this
+    // corpus (near-orthogonal random vectors — little cell-local
+    // structure) residual encoding is a small win over raw encoding
+    // (measured 0.224→0.248 at sf0.01), but the load-bearing claims
+    // are: (1) residual mode with a RAW codebook is the wrong pairing
+    // and scores below the residual-trained form — the two halves of
+    // the FAISS design must travel together; (2) the trained residual
+    // path clears the same floor as the raw trained path.
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 50)
+    val k = 10
+    val truth = SimilarityOps.bruteForceTopKPortable(e, queries, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recall(df: DataFrame): Double = RecallEval.recallAtK(truth, df)
+    val cents = graft.llm.Quantizers.trainIvfCentroids(e, "vec_id", "embedding", 16)
+    val rawCb = graft.llm.Quantizers.trainPqCodebook(e, "vec_id", "embedding", 8, 16)
+    val residCb = graft.llm.Quantizers.trainResidualPqCodebook(
+      e, "vec_id", "embedding", cents, 8, 16)
+    val rawTrained = recall(SimilarityOps.ivfPqTopK(e, queries, "vec_id", "embedding", k,
+      centroids = Some(cents), codebook = Some(rawCb)))
+    val residRawCb = recall(SimilarityOps.ivfPqTopK(e, queries, "vec_id", "embedding", k,
+      centroids = Some(cents), codebook = Some(rawCb), residual = true))
+    val residTrained = recall(SimilarityOps.ivfPqTopK(e, queries, "vec_id", "embedding", k,
+      centroids = Some(cents), codebook = Some(residCb), residual = true))
+    info(f"ivfpq raw-trained $rawTrained%.3f; residual w/ raw cb $residRawCb%.3f; " +
+      f"residual w/ residual cb $residTrained%.3f")
+    assert(residTrained > residRawCb,
+      s"residual codebook did not beat the mismatched raw codebook: $residRawCb -> $residTrained")
+    assert(residTrained >= rawTrained,
+      s"residual encoding lost recall vs raw: $rawTrained -> $residTrained")
+    assert(residTrained >= 0.2, s"residual trained recall@10 = $residTrained")
+    // degenerate: an empty quantizer degrades to an empty codebook
+    import spark.implicits._
+    val c0 = Seq.empty[(Long, Array[Float])].toDF("cell", "centroid")
+    assert(graft.llm.Quantizers.trainResidualPqCodebook(
+      e, "vec_id", "embedding", c0, 8, 16).count() == 0)
+  }
+
   test("quantizer training: degenerate inputs degrade, never throw") {
     import spark.implicits._
     val Q = graft.llm.Quantizers

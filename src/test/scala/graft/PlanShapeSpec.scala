@@ -93,6 +93,23 @@ class PlanShapeSpec extends SparkSpec {
       s"IVF-PQ grew an extra shuffle:\n$p")
   }
 
+  test("residual IVF-PQ keeps the exact same exchange budget as raw IVF-PQ") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.llm.SimilarityOps.ivfPqTopK(
+      emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3,
+      residual = true))
+    assert(!p.contains("CartesianProduct"), s"residual IVF-PQ went cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "quantizer+codebook lookup row must broadcast")
+    // residual encoding changes WHAT is encoded, not the plan shape:
+    // still one encode and one table projection (per-cell tables ride
+    // the explode, they don't clone the kernel), same exchange budget
+    assert(count(p, "pq_encode") == 1 && count(p, "pq_table") == 1,
+      s"index/probe builds must stay single projections:\n$p")
+    assert(count(p, "Exchange hashpartitioning") <= 3,
+      s"residual IVF-PQ grew an extra shuffle:\n$p")
+  }
+
   test("LSH candidate generation is a bucket equi-join, never cartesian") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.llm.DedupOps.minhashCandidates(docs, "doc_id", "text"))
