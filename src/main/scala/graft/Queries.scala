@@ -1041,6 +1041,48 @@ object Queries {
       |WHERE dot_q > 0 AND dot_q*dot_q*100 >= 9*nq1*nq2""".stripMargin
   }
 
+  // SemDeDup-style semantic dedup: the near-dup pair graph above,
+  // collapsed to connected components with a canonical (min-id)
+  // representative per component — the "keep one per semantic
+  // duplicate group" operator a curation pipeline actually runs.
+  private val embSemDedup: Q = (s, dir) =>
+    graft.llm.SimilarityOps.semanticDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
+  private val embSemDedupOracle = {
+    def proj(p: Int) =
+      s"list_sum(list_transform(range(len(q)), d -> " +
+        s"((((tbl*6+$p)*31 + d) * 2654435761) % 2147483648 - 1073741824) * q[d+1]))"
+    val bits = (0 until 6)
+      .map(p => s"(CASE WHEN ${proj(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE e AS (
+      |  SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT id, q, list_sum(list_transform(q, v -> v*v)) AS nq FROM e),
+      |bands AS (
+      |  SELECT id, q, nq, t.tbl AS tbl, $bits AS bucket
+      |  FROM n, (SELECT unnest(range(4)) AS tbl) t),
+      |p AS (
+      |  SELECT DISTINCT a.id AS id1, b2.id AS id2,
+      |    CAST(list_dot_product(a.q, b2.q) AS BIGINT) AS dot_q, a.nq AS nq1, b2.nq AS nq2
+      |  FROM bands a JOIN bands b2
+      |    ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.id < b2.id),
+      |pairs AS (
+      |  SELECT id1, id2 FROM p
+      |  WHERE dot_q > 0 AND dot_q*dot_q*100 >= 9*nq1*nq2),
+      |undir AS (SELECT id1 AS a, id2 AS b FROM pairs
+      |          UNION ALL SELECT id2, id1 FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT r.src, ed.b FROM reach r JOIN undir ed ON r.dst = ed.a)
+      |SELECT src AS vec_id, min(dst) AS cluster_id,
+      |  CAST(src = min(dst) AS INT) AS is_canonical
+      |FROM reach GROUP BY 1""".stripMargin
+  }
+
   // Multimodal decode with exact integer output: the same per-partition
   // decode stage as q_mm_features, emitting raw bin counts so the full
   // binary->features path is hash-checked against SQL, not row-counted.
@@ -1847,6 +1889,7 @@ object Queries {
     "q_mm_frames" -> mmFrames,
     "q_mm_resize" -> mmResize,
     "q_emb_neardup" -> embNearDup,
+    "q_emb_semdedup" -> embSemDedup,
     "q_llm_simhash_pairs" -> llmSimhashPairs,
     "q_llm_simhash_portable_pairs" -> llmSimhashPortablePairs,
     "q_llm_fingerprints" -> llmFingerprints,
@@ -1933,6 +1976,7 @@ object Queries {
     "q_mm_resize" -> mmResizeOracle,
     "q_etl_blocks" -> etlBlocksOracle,
     "q_emb_neardup" -> embNearDupOracle,
+    "q_emb_semdedup" -> embSemDedupOracle,
     "q_ann_topk_dot" -> annTopkDotOracle,
     "q_ann_cosine_topk" -> annCosineTopkOracle,
     "q_ann_lsh_topk" -> annLshTopkOracle,

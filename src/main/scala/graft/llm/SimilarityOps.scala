@@ -235,6 +235,33 @@ object SimilarityOps {
       .select("id1", "id2", "dot_q")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): prune the corpus by embedding
+    * similarity, keeping one representative per group of semantic
+    * near-duplicates. The paper partitions with k-means and compares
+    * within cells; this composition partitions with the multi-table
+    * sign-LSH buckets of [[cosineNearDupPairs]] (same role: a cheap
+    * partition so only plausible pairs pay an exact comparison — and
+    * integer-exact, so the whole operator hash-compares with a SQL
+    * oracle), then collapses the near-dup graph with
+    * [[DedupOps.dedupClusters]] (O(log n)-round large-star/small-star)
+    * and keeps the min-id member of each component as canonical.
+    *
+    * Returns (doc_id, cluster_id, is_canonical) over every corpus row
+    * — filter `is_canonical = 1` for the deduplicated corpus. Scale
+    * shape: bucket equi-join (never all-pairs) + the clustering's
+    * O(log n) contraction rounds; both legs measured sub-linear
+    * through 100× in the batch scale rehearsals.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
+      tNum: Long = 3, tDen: Long = 10, planes: Int = 6, tables: Int = 4,
+      maxIter: Int = 20): DataFrame =
+    graft.llm.DedupOps.dedupClusters(
+      corpus, idCol,
+      cosineNearDupPairs(corpus, idCol, embCol, tNum, tDen, planes, tables),
+      maxIter)
+
   /** IVF (inverted-file) approximate top-k: a deterministic coarse
     * quantizer — by default the `nlist` corpus vectors minimizing an
     * overflow-safe Knuth hash of the id (a deterministic pseudo-random

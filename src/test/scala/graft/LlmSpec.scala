@@ -172,6 +172,38 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: planted duplicate groups collapse to one canonical member") {
+    import graft.llm.SimilarityOps
+    // two extra exact copies of each of the first 20 vectors: each
+    // group of 3 must land in ONE cluster whose canonical is the
+    // original (min id); everything else keeps itself
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val corpus = base
+      .unionByName(base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      .unionByName(base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 20000).as("vec_id"), col("embedding")))
+    val out = SimilarityOps.semanticDedup(corpus, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out.size == corpus.count())
+    (0L until 20L).foreach { i =>
+      // the original may itself near-dup a lower-id NATURAL neighbor
+      // (the synthetic corpus has organic pairs at the 0.3 default
+      // threshold), so the pinned property is co-membership: each
+      // copy rides its original's cluster, and — copies having the
+      // largest ids — a copy is never the canonical representative
+      assert(out(i + 10000)._1 == out(i)._1 && out(i + 10000)._2 == 0,
+        s"copy ${i + 10000} not clustered with $i: ${out(i + 10000)}")
+      assert(out(i + 20000)._1 == out(i)._1 && out(i + 20000)._2 == 0,
+        s"copy ${i + 20000} not clustered with $i: ${out(i + 20000)}")
+      assert(out(i)._1 <= i, s"cluster id above member id: $i -> ${out(i)}")
+    }
+    // the deduplicated corpus = one row per cluster
+    val canon = out.filter(_._2._2 == 1)
+    assert(canon.size == out.values.map(_._1).toSet.size,
+      "canonical count != cluster count")
+  }
+
   test("simhash pairs: exact dups at hamming 0; pigeonhole bound enforced") {
     val corpus = corpusWithDups
     val pairs = DedupOps.simhashPairs(corpus, "doc_id", "text", 3)
