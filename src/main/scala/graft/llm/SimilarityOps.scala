@@ -204,6 +204,13 @@ object SimilarityOps {
     * cosine ≥ tNum/tDen:  dot_q > 0  ∧  dot_q²·tDen² ≥ tNum²·|a|²_q·|b|²_q.
     * All arithmetic stays in quantized integers, so the result
     * hash-matches a SQL oracle exactly — no float comparisons.
+    *
+    * Sizing at scale: candidate volume is Σ_buckets occupancy², so
+    * `planes` (buckets per table = 2^planes) must grow with the
+    * corpus — size it so expected occupancy n/2^planes stays at a few
+    * hundred (planes ≈ log2(n/256)). The 30× rehearsal measures the
+    * saturation cost of leaving it at the default: see
+    * [[graft.LshPlanesProbe]] and SCALE_r06 round-7 addendum.
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
       tNum: Long = 3, tDen: Long = 10,
@@ -221,7 +228,16 @@ object SimilarityOps {
     // exprs are CodegenFallback, and a filter directly above the
     // scoring projection gets the dot expression inlined into the
     // predicate (3x interpreted evaluation) — the dedup aggregate is a
-    // barrier that keeps the dot evaluated exactly once per pair
+    // barrier that keeps the dot evaluated exactly once per pair.
+    // Scoring INSIDE the bucket join is load-bearing for scale: the
+    // join output row drops both q arrays in the same codegen stage,
+    // so only narrow (ids, dot, norms) rows reach the dedup shuffle.
+    // (The measured alternative — dedup narrow candidate ids first,
+    // re-join vectors to score once per distinct pair — ships q
+    // through a shuffle join over the pair set, which is quadratic in
+    // bucket occupancy: 5.9× slower with 2.3× the spill at the 30×
+    // rehearsal. See LshPlanesProbe: occupancy is sized by `planes`,
+    // the knob that must grow with the corpus.)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
