@@ -1540,6 +1540,34 @@ object Queries {
       |    ELSE ((len(tg) - len(list_distinct(tg))) * 1000000) // len(tg) END AS BIGINT) AS dup_trigram_frac_x1e6
       |FROM gr g LEFT JOIN top t ON g.doc_id = t.doc_id""".stripMargin
 
+  // C4 cleaning rules (Raffel et al. 2020 §2.2): per-page integer
+  // evidence for every rule + the composed verdict, hash-oracled.
+  private val llmC4Stats: Q = (s, dir) =>
+    graft.llm.TextOps.c4Stats(t(s, dir, "documents"), "doc_id", "text")
+  private val llmC4StatsOracle =
+    """WITH d AS (
+      |  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents),
+      |k AS (
+      |  SELECT doc_id, text, lines,
+      |    list_filter(lines, l -> right(l, 1) IN ('.', '!', '?', '"')
+      |      AND len(list_filter(string_split(l, ' '), w -> length(w) > 0)) >= 3) AS kept_lines
+      |  FROM d),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(lines) AS INT) AS n_lines,
+      |    CAST(len(kept_lines) AS INT) AS n_kept_lines,
+      |    CAST(coalesce(list_sum(list_transform(kept_lines,
+      |      l -> length(l) - length(translate(l, '.!?', '')))), 0) AS INT) AS n_sentences_kept,
+      |    CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem_ipsum,
+      |    CAST(contains(text, '{') AS INT) AS has_curly,
+      |    CAST(len(list_filter(lines, l -> contains(lower(l), 'javascript'))) AS INT)
+      |      AS n_javascript_lines
+      |  FROM k)
+      |SELECT *,
+      |  CAST(n_sentences_kept >= 5 AND has_lorem_ipsum = 0 AND has_curly = 0
+      |    AND n_javascript_lines = 0 AS INT) AS kept
+      |FROM m""".stripMargin
+
   // IVF-PQ — the composed big-corpus ANN shape: candidates pruned to
   // the query's nprobe cells (quantized-cosine assignment, same CTEs
   // as q_ann_ivf_topk), each scored from its PQ code via the query's
@@ -1903,6 +1931,7 @@ object Queries {
     "q_ann_ivfpq_rerank" -> annIvfPqRerank,
     "q_ann_ivfpq_residual" -> annIvfPqResidual,
     "q_llm_repetition" -> llmRepetition,
+    "q_llm_c4_stats" -> llmC4Stats,
     "q_emb_stats" -> embStats,
     "q_mm_features" -> mmFeatures,
   )
@@ -1986,6 +2015,7 @@ object Queries {
     "q_ann_ivfpq_rerank" -> annIvfPqRerankOracle,
     "q_ann_ivfpq_residual" -> annIvfPqResidualOracle,
     "q_llm_repetition" -> llmRepetitionOracle,
+    "q_llm_c4_stats" -> llmC4StatsOracle,
     "q_llm_simhash_portable_pairs" -> llmSimhashPortableOracle,
     "q_llm_fingerprint_portable" -> llmFingerprintPortableOracle,
     "q_mm_features" -> mmFeaturesOracle,

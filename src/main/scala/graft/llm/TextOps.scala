@@ -61,6 +61,47 @@ object TextOps {
           expr("((n_trigrams - distinct_trigrams) * CAST(1000000 AS BIGINT)) DIV n_trigrams")))
   }
 
+  /** C4-style heuristic page filters (Raffel et al. 2020, "Exploring
+    * the Limits of Transfer Learning…", §2.2: the C4 cleaning rules),
+    * as exact-integer per-document evidence:
+    *
+    *   - a line is RETAINED iff it ends in terminal punctuation
+    *     (`.` `!` `?` `"`) and has ≥ 3 space-separated words;
+    *   - `n_sentences_kept` counts sentence enders over retained
+    *     lines only (C4 drops pages left with < 5 sentences);
+    *   - pages containing "lorem ipsum" (case-folded), a curly brace,
+    *     or lines mentioning "javascript" are flagged;
+    *   - `kept` is the composed C4 verdict.
+    *
+    * Map-only projection (no shuffle); every value is an integer so
+    * the whole verdict hash-compares with the SQL oracle. Word
+    * splitting is the same single-space [[tokens]] convention the
+    * other text ops use, keeping the oracle engine-portable.
+    */
+  def c4Stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def words(l: Column): Column =
+      size(filter(split(l, " "), w => length(w) > 0))
+    def terminal(l: Column): Column =
+      substring(l, -1, 1).isin(".", "!", "?", "\"")
+    def senders(l: Column): Column =
+      length(l) - length(translate(l, ".!?", ""))
+    val keptLines = filter(lines, l => terminal(l) && words(l) >= 3)
+    df.select(col(idCol),
+      size(lines).as("n_lines"),
+      size(keptLines).as("n_kept_lines"),
+      aggregate(keptLines, lit(0), (acc, l) => acc + senders(l))
+        .as("n_sentences_kept"),
+      contains(lower(col(textCol)), lit("lorem ipsum")).cast("int")
+        .as("has_lorem_ipsum"),
+      contains(col(textCol), lit("{")).cast("int").as("has_curly"),
+      size(filter(lines, l => contains(lower(l), lit("javascript"))))
+        .as("n_javascript_lines"))
+      .withColumn("kept",
+        (col("n_sentences_kept") >= 5 && col("has_lorem_ipsum") === 0 &&
+          col("has_curly") === 0 && col("n_javascript_lines") === 0).cast("int"))
+  }
+
   /** Heuristic quality score, scaled to exact integers:
     * floor(1000 * stopword_ratio) and floor(100 * avg token length) —
     * the usual length/stopword quality filters of LLM data pipelines

@@ -172,6 +172,45 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("c4 stats: planted pages exercise every cleaning rule") {
+    import spark.implicits._
+    val docs = Seq(
+      // clean page: 3 retained lines, 6 sentences -> kept
+      (1L, "This is a good first line. It really is.\n" +
+        "Here is another proper sentence! And one more?\n" +
+        "The final line also ends with punctuation. Twice over."),
+      // short lines (< 3 words) are dropped even with punctuation;
+      // remaining sentences < 5 -> not kept
+      (2L, "Too short.\nNo!\nA longer line that does end properly."),
+      // lorem ipsum anywhere kills the page (case-folded)
+      (3L, "Lorem Ipsum dolor sit amet. A fine sentence here. More words follow now.\n" +
+        "Another full line with punctuation. And again. Plus one more!"),
+      // curly brace kills the page
+      (4L, "A sentence with code follows. function() { return. }\n" +
+        "Other perfectly good sentences. Here too. And here. And more!"),
+      // javascript line flagged
+      (5L, "Please enable JavaScript to view this page.\n" +
+        "Real content sentence one. Two here. Three now. Four next. Five last."),
+      // no terminal punctuation at all -> zero kept lines
+      (6L, "word soup with no punctuation\nmore words here")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextOps.c4Stats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String): Int = out(id).getAs[Int](c)
+    assert(f(1, "n_kept_lines") == 3 && f(1, "n_sentences_kept") == 6 &&
+      f(1, "kept") == 1, s"clean page should keep: ${out(1L)}")
+    assert(f(2, "n_kept_lines") == 1 && f(2, "kept") == 0,
+      s"short lines must drop: ${out(2L)}")
+    assert(f(3, "has_lorem_ipsum") == 1 && f(3, "kept") == 0,
+      s"lorem ipsum must flag: ${out(3L)}")
+    assert(f(4, "has_curly") == 1 && f(4, "kept") == 0,
+      s"curly must flag: ${out(4L)}")
+    assert(f(5, "n_javascript_lines") == 1 && f(5, "n_sentences_kept") >= 5 &&
+      f(5, "kept") == 0, s"javascript line must flag: ${out(5L)}")
+    assert(f(6, "n_kept_lines") == 0 && f(6, "n_sentences_kept") == 0 &&
+      f(6, "kept") == 0, s"punctuation-free page keeps nothing: ${out(6L)}")
+  }
+
   test("semantic dedup: planted duplicate groups collapse to one canonical member") {
     import graft.llm.SimilarityOps
     // two extra exact copies of each of the first 20 vectors: each
