@@ -1224,6 +1224,30 @@ object Queries {
       |FROM documents d2 LEFT JOIN hits h ON d2.doc_id = h.doc_id
       |WHERE d2.doc_id % 50 <> 0""".stripMargin
 
+  // DSIR-style importance scores: hashed unigram+bigram profile
+  // scored by Laplace-smoothed target/raw frequency ratios in exact
+  // fixed point — target = the same doc_id % 50 set decontamination
+  // uses. Fully hash-oracled (integer weights, integer sums).
+  private val llmDsirScores: Q = (s, dir) =>
+    graft.llm.PipelineOps.dsirScores(
+      t(s, dir, "documents"), "doc_id", "text", col("doc_id") % 50 === 0)
+  private val llmDsirScoresOracle =
+    s"""WITH $tokfpSub,
+      |f AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END AS is_t,
+      |    list_concat(fpt,
+      |      CASE WHEN len(fpt) < 2 THEN CAST([] AS BIGINT[])
+      |      ELSE list_transform(range(len(fpt) - 1),
+      |        j -> (fpt[j+1] * 1000003 + fpt[j+2]) % 1000000007) END) AS fps
+      |  FROM tokfp),
+      |u AS (SELECT doc_id, is_t, unnest(fps) % 10000 AS f FROM f),
+      |c AS (SELECT f, count(*) AS r_f, CAST(sum(is_t) AS BIGINT) AS t_f
+      |      FROM u GROUP BY f),
+      |w AS (SELECT f, ((t_f + 1) * 1000000) // (r_f + 1) AS w FROM c)
+      |SELECT u.doc_id, CAST(count(*) AS INT) AS n_features,
+      |  CAST(sum(w.w) AS BIGINT) AS dsir_score
+      |FROM u JOIN w ON u.f = w.f GROUP BY 1""".stripMargin
+
   // Deterministic stratified sampling: English thinned to 20%, other
   // strata to 50%, by a multiplicative id hash — re-derivable exactly,
   // unlike df.sample.
@@ -1906,6 +1930,7 @@ object Queries {
     "q_llm_dedup_clusters" -> llmDedupClusters,
     "q_llm_curate" -> llmCurate,
     "q_llm_decontaminate" -> llmDecontaminate,
+    "q_llm_dsir_scores" -> llmDsirScores,
     "q_llm_stratified_sample" -> llmStratifiedSample,
     "q_llm_seq_pack" -> llmSeqPack,
     "q_llm_group_quota" -> llmGroupQuota,
@@ -1993,6 +2018,7 @@ object Queries {
     "q_llm_dedup_clusters" -> llmDedupClustersOracle,
     "q_llm_curate" -> llmCurateOracle,
     "q_llm_decontaminate" -> llmDecontaminateOracle,
+    "q_llm_dsir_scores" -> llmDsirScoresOracle,
     "q_llm_stratified_sample" -> llmStratifiedSampleOracle,
     "q_llm_seq_pack" -> llmSeqPackOracle,
     "q_llm_group_quota" -> llmGroupQuotaOracle,

@@ -192,6 +192,44 @@ object VecBridge {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(fps)
   }
 
+  /** Hashed unigram+bigram feature fingerprints of a document — the
+    * bag-of-hashed-ngrams DSIR scores over: every token's 31-poly
+    * mod-prime fp (identical to [[arithShingleFps]]'s token pass)
+    * followed by every adjacent-pair fp ((fpt·C + fpt') mod M, the
+    * same combiner the 3-shingles use). One occurrence per n-gram
+    * occurrence — callers bucket with `fp % nBuckets`.
+    */
+  def arithNgramFps(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val M = 1000000007L
+    val C = 1000003L
+    val fpt = new java.util.ArrayList[Long]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        var acc = 0L
+        while (i < n && !isWs(s.charAt(i))) {
+          acc = (acc * 31L + s.charAt(i).toInt) % M
+          i += 1
+        }
+        fpt.add(acc)
+      }
+    }
+    val nt = fpt.size()
+    val out = new Array[Long](nt + math.max(nt - 1, 0))
+    var j = 0
+    while (j < nt) { out(j) = fpt.get(j); j += 1 }
+    j = 0
+    while (j < nt - 1) {
+      out(nt + j) = (fpt.get(j) * C + fpt.get(j + 1)) % M
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Engine-portable 60-bit SimHash: majority vote per bit over TWO
     * independent mod-prime token fingerprints (31- and 37-polynomial;
     * each prime-mod fp carries ~30 usable bits, so two give the 60-bit
@@ -897,6 +935,23 @@ case class ArithShingleFps(child: Expression)
     copy(child = newChild)
 }
 
+/** Hashed unigram+bigram fps (see [[VecBridge.arithNgramFps]]). */
+case class ArithNgramFps(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringUnaryInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "arith_ngram_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    VecBridge.arithNgramFps(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecBridge.arithNgramFps($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ArithNgramFps =
+    copy(child = newChild)
+}
+
 /** Portable 60-bit simhash (see [[VecBridge.portableSimhash60]]). */
 case class PortableSimhash60(child: Expression)
     extends UnaryExpression with org.apache.spark.sql.GraftStringUnaryInput {
@@ -971,6 +1026,8 @@ object VecFunctions {
     GraftShim.column(ArithMinhashSig(GraftShim.expression(c), nPerms))
   def arith_shingle_fps(c: Column): Column =
     GraftShim.column(ArithShingleFps(GraftShim.expression(c)))
+  def arith_ngram_fps(c: Column): Column =
+    GraftShim.column(ArithNgramFps(GraftShim.expression(c)))
   def portable_simhash60(c: Column): Column =
     GraftShim.column(PortableSimhash60(GraftShim.expression(c)))
   def portable_fingerprint(c: Column, w: Int = 8): Column =

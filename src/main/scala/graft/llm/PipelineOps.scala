@@ -57,6 +57,45 @@ object PipelineOps {
         (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169):
+    * score raw documents by how target-like their hashed-n-gram
+    * profile is, so a curation pipeline can resample toward a target
+    * domain. Features are the paper's bag of hashed unigrams+bigrams
+    * ([[graft.functions.VecFunctions.arith_ngram_fps]] mod `nBuckets`);
+    * the per-bucket weight is the Laplace-smoothed target/raw
+    * frequency ratio in exact fixed point,
+    * w_f = floor(1e6·(t_f+1)/(r_f+1)), and a document's score sums
+    * w over its feature OCCURRENCES — the log-free integer analogue
+    * of the paper's Σ count·(log p − log q) (the global normalizer
+    * (R+B)/(T+B) scales every score equally, so the resampling ORDER
+    * it induces is unchanged and everything stays hash-comparable).
+    * Resample by (dsir_score desc) with [[stratifiedSample]] /
+    * [[groupQuota]] downstream.
+    *
+    * Scale shape: one corpus scan to features, one groupBy(f) over at
+    * most `nBuckets` result groups, the (tiny, bounded) weight table
+    * broadcast back onto the feature stream, one groupBy(doc). No
+    * corpus shuffle wider than the exploded feature stream; documents
+    * with no tokens have no features and drop (same as the oracle).
+    */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 10000): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val feats = docs.select(col(idCol).cast("long").as("doc_id"),
+        isTarget.cast("int").as("is_t"),
+        explode(graft.functions.VecFunctions.arith_ngram_fps(col(textCol))).as("fp"))
+      .select(col("doc_id"), col("is_t"), (col("fp") % nBuckets).as("f"))
+    val weights = feats.groupBy("f")
+      .agg(count(lit(1)).as("r_f"), sum(col("is_t")).as("t_f"))
+      .select(col("f"),
+        expr("CAST(((t_f + 1) * 1000000) DIV (r_f + 1) AS BIGINT)").as("w"))
+    feats.join(broadcast(weights), Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_features"),
+        sum(col("w")).as("dsir_score"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * ((id & 0x7fffffff) · 2654435761) mod 1000 < quota(stratum), i.e.
     * a Knuth multiplicative hash of the id thins each stratum to

@@ -172,6 +172,30 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("dsir scores: target-like documents outrank off-distribution ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),          // target
+      (2L, "alpha beta gamma epsilon"),        // target
+      (100L, "alpha beta gamma delta"),        // candidate: target profile
+      (101L, "zeta eta theta iota"),           // candidate: disjoint vocab
+      (102L, "alpha beta zeta eta"),           // candidate: half-overlap
+      (103L, "filler words filler words"),     // raw mass
+      (104L, "more filler content here")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.PipelineOps.dsirScores(
+        docs, "doc_id", "text", col("doc_id") < 10)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out.size == 7)
+    // 4 tokens -> 4 unigrams + 3 bigrams
+    assert(out(100L)._1 == 7, s"n_features: ${out(100L)}")
+    val (full, none, half) = (out(100L)._2, out(101L)._2, out(102L)._2)
+    assert(full > half && half > none,
+      s"target-likeness must order scores: full=$full half=$half none=$none")
+    // deterministic: identical profile docs score identically
+    assert(out(1L)._2 == out(100L)._2)
+  }
+
   test("c4 stats: planted pages exercise every cleaning rule") {
     import spark.implicits._
     val docs = Seq(
