@@ -93,22 +93,32 @@ object Quantizers {
     * (cell, centroid) frame directly pluggable into
     * [[SimilarityOps.ivfTopK]] / [[SimilarityOps.ivfPqTopK]].
     * Assignment metric is the serving path's exact quantized cosine.
-    * Degenerate inputs degrade, never throw: a corpus smaller than k
-    * yields one centroid per vector, an empty corpus an empty frame
-    * (serving with either stays well-defined), and cells that lose
-    * all members keep their previous centroid.
+    * Seeding defaults to deterministic greedy maximin
+    * ([[maximinSeed]], the RNG-free k-means++ analogue — most
+    * angularly spread picks first); pass `seeding = "hash"` for the
+    * plain hash-order seed. Degenerate inputs degrade, never throw:
+    * a corpus smaller than k yields one centroid per vector, an
+    * empty corpus an empty frame (serving with either stays
+    * well-defined), and cells that lose all members keep their
+    * previous centroid.
     */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, embCol: String,
-      k: Int, iters: Int = 5, trainSize: Int = 4096): DataFrame = {
+      k: Int, iters: Int = 5, trainSize: Int = 4096,
+      seeding: String = "maximin"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(trainSize >= k, s"trainSize ($trainSize) must be >= k ($k)")
+    require(seeding == "maximin" || seeding == "hash",
+      s"seeding must be 'maximin' or 'hash', got '$seeding'")
     val spark = corpus.sparkSession
     import spark.implicits._
     val sample = sampleQ(corpus, idCol, embCol, trainSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val seed = sample.orderBy(hashOrder(col("id")), col("id")).limit(k)
-        .select(col("q")).as[Array[Long]].collect()
+      val seed =
+        if (seeding == "hash")
+          sample.orderBy(hashOrder(col("id")), col("id")).limit(k)
+            .select(col("q")).as[Array[Long]].collect()
+        else maximinSeed(sample, k)
       var cents: Array[(Long, Array[Long])] =
         seed.zipWithIndex.map { case (q, i) => (i.toLong, q) }
       var it = 0
@@ -131,6 +141,44 @@ object Quantizers {
       cents.toSeq.map { case (cell, q) => (cell, exactFloats(q)) }
         .toDF("cell", "centroid")
     } finally sample.unpersist()
+  }
+
+  /** Deterministic greedy maximin seeding (the RNG-free analogue of
+    * k-means++): start from the hash-order-first sample vector, then
+    * repeatedly pick the sample vector whose MAXIMUM quantized cosine
+    * to the already-chosen set is smallest (the most angularly spread
+    * candidate), id tie-break. Each pick is one distributed job over
+    * the persisted sample scoring against the chosen-so-far literal —
+    * k small jobs total, no RNG, no collect of the sample. Stops
+    * early when every distinct sample vector is chosen (degenerate
+    * corpora keep the degrade-never-throw contract).
+    */
+  private def maximinSeed(sample: DataFrame, k: Int): Array[Array[Long]] = {
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val firstOpt = sample.orderBy(hashOrder(col("id")), col("id")).limit(1)
+      .select(col("q")).as[Array[Long]].collect().headOption
+    if (firstOpt.isEmpty) return Array.empty
+    var chosen = Vector(firstOpt.get)
+    val n = sample.count()
+    while (chosen.size < math.min(k, n)) {
+      val chosenLit = typedlit(chosen.map(q => (q.toSeq, q.map(v => v * v).sum)))
+      // interpreted HOFs are fine here: trainSize × |chosen| dots,
+      // offline, once per pick
+      val maxCos = array_max(transform(chosenLit, c => {
+        val dot = aggregate(zip_with(col("q"), c.getField("_1"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)
+        val nq = aggregate(transform(col("q"), v => v * v), lit(0L), (acc, x) => acc + x)
+        when(nq === 0 || c.getField("_2") === 0, lit(0L))
+          .otherwise(floor(dot.cast("double") * lit(1e6) /
+            sqrt((nq * c.getField("_2")).cast("double"))).cast("long"))
+      }))
+      val next = sample.select(col("id"), col("q"), maxCos.as("mc"))
+        .orderBy(col("mc").asc, col("id").asc).limit(1)
+        .select(col("q")).as[Array[Long]].head()
+      chosen = chosen :+ next
+    }
+    chosen.toArray
   }
 
   /** Trained PQ codebook: ksub full-width entries (cid 0..ksub-1)

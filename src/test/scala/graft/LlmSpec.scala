@@ -783,8 +783,9 @@ class LlmSpec extends SparkSpec {
     // sf0.01 (500 vectors): large enough that k-means has structure to
     // fit, small enough to train in seconds. Everything below is exact
     // integer math over a fixed corpus, so the recalls are fully
-    // deterministic (measured: ivf 0.458→0.544, pq 0.150→0.272,
-    // ivf-pq+rerank 0.224→0.422 trained) — the floors have real margin.
+    // deterministic (measured, maximin seeding: ivf 0.458→0.566,
+    // pq 0.150→0.272, ivf-pq 0.246→rerank 0.440 trained) — the floors
+    // have real margin.
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val queries = e.filter(col("vec_id") < 50)
     val k = 10
@@ -820,7 +821,8 @@ class LlmSpec extends SparkSpec {
     // Same deterministic setup as the trained-quantizer test. On this
     // corpus (near-orthogonal random vectors — little cell-local
     // structure) residual encoding is a small win over raw encoding
-    // (measured 0.224→0.248 at sf0.01), but the load-bearing claims
+    // (measured 0.246→0.276 at sf0.01, maximin seeding), but the
+    // load-bearing claims
     // are: (1) residual mode with a RAW codebook is the wrong pairing
     // and scores below the residual-trained form — the two halves of
     // the FAISS design must travel together; (2) the trained residual
