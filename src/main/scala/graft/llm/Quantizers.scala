@@ -248,8 +248,10 @@ object Quantizers {
       val dims = dimsOpt.get
       require(dims >= m, s"vectors have $dims dims but m=$m subspaces")
       val sub = dims / m
-      val seed = sample.orderBy(hashOrder(col("id")), col("id")).limit(ksub)
-        .select(col("q")).as[Array[Long]].collect()
+      // maximin seeding in the full-width space: each subspace j of a
+      // spread full vector inherits spread subvectors — measured to
+      // lift trained PQ recall vs the hash-order seed
+      val seed = maximinSeed(sample, ksub)
       var cb: Array[(Long, Array[Long])] =
         seed.zipWithIndex.map { case (q, i) => (i.toLong, q) }
       var it = 0
