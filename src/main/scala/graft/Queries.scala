@@ -789,6 +789,40 @@ object Queries {
     """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
       |count(*) AS n_dups, min(doc_id) AS keep_id FROM documents GROUP BY 1""".stripMargin
 
+  // Line-level exact dedup (the RefinedWeb/CCNet line-wise correction).
+  // The synthetic corpus is single-line word soup, so the query first
+  // derives a deterministic line structure — 8-word chunks joined with
+  // '\n' — then removes every line that appears verbatim in >= 2
+  // distinct documents (planted exact/near dups share chunk lines).
+  private val llmLineDedup: Q = (s, dir) => {
+    val ws = split(col("text"), " ")
+    val nLines = floor((size(ws) + lit(7)) / lit(8)).cast("int")
+    val lined = t(s, dir, "documents").select(col("doc_id"),
+      array_join(transform(sequence(lit(0), nLines - 1),
+        i => concat_ws(" ", slice(ws, i * 8 + 1, lit(8)))), "\n").as("text"))
+    graft.llm.DedupOps.lineDedup(lined, "doc_id", "text")
+  }
+  private val llmLineDedupOracle =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), toks AS (
+      |  SELECT doc_id, unnest(w) AS wd, generate_subscripts(w, 1) AS i FROM ws
+      |), lines AS (
+      |  SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS pos,
+      |         string_agg(wd, ' ' ORDER BY i) AS line
+      |  FROM toks GROUP BY doc_id, CAST((i - 1) // 8 AS BIGINT)
+      |), common AS (
+      |  SELECT line FROM lines WHERE trim(line) <> ''
+      |  GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+      |), flagged AS (
+      |  SELECT l.doc_id, l.pos, l.line, c.line IS NOT NULL AS dup
+      |  FROM lines l LEFT JOIN common c ON l.line = c.line
+      |)
+      |SELECT doc_id, count(*) AS n_lines,
+      |       count(*) FILTER (WHERE dup) AS n_removed,
+      |       coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT dup), '') AS kept_text
+      |FROM flagged GROUP BY doc_id""".stripMargin
+
   private val llmTokenStats: Q = (s, dir) =>
     graft.llm.TextOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
   private val llmTokenStatsOracle =
@@ -1919,6 +1953,7 @@ object Queries {
     "q_etl_blocks" -> etlBlocks,
     "q_llm_exact_dedup" -> llmExactDedup,
     "q_llm_norm_dedup" -> llmNormDedup,
+    "q_llm_line_dedup" -> llmLineDedup,
     "q_llm_token_stats" -> llmTokenStats,
     "q_llm_quality" -> llmQuality,
     "q_llm_bpe_tokens" -> llmBpeTokens,
@@ -2004,6 +2039,7 @@ object Queries {
     "q_etl_contracts" -> EtlOracleSql.contracts,
     "q_llm_exact_dedup" -> llmExactDedupOracle,
     "q_llm_norm_dedup" -> llmNormDedupOracle,
+    "q_llm_line_dedup" -> llmLineDedupOracle,
     "q_llm_token_stats" -> llmTokenStatsOracle,
     "q_llm_quality" -> llmQualityOracle,
     "q_llm_bpe_tokens" -> llmBpeTokensOracle,

@@ -33,6 +33,44 @@ object DedupOps {
       .groupBy("text_hash")
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
 
+  /** Line-level exact dedup across documents (the RefinedWeb / CCNet
+    * line-wise correction: a line that appears verbatim in at least
+    * `minDocs` DISTINCT documents — boilerplate, navigation chrome,
+    * cookie banners — is removed from every document that carries it).
+    * Repeats of a line WITHIN a single document are inter-doc frequency
+    * 1 and are kept; whitespace-only lines are never treated as common.
+    *
+    * Returns one row per document: original line count, removed line
+    * count, and the surviving text reassembled in original line order.
+    *
+    * Scale shape: explode is a map; the document-frequency pass is one
+    * hash-aggregate shuffle on the line; the join back is an equi-join
+    * on the same key, so AQE can pick broadcast when the common-line
+    * table is small (it usually is — it holds only lines crossing the
+    * `minDocs` threshold). The final per-doc reassembly shuffles on
+    * doc id. No stage ever materializes a pair product.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minDocs: Int = 2, sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col("doc_id"), col("pos"), col("col").as("line"))
+    val common = lines.filter(trim(col("line")) =!= "")
+      .groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+      .filter(col("line_df") >= minDocs)
+      .select(col("line"), lit(true).as("dup"))
+    lines.join(common, Seq("line"), "left")
+      .withColumn("dup", coalesce(col("dup"), lit(false)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("dup"), lit(1))).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("dup"), struct(col("pos"), col("line"))))),
+          x => x.getField("line")), sep).as("kept_text"))
+  }
+
   /** Distinct token set of a document (whitespace tokens). */
   def tokenSet(c: Column): Column = array_distinct(split(c, "\\s+"))
 

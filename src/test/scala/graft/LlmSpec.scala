@@ -38,6 +38,27 @@ class LlmSpec extends SparkSpec {
     assert(out.filter(col("n_dups") > 1).filter(col("keep_id") >= 100000).count() == 0)
   }
 
+  test("line dedup: inter-doc common lines removed, intra-doc repeats and blanks kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared banner\nunique one\nshared banner\n\nbody a"),
+      (2L, "shared banner\nunique two\nbody b"),
+      (3L, "solo line\nsolo line\nanother solo")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.lineDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: "shared banner" is in docs 1 AND 2 -> both its occurrences
+    // in doc 1 go; the blank line is never treated as common
+    assert(out(0).getLong(1) == 5 && out(0).getLong(2) == 2)
+    assert(out(0).getString(3) == "unique one\n\nbody a")
+    assert(out(1).getLong(1) == 3 && out(1).getLong(2) == 1)
+    assert(out(1).getString(3) == "unique two\nbody b")
+    // doc 3: "solo line" repeats only WITHIN the doc -> inter-doc
+    // frequency is 1, nothing removed
+    assert(out(2).getLong(2) == 0)
+    assert(out(2).getString(3) == "solo line\nsolo line\nanother solo")
+  }
+
   test("minhash-LSH near-dup: high recall on planted near-duplicates") {
     val corpus = corpusWithDups
     val found = DedupOps.nearDupPairs(corpus, "doc_id", "text", 0.7)
