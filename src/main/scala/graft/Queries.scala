@@ -823,6 +823,41 @@ object Queries {
       |       coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT dup), '') AS kept_text
       |FROM flagged GROUP BY doc_id""".stripMargin
 
+  // Exact duplicated-substring spans (Lee et al. 2021 ExactSubstr at
+  // 8-token shingle granularity): maximal per-doc token spans whose
+  // every shingle appears verbatim in >= 2 distinct documents.
+  private val llmDupSpans: Q = (s, dir) =>
+    graft.llm.DedupOps.dupSpanStats(t(s, dir, "documents"), "doc_id", "text")
+  private val llmDupSpansOracle =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), pi AS (
+      |  SELECT doc_id, w, unnest(range(0, greatest(len(w) - 7, 0))) AS pos FROM ws
+      |), sh AS (
+      |  SELECT doc_id, pos, array_to_string(w[pos+1:pos+8], ' ') AS sh FROM pi
+      |), common AS (
+      |  SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+      |), hits AS (
+      |  SELECT s.doc_id, s.pos FROM sh s JOIN common c USING (sh)
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM hits
+      |), isl2 AS (
+      |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl
+      |), spans AS (
+      |  SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e FROM isl2 GROUP BY doc_id, island
+      |), per_doc AS (
+      |  SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+      |  FROM spans GROUP BY doc_id
+      |)
+      |SELECT ws.doc_id, CAST(len(ws.w) AS INT) AS n_tokens,
+      |       coalesce(p.n_spans, 0) AS n_spans,
+      |       coalesce(p.dup_tokens, 0) AS dup_tokens
+      |FROM ws LEFT JOIN per_doc p USING (doc_id)""".stripMargin
+
   private val llmTokenStats: Q = (s, dir) =>
     graft.llm.TextOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
   private val llmTokenStatsOracle =
@@ -1954,6 +1989,7 @@ object Queries {
     "q_llm_exact_dedup" -> llmExactDedup,
     "q_llm_norm_dedup" -> llmNormDedup,
     "q_llm_line_dedup" -> llmLineDedup,
+    "q_llm_dup_spans" -> llmDupSpans,
     "q_llm_token_stats" -> llmTokenStats,
     "q_llm_quality" -> llmQuality,
     "q_llm_bpe_tokens" -> llmBpeTokens,
@@ -2040,6 +2076,7 @@ object Queries {
     "q_llm_exact_dedup" -> llmExactDedupOracle,
     "q_llm_norm_dedup" -> llmNormDedupOracle,
     "q_llm_line_dedup" -> llmLineDedupOracle,
+    "q_llm_dup_spans" -> llmDupSpansOracle,
     "q_llm_token_stats" -> llmTokenStatsOracle,
     "q_llm_quality" -> llmQualityOracle,
     "q_llm_bpe_tokens" -> llmBpeTokensOracle,

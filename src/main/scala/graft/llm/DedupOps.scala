@@ -71,6 +71,66 @@ object DedupOps {
           x => x.getField("line")), sep).as("kept_text"))
   }
 
+  /** Exact duplicated-substring spans (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * their suffix-array ExactSubstr pass, here at n-token shingle
+    * granularity, which is the distributed-friendly form): a token span
+    * is "duplicated" when every length-n shingle inside it appears
+    * verbatim in at least `minDocs` DISTINCT documents. Overlapping and
+    * adjacent duplicated shingles are merged into maximal spans per
+    * document (interval islands over the shingle start positions).
+    *
+    * Input text is expected whitespace-normalized (single-space
+    * separators — run [[normalizeText]] first otherwise); documents
+    * shorter than n tokens contribute no shingles and report zero spans.
+    *
+    * Returns one row per document: token count, merged duplicated-span
+    * count, and total tokens covered by duplicated spans.
+    *
+    * Scale shape: the shingle explode is a map (n× token blowup); the
+    * document-frequency pass is one hash-aggregate shuffle on the
+    * shingle; the join back is an equi-join on the same key (AQE
+    * broadcasts when the over-threshold table is small); island merging
+    * is a per-doc window over only the HIT positions — never the full
+    * token stream. For very long shingles the groupBy key can be
+    * swapped to a 64-bit fingerprint to cut shuffle width (collision
+    * risk ~2^-64); the exact-string form is kept here for oracle
+    * bit-parity.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"), col("w"))
+    val sh = base.select(col("doc_id"),
+        posexplode(when(size(col("w")) >= n,
+          transform(sequence(lit(0), size(col("w")) - n),
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("pos"), col("col").as("sh"))
+    val common = sh.groupBy("sh")
+      .agg(countDistinct(col("doc_id")).as("sh_df"))
+      .filter(col("sh_df") >= minDocs)
+      .select("sh")
+    val hits = sh.join(common, Seq("sh")).select("doc_id", "pos")
+    val ord = Window.partitionBy("doc_id").orderBy("pos")
+    val prev = lag(col("pos"), 1).over(ord)
+    // a shingle at pos covers tokens [pos, pos+n-1]; the next hit starts
+    // a new island only when it clears the previous cover entirely
+    val isl = hits
+      .withColumn("brk", when(prev.isNull || col("pos") > prev + n, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(ord))
+    val spans = isl.groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (n - 1)).as("e"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
+  }
+
   /** Distinct token set of a document (whitespace tokens). */
   def tokenSet(c: Column): Column = array_distinct(split(c, "\\s+"))
 

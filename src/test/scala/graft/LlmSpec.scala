@@ -59,6 +59,42 @@ class LlmSpec extends SparkSpec {
     assert(out(2).getString(3) == "solo line\nsolo line\nanother solo")
   }
 
+  test("duplicated-substring spans: shared phrases merge to maximal spans") {
+    import spark.implicits._
+    // a 10-token phrase shared by docs 1 and 2 yields three overlapping
+    // 8-shingles -> ONE merged span of 10 tokens in each carrier
+    val phrase = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $phrase a4 a5 a6 a7 a8 a9 a10 a11"),
+      (2L, s"b1 b2 $phrase b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"), // no shared shingle
+      (4L, "short doc") // < n tokens: zero shingles, still reported
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dupSpanStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 21 && out(0).getLong(2) == 1 && out(0).getLong(3) == 10,
+      s"doc1: ${out(0)}")
+    assert(out(1).getInt(1) == 22 && out(1).getLong(2) == 1 && out(1).getLong(3) == 10,
+      s"doc2: ${out(1)}")
+    assert(out(2).getLong(2) == 0 && out(2).getLong(3) == 0)
+    assert(out(3).getInt(1) == 2 && out(3).getLong(2) == 0 && out(3).getLong(3) == 0)
+  }
+
+  test("duplicated-substring spans: disjoint shared regions stay separate islands") {
+    import spark.implicits._
+    val p = "x1 x2 x3 x4 x5 x6 x7 x8"   // exactly one shingle
+    val q = "y1 y2 y3 y4 y5 y6 y7 y8"
+    val docs = Seq(
+      (1L, s"$p f1 f2 f3 f4 f5 f6 f7 f8 f9 $q"),
+      (2L, s"$p g1 g2 g3 g4 g5 g6 g7 g8 g9 $q")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dupSpanStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // the filler gap (9 unique tokens > n) keeps the two spans apart
+    assert(out(0).getLong(2) == 2 && out(0).getLong(3) == 16, s"doc1: ${out(0)}")
+    assert(out(1).getLong(2) == 2 && out(1).getLong(3) == 16, s"doc2: ${out(1)}")
+  }
+
   test("minhash-LSH near-dup: high recall on planted near-duplicates") {
     val corpus = corpusWithDups
     val found = DedupOps.nearDupPairs(corpus, "doc_id", "text", 0.7)
