@@ -858,6 +858,30 @@ object Queries {
       |       coalesce(p.dup_tokens, 0) AS dup_tokens
       |FROM ws LEFT JOIN per_doc p USING (doc_id)""".stripMargin
 
+  // Per-doc top-3 TF-IDF terms, exact fixed-point idf (no floats).
+  private val llmTfidf: Q = (s, dir) =>
+    graft.llm.TextOps.tfidfTopK(t(s, dir, "documents"), "doc_id", "text")
+  private val llmTfidfOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+      |), dfreq AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df_t FROM toks GROUP BY term
+      |), n AS (
+      |  SELECT count(*) AS n_docs FROM documents
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |         tf.tf * ((n.n_docs * 1000000) // dfreq.df_t) AS score_x
+      |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+      |), ranked AS (
+      |  SELECT doc_id, term, tf, score_x,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score_x DESC, term ASC) AS rnk
+      |  FROM scored
+      |)
+      |SELECT doc_id, term, tf, CAST(score_x AS BIGINT) AS score_x, CAST(rnk AS INT) AS rnk
+      |FROM ranked WHERE rnk <= 3""".stripMargin
+
   private val llmTokenStats: Q = (s, dir) =>
     graft.llm.TextOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
   private val llmTokenStatsOracle =
@@ -1990,6 +2014,7 @@ object Queries {
     "q_llm_norm_dedup" -> llmNormDedup,
     "q_llm_line_dedup" -> llmLineDedup,
     "q_llm_dup_spans" -> llmDupSpans,
+    "q_llm_tfidf" -> llmTfidf,
     "q_llm_token_stats" -> llmTokenStats,
     "q_llm_quality" -> llmQuality,
     "q_llm_bpe_tokens" -> llmBpeTokens,
@@ -2077,6 +2102,7 @@ object Queries {
     "q_llm_norm_dedup" -> llmNormDedupOracle,
     "q_llm_line_dedup" -> llmLineDedupOracle,
     "q_llm_dup_spans" -> llmDupSpansOracle,
+    "q_llm_tfidf" -> llmTfidfOracle,
     "q_llm_token_stats" -> llmTokenStatsOracle,
     "q_llm_quality" -> llmQualityOracle,
     "q_llm_bpe_tokens" -> llmBpeTokensOracle,

@@ -157,6 +157,37 @@ object TextOps {
           col("score_en") > 0).cast("int").as("kept"))
   }
 
+  /** Per-document top-k terms by TF-IDF, in exact fixed point so the
+    * ranking is engine-portable: idf is quantized to
+    * `(n_docs * 1e6) div df_term` (integer division) and the score is
+    * `tf * idf_x1e6` — all BIGINT arithmetic, no floats, deterministic
+    * ties broken by term.
+    *
+    * Scale shape: the term explode is a map computed once per
+    * aggregation leg; tf is one (doc, term) hash-agg shuffle; the
+    * document-frequency table is a term hash-agg (vocabulary-sized —
+    * AQE broadcasts it when small, shuffle equi-join otherwise); the
+    * corpus size joins in as a 1-row broadcast, never a driver-side
+    * collect; the final top-k is a per-doc window over the already
+    * tf-aggregated rows, not the raw token stream.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df_t"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_x", col("tf") * expr("(n_docs * 1000000) div df_t"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score_x").desc, col("term").asc)))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "term", "tf", "score_x", "rnk")
+  }
+
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val scores = LangMarkers.map { case (lang, words) =>
       markerCount(col(textCol), words).as(s"score_$lang")

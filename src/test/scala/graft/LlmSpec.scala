@@ -95,6 +95,27 @@ class LlmSpec extends SparkSpec {
     assert(out(1).getLong(2) == 2 && out(1).getLong(3) == 16, s"doc2: ${out(1)}")
   }
 
+  test("tf-idf top-k: rare terms outrank common ones, exact fixed point") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the rare1 common common"),
+      (2L, "the common zebra zebra"),
+      (3L, "the common common")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopK(docs, "doc_id", "text", 2)
+      .orderBy("doc_id", "rnk").collect()
+    // idf_x1e6: corpus-wide terms (the/common) = 1e6, singletons = 3e6
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1(0).getString(1) == "rare1" && d1(0).getLong(3) == 3000000L,
+      s"doc1 top: ${d1.mkString(";")}")
+    // tie at 3e6 between rare1 (tf 1 x idf 3e6) and the (tf 3 x idf 1e6)
+    // breaks by term asc
+    assert(d1(1).getString(1) == "the" && d1(1).getLong(3) == 3000000L)
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2(0).getString(1) == "zebra" && d2(0).getLong(3) == 6000000L,
+      s"doc2 top: ${d2.mkString(";")}")
+  }
+
   test("minhash-LSH near-dup: high recall on planted near-duplicates") {
     val corpus = corpusWithDups
     val found = DedupOps.nearDupPairs(corpus, "doc_id", "text", 0.7)
