@@ -882,6 +882,27 @@ object Queries {
       |SELECT doc_id, term, tf, CAST(score_x AS BIGINT) AS score_x, CAST(rnk AS INT) AS rnk
       |FROM ranked WHERE rnk <= 3""".stripMargin
 
+  // Token-budget corpus mixing: per-source budgets (a CASE over the
+  // source name here; a mixing table in production), hash-order
+  // prefix cut.
+  private val llmTokenBudgetMix: Q = (s, dir) =>
+    graft.llm.PipelineOps.tokenBudgetMix(t(s, dir, "documents"),
+      "doc_id", "text", "source",
+      expr("400 + 40 * CAST(substring(source, 4) AS INT)"))
+  private val llmTokenBudgetMixOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |         (doc_id & 2147483647) * 2654435761 AS h
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM tok
+      |)
+      |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+      |WHERE cum_tokens <= 400 + 40 * CAST(substring(source, 4) AS INT)""".stripMargin
+
   private val llmTokenStats: Q = (s, dir) =>
     graft.llm.TextOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
   private val llmTokenStatsOracle =
@@ -2015,6 +2036,7 @@ object Queries {
     "q_llm_line_dedup" -> llmLineDedup,
     "q_llm_dup_spans" -> llmDupSpans,
     "q_llm_tfidf" -> llmTfidf,
+    "q_llm_token_budget_mix" -> llmTokenBudgetMix,
     "q_llm_token_stats" -> llmTokenStats,
     "q_llm_quality" -> llmQuality,
     "q_llm_bpe_tokens" -> llmBpeTokens,
@@ -2103,6 +2125,7 @@ object Queries {
     "q_llm_line_dedup" -> llmLineDedupOracle,
     "q_llm_dup_spans" -> llmDupSpansOracle,
     "q_llm_tfidf" -> llmTfidfOracle,
+    "q_llm_token_budget_mix" -> llmTokenBudgetMixOracle,
     "q_llm_token_stats" -> llmTokenStatsOracle,
     "q_llm_quality" -> llmQualityOracle,
     "q_llm_bpe_tokens" -> llmBpeTokensOracle,

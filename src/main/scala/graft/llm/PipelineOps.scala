@@ -122,6 +122,37 @@ object PipelineOps {
   private def sampleHash(id: Column): Column =
     id.bitwiseAND(lit(2147483647L)) * lit(2654435761L)
 
+  /** Token-budget corpus mixing (the Dolma/Pile mixing pass): within
+    * each source, keep documents in multiplicative-hash order until
+    * the running token total reaches that source's budget. Prefix-cut
+    * semantics — once the cumulative sum passes the budget every later
+    * doc in hash order is dropped too (no back-filling with smaller
+    * docs), which keeps the kept set a pure deterministic function of
+    * (corpus, budgets), re-derivable across engines and runs.
+    *
+    * `budgetTokens` is a Column so budgets can come from a literal, a
+    * CASE over the source, or a joined-in mixing table.
+    *
+    * Scale shape: one scan computes token counts map-only; the only
+    * shuffle is the per-source window (hash-partition on source, sort
+    * by the 64-bit hash). Skew note: a single giant source serializes
+    * into one window partition — pre-split such a source upstream or
+    * cut it with [[stratifiedSample]] first.
+    */
+  def tokenBudgetMix(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgetTokens: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      size(split(col(textCol), " ")).as("n_tokens"),
+      budgetTokens.cast("long").as("budget"))
+    val w = Window.partitionBy("source")
+      .orderBy(sampleHash(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+  }
+
   /** Per-stratum quota cap: keep at most `k` rows per stratum, chosen
     * deterministically by multiplicative-hash order of the id (the
     * "at most N documents per domain" cap of web-corpus curation —

@@ -116,6 +116,24 @@ class LlmSpec extends SparkSpec {
       s"doc2 top: ${d2.mkString(";")}")
   }
 
+  test("token-budget mix: budget bound, prefix monotonicity, determinism") {
+    val mix = (b: Long) => graft.llm.PipelineOps.tokenBudgetMix(
+      docs, "doc_id", "text", "source", lit(b))
+    val small = mix(500L)
+    // per-source kept tokens never exceed the budget
+    val over = small.groupBy("source").agg(sum(col("n_tokens")).as("s"))
+      .filter(col("s") > 500).count()
+    assert(over == 0)
+    // deterministic across runs
+    assert(small.collect().toSet == mix(500L).collect().toSet)
+    // a larger budget keeps a superset (prefix cut, no back-fill)
+    val smallIds = small.select("doc_id").collect().map(_.getLong(0)).toSet
+    val bigIds = mix(2000L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(smallIds.subsetOf(bigIds), s"${smallIds.size} !<= ${bigIds.size}")
+    // an unbounded budget keeps everything
+    assert(mix(Long.MaxValue).count() == docs.count())
+  }
+
   test("minhash-LSH near-dup: high recall on planted near-duplicates") {
     val corpus = corpusWithDups
     val found = DedupOps.nearDupPairs(corpus, "doc_id", "text", 0.7)
