@@ -81,15 +81,45 @@ object FnvOracleSql {
     * The fingerprint min is an UNSIGNED compare (TextHash uses
     * compareUnsigned), so list_min runs in the HUGEINT domain.
     */
-  val fingerprints: String =
-    s"""WITH $sigCte,
-       |fp AS (SELECT doc_id,
+  /** Winnowing-fingerprint CTE (doc_id, fp_u) — shared by
+    * `fingerprints` and `bloomSeen`.
+    */
+  private val fpCte: String =
+    s"""fp AS (SELECT doc_id,
        |  CASE WHEN length(text) < 16 THEN ${fnvStr("text")}
        |  ELSE list_min(list_transform(range(1, length(text) - 14),
        |    i -> ${fnvList("list_transform(range(0, 16), j -> ord(text[i+j])::HUGEINT)")})) END AS fp_u
-       |  FROM documents)
+       |  FROM documents)""".stripMargin
+
+  val fingerprints: String =
+    s"""WITH $sigCte,
+       |$fpCte
        |SELECT s.doc_id, ${u2s("s.sig_u")} AS simhash, ${u2s("fp.fp_u")} AS fingerprint
        |FROM sig s JOIN fp ON s.doc_id = fp.doc_id""".stripMargin
+
+  /** q_llm_bloom_seen: Bloom seen-set over the even-doc_id half's
+    * winnowing fingerprints, probed by the odd half. Double hashing
+    * (Kirsch-Mitzenmacher) from the fp's low/high 31-bit halves; every
+    * reduction is a bit mask (m = 2^16), so nothing here touches
+    * HUGEINT division and the signed/unsigned representations agree
+    * bit-for-bit (31-bit masked halves are sign-free).
+    */
+  val bloomSeen: String =
+    s"""WITH $fpCte,
+       |hs AS (
+       |  SELECT doc_id, doc_id & 1 AS side,
+       |         ((fp_u & 2147483647::HUGEINT) * 2654435761::HUGEINT) & 65535::HUGEINT AS b1,
+       |         ((((fp_u >> 31) & 2147483647::HUGEINT) * 2246822519::HUGEINT) & 65534::HUGEINT) + 1::HUGEINT AS b2
+       |  FROM fp),
+       |pos AS (
+       |  SELECT doc_id, side, (b1 + t.i::HUGEINT * b2) & 65535::HUGEINT AS pos
+       |  FROM hs, (SELECT unnest(range(4)) AS i) t),
+       |bits AS (SELECT DISTINCT pos FROM pos WHERE side = 0)
+       |SELECT p.doc_id, CAST(count(b.pos) AS INT) AS n_hit,
+       |       CAST(count(b.pos) = 4 AS INT) AS member
+       |FROM pos p LEFT JOIN bits b ON p.pos = b.pos
+       |WHERE p.side = 1
+       |GROUP BY p.doc_id""".stripMargin
 
   /** q_llm_simhash_pairs: 16-bit pigeonhole chunks over the 64-bit
     * signature, hamming ≤ 3. xor/bit_count run in the unsigned domain —

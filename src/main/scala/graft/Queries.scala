@@ -882,6 +882,47 @@ object Queries {
       |SELECT doc_id, term, tf, CAST(score_x AS BIGINT) AS score_x, CAST(rnk AS INT) AS rnk
       |FROM ranked WHERE rnk <= 3""".stripMargin
 
+  // Bloom seen-set: even-doc_id half builds the filter over winnowing
+  // fingerprints, odd half probes. Deterministic false positives
+  // included — the oracle reproduces the exact bit positions.
+  private val llmBloomSeen: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").withColumn("fp",
+      graft.functions.LlmFunctions.fingerprint64(col("text")))
+    graft.llm.PipelineOps.bloomMembership(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "fp")
+  }
+
+  // Per-doc top-3 BM25 terms, exact fixed-point (k1=1.2, b=0.75
+  // cleared to integers; ratio idf; HUGEINT numerator).
+  private val llmBm25: Q = (s, dir) =>
+    graft.llm.TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text")
+  private val llmBm25Oracle =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+      |), dfreq AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df_t FROM toks GROUP BY term
+      |), c AS (
+      |  SELECT count(*) AS n_docs, sum(dl) AS t_tokens FROM dl
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |         CAST((c.n_docs * 1000) // dfreq.df_t AS HUGEINT) * tf.tf * 22 * c.t_tokens AS num,
+      |         10 * c.t_tokens * tf.tf + 3 * c.t_tokens + 9 * dl.dl * c.n_docs AS den
+      |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+      |          JOIN dfreq ON tf.term = dfreq.term CROSS JOIN c
+      |), ranked AS (
+      |  SELECT doc_id, term, tf, num // den AS score_x,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY num // den DESC, term ASC) AS rnk
+      |  FROM scored
+      |)
+      |SELECT doc_id, term, tf, CAST(score_x AS BIGINT) AS score_x, CAST(rnk AS INT) AS rnk
+      |FROM ranked WHERE rnk <= 3""".stripMargin
+
   // Token-budget corpus mixing: per-source budgets (a CASE over the
   // source name here; a mixing table in production), hash-order
   // prefix cut.
@@ -1576,6 +1617,30 @@ object Queries {
       .select(col("query_id"), col("neighbor_id"),
         col("score").as("score_x1e6"), col("rank"))
   }
+  // Cluster-balanced diversity sample: nearest-cell assignment (same
+  // kernel + hash-order centroids as q_ann_ivf_topk), at most 5 kept
+  // per cell in multiplicative-hash order.
+  private val embClusterSample: Q = (s, dir) =>
+    graft.llm.SimilarityOps.clusterSample(
+      t(s, dir, "embeddings"), "vec_id", "embedding", 5)
+  private val embClusterSampleOracle =
+    s"""$quantNormCte,
+      |cent AS (SELECT id AS cell, q AS cq, nq AS cnq FROM n
+      |         ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id
+      |         LIMIT 16),
+      |assigned AS (
+      |  SELECT neighbor_id, cell FROM (
+      |    SELECT v.id AS neighbor_id, c.cell AS cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+      |    FROM n v, cent c) WHERE rn = 1)
+      |SELECT neighbor_id AS vec_id, CAST(cell AS BIGINT) AS cell, CAST(rnk AS INT) AS rnk
+      |FROM (SELECT neighbor_id, cell,
+      |        row_number() OVER (PARTITION BY cell
+      |          ORDER BY (neighbor_id & 2147483647) * 2654435761, neighbor_id) AS rnk
+      |      FROM assigned)
+      |WHERE rnk <= 5""".stripMargin
+
   private val annIvfTopkOracle =
     s"""$quantNormCte,
       |cent AS (SELECT id AS cell, q AS cq, nq AS cnq FROM n
@@ -2036,6 +2101,8 @@ object Queries {
     "q_llm_line_dedup" -> llmLineDedup,
     "q_llm_dup_spans" -> llmDupSpans,
     "q_llm_tfidf" -> llmTfidf,
+    "q_llm_bm25" -> llmBm25,
+    "q_llm_bloom_seen" -> llmBloomSeen,
     "q_llm_token_budget_mix" -> llmTokenBudgetMix,
     "q_llm_token_stats" -> llmTokenStats,
     "q_llm_quality" -> llmQuality,
@@ -2061,6 +2128,7 @@ object Queries {
     "q_mm_resize" -> mmResize,
     "q_emb_neardup" -> embNearDup,
     "q_emb_semdedup" -> embSemDedup,
+    "q_emb_cluster_sample" -> embClusterSample,
     "q_llm_simhash_pairs" -> llmSimhashPairs,
     "q_llm_simhash_portable_pairs" -> llmSimhashPortablePairs,
     "q_llm_fingerprints" -> llmFingerprints,
@@ -2125,6 +2193,8 @@ object Queries {
     "q_llm_line_dedup" -> llmLineDedupOracle,
     "q_llm_dup_spans" -> llmDupSpansOracle,
     "q_llm_tfidf" -> llmTfidfOracle,
+    "q_llm_bm25" -> llmBm25Oracle,
+    "q_llm_bloom_seen" -> FnvOracleSql.bloomSeen,
     "q_llm_token_budget_mix" -> llmTokenBudgetMixOracle,
     "q_llm_token_stats" -> llmTokenStatsOracle,
     "q_llm_quality" -> llmQualityOracle,
@@ -2154,6 +2224,7 @@ object Queries {
     "q_etl_blocks" -> etlBlocksOracle,
     "q_emb_neardup" -> embNearDupOracle,
     "q_emb_semdedup" -> embSemDedupOracle,
+    "q_emb_cluster_sample" -> embClusterSampleOracle,
     "q_ann_topk_dot" -> annTopkDotOracle,
     "q_ann_cosine_topk" -> annCosineTopkOracle,
     "q_ann_lsh_topk" -> annLshTopkOracle,

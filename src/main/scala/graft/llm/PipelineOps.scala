@@ -122,6 +122,49 @@ object PipelineOps {
   private def sampleHash(id: Column): Column =
     id.bitwiseAND(lit(2147483647L)) * lit(2654435761L)
 
+  /** Bloom-filter membership: build a Bloom filter over the build
+    * side's 64-bit content keys and probe every probe-side key against
+    * it — the compact seen-set primitive of cross-snapshot URL/content
+    * dedup at 100 TB (a multi-billion-key exact set doesn't broadcast;
+    * `numBits/8` bytes of Bloom does). Deterministic to the bit, false
+    * positives included: positions come from double hashing (Kirsch &
+    * Mitzenmacher 2006, `pos_i = (b1 + i·b2) mod m`) with the two base
+    * hashes derived from the key's low/high 31-bit halves by
+    * overflow-safe Knuth multiplies, `b2` forced odd so the probe
+    * sequence cycles the whole power-of-two bit space. `numBits` must
+    * be a power of two: every reduction is a bit mask, so the exact
+    * same integers fall out of any ANSI engine (the oracle runs this
+    * in HUGEINT with `&`, avoiding HUGEINT division entirely).
+    *
+    * Returns one row per probe doc: `(doc_id, n_hit, member)` with
+    * `member = 1` iff all `numHashes` probed bits are set.
+    *
+    * Scale shape: build side is one map (position explode) plus a
+    * distinct whose output is bounded by `numBits` rows no matter the
+    * corpus size; the bit set broadcasts to the probe join (never a
+    * corpus-sized shuffle); the probe side is a map plus a per-doc
+    * hash-agg of `numHashes` rows with map-side combine.
+    */
+  def bloomMembership(build: DataFrame, probe: DataFrame, idCol: String,
+      keyCol: String, numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
+    require(numBits >= 4 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two, got $numBits")
+    val mask = lit((numBits - 1).toLong)
+    def positions(key: Column): Column = {
+      val h1 = key.bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+      val h2 = shiftright(key, 31).bitwiseAND(lit(2147483647L)) * lit(2246822519L)
+      val b1 = h1.bitwiseAND(mask)
+      val b2 = h2.bitwiseAND(lit((numBits - 2).toLong)) + lit(1L) // odd
+      array((0 until numHashes).map(i => (b1 + lit(i.toLong) * b2).bitwiseAND(mask)): _*)
+    }
+    val bits = build.select(explode(positions(col(keyCol))).as("pos")).distinct()
+    probe.select(col(idCol).as("doc_id"), explode(positions(col(keyCol))).as("pos"))
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hit"))
+      .withColumn("member", (col("n_hit") === numHashes).cast("int"))
+  }
+
   /** Token-budget corpus mixing (the Dolma/Pile mixing pass): within
     * each source, keep documents in multiplicative-hash order until
     * the running token total reaches that source's budget. Prefix-cut

@@ -353,6 +353,58 @@ object SimilarityOps {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Cluster-balanced diversity sample: assign every vector to its
+    * nearest IVF cell (same quantized-cosine assignment kernel and
+    * centroid seam as [[ivfTopK]] — pass trained centroids when
+    * quality matters), then keep at most `quota` vectors per cell,
+    * chosen by overflow-safe multiplicative hash of the id. The
+    * "cluster then uniform-sample" recipe for diversity-preserving
+    * corpus thinning: uniform sampling over-represents dense regions
+    * of embedding space, per-cluster quotas flatten that.
+    *
+    * Deterministic and engine-exact end to end: the assignment is the
+    * integer quantized-cosine argmax, the per-cell pick is hash order
+    * with id tie-break — the kept set is re-derivable from (corpus,
+    * centroids) alone.
+    *
+    * Scale shape: one broadcast of the folded centroid row, a
+    * map-only assignment pass (no corpus×nlist explode), then one
+    * window shuffle partitioned by cell. Skew note: nlist must grow
+    * with the corpus (cells ≫ cores) or the per-cell windows
+    * serialize; with trained centroids the cell histogram is the
+    * knob to watch.
+    */
+  def clusterSample(corpus: DataFrame, idCol: String, embCol: String,
+      quota: Int, nlist: Int = 16,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse {
+      corpus.select(col(idCol).as("cell"), col(embCol).as("centroid"))
+        .orderBy(col("cell").bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+          % lit(1000000007L), col("cell"))
+        .limit(nlist)
+    }
+    val V = graft.functions.VecFunctions
+    def quant(c: Column) =
+      transform(c, x => floor(x.cast("double") * 1000).cast("long"))
+    val centArr = cents
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("raw"))
+      .select(transform(col("raw"), c => {
+        val cq = quant(c("centroid"))
+        struct(c("cell").cast("long").as("cell"), cq.as("cq"),
+          V.dot_long(cq, cq).as("cnq"))
+      }).as("cents"))
+    val assigned = corpus.select(col(idCol).as("vec_id"), col(embCol).as("c_emb"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"),
+        element_at(V.nearest_cells_q(quant(col("c_emb")), col("cents"), 1), 1)
+          .as("cell"))
+    val w = Window.partitionBy("cell")
+      .orderBy(col("vec_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L),
+        col("vec_id"))
+    assigned.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= quota)
+  }
+
   /** Product-quantization top-k (the compression tier of the ANN
     * ladder: brute → LSH → IVF → PQ). Each corpus vector is encoded
     * once into m codebook positions (m ints vs d floats — 32× smaller

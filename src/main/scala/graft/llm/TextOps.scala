@@ -188,6 +188,52 @@ object TextOps {
       .select("doc_id", "term", "tf", "score_x", "rnk")
   }
 
+  /** Per-document top-k terms by BM25 (Robertson-Spärck Jones term
+    * saturation, k1 = 1.2, b = 0.75), in exact fixed point so the
+    * ranking is engine-portable. The idf factor is the same quantized
+    * ratio as [[tfidfTopK]] (`(n_docs * 1000) div df_term` — the log
+    * of the Robertson idf is not exact in integers, and log is
+    * monotone in the ratio so per-term idf ordering is preserved; this
+    * is an integer-exact BM25 *variant*, not log-BM25 to the decimal).
+    * The tf-saturation half is exact: with k1 = 6/5 and b = 3/4,
+    *
+    *   tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl·n_docs/t_tokens)
+    *
+    * clears to integers when numerator and denominator are multiplied
+    * by 10·t_tokens:
+    *
+    *   score_x = (idf_x · tf · 22 · t_tokens)
+    *             div (10·t_tokens·tf + 3·t_tokens + 9·dl·n_docs)
+    *
+    * The numerator is computed in decimal(38,0) (HUGEINT on the
+    * oracle side) — at web-corpus scale idf_x·tf·22·t_tokens
+    * overflows 63 bits long before the corpus reaches 100 TB.
+    *
+    * Scale shape: identical to [[tfidfTopK]] plus one extra per-doc
+    * length aggregate (reuses the tf shuffle's token stream); corpus
+    * totals join in as a 1-row broadcast, never a driver collect.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df_t"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val scored = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_x", expr("(n_docs * 1000) div df_t"))
+      .withColumn("score_x", expr(
+        """(CAST(idf_x AS DECIMAL(38,0)) * tf * 22 * t_tokens)
+          | div (10 * t_tokens * tf + 3 * t_tokens + 9 * dl * n_docs)""".stripMargin))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score_x").desc, col("term").asc)))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "term", "tf", "score_x", "rnk")
+  }
+
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val scores = LangMarkers.map { case (lang, words) =>
       markerCount(col(textCol), words).as(s"score_$lang")

@@ -116,6 +116,87 @@ class LlmSpec extends SparkSpec {
       s"doc2 top: ${d2.mkString(";")}")
   }
 
+  test("cluster sample: per-cell quota, full assignment, trained-centroid seam") {
+    import spark.implicits._
+    val out = SimilarityOps.clusterSample(emb, "vec_id", "embedding", 5)
+      .collect()
+    // quota bound per cell
+    val perCell = out.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(perCell.values.forall(_ <= 5), s"over-quota cells: $perCell")
+    // ranks within a cell are 1..n without gaps
+    perCell.keys.foreach { c =>
+      val rnks = out.filter(_.getLong(1) == c).map(_.getInt(2)).sorted
+      assert(rnks.sameElements(1 to rnks.length), s"cell $c ranks: ${rnks.toSeq}")
+    }
+    // deterministic
+    val again = SimilarityOps.clusterSample(emb, "vec_id", "embedding", 5)
+      .collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // two orthogonal planted clusters + their own centroids: the
+    // sample draws the quota from BOTH (uniform sampling of this
+    // 90/10 mix need not)
+    val dims = 4
+    val mk = (base: Array[Float], ids: Seq[Long]) =>
+      ids.map(i => (i, base.zipWithIndex.map { case (v, j) =>
+        v + (if (j == dims - 1) i.toFloat / 1000f else 0f) }))
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    val two = (mk(a, 1L to 90L) ++ mk(b, 1000L to 1009L)).toDF("vec_id", "embedding")
+    val cents = Seq((0L, a.toSeq), (1L, b.toSeq)).toDF("cell", "centroid")
+    val bal = SimilarityOps.clusterSample(two, "vec_id", "embedding", 3,
+      centroids = Some(cents)).collect()
+    assert(bal.count(_.getLong(1) == 0L) == 3 && bal.count(_.getLong(1) == 1L) == 3,
+      s"unbalanced: ${bal.mkString(";")}")
+    assert(bal.filter(_.getLong(1) == 1L).forall(_.getLong(0) >= 1000L))
+  }
+
+  test("bloom membership: no false negatives, low FPR, determinism") {
+    import spark.implicits._
+    val mk = (ids: Seq[Long]) =>
+      ids.map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("doc_id", "fp")
+    val build = mk(1L to 100L)
+    val shared = mk(1L to 50L)
+    val fresh = mk(100000L to 101000L)
+    val onShared = graft.llm.PipelineOps.bloomMembership(build, shared, "doc_id", "fp")
+      .collect()
+    // every key actually inserted must probe as a member with all 4 bits
+    assert(onShared.forall(r => r.getInt(1) == 4 && r.getInt(2) == 1),
+      s"false negative: ${onShared.filter(_.getInt(2) == 0).mkString(";")}")
+    // disjoint keys: false positives exist by design but stay rare
+    // (m=65536, k=4, n=100 inserted -> FPR ~ (400/65536)^4, essentially 0)
+    val fpCount = graft.llm.PipelineOps.bloomMembership(build, fresh, "doc_id", "fp")
+      .filter(col("member") === 1).count()
+    assert(fpCount < 50, s"implausible false-positive count $fpCount/1001")
+    // deterministic across runs
+    val again = graft.llm.PipelineOps.bloomMembership(build, shared, "doc_id", "fp")
+      .collect()
+    assert(onShared.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("bm25 top-k: tf saturation flips the tf-idf order, exact fixed point") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a b"),
+      (2L, "a c")
+    ).toDF("doc_id", "text")
+    // N=2 T=7; idf_x: a=1000, b=c=2000
+    // score_x = (idf_x*tf*22*T) div (10*T*tf + 3*T + 9*dl*N)
+    val bm = TextOps.bm25TopK(docs, "doc_id", "text", 2)
+      .orderBy("doc_id", "rnk").collect()
+    val d1 = bm.filter(_.getLong(0) == 1L)
+    // saturated tf=4 'a' (616000 div 391 = 1575) loses to singleton
+    // 'b' (308000 div 181 = 1701)...
+    assert(d1(0).getString(1) == "b" && d1(0).getLong(3) == 1701L,
+      s"doc1 top: ${d1.mkString(";")}")
+    assert(d1(1).getString(1) == "a" && d1(1).getLong(3) == 1575L)
+    // ...whereas unsaturated tf-idf ranks 'a' (4e6) over 'b' (2e6)
+    val ti = TextOps.tfidfTopK(docs, "doc_id", "text", 1)
+      .filter(col("doc_id") === 1L).collect()
+    assert(ti(0).getString(1) == "a")
+    val d2 = bm.filter(_.getLong(0) == 2L)
+    assert(d2(0).getString(1) == "c" && d2(0).getLong(3) == 2425L,
+      s"doc2 top: ${d2.mkString(";")}")
+  }
+
   test("token-budget mix: budget bound, prefix monotonicity, determinism") {
     val mix = (b: Long) => graft.llm.PipelineOps.tokenBudgetMix(
       docs, "doc_id", "text", "source", lit(b))

@@ -110,6 +110,35 @@ class PlanShapeSpec extends SparkSpec {
       s"residual IVF-PQ grew an extra shuffle:\n$p")
   }
 
+  test("cluster sample: zero-shuffle assignment; only the cell window shuffles") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.llm.SimilarityOps.clusterSample(emb, "vec_id", "embedding", 5))
+    // assignment rides the broadcast centroid-array row (no ×nlist
+    // explode, no corpus shuffle); the ONLY hash exchange is the
+    // per-cell quota window
+    assert(p.contains("BroadcastNestedLoopJoin"), "centroid array must broadcast")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"cluster sample must shuffle only at the cell window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "centroid selection must stay a distributed partial top-k")
+  }
+
+  test("bloom: bit set broadcasts to the probe; probe never shuffles before its agg") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").withColumn("fp",
+      graft.functions.LlmFunctions.fingerprint64(col("text")))
+    val p = plan(graft.llm.PipelineOps.bloomMembership(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "fp"))
+    // the probe side meets the (≤ numBits row) bit set through a
+    // broadcast hash join — a corpus-sized shuffle join here is the
+    // scale failure this operator exists to avoid
+    assert(p.contains("BroadcastHashJoin"), s"bit set must broadcast:\n$p")
+    // exchanges: the bits distinct (bounded by numBits) + the per-doc
+    // n_hit agg — never a third, probe-corpus-sized one
+    assert(count(p, "Exchange hashpartitioning") <= 2,
+      s"unexpected extra shuffle in bloom plan:\n$p")
+  }
+
   test("LSH candidate generation is a bucket equi-join, never cartesian") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.llm.DedupOps.minhashCandidates(docs, "doc_id", "text"))
