@@ -944,6 +944,38 @@ object Queries {
       |SELECT doc_id, source, n_tokens, cum_tokens FROM c
       |WHERE cum_tokens <= 400 + 40 * CAST(substring(source, 4) AS INT)""".stripMargin
 
+  // Temperature-scaled mixing (UniMax-style alpha=1/2): per-source
+  // budgets proportional to isqrt(source tokens), exact integer end
+  // to end, then the same hash-order prefix cut.
+  private val llmTempMix: Q = (s, dir) =>
+    graft.llm.PipelineOps.temperatureMix(t(s, dir, "documents"),
+      "doc_id", "text", "source", 12000L)
+  private val llmTempMixOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |         (doc_id & 2147483647) * 2654435761 AS h
+      |  FROM documents
+      |), src AS (
+      |  SELECT source, sum(n_tokens) AS n_src FROM tok GROUP BY source
+      |), wsrc AS (
+      |  SELECT source,
+      |         CASE WHEN (g+1)*(g+1) <= n_src THEN g+1
+      |              WHEN g*g > n_src THEN g-1 ELSE g END AS w
+      |  FROM (SELECT source, n_src,
+      |          CAST(floor(sqrt(CAST(n_src AS DOUBLE))) AS BIGINT) AS g FROM src)
+      |), b AS (
+      |  SELECT source,
+      |         CAST((12000::HUGEINT * w) // (SELECT sum(w) FROM wsrc) AS BIGINT) AS budget
+      |  FROM wsrc
+      |), c AS (
+      |  SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+      |         CAST(sum(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.h, t.doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM tok t JOIN b ON t.source = b.source
+      |)
+      |SELECT doc_id, source, n_tokens, cum_tokens, budget FROM c
+      |WHERE cum_tokens <= budget""".stripMargin
+
   private val llmTokenStats: Q = (s, dir) =>
     graft.llm.TextOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
   private val llmTokenStatsOracle =
@@ -2104,6 +2136,7 @@ object Queries {
     "q_llm_bm25" -> llmBm25,
     "q_llm_bloom_seen" -> llmBloomSeen,
     "q_llm_token_budget_mix" -> llmTokenBudgetMix,
+    "q_llm_temp_mix" -> llmTempMix,
     "q_llm_token_stats" -> llmTokenStats,
     "q_llm_quality" -> llmQuality,
     "q_llm_bpe_tokens" -> llmBpeTokens,
@@ -2196,6 +2229,7 @@ object Queries {
     "q_llm_bm25" -> llmBm25Oracle,
     "q_llm_bloom_seen" -> FnvOracleSql.bloomSeen,
     "q_llm_token_budget_mix" -> llmTokenBudgetMixOracle,
+    "q_llm_temp_mix" -> llmTempMixOracle,
     "q_llm_token_stats" -> llmTokenStatsOracle,
     "q_llm_quality" -> llmQualityOracle,
     "q_llm_bpe_tokens" -> llmBpeTokensOracle,

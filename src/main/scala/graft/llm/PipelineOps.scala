@@ -183,17 +183,65 @@ object PipelineOps {
     * cut it with [[stratifiedSample]] first.
     */
   def tokenBudgetMix(df: DataFrame, idCol: String, textCol: String,
-      sourceCol: String, budgetTokens: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      sourceCol: String, budgetTokens: Column): DataFrame =
+    budgetPrefixCut(df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
       size(split(col(textCol), " ")).as("n_tokens"),
-      budgetTokens.cast("long").as("budget"))
+      budgetTokens.cast("long").as("budget")))
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+
+  /** Temperature-scaled corpus mixing (the UniMax / multilingual
+    * α = 1/2 sampling pass): each source's share of `totalBudget`
+    * tokens is proportional to √(its token count), flattening the
+    * head sources and lifting the tail relative to natural
+    * proportions; documents are then kept by the same hash-order
+    * prefix cut as [[tokenBudgetMix]]. Exact in integers end to end:
+    * the square root is an exact integer isqrt (double guess,
+    * corrected by ±1 with integer compares — floor(√n) precisely, on
+    * any engine whose double sqrt is within one ulp), and each budget
+    * is `(totalBudget · w_s) div Σw` with the product carried in
+    * decimal(38,0) (HUGEINT on the oracle side).
+    *
+    * Scale shape: one per-source token-count hash-agg (rows =
+    * #sources), a scalar Σw broadcast, the tiny budget table
+    * broadcast-joined back, then the per-source prefix-cut window —
+    * the corpus itself crosses the wire once, in the window.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, totalBudget: Long): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      size(split(col(textCol), " ")).as("n_tokens"))
+    val weighted = base.groupBy("source").agg(sum(col("n_tokens")).as("n_src"))
+      .withColumn("w", isqrt(col("n_src")))
+    val totals = weighted.agg(sum(col("w")).as("w_sum"))
+    val budgets = weighted.crossJoin(broadcast(totals))
+      .withColumn("budget",
+        expr(s"(CAST($totalBudget AS DECIMAL(38,0)) * w) div w_sum"))
+      .select("source", "budget")
+    budgetPrefixCut(base.join(broadcast(budgets), Seq("source")))
+      .select("doc_id", "source", "n_tokens", "cum_tokens", "budget")
+  }
+
+  /** Exact floor(√n) for non-negative longs: double-sqrt guess,
+    * corrected by ±1 with pure integer comparisons.
+    */
+  private def isqrt(n: Column): Column = {
+    val g = floor(sqrt(n.cast("double"))).cast("long")
+    when((g + 1) * (g + 1) <= n, g + 1)
+      .when(g * g > n, g - 1)
+      .otherwise(g)
+  }
+
+  /** Shared prefix-cut window: keep each source's documents in
+    * multiplicative-hash order while the running token total stays
+    * within that row's `budget` column.
+    */
+  private def budgetPrefixCut(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source")
       .orderBy(sampleHash(col("doc_id")), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= col("budget"))
-      .select("doc_id", "source", "n_tokens", "cum_tokens")
   }
 
   /** Per-stratum quota cap: keep at most `k` rows per stratum, chosen

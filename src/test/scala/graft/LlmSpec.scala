@@ -116,6 +116,32 @@ class LlmSpec extends SparkSpec {
       s"doc2 top: ${d2.mkString(";")}")
   }
 
+  test("temperature mix: sqrt-proportional budgets flatten the head, exact isqrt") {
+    import spark.implicits._
+    val ten = "t t t t t t t t t t" // 10 tokens
+    val corpus = ((1L to 40L).map(i => (i, ten, "A")) ++
+      (101L to 110L).map(i => (i, ten, "B"))).toDF("doc_id", "text", "source")
+    // tokens: A=400, B=100 -> w=20,10 -> budgets 300*20/30=200, 100
+    val out = graft.llm.PipelineOps.temperatureMix(corpus, "doc_id", "text", "source", 300L)
+      .collect()
+    val aRows = out.filter(_.getString(1) == "A")
+    val bRows = out.filter(_.getString(1) == "B")
+    assert(aRows.forall(_.getLong(4) == 200L) && bRows.forall(_.getLong(4) == 100L),
+      s"budgets: ${out.map(r => (r.getString(1), r.getLong(4))).distinct.mkString(";")}")
+    // A keeps exactly budget/10 docs, B keeps everything: the head's
+    // 80% corpus share flattens to 2/3 of the budget
+    assert(aRows.length == 20 && bRows.length == 10, s"${aRows.length}/${bRows.length}")
+    assert(aRows.forall(_.getLong(3) <= 200L))
+    // isqrt exactness at the boundary: 99 vs 100 tokens -> w=9 vs 10
+    val edge = ((1L to 9L).map(i => (i, ten + " t", "C")) ++      // 9x11 = 99
+      (101L to 110L).map(i => (i, ten, "D"))).toDF("doc_id", "text", "source")
+    val eb = graft.llm.PipelineOps.temperatureMix(edge, "doc_id", "text", "source", 100L)
+      .select("source", "budget").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w_sum=19: C -> 100*9 div 19 = 47, D -> 100*10 div 19 = 52
+    assert(eb("C") == 47L && eb("D") == 52L, s"edge budgets: $eb")
+  }
+
   test("cluster sample: per-cell quota, full assignment, trained-centroid seam") {
     import spark.implicits._
     val out = SimilarityOps.clusterSample(emb, "vec_id", "embedding", 5)
