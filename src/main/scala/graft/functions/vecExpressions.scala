@@ -230,6 +230,52 @@ object VecBridge {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Rolling n-token shingle fingerprints over the exact
+    * `split(text, " ")` token stream — single-space separators, empty
+    * tokens from doubled/leading/trailing separators INCLUDED, matching
+    * the relational formulation's split semantics token for token (not
+    * the whitespace-skipping tokenizer the mod-prime fps above use).
+    * Token fp is FNV-1a 64 over UTF-16 chars; shingle fp is the 64-bit
+    * wrapping 1000003-polynomial combine of the n token fps. Index j
+    * fingerprints tokens [j, j+n-1] — identical to the posexplode
+    * position of the string-shingle formulation it replaces; docs with
+    * fewer than n tokens yield an empty array. Two shingles collide
+    * only on a 64-bit hash collision (~2^-64): equality on the fp is
+    * the distributed stand-in for equality on the shingle string.
+    */
+  def tokenNgramFps(text: org.apache.spark.unsafe.types.UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val Offset = 0xcbf29ce484222325L
+    val Prime = 0x100000001b3L
+    val fpt = new java.util.ArrayList[Long]()
+    var cur = Offset
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c == ' ') { fpt.add(cur); cur = Offset }
+      else cur = (cur ^ c.toInt) * Prime
+      i += 1
+    }
+    fpt.add(cur)
+    val nt = fpt.size()
+    if (nt < n)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](0))
+    else {
+      val out = new Array[Long](nt - n + 1)
+      var j = 0
+      while (j < out.length) {
+        var a = 0L
+        var k = 0
+        while (k < n) { a = a * 1000003L + fpt.get(j + k); k += 1 }
+        out(j) = a
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   /** Engine-portable 60-bit SimHash: majority vote per bit over TWO
     * independent mod-prime token fingerprints (31- and 37-polynomial;
     * each prime-mod fp carries ~30 usable bits, so two give the 60-bit
@@ -952,6 +998,23 @@ case class ArithNgramFps(child: Expression)
     copy(child = newChild)
 }
 
+/** Rolling n-token shingle fps (see [[VecBridge.tokenNgramFps]]). */
+case class TokenNgramFps(child: Expression, n: Int)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringUnaryInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_ngram_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    VecBridge.tokenNgramFps(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecBridge.tokenNgramFps($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenNgramFps =
+    copy(child = newChild)
+}
+
 /** Portable 60-bit simhash (see [[VecBridge.portableSimhash60]]). */
 case class PortableSimhash60(child: Expression)
     extends UnaryExpression with org.apache.spark.sql.GraftStringUnaryInput {
@@ -1028,6 +1091,8 @@ object VecFunctions {
     GraftShim.column(ArithShingleFps(GraftShim.expression(c)))
   def arith_ngram_fps(c: Column): Column =
     GraftShim.column(ArithNgramFps(GraftShim.expression(c)))
+  def token_ngram_fps(c: Column, n: Int): Column =
+    GraftShim.column(TokenNgramFps(GraftShim.expression(c), n))
   def portable_simhash60(c: Column): Column =
     GraftShim.column(PortableSimhash60(GraftShim.expression(c)))
   def portable_fingerprint(c: Column, w: Int = 8): Column =

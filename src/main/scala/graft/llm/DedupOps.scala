@@ -44,31 +44,41 @@ object DedupOps {
     * count, and the surviving text reassembled in original line order.
     *
     * Scale shape: explode is a map; the document-frequency pass is one
-    * hash-aggregate shuffle on the line; the join back is an equi-join
-    * on the same key, so AQE can pick broadcast when the common-line
-    * table is small (it usually is — it holds only lines crossing the
-    * `minDocs` threshold). The final per-doc reassembly shuffles on
-    * doc id. No stage ever materializes a pair product.
+    * hash-aggregate shuffle keyed on the line's 64-bit xxhash (8 bytes
+    * on the wire instead of the full line string — fp equality stands
+    * in for line equality, collision risk ~2^-64 per pair, and the
+    * exact-string DuckDB oracle hash-agrees). The document text itself
+    * NEVER crosses the wire: only the duplicate-line positions are
+    * aggregated per doc (a tiny int list), joined back to the original
+    * document row (AQE broadcasts it — only docs that carry a common
+    * line appear), and the surviving text is rebuilt in place from the
+    * doc's own line array. No stage materializes a pair product or
+    * shuffles a line of text.
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 minDocs: Int = 2, sep: String = "\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
     val lines = df.select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
-      .select(col("doc_id"), col("pos"), col("col").as("line"))
+        posexplode(split(col(textCol), quoted)))
+      .select(col("doc_id"), col("pos"), col("col").as("line"),
+        xxhash64(col("col")).as("line_h"))
     val common = lines.filter(trim(col("line")) =!= "")
-      .groupBy("line")
+      .groupBy("line_h")
       .agg(countDistinct(col("doc_id")).as("line_df"))
       .filter(col("line_df") >= minDocs)
-      .select(col("line"), lit(true).as("dup"))
-    lines.join(common, Seq("line"), "left")
-      .withColumn("dup", coalesce(col("dup"), lit(false)))
+      .select(col("line_h"))
+    val dupPos = lines.join(common, Seq("line_h"))
       .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_lines"),
-        count(when(col("dup"), lit(1))).as("n_removed"),
-        array_join(transform(
-          array_sort(collect_list(when(!col("dup"), struct(col("pos"), col("line"))))),
-          x => x.getField("line")), sep).as("kept_text"))
+      .agg(collect_list(col("pos")).as("dup_pos"))
+    df.select(col(idCol).as("doc_id"),
+        split(col(textCol), quoted).as("larr"))
+      .join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("larr")).cast("long").as("n_lines"),
+        coalesce(size(col("dup_pos")), lit(0)).cast("long").as("n_removed"),
+        array_join(filter(col("larr"), (x, i) =>
+          !coalesce(array_contains(col("dup_pos"), i), lit(false))),
+          sep).as("kept_text"))
   }
 
   /** Exact duplicated-substring spans (Lee et al. 2021, "Deduplicating
@@ -87,26 +97,28 @@ object DedupOps {
     * Returns one row per document: token count, merged duplicated-span
     * count, and total tokens covered by duplicated spans.
     *
-    * Scale shape: the shingle explode is a map (n× token blowup); the
-    * document-frequency pass is one hash-aggregate shuffle on the
-    * shingle; the join back is an equi-join on the same key (AQE
-    * broadcasts when the over-threshold table is small); island merging
-    * is a per-doc window over only the HIT positions — never the full
-    * token stream. For very long shingles the groupBy key can be
-    * swapped to a 64-bit fingerprint to cut shuffle width (collision
-    * risk ~2^-64); the exact-string form is kept here for oracle
-    * bit-parity.
+    * Scale shape: the shingle pass is a map — one codegen'd
+    * [[graft.functions.VecBridge.tokenNgramFps]] kernel call per
+    * document (rolling 64-bit fingerprints, no shingle strings ever
+    * materialized; the interpreted transform+slice+concat_ws HOF this
+    * replaces was the dominant cost, and the string key multiplied the
+    * shuffle width ~6×) — then the document-frequency pass is one
+    * hash-aggregate shuffle on the 8-byte fp; the join back is an
+    * equi-join on the same key (AQE broadcasts when the over-threshold
+    * table is small); island merging is a per-doc window over only the
+    * HIT positions — never the full token stream. Fingerprint equality
+    * stands in for shingle-string equality (collision risk ~2^-64 per
+    * pair; the DuckDB oracle counts exact strings and hash-agrees, and
+    * VecExprSpec pins the kernel's equality classes to the string
+    * formulation's).
     */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 8, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
-      .select(col("doc_id"), size(col("w")).as("n_tokens"), col("w"))
-    val sh = base.select(col("doc_id"),
-        posexplode(when(size(col("w")) >= n,
-          transform(sequence(lit(0), size(col("w")) - n),
-            i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))))
-          .otherwise(array().cast("array<string>"))))
+    val base = df.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).as("n_tokens"),
+      graft.functions.VecFunctions.token_ngram_fps(col(textCol), n).as("fps"))
+    val sh = base.select(col("doc_id"), posexplode(col("fps")))
       .select(col("doc_id"), col("pos"), col("col").as("sh"))
     val common = sh.groupBy("sh")
       .agg(countDistinct(col("doc_id")).as("sh_df"))

@@ -163,22 +163,25 @@ object TextOps {
     * `tf * idf_x1e6` — all BIGINT arithmetic, no floats, deterministic
     * ties broken by term.
     *
-    * Scale shape: the term explode is a map computed once per
-    * aggregation leg; tf is one (doc, term) hash-agg shuffle; the
-    * document-frequency table is a term hash-agg (vocabulary-sized —
-    * AQE broadcasts it when small, shuffle equi-join otherwise); the
-    * corpus size joins in as a 1-row broadcast, never a driver-side
-    * collect; the final top-k is a per-doc window over the already
-    * tf-aggregated rows, not the raw token stream.
+    * Scale shape: the term explode is a map that feeds exactly ONE
+    * (doc, term) hash-agg shuffle. The document-frequency leg is a
+    * window `count(*)` partitioned by term over the tf table itself
+    * (tf rows are distinct (doc, term) pairs, so the partition row
+    * count IS the distinct-document count) — the token stream is never
+    * exploded a second time, and everything after the tf aggregate
+    * moves only vocabulary×doc-sized rows. The corpus size comes from
+    * the raw documents scan (a count, no explode) and joins in as a
+    * 1-row broadcast, never a driver-side collect; the final top-k is
+    * a per-doc window over the already tf-aggregated rows.
     */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df_t"))
     val nDocs = df.select(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, Seq("term"))
+    val scored = tf
+      .withColumn("df_t", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(nDocs))
       .withColumn("score_x", col("tf") * expr("(n_docs * 1000000) div df_t"))
     scored
@@ -209,19 +212,25 @@ object TextOps {
     * oracle side) — at web-corpus scale idf_x·tf·22·t_tokens
     * overflows 63 bits long before the corpus reaches 100 TB.
     *
-    * Scale shape: identical to [[tfidfTopK]] plus one extra per-doc
-    * length aggregate (reuses the tf shuffle's token stream); corpus
-    * totals join in as a 1-row broadcast, never a driver collect.
+    * Scale shape: identical to [[tfidfTopK]] — one explode, one
+    * (doc, term) tf shuffle, then dl (Σtf per doc) and df_t (partition
+    * row count per term) as window aggregates over the tf table itself,
+    * so the token stream is never exploded or shuffled a second time.
+    * Corpus totals come from the raw documents scan (count + Σ token
+    * counts, no explode) and join in as a 1-row broadcast, never a
+    * driver collect. The dl window is placed last so its hash(doc_id)
+    * exchange is the one the final top-k window reuses.
     */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val dfreq = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df_t"))
-    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
-    val scored = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("term"))
+    val corpus = df.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col(textCol), " "))).cast("long").as("t_tokens"))
+    val scored = tf
+      .withColumn("df_t", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
       .crossJoin(broadcast(corpus))
       .withColumn("idf_x", expr("(n_docs * 1000) div df_t"))
       .withColumn("score_x", expr(

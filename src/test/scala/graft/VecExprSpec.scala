@@ -184,6 +184,36 @@ class VecExprSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("token_ngram_fps == string-shingle formulation (positions + equality classes)") {
+    import spark.implicits._
+    val n = 4
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq((9001L, ""), (9002L, "a  b   c a  b"), (9003L, "one two"),
+        (9004L, " lead mid trail "), (9005L, "a b c d e f g h a b c d"))
+        .toDF("doc_id", "text"))
+    val w = split(col("text"), " ")
+    val strSh = docs.select(col("doc_id"), posexplode(when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))))
+      .withColumnRenamed("col", "s")
+    val fpSh = docs.select(col("doc_id"),
+        posexplode(VecFunctions.token_ngram_fps(col("text"), n)))
+      .withColumnRenamed("col", "f")
+    // identical (doc, pos) coverage — same shingle count everywhere
+    assert(strSh.select("doc_id", "pos").except(fpSh.select("doc_id", "pos")).isEmpty
+      && fpSh.select("doc_id", "pos").except(strSh.select("doc_id", "pos")).isEmpty)
+    // the fp is a bijection over the distinct shingle strings: equal
+    // strings always hash equal (soundness) and, on this corpus, no
+    // two distinct strings collide (completeness w.h.p.)
+    val joined = strSh.join(fpSh, Seq("doc_id", "pos"))
+    assert(joined.groupBy("s").agg(countDistinct(col("f")).as("nf"))
+      .filter(col("nf") =!= 1).isEmpty)
+    assert(joined.groupBy("f").agg(countDistinct(col("s")).as("ns"))
+      .filter(col("ns") =!= 1).isEmpty)
+  }
+
   test("SQL surface: registered vector functions callable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     emb.limit(50).createOrReplaceTempView("vexpr_emb")
