@@ -1489,6 +1489,30 @@ object Queries {
       |FROM documents""".stripMargin
   }
 
+  // PII redaction: the masking transform (emails, then phones, then
+  // IPv4s), with the number of masks actually placed.
+  private val llmPiiRedact: Q = (s, dir) =>
+    graft.llm.PipelineOps.piiRedact(t(s, dir, "documents"), "doc_id", "text")
+  private val llmPiiRedactOracle = {
+    import graft.llm.PipelineOps.{EmailRe, Ipv4Re}
+    s"""WITH m AS (
+      |  SELECT doc_id, text,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '$EmailRe', '<EMAIL>', 'g'),
+      |      '\\+[0-9]{7,15}', '<PHONE>', 'g'),
+      |      '$Ipv4Re', '<IP>', 'g') AS redacted
+      |  FROM documents
+      |)
+      |SELECT doc_id, redacted,
+      |  CAST(len(regexp_extract_all(redacted, '<EMAIL>'))
+      |     - len(regexp_extract_all(text, '<EMAIL>'))
+      |     + len(regexp_extract_all(redacted, '<PHONE>'))
+      |     - len(regexp_extract_all(text, '<PHONE>'))
+      |     + len(regexp_extract_all(redacted, '<IP>'))
+      |     - len(regexp_extract_all(text, '<IP>')) AS BIGINT) AS n_redacted
+      |FROM m""".stripMargin
+  }
+
   // Common-bigram coverage: per-doc fraction (per mille) of bigram
   // instances landing in the corpus-wide top-1000 list.
   private val llmLmCoverage: Q = (s, dir) =>
@@ -2154,6 +2178,7 @@ object Queries {
     "q_llm_group_quota" -> llmGroupQuota,
     "q_llm_ngram_freq" -> llmNgramFreq,
     "q_llm_pii_counts" -> llmPiiCounts,
+    "q_llm_pii_redact" -> llmPiiRedact,
     "q_llm_lm_coverage" -> llmLmCoverage,
     "q_emb_int8_quant" -> embInt8Quant,
     "q_mm_bin_counts" -> mmBinCounts,
@@ -2250,6 +2275,7 @@ object Queries {
     "q_llm_group_quota" -> llmGroupQuotaOracle,
     "q_llm_ngram_freq" -> llmNgramFreqOracle,
     "q_llm_pii_counts" -> llmPiiCountsOracle,
+    "q_llm_pii_redact" -> llmPiiRedactOracle,
     "q_llm_lm_coverage" -> llmLmCoverageOracle,
     "q_emb_int8_quant" -> embInt8QuantOracle,
     "q_mm_bin_counts" -> mmBinCountsOracle,

@@ -294,6 +294,30 @@ object PipelineOps {
       regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phone"),
       regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ipv4"))
 
+  /** PII redaction — the masking half of the [[piiCounts]] scan:
+    * emails → `<EMAIL>`, then +country-code phones → `<PHONE>`, then
+    * IPv4 literals → `<IP>`, in that fixed order (order matters where
+    * patterns could overlap — a dotted-quad inside an email's domain
+    * is consumed by the email pass first, never double-masked). Same
+    * demo-ruleset caveat as [[piiCounts]]; `n_redacted` reports the
+    * total masks placed so a downstream gate can drop documents whose
+    * redaction density is too high.
+    *
+    * Scale shape: map-only — three codegen'd regexp passes per row, no
+    * shuffle, no UDF.
+    */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val masked = regexp_replace(regexp_replace(regexp_replace(col(textCol),
+      lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>")),
+      lit(Ipv4Re), lit("<IP>"))
+    df.select(col(idCol), masked.as("redacted"),
+      (regexp_count(masked, lit("<EMAIL>")) - regexp_count(col(textCol), lit("<EMAIL>")) +
+        regexp_count(masked, lit("<PHONE>")) - regexp_count(col(textCol), lit("<PHONE>")) +
+        regexp_count(masked, lit("<IP>")) - regexp_count(col(textCol), lit("<IP>")))
+        .cast("long").as("n_redacted"))
+  }
+
   /** Common-bigram coverage — a cheap LM-flavored quality score: the
     * fraction (per mille) of a document's bigram INSTANCES that appear
     * in the corpus-wide top-`k` bigram list. Fluent text reuses common

@@ -873,6 +873,28 @@ class LlmSpec extends SparkSpec {
     assert(out(3).getLong(1) + out(3).getLong(2) + out(3).getLong(3) == 0)
   }
 
+  test("pii redact: masks placed in order, overlaps consumed once, clean text untouched") {
+    import spark.implicits._
+    import graft.llm.PipelineOps
+    val d = Seq(
+      (1L, "contact alice@example.com or call +4915112345678 from 10.0.0.1"),
+      // dotted quad inside the email's domain: email pass consumes it,
+      // so exactly ONE mask lands (piiCounts would report 2 matches)
+      (2L, "mail me at a@1.2.3.4.co today"),
+      (3L, "already says <EMAIL> literally, plus real bob@test.org"),
+      (4L, "perfectly clean prose with no identifiers at all"),
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.piiRedact(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "contact <EMAIL> or call <PHONE> from <IP>"
+      && out(0).getLong(2) == 3, s"${out(0)}")
+    assert(out(1).getString(1) == "mail me at <EMAIL> today" && out(1).getLong(2) == 1)
+    assert(out(2).getString(1) == "already says <EMAIL> literally, plus real <EMAIL>"
+      && out(2).getLong(2) == 1, s"${out(2)}")
+    assert(out(3).getString(1) == "perfectly clean prose with no identifiers at all"
+      && out(3).getLong(2) == 0)
+  }
+
   test("lm coverage: repeated-bigram text scores high, unique-bigram text low") {
     import spark.implicits._
     import graft.llm.PipelineOps
