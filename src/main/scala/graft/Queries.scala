@@ -795,11 +795,13 @@ object Queries {
   // '\n' — then removes every line that appears verbatim in >= 2
   // distinct documents (planted exact/near dups share chunk lines).
   private val llmLineDedup: Q = (s, dir) => {
-    val ws = split(col("text"), " ")
-    val nLines = floor((size(ws) + lit(7)) / lit(8)).cast("int")
+    // chunking = replace every 8th token separator with '\n' — one
+    // codegen'd regexp pass (the transform/slice/concat_ws HOF form is
+    // interpreted and was the dominant per-scan cost of this entry);
+    // equivalent on single-space-separated non-empty tokens, and the
+    // DuckDB oracle chunks by token index so any divergence hash-fails
     val lined = t(s, dir, "documents").select(col("doc_id"),
-      array_join(transform(sequence(lit(0), nLines - 1),
-        i => concat_ws(" ", slice(ws, i * 8 + 1, lit(8)))), "\n").as("text"))
+      regexp_replace(col("text"), "((?:[^ ]+ ){7}[^ ]+) ", "$1\n").as("text"))
     graft.llm.DedupOps.lineDedup(lined, "doc_id", "text")
   }
   private val llmLineDedupOracle =

@@ -147,6 +147,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct"), s"simhash pair join went cartesian:\n$p2")
   }
 
+  test("bm25/tfidf: corpus explodes exactly once; stats ride the tf table") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for (df <- Seq(
+        graft.llm.TextOps.bm25TopK(docs, "doc_id", "text"),
+        graft.llm.TextOps.tfidfTopK(docs, "doc_id", "text"))) {
+      val p = plan(df)
+      // dl/df_t as separate aggregates over the explode defeat
+      // ReuseExchange (inferred null filters differ per branch) — the
+      // measured plan really exploded the corpus 4×; the window-over-tf
+      // form keeps it at one Generate
+      assert(count(p, "Generate ") == 1,
+        s"corpus must explode exactly once, found ${count(p, "Generate ")}:\n$p")
+    }
+  }
+
+  test("dup spans: shingles are codegen'd fingerprints, never built strings") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.DedupOps.dupSpanStats(docs, "doc_id", "text"))
+    assert(p.contains("token_ngram_fps"),
+      s"shingle pass must ride the kernel:\n$p")
+    // the interpreted transform/slice/concat_ws shingle builder was the
+    // dominant cost (2.7× wall at 100×) — it must never come back
+    assert(count(p, "concat_ws") == 0,
+      s"shingle strings must never be materialized:\n$p")
+    assert(!p.contains("CartesianProduct"), s"span join went cartesian:\n$p")
+  }
+
+  test("line dedup: document text never aggregates — only positions do") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.DedupOps.lineDedup(docs, "doc_id", "text"))
+    assert(count(p, "collect_list\\(line") == 0,
+      s"line text must stay off the wire (rebuild from the doc row):\n$p")
+    assert(count(p, "collect_list\\(pos") >= 1,
+      s"dup positions are the only per-doc aggregate:\n$p")
+    // frequency agg keys on the 8-byte xxhash, not the line string
+    assert(p.contains("xxhash64"), s"line-frequency agg must key on xxhash64:\n$p")
+  }
+
   test("fused commit: one data shuffle, no cartesian") {
     val traces = graft.sources.SyntheticTraces.bronze(spark, dir)
     val commits = graft.operators.TraceEtl.commitTraces(
