@@ -978,6 +978,37 @@ object Queries {
       |SELECT doc_id, source, n_tokens, cum_tokens, budget FROM c
       |WHERE cum_tokens <= budget""".stripMargin
 
+  // Deterministic export sharding: greedy token-packed shards per
+  // source in the shared hash order, plus the loader-facing manifest.
+  private val llmShardPlan: Q = (s, dir) =>
+    graft.llm.PipelineOps.shardPlan(t(s, dir, "documents"),
+      "doc_id", "text", "source", 2000L)
+  private val shardPlanSql =
+    """WITH tok AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         (doc_id & 2147483647) * 2654435761 AS h
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM tok
+      |)
+      |SELECT doc_id, source, n_tokens, cum_tokens,
+      |       (cum_tokens - n_tokens) // 2000 AS shard_id
+      |FROM c""".stripMargin
+  private val llmShardPlanOracle = shardPlanSql
+  private val llmShardManifest: Q = (s, dir) =>
+    graft.llm.PipelineOps.shardManifest(
+      graft.llm.PipelineOps.shardPlan(t(s, dir, "documents"),
+        "doc_id", "text", "source", 2000L))
+  private val llmShardManifestOracle =
+    s"""WITH plan AS ($shardPlanSql)
+      |SELECT source, shard_id, count(*) AS n_docs,
+      |       sum(n_tokens) AS shard_tokens,
+      |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM plan GROUP BY source, shard_id""".stripMargin
+
   private val llmTokenStats: Q = (s, dir) =>
     graft.llm.TextOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
   private val llmTokenStatsOracle =
@@ -2163,6 +2194,8 @@ object Queries {
     "q_llm_bloom_seen" -> llmBloomSeen,
     "q_llm_token_budget_mix" -> llmTokenBudgetMix,
     "q_llm_temp_mix" -> llmTempMix,
+    "q_llm_shard_plan" -> llmShardPlan,
+    "q_llm_shard_manifest" -> llmShardManifest,
     "q_llm_token_stats" -> llmTokenStats,
     "q_llm_quality" -> llmQuality,
     "q_llm_bpe_tokens" -> llmBpeTokens,
@@ -2257,6 +2290,8 @@ object Queries {
     "q_llm_bloom_seen" -> FnvOracleSql.bloomSeen,
     "q_llm_token_budget_mix" -> llmTokenBudgetMixOracle,
     "q_llm_temp_mix" -> llmTempMixOracle,
+    "q_llm_shard_plan" -> llmShardPlanOracle,
+    "q_llm_shard_manifest" -> llmShardManifestOracle,
     "q_llm_token_stats" -> llmTokenStatsOracle,
     "q_llm_quality" -> llmQualityOracle,
     "q_llm_bpe_tokens" -> llmBpeTokensOracle,

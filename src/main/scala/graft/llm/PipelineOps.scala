@@ -122,6 +122,57 @@ object PipelineOps {
   private def sampleHash(id: Column): Column =
     id.bitwiseAND(lit(2147483647L)) * lit(2654435761L)
 
+  /** Deterministic shard plan — the export step of a curation run:
+    * within each source, documents accumulate in the same hash order
+    * the sampling/mixing operators use, and a document lands in the
+    * shard its STARTING token offset falls in (`(cum − n) div
+    * shardTokens` — greedy packing, so a shard can overrun by at most
+    * one document, never undershoot by one). The plan is pure metadata
+    * (doc_id → shard_id); [[writeShards]] materializes it.
+    *
+    * Scale shape: one token-count map + the per-source running-total
+    * window — the same single corpus pass as [[tokenBudgetMix]]; the
+    * shard assignment is arithmetic on the window output. Same skew
+    * caveat: one giant source serializes into one window partition —
+    * pre-split upstream if a source dominates.
+    */
+  def shardPlan(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, shardTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(sampleHash(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id",
+        expr(s"(cum_tokens - n_tokens) div ${shardTokens}L"))
+  }
+
+  /** Per-shard manifest of a [[shardPlan]]: document and token counts
+    * per (source, shard) — the sidecar a training loader reads to plan
+    * epochs without listing files. One vocabulary-sized hash-agg.
+    */
+  def shardManifest(plan: DataFrame): DataFrame =
+    plan.groupBy("source", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+
+  /** Materialize a [[shardPlan]]: join the assignment back to the
+    * documents (broadcast-sized only when the plan was filtered —
+    * normally a co-partitioned equi-join on doc_id) and write parquet
+    * partitioned by (source, shard_id), so a loader addresses one
+    * shard as one directory. Returns the manifest.
+    */
+  def writeShards(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, shardTokens: Long, outDir: String): DataFrame = {
+    val plan = shardPlan(df, idCol, textCol, sourceCol, shardTokens)
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(plan.select("doc_id", "source", "shard_id"), Seq("doc_id"))
+      .write.partitionBy("source", "shard_id").mode("overwrite").parquet(outDir)
+    shardManifest(plan)
+  }
+
   /** Bloom-filter membership: build a Bloom filter over the build
     * side's 64-bit content keys and probe every probe-side key against
     * it — the compact seen-set primitive of cross-snapshot URL/content

@@ -142,6 +142,36 @@ class LlmSpec extends SparkSpec {
     assert(eb("C") == 47L && eb("D") == 52L, s"edge budgets: $eb")
   }
 
+  test("shard plan: greedy token packing, boundary doc stays in its starting shard; writeShards round-trips") {
+    import spark.implicits._
+    import graft.llm.PipelineOps
+    val ten = "t t t t t t t t t t"
+    val corpus = ((1L to 25L).map(i => (i, ten, "A")) ++
+      (101L to 103L).map(i => (i, ten, "B"))).toDF("doc_id", "text", "source")
+    val plan = PipelineOps.shardPlan(corpus, "doc_id", "text", "source", 100L)
+    val rows = plan.collect()
+    // A: 250 tokens / 100-token shards -> docs at starting offsets
+    // 0..90 -> shard 0, 100..190 -> shard 1, 200..240 -> shard 2
+    val aShards = rows.filter(_.getString(1) == "A").map(_.getLong(4))
+    assert(aShards.distinct.sorted.sameElements(Array(0L, 1L, 2L)), aShards.mkString(","))
+    assert(aShards.count(_ == 0L) == 10 && aShards.count(_ == 1L) == 10
+      && aShards.count(_ == 2L) == 5)
+    // every doc's shard is its starting offset's shard
+    assert(rows.forall(r => r.getLong(4) == (r.getLong(3) - r.getLong(2)) / 100L))
+    // B: 30 tokens -> one shard
+    assert(rows.filter(_.getString(1) == "B").forall(_.getLong(4) == 0L))
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val manifest = PipelineOps.writeShards(corpus, "doc_id", "text", "source", 100L, out)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(manifest(("A", 0L)) == ((10L, 100L)) && manifest(("A", 2L)) == ((5L, 50L))
+      && manifest(("B", 0L)) == ((3L, 30L)), manifest.toString)
+    // the written layout is addressable per (source, shard) and complete
+    val back = spark.read.parquet(out)
+    assert(back.count() == 28
+      && back.filter(col("source") === "A" && col("shard_id") === 2).count() == 5)
+    assert(new java.io.File(s"$out/source=A/shard_id=1").isDirectory)
+  }
+
   test("cluster sample: per-cell quota, full assignment, trained-centroid seam") {
     import spark.implicits._
     val out = SimilarityOps.clusterSample(emb, "vec_id", "embedding", 5)
