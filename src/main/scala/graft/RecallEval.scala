@@ -110,5 +110,22 @@ object RecallEval {
     tiers.foreach { case (name, df) =>
       println(f"| $name | ${recallAtK(truth, df)}%.3f |")
     }
+
+    // The serving-time recall lever: nprobe. nprobe == nlist scans
+    // every cell, so the IVF row must reach 1.000 there — a built-in
+    // sanity anchor for the whole harness.
+    println()
+    println("| nprobe (nlist=16) | ivf trained | ivf-pq resid+rerank32 trained |")
+    println("|---|---|---|")
+    for (np <- Seq(1, 2, 4, 8, 16)) {
+      val ivf = recallAtK(truth, SimilarityOps.ivfTopK(
+        emb, queries, "vec_id", "embedding", k, nprobe = np, score = qcos,
+        centroids = Some(trainedCents)))
+      val ipr = recallAtK(truth, SimilarityOps.ivfPqRerankTopK(
+        emb, queries, "vec_id", "embedding", k, nprobe = np,
+        centroids = Some(trainedCents), codebook = Some(residCb),
+        residual = true))
+      println(f"| $np | $ivf%.3f | $ipr%.3f |")
+    }
   }
 }
