@@ -172,6 +172,37 @@ class LlmSpec extends SparkSpec {
     assert(new java.io.File(s"$out/source=A/shard_id=1").isDirectory)
   }
 
+  test("new text ops tolerate empty, whitespace-only, and unicode documents") {
+    import spark.implicits._
+    import graft.llm.{DedupOps, PipelineOps}
+    val d = Seq(
+      (1L, "", "A"), (2L, "   ", "A"),
+      (3L, "héllo wörld héllo wörld héllo wörld", "B"),
+      (4L, "normal text with several plain tokens here", "B"),
+    ).toDF("doc_id", "text", "source")
+    // dup spans: no doc shares a cross-doc shingle -> zero spans, no crash
+    val spans = DedupOps.dupSpanStats(d, "doc_id", "text", 3, 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(spans.size == 4 && spans.values.forall(_ == ((0L, 0L))), spans.toString)
+    // line dedup: nothing common -> every doc keeps its text verbatim
+    val kept = DedupOps.lineDedup(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(kept.values.forall(_._1 == 0L)
+      && kept(3L)._2 == "héllo wörld héllo wörld héllo wörld"
+      && kept(2L)._2 == "   ", kept.toString)
+    // pii redact: unicode and blank text pass through untouched
+    val red = PipelineOps.piiRedact(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "" && red(2L) == "   "
+      && red(3L) == "héllo wörld héllo wörld héllo wörld")
+    // temperature mix: empty docs still count their split-token ("")
+    // tokens, budgets stay positive, no division blowups
+    val mix = PipelineOps.temperatureMix(d, "doc_id", "text", "source", 10L)
+      .select("source", "budget").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mix.values.forall(_ >= 0L) && mix.values.sum <= 10L, mix.toString)
+  }
+
   test("cluster sample: per-cell quota, full assignment, trained-centroid seam") {
     import spark.implicits._
     val out = SimilarityOps.clusterSample(emb, "vec_id", "embedding", 5)

@@ -185,6 +185,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("xxhash64"), s"line-frequency agg must key on xxhash64:\n$p")
   }
 
+  test("temperature mix: corpus-sized rows cross only the prefix-cut window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.PipelineOps.temperatureMix(
+      docs, "doc_id", "text", "source", 1000L))
+    // exchanges: the per-source token aggregate (rows = #sources, both
+    // partial-agg legs) and the per-source window — the Σw scalar and
+    // the budget table ride broadcasts, never a corpus shuffle
+    assert(count(p, "Exchange hashpartitioning") <= 3,
+      s"unexpected extra shuffle in temperature-mix plan:\n$p")
+    assert(count(p, "BroadcastExchange") >= 1,
+      s"budget legs must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"budget join went cartesian:\n$p")
+  }
+
+  test("shard plan: exactly the one per-source window exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.PipelineOps.shardPlan(
+      docs, "doc_id", "text", "source", 2000L))
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"shard planning is one window pass, found more:\n$p")
+  }
+
   test("fused commit: one data shuffle, no cartesian") {
     val traces = graft.sources.SyntheticTraces.bronze(spark, dir)
     val commits = graft.operators.TraceEtl.commitTraces(
