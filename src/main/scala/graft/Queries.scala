@@ -1230,6 +1230,60 @@ object Queries {
       |FROM cc c JOIN lang l ON c.doc_id = l.doc_id""".stripMargin
   }
 
+  // The assembled end-to-end curation run: near-dup canonical ∧
+  // confident-English ∧ decontaminated survivors, temperature-mixed
+  // to a 6000-token budget — every stage an independently-oracled
+  // operator, composed here so the full chain hash-compares too.
+  private val llmPipelineE2e: Q = (s, dir) =>
+    graft.llm.PipelineOps.curationPipeline(t(s, dir, "documents"),
+      "doc_id", "text", "source", col("doc_id") % 50 === 0, 6000L)
+  private val llmPipelineE2eOracle = {
+    def cnt(words: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val en = cnt(Seq("the", "a", "is", "and"))
+    s"""$clustersReachCte,
+      |cc AS (
+      |  SELECT src AS doc_id FROM reach GROUP BY 1 HAVING src = min(dst)),
+      |lang AS (SELECT doc_id FROM documents WHERE $en > 0),
+      |sfp AS (SELECT doc_id, list_distinct(fps) AS fps FROM d),
+      |bench AS (SELECT DISTINCT unnest(fps) AS fp FROM sfp WHERE doc_id % 50 = 0),
+      |hits AS (
+      |  SELECT t.doc_id, count(*) AS n_hits
+      |  FROM (SELECT doc_id, unnest(fps) AS fp FROM sfp WHERE doc_id % 50 <> 0) t
+      |  JOIN bench b ON t.fp = b.fp GROUP BY 1),
+      |kept AS (
+      |  SELECT doc.doc_id, doc.source, doc.text
+      |  FROM documents doc
+      |  JOIN cc ON cc.doc_id = doc.doc_id
+      |  JOIN lang l ON l.doc_id = doc.doc_id
+      |  LEFT JOIN hits h ON h.doc_id = doc.doc_id
+      |  WHERE doc.doc_id % 50 <> 0 AND coalesce(h.n_hits, 0) = 0),
+      |tok AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |         (doc_id & 2147483647) * 2654435761 AS h
+      |  FROM kept
+      |), src AS (
+      |  SELECT source, sum(n_tokens) AS n_src FROM tok GROUP BY source
+      |), wsrc AS (
+      |  SELECT source,
+      |         CASE WHEN (g+1)*(g+1) <= n_src THEN g+1
+      |              WHEN g*g > n_src THEN g-1 ELSE g END AS w
+      |  FROM (SELECT source, n_src,
+      |          CAST(floor(sqrt(CAST(n_src AS DOUBLE))) AS BIGINT) AS g FROM src)
+      |), b AS (
+      |  SELECT source,
+      |         CAST((6000::HUGEINT * w) // (SELECT sum(w) FROM wsrc) AS BIGINT) AS budget
+      |  FROM wsrc
+      |), c AS (
+      |  SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+      |         CAST(sum(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.h, t.doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM tok t JOIN b ON t.source = b.source
+      |)
+      |SELECT doc_id, source, n_tokens, cum_tokens, budget FROM c
+      |WHERE cum_tokens <= budget""".stripMargin
+  }
+
   // Embedding-cosine near-dup: multi-table sign-LSH candidates +
   // integer-exact cosine-threshold verification — deterministic across
   // engines, full DuckDB oracle (the dedup-by-embedding path; the
@@ -2206,6 +2260,7 @@ object Queries {
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshPairs,
     "q_llm_dedup_clusters" -> llmDedupClusters,
     "q_llm_curate" -> llmCurate,
+    "q_llm_pipeline_e2e" -> llmPipelineE2e,
     "q_llm_decontaminate" -> llmDecontaminate,
     "q_llm_dsir_scores" -> llmDsirScores,
     "q_llm_stratified_sample" -> llmStratifiedSample,
@@ -2305,6 +2360,7 @@ object Queries {
     "q_o_approx_distinct" -> oApproxDistinctOracle,
     "q_llm_dedup_clusters" -> llmDedupClustersOracle,
     "q_llm_curate" -> llmCurateOracle,
+    "q_llm_pipeline_e2e" -> llmPipelineE2eOracle,
     "q_llm_decontaminate" -> llmDecontaminateOracle,
     "q_llm_dsir_scores" -> llmDsirScoresOracle,
     "q_llm_stratified_sample" -> llmStratifiedSampleOracle,

@@ -1001,6 +1001,7 @@ case class ArithNgramFps(child: Expression)
 /** Rolling n-token shingle fps (see [[VecBridge.tokenNgramFps]]). */
 case class TokenNgramFps(child: Expression, n: Int)
     extends UnaryExpression with org.apache.spark.sql.GraftStringUnaryInput {
+  require(n >= 1, s"token_ngram_fps needs a shingle width >= 1, got $n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_ngram_fps"
 

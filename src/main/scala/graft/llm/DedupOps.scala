@@ -114,6 +114,8 @@ object DedupOps {
     */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 1,
+      s"dupSpanStats needs n >= 1 and minDocs >= 1, got n=$n minDocs=$minDocs")
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("doc_id"),
       size(split(col(textCol), " ")).as("n_tokens"),

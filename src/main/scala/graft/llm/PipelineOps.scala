@@ -138,6 +138,7 @@ object PipelineOps {
     */
   def shardPlan(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, shardTokens: Long): DataFrame = {
+    require(shardTokens >= 1, s"shardTokens must be >= 1, got $shardTokens")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source")
       .orderBy(sampleHash(col("doc_id")), col("doc_id"))
@@ -259,6 +260,7 @@ object PipelineOps {
     */
   def temperatureMix(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
     val base = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
       size(split(col(textCol), " ")).as("n_tokens"))
     val weighted = base.groupBy("source").agg(sum(col("n_tokens")).as("n_src"))
@@ -293,6 +295,39 @@ object PipelineOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= col("budget"))
+  }
+
+  /** The assembled curation run — the story a reference user executes
+    * end to end, composed purely from the independently-oracled
+    * operators: near-dup clustering keeps one canonical per MinHash
+    * cluster, the language gate keeps confident-English docs, the
+    * decontamination pass drops benchmark docs and anything sharing a
+    * shingle fingerprint with them, and the survivors are
+    * temperature-mixed to `totalBudget` tokens ([[temperatureMix]]'s
+    * α = 1/2 sqrt budgets). Output is the final mixed selection:
+    * (doc_id, source, n_tokens, cum_tokens, budget).
+    *
+    * Scale shape: each stage keeps its own audited shape (band-bucket
+    * join, map-only gates, broadcast shingle semi-join, one window);
+    * the stages hand each other doc-id sets, so the gates compose as
+    * semi-joins on the id — the corpus text is scanned per stage but
+    * never shuffled except inside the clustering and the final window.
+    */
+  def curationPipeline(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, isBenchmark: Column, totalBudget: Long): DataFrame = {
+    import graft.llm.{DedupOps, TextOps}
+    val canonical = DedupOps.dedupClusters(docs, idCol,
+        DedupOps.minhashSignaturePairs(docs, idCol, textCol))
+      .filter(col("is_canonical") === 1).select(col("doc_id").as(idCol))
+    val confident = TextOps.langId(docs, idCol, textCol)
+      .filter(col("score_en") > 0).select(col(idCol))
+    val clean = decontaminate(docs, idCol, textCol, isBenchmark)
+      .filter(col("contaminated") === 0).select(col("doc_id").as(idCol))
+    val kept = docs.select(col(idCol), col(textCol), col(sourceCol))
+      .join(canonical, Seq(idCol), "left_semi")
+      .join(confident, Seq(idCol), "left_semi")
+      .join(clean, Seq(idCol), "left_semi")
+    temperatureMix(kept, idCol, textCol, sourceCol, totalBudget)
   }
 
   /** Per-stratum quota cap: keep at most `k` rows per stratum, chosen

@@ -172,6 +172,20 @@ class LlmSpec extends SparkSpec {
     assert(new java.io.File(s"$out/source=A/shard_id=1").isDirectory)
   }
 
+  test("curation pipeline e2e: benchmark never leaks, gates compose, mix stays in budget") {
+    import graft.llm.PipelineOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = PipelineOps.curationPipeline(docs, "doc_id", "text", "source",
+      col("doc_id") % 50 === 0, 6000L).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(0) % 50 != 0), "benchmark slice leaked into the mix")
+    assert(out.forall(r => r.getLong(3) <= r.getLong(4)), "prefix cut exceeded budget")
+    val budgets = out.map(r => r.getString(1) -> r.getLong(4)).distinct
+    assert(budgets.map(_._2).sum <= 6000L, budgets.mkString(";"))
+    // survivors are a strict subset: the gates really dropped something
+    assert(out.length < docs.count())
+  }
+
   test("new text ops tolerate empty, whitespace-only, and unicode documents") {
     import spark.implicits._
     import graft.llm.{DedupOps, PipelineOps}
