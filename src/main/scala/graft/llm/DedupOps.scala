@@ -305,9 +305,20 @@ object DedupOps {
     * min-label loop ([[dedupClustersMinLabel]], kept as the
     * differential reference). `localCheckpoint` truncates per-round
     * lineage so the plan stays flat.
+    *
+    * Size gate: the near-dup EDGE set is sparse relative to the corpus
+    * (pairs exist only where banding collided), so for all but
+    * pathological corpora it fits on the driver even when the corpus
+    * is 100 TB. When the deduplicated edge count is ≤ `localEdgeMax`
+    * (default 4M ≈ 64 MB of longs; 0 disables the gate), the loop is
+    * replaced by ONE collect + in-memory union-find + a broadcast
+    * label join — same labels, zero iterative barriers. Above the
+    * gate the O(log n)-round distributed contraction runs unchanged.
+    * Same shape as the commit filter's size-gated broadcast (J1):
+    * measure, then pick the plan.
     */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, localEdgeMax: Long = 4L << 20): DataFrame = {
     val CheckEvery = 2
     // canonical edges (hi > lo): self-loops dropped, both orientations
     // collapsed — the star invariant below keeps hi > lo through every
@@ -357,23 +368,90 @@ object DedupOps {
       chained.unionByName(multiParent).isEmpty
     }
 
-    var converged = isStarForest(edges)
-    var i = 0
-    while (!converged && i < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(false)
-      i += 1
-      if (i % CheckEvery == 0 || i == maxIter) converged = isStarForest(edges)
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"dedupClusters did not converge in $maxIter rounds - " +
-          "raise maxIter (large-star/small-star needs O(log n) rounds)")
+    // one action: materializes the checkpoint (the loop's first round
+    // would have paid this anyway) and decides the plan
+    val labels: DataFrame =
+      if (localEdgeMax > 0 && edges.count() <= localEdgeMax) {
+        localUnionFindLabels(docs.sparkSession, edges)
+      } else {
+        var converged = isStarForest(edges)
+        var i = 0
+        while (!converged && i < maxIter) {
+          edges = smallStar(largeStar(edges)).localCheckpoint(false)
+          i += 1
+          if (i % CheckEvery == 0 || i == maxIter) converged = isStarForest(edges)
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"dedupClusters did not converge in $maxIter rounds - " +
+              "raise maxIter (large-star/small-star needs O(log n) rounds)")
+        edges
+      }
     docs.select(col(idCol).cast("long").as("doc_id"))
-      .join(edges.select(col("hi").as("doc_id"), col("lo").as("cid")),
+      .join(labels.select(col("hi").as("doc_id"), col("lo").as("cid")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cid"), col("doc_id")).as("cluster_id"),
         col("cid").isNull.cast("int").as("is_canonical"))
+  }
+
+  /** Driver-side union-find over a collected edge set, emitting the
+    * same star-forest edge list the distributed contraction converges
+    * to: one (hi = member, lo = component minimum) row per non-minimum
+    * member. Union order is irrelevant to the result — the component
+    * minimum is a property of the partition, not the merge sequence —
+    * so this is bit-identical to the distributed path by construction.
+    */
+  private def localUnionFindLabels(
+      spark: org.apache.spark.sql.SparkSession, edges: DataFrame): DataFrame = {
+    val rows = edges.select(col("hi"), col("lo")).collect()
+    // boxed key/value types: java.util.HashMap with Scala primitives
+    // silently unboxes an absent null to 0, defeating the miss check
+    val idx = new java.util.HashMap[java.lang.Long, java.lang.Integer](rows.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def nodeOf(id: Long): Int = {
+      val seen = idx.get(id)
+      if (seen ne null) seen.intValue()
+      else { val n = ids.length; idx.put(id, n); ids += id; n }
+    }
+    val us = new Array[Int](rows.length)
+    val vs = new Array[Int](rows.length)
+    var r = 0
+    while (r < rows.length) {
+      us(r) = nodeOf(rows(r).getLong(0)); vs(r) = nodeOf(rows(r).getLong(1)); r += 1
+    }
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x: Int): Int = {
+      var root = x
+      while (parent(root) != root) root = parent(root)
+      var c = x
+      while (parent(c) != root) { val nxt = parent(c); parent(c) = root; c = nxt }
+      root
+    }
+    r = 0
+    while (r < rows.length) {
+      val a = find(us(r)); val b = find(vs(r))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      r += 1
+    }
+    // component minimum by doc id (roots are arbitrary indices)
+    val compMin = new java.util.HashMap[java.lang.Integer, java.lang.Long]()
+    var n = 0
+    while (n < ids.length) {
+      val root = find(n)
+      val cur = compMin.get(root)
+      if ((cur eq null) || ids(n) < cur.longValue()) compMin.put(root, ids(n))
+      n += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](ids.length)
+    n = 0
+    while (n < ids.length) {
+      val m = compMin.get(find(n)).longValue()
+      if (ids(n) != m) out += ((ids(n), m))
+      n += 1
+    }
+    import spark.implicits._
+    out.toSeq.toDF("hi", "lo")
   }
 
   /** Pregel-style min-label propagation — the original formulation,

@@ -385,17 +385,25 @@ class LlmSpec extends SparkSpec {
     val tris = Seq((41L, 42L), (42L, 43L), (43L, 41L), (43L, 44L),
       (44L, 45L), (45L, 43L))
     val pairs = (path ++ star ++ tris).toDF("id1", "id2")
-    val viaStars = labelsOf(DedupOps.dedupClusters(docs, "doc_id", pairs))
+    // localEdgeMax = 0 forces the distributed contraction; the default
+    // gate takes the driver union-find — all three must agree exactly
+    val viaStars =
+      labelsOf(DedupOps.dedupClusters(docs, "doc_id", pairs, localEdgeMax = 0))
+    val viaLocal = labelsOf(DedupOps.dedupClusters(docs, "doc_id", pairs))
     val viaMinLabel = labelsOf(DedupOps.dedupClustersMinLabel(docs, "doc_id", pairs, 40))
     assert(viaStars == viaMinLabel)
+    assert(viaLocal == viaStars)
     // and the expected shape: path collapses to 1, star to 31, tris to 41
     assert(viaStars(30L) == ((1L, 0)) && viaStars(40L) == ((31L, 0)) &&
       viaStars(45L) == ((41L, 0)) && viaStars(60L) == ((60L, 1)))
-    // the real corpus: identical clustering from both algorithms
+    // the real corpus: identical clustering from all three plans
     val corpus = corpusWithDups
     val cands = DedupOps.minhashSignaturePairs(corpus, "doc_id", "text")
       .localCheckpoint()
-    assert(labelsOf(DedupOps.dedupClusters(corpus, "doc_id", cands)) ==
+    val corpusLocal = labelsOf(DedupOps.dedupClusters(corpus, "doc_id", cands))
+    assert(corpusLocal ==
+      labelsOf(DedupOps.dedupClusters(corpus, "doc_id", cands, localEdgeMax = 0)))
+    assert(corpusLocal ==
       labelsOf(DedupOps.dedupClustersMinLabel(corpus, "doc_id", cands)))
   }
 
@@ -413,7 +421,9 @@ class LlmSpec extends SparkSpec {
     val docs = (1L to 5L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val pairs = (1L to 4L).map(i => (i, i + 1)).toDF("id1", "id2")
     val e = intercept[IllegalStateException] {
-      DedupOps.dedupClusters(docs, "doc_id", pairs, maxIter = 1).count()
+      // force the distributed loop — the driver union-find never iterates
+      DedupOps.dedupClusters(docs, "doc_id", pairs, maxIter = 1, localEdgeMax = 0)
+        .count()
     }
     assert(e.getMessage.contains("did not converge"))
     // with room to converge, the path collapses to one cluster
