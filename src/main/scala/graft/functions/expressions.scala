@@ -99,24 +99,26 @@ object GraftFunctions {
     f(es.head, es(1))
   }
 
+  /** Every SQL-callable function as (name, builder) — the single list
+    * behind both [[register]] (per-session temp functions, the test /
+    * notebook path) and [[graft.GraftExtensions]] (cluster-wide
+    * injection via `spark.sql.extensions`, the deploy path).
+    */
+  def sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "keccak256_hex" -> unary("keccak256_hex", Keccak256Hex) _,
+    "checksum_address" -> unary("checksum_address", ChecksumAddress) _,
+    "simhash64" -> unary("simhash64", SimHash64) _,
+    "flatten_calls" -> unary("flatten_calls", FlattenCalls.apply) _,
+    "quantized_dot" -> binary("quantized_dot", QuantizedDot.apply) _,
+    "dot_long" -> binary("dot_long", DotLong.apply) _,
+    "cosine_sim" -> binary("cosine_sim", CosineSim.apply) _,
+    "arith_minhash_sig" -> unary("arith_minhash_sig", ArithMinhashSig(_, 8)) _)
+
   /** Register SQL-callable names on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "keccak256_hex", unary("keccak256_hex", Keccak256Hex), "built-in")
-    reg.createOrReplaceTempFunction(
-      "checksum_address", unary("checksum_address", ChecksumAddress), "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash64", unary("simhash64", SimHash64), "built-in")
-    reg.createOrReplaceTempFunction(
-      "flatten_calls", unary("flatten_calls", FlattenCalls.apply), "built-in")
-    reg.createOrReplaceTempFunction(
-      "quantized_dot", binary("quantized_dot", QuantizedDot.apply), "built-in")
-    reg.createOrReplaceTempFunction(
-      "dot_long", binary("dot_long", DotLong.apply), "built-in")
-    reg.createOrReplaceTempFunction(
-      "cosine_sim", binary("cosine_sim", CosineSim.apply), "built-in")
-    reg.createOrReplaceTempFunction(
-      "arith_minhash_sig", unary("arith_minhash_sig", ArithMinhashSig(_, 8)), "built-in")
+    sqlFunctions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }
