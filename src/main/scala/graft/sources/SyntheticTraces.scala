@@ -30,11 +30,18 @@ object SyntheticTraces {
     }.reduce(_ * 1000003L + _)
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") +
       "_" + java.lang.Long.toHexString(fp)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bronze_$key"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bronze_v2_$key"
     val marker = new java.io.File(s"$path/_SUCCESS")
     if (!marker.isFile) synchronized {
       if (!marker.isFile)
-        fromTpch(spark, sfDir).write.mode("overwrite").parquet(path)
+        // stage in one file per core ([[blocksBronze]] rationale): the
+        // consumer's map stage (interpreted from_json + partial tree
+        // aggregation) is the CPU-dominant stage of the flagship
+        // pipeline, and a 2-file staging caps it at 2 tasks — 1/16th
+        // of the machine. A Kafka source would arrive partitioned.
+        fromTpch(spark, sfDir)
+          .repartition(math.max(16, spark.sparkContext.defaultParallelism))
+          .write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path)
   }
