@@ -223,7 +223,8 @@ object StreamRehearsal {
         .select(col("user_id").as("key"),
           when(col("event_type") === "signup", 0).otherwise(1).as("tag"),
           col("event_id").as("id"),
-          expr("CAST(ts DIV 1000000000 AS BIGINT)").as("ts"))
+          Queries.eventSeconds(spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType)
+            .as("ts"))
         .groupBy("key", "tag", "ts").agg(max("id").as("id"))
         .select(col("key"), col("tag"), col("id"), col("ts"),
           col("ts").cast("timestamp").as("event_time"))

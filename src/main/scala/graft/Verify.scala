@@ -18,6 +18,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // one-time corpus staging + shared persists up front (not part of
+    // any single query's correctness, and keeps per-query failures
+    // independent of staging races)
+    try Queries.stageAll(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] stageAll failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
