@@ -748,6 +748,53 @@ object Queries {
   private val d3Oracle =
     "SELECT DISTINCT lang AS chain_id, source AS address FROM documents"
 
+  // D4: cross-batch streaming near-dup — TwsNearDup run as a REAL
+  // micro-batched stream (file source, maxFilesPerTrigger=1, RocksDB
+  // state) over the documents corpus, so a regression in the
+  // transformWithState operator shows up in CORRECTNESS, not just in
+  // the rehearsal doc. With an unbounded bucket cap the emitted pair
+  // set is batching-order-independent and equals the batch banding
+  // operator's, so the oracle is the SAME DuckDB SQL as
+  // q_llm_minhash_lsh_pairs.
+  private val streamNearDup: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // state-store instances = shuffle partitions, each a RocksDB open +
+    // commit PER MICRO-BATCH — at test scale that machinery dominates,
+    // so run the stream narrow (production sizes this to the cluster;
+    // the partition count is pinned into the checkpoint either way)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val work = java.nio.file.Files.createTempDirectory("graft_stream_nd").toString
+      val in = s"$work/in"
+      // 4 hash slices → 4 micro-batches: pairs must be caught against
+      // PRIOR-batch state, not just within a batch
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(4, col("doc_id"))
+        .write.mode("overwrite").parquet(in)
+      val stream = s.readStream.schema(s.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = graft.streaming.TwsNearDup
+        .nearDupPairsStream(stream, "doc_id", "text", capPerBucket = Int.MaxValue)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$work/out").option("checkpointLocation", s"$work/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // a pair can surface from several bands — the contract is the set
+      s.read.parquet(s"$work/out").select("id1", "id2").distinct()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   // Sketch-based distinct gauge (HLL++): approximate distinct users
   // per event type — the kind of cardinality telemetry a 100 TB
   // pipeline keeps where exact distinct would be a full shuffle of
@@ -2276,6 +2323,7 @@ object Queries {
     "q_p3_normalize" -> p3Normalize,
     "q_p5_block_decode" -> p5BlockDecode,
     "q_d3_seen_set" -> d3SeenSet,
+    "q_llm_stream_neardup" -> streamNearDup,
     "q_o_approx_distinct" -> oApproxDistinct,
     "q_o1_latest_block" -> o1Latest,
     "q_o2_latest_tx_block" -> o2LatestTx,
@@ -2375,6 +2423,7 @@ object Queries {
     "q_p3_normalize" -> p3Oracle,
     "q_p5_block_decode" -> p5Oracle,
     "q_d3_seen_set" -> d3Oracle,
+    "q_llm_stream_neardup" -> llmMinhashLshOracle,
     "q_o1_latest_block" -> o1Oracle,
     "q_o2_latest_tx_block" -> o2Oracle,
     "q_p9_checksum" -> p9ChecksumOracle,

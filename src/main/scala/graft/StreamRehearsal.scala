@@ -296,6 +296,35 @@ object StreamRehearsal {
       assertParity("curation kept-hash set", sSet, bSet)
     }
 
+    // ---- 5) cross-batch LSH near-dup: band-keyed state, bucket-bounded
+    locally {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val nDocs = docs.count()
+      val ndWatch = s"$work/nd_in"
+      stageSlices(docs.withColumn("ts", col("doc_id")), "ts", nSlices,
+        s"$work/nd_stage", ndWatch)
+      val ndStream = spark.readStream
+        .schema(spark.read.parquet(ndWatch).schema)
+        .option("maxFilesPerTrigger", 1).parquet(ndWatch)
+      val (wall, bs) = drive(
+        graft.streaming.TwsNearDup.nearDupPairsStream(
+          ndStream, "doc_id", "text", capPerBucket = Int.MaxValue).toDF(),
+        s"$work/nd_out", s"$work/nd_ck")
+      report("TwsNearDup.nearDupPairsStream (transformWithState, RocksDB)", wall, bs)
+      // state rows = occupied (band, key) buckets — hard-bounded by
+      // bands × documents regardless of how many batches streamed
+      val peak = if (bs.isEmpty) 0L else bs.map(_.stateRows).max
+      require(peak <= 4L * nDocs,
+        s"near-dup state exceeded the bucket bound: $peak > ${4L * nDocs}")
+      // unbounded cap ⇒ emitted pair set equals the batch banding twin
+      val sPairs = spark.read.parquet(s"$work/nd_out")
+        .select("id1", "id2").distinct()
+      val bPairs = graft.llm.DedupOps.minhashSignaturePairs(docs, "doc_id", "text")
+        .select(col("id1"), col("id2"))
+      assertParity("near-dup candidate pairs", sPairs, bPairs)
+    }
+
     println("\nstream rehearsal complete")
   }
 }

@@ -110,6 +110,23 @@ class PlanShapeSpec extends SparkSpec {
       s"residual IVF-PQ grew an extra shuffle:\n$p")
   }
 
+  test("rerank tier: candidate list broadcasts into the corpus; one extra window only") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.llm.SimilarityOps.ivfPqRerankTopK(
+      emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3))
+    assert(!p.contains("CartesianProduct"), s"rerank refine went cartesian:\n$p")
+    // the refine stage re-scores only |queries|·rerank pairs: the tiny
+    // candidate id-list and the query vectors ship INTO the corpus scan
+    // as broadcast joins — the corpus never shuffles out for refinement
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate refine must be a broadcast join:\n$p")
+    assert(count(p, "pq_encode") == 1 && count(p, "pq_table") == 1,
+      s"rerank must reuse the single encode/table projections:\n$p")
+    // inner IVF-PQ budget (≤3) + exactly one exact-score rank window
+    assert(count(p, "Exchange hashpartitioning") <= 4,
+      s"rerank grew an extra shuffle:\n$p")
+  }
+
   test("cluster sample: zero-shuffle assignment; only the cell window shuffles") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = plan(graft.llm.SimilarityOps.clusterSample(emb, "vec_id", "embedding", 5))
