@@ -639,29 +639,30 @@ object Queries {
   private def frameTrees(s: SparkSession, dir: String): DataFrame = {
     // cache key carries a fingerprint of the source file (length +
     // mtime) so a regenerated dataset at the same path invalidates the
-    // staging dir; existence is re-checked INSIDE the lock so two
-    // concurrent first callers don't both run the overwrite write
+    // staging dir; publication is atomic-rename (Staging.stageOnce) so
+    // concurrent first callers — even across JVMs — can't interleave
     val src = new java.io.File(s"$dir/lineitem.parquet")
     val fp = java.lang.Long.toHexString(src.length() * 31L + src.lastModified())
     val key = dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" + fp
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_trees_$key"
     if (!new java.io.File(s"$path/_SUCCESS").isFile) synchronized {
-      if (new java.io.File(s"$path/_SUCCESS").isFile) return s.read.parquet(path)
-      val li = t(s, dir, "lineitem")
-      val child = struct(
-        concat(lit("0x"), lpad(lower(hex(col("l_suppkey"))), 40, "0")).as("from"),
-        concat(lit("0x"), lpad(lower(hex(col("l_partkey"))), 40, "0")).as("to"),
-        concat(lit("0x"), lower(hex(qty(col("l_quantity"))))).as("gasUsed"),
-        lit("CALL").as("type"))
-      li.groupBy("l_orderkey")
-        .agg(collect_list(child).as("kids"))
-        .select(col("l_orderkey"),
-          to_json(struct(
-            lit("0x" + "00" * 20).as("from"),
-            lit("0x" + "11" * 20).as("to"),
-            lit("CALL").as("type"),
-            col("kids").as("calls"))).as("tree_json"))
-        .write.mode("overwrite").parquet(path)
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        val li = t(s, dir, "lineitem")
+        val child = struct(
+          concat(lit("0x"), lpad(lower(hex(col("l_suppkey"))), 40, "0")).as("from"),
+          concat(lit("0x"), lpad(lower(hex(col("l_partkey"))), 40, "0")).as("to"),
+          concat(lit("0x"), lower(hex(qty(col("l_quantity"))))).as("gasUsed"),
+          lit("CALL").as("type"))
+        li.groupBy("l_orderkey")
+          .agg(collect_list(child).as("kids"))
+          .select(col("l_orderkey"),
+            to_json(struct(
+              lit("0x" + "00" * 20).as("from"),
+              lit("0x" + "11" * 20).as("to"),
+              lit("CALL").as("type"),
+              col("kids").as("calls"))).as("tree_json"))
+          .write.mode("overwrite").parquet(tmp)
+      }
     }
     s.read.parquet(path)
   }

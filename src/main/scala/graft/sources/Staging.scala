@@ -1,0 +1,37 @@
+package graft.sources
+
+/** Cross-process-safe one-time staging for the fingerprint-keyed
+  * corpus dirs under java.io.tmpdir. The old pattern (`synchronized` +
+  * `_SUCCESS` re-check, then write directly into the final path) is
+  * sound per-JVM but two JVMs (driver + judge have raced this) could
+  * both enter the overwrite write and interleave part files. Here each
+  * writer builds under a process-unique sibling and atomically renames
+  * into place; the loser of the race deletes its build — the corpora
+  * are deterministic functions of the fingerprinted inputs, so
+  * whichever rename wins is byte-equivalent.
+  */
+object Staging {
+
+  /** Run `write(tmpDir)` and atomically publish the result as `path`,
+    * unless `path` is already complete. `write` must leave a
+    * `_SUCCESS` marker in its output (Spark's parquet committer does).
+    */
+  def stageOnce(path: String)(write: String => Unit): Unit = {
+    if (new java.io.File(s"$path/_SUCCESS").isFile) return
+    val tmp = path + ".tmp-" + ProcessHandle.current().pid() + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    write(tmp)
+    try
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // another process published first (EEXIST/ENOTEMPTY surface as
+      // these); its output is identical — drop ours
+      case _: java.nio.file.FileAlreadyExistsException
+         | _: java.nio.file.DirectoryNotEmptyException
+         | _: java.nio.file.FileSystemException =>
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+    }
+  }
+}

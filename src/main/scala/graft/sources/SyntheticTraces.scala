@@ -31,17 +31,17 @@ object SyntheticTraces {
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") +
       "_" + java.lang.Long.toHexString(fp)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_bronze_v2_$key"
-    val marker = new java.io.File(s"$path/_SUCCESS")
-    if (!marker.isFile) synchronized {
-      if (!marker.isFile)
-        // stage in one file per core ([[blocksBronze]] rationale): the
-        // consumer's map stage (interpreted from_json + partial tree
-        // aggregation) is the CPU-dominant stage of the flagship
-        // pipeline, and a 2-file staging caps it at 2 tasks — 1/16th
-        // of the machine. A Kafka source would arrive partitioned.
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) synchronized {
+      // stage in one file per core ([[blocksBronze]] rationale): the
+      // consumer's map stage (interpreted from_json + partial tree
+      // aggregation) is the CPU-dominant stage of the flagship
+      // pipeline, and a 2-file staging caps it at 2 tasks — 1/16th
+      // of the machine. A Kafka source would arrive partitioned.
+      Staging.stageOnce(path) { tmp =>
         fromTpch(spark, sfDir)
           .repartition(math.max(16, spark.sparkContext.defaultParallelism))
-          .write.mode("overwrite").parquet(path)
+          .write.mode("overwrite").parquet(tmp)
+      }
     }
     spark.read.parquet(path)
   }
@@ -65,9 +65,8 @@ object SyntheticTraces {
     val fp = java.lang.Long.toHexString(f.length() * 31L + f.lastModified())
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" + fp
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_blocks_v2_$key"
-    val marker = new java.io.File(s"$path/_SUCCESS")
-    if (!marker.isFile) synchronized {
-      if (!marker.isFile) {
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) synchronized {
+      Staging.stageOnce(path) { tmp =>
         val orders = spark.read.parquet(s"$sfDir/orders.parquet")
         def payload(tsBump: Int, gasBump: Int) = to_json(struct(
           col("o_orderkey").as("number"),
@@ -83,7 +82,7 @@ object SyntheticTraces {
           // from_json (CodegenFallback, ~75µs/row) parses in parallel
           // — a Kafka source would arrive partitioned the same way
           .repartition(16)
-          .write.mode("overwrite").parquet(path)
+          .write.mode("overwrite").parquet(tmp)
       }
     }
     spark.read.parquet(path)
