@@ -480,6 +480,78 @@ object Queries {
       |       s2.signup_id AS asof_signup_id, s2.signup_sec AS asof_signup_sec
       |FROM ev p ASOF LEFT JOIN states s2 ON p.sec >= s2.sec""".stripMargin
 
+  // As-of join, STREAMING form: TwsAsof driven as a real time-sliced
+  // file stream (RocksDB state, per-key timers, watermark-gated probe
+  // resolution) over the events corpus. Probe/state rows are deduped
+  // to unique (key, tag, ts) so tie resolution cannot differ between
+  // arrival order and plan order; two far-future state sentinels close
+  // the stream (first advances the watermark past every real probe,
+  // second gives the timers a batch to fire in). The flushed output is
+  // exactly the batch as-of — hash-compared against DuckDB's native
+  // ASOF LEFT JOIN, the same oracle family as q_asof_keyed.
+  private val asofStream: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // see streamNearDup
+    try {
+      val spark2 = s
+      import spark2.implicits._
+      val nSlices = 4
+      val work = java.nio.file.Files.createTempDirectory("graft_stream_asof").toString
+      val ev = events(s, dir).select(
+          col("user_id").as("key"),
+          when(col("event_type") === "signup", 0).otherwise(1).as("tag"),
+          col("event_id").as("id"), col("sec").as("ts"))
+        .groupBy("key", "tag", "ts").agg(max("id").as("id"))
+        .select(col("key"), col("tag"), col("id"), col("ts"),
+          col("ts").cast("timestamp").as("event_time"))
+      val watch = s"$work/in"
+      StreamRehearsal.stageSlices(ev, "ts", nSlices, s"$work/stage", watch)
+      val mx = s.read.parquet(watch).agg(max("ts")).head().getLong(0)
+      Seq((nSlices, -1L, mx + 1000000L), (nSlices + 1, -2L, mx + 2000000L))
+        .foreach { case (i, id, ts) =>
+          Seq((-1L, 0, id, ts)).toDF("key", "tag", "id", "ts")
+            .select(col("key"), col("tag"), col("id"), col("ts"),
+              col("ts").cast("timestamp").as("event_time"))
+            .withColumn("_slice", lit(i))
+            .write.partitionBy("_slice").mode("overwrite").parquet(s"$work/sent_$i")
+          StreamRehearsal.moveSlices(s"$work/sent_$i", watch, 0)
+        }
+      val stream = s.readStream.schema(s.read.parquet(watch).schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .as[graft.streaming.AsofInput]
+      val q = graft.streaming.TwsAsof.asofKeyed(stream).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$work/out").option("checkpointLocation", s"$work/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out").filter(col("key") >= 0)
+        .select("key", "probe_id", "probe_ts", "state_id", "state_ts")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+  private val asofStreamOracle =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |probes AS (
+      |  SELECT user_id AS key, sec AS probe_ts, max(event_id) AS probe_id
+      |  FROM ev WHERE event_type <> 'signup' GROUP BY 1, 2),
+      |states AS (
+      |  SELECT user_id AS key, sec AS state_ts, max(event_id) AS state_id
+      |  FROM ev WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT p.key, p.probe_id, p.probe_ts, s.state_id, s.state_ts
+      |FROM probes p ASOF LEFT JOIN states s
+      |  ON p.key = s.key AND p.probe_ts >= s.state_ts""".stripMargin
+
   // Bucketed point-in-interval join: overlapping per-order intervals
   // probed by per-lineitem points — the equi-join on time buckets
   // replaces the quadratic theta-join plan. Oracle is DuckDB's native
@@ -2308,6 +2380,7 @@ object Queries {
     "q_j5_enrichment" -> j5Enrichment,
     "q_j6_closest" -> j6Closest,
     "q_asof_keyed" -> asofKeyed,
+    "q_asof_stream" -> asofStream,
     "q_asof_global" -> asofGlobal,
     "q_range_join" -> rangeJoin,
     "q_o_quantiles" -> oQuantiles,
@@ -2408,6 +2481,7 @@ object Queries {
     "q_j5_enrichment" -> j5Oracle,
     "q_j6_closest" -> j6Oracle,
     "q_asof_keyed" -> asofKeyedOracle,
+    "q_asof_stream" -> asofStreamOracle,
     "q_asof_global" -> asofGlobalOracle,
     "q_range_join" -> rangeJoinOracle,
     "q_o_quantiles" -> oQuantilesOracle,

@@ -60,7 +60,7 @@ object StreamRehearsal {
     * `watchDir`, modification times strictly increasing with the time
     * range, so FileStreamSource replays them in event-time order.
     */
-  private def stageSlices(df: DataFrame, tsCol: String, nSlices: Int,
+  private[graft] def stageSlices(df: DataFrame, tsCol: String, nSlices: Int,
       stageDir: String, watchDir: String): Unit = {
     val r = df.agg(min(col(tsCol)), max(col(tsCol))).head()
     val (mn, mx) = (r.getLong(0), r.getLong(1))
@@ -75,7 +75,7 @@ object StreamRehearsal {
   /** Move `_slice=i` part files into the watch dir as slice_<i>_<j>
     * with mtime base+i — the file source orders on (mtime, path).
     */
-  private def moveSlices(stageDir: String, watchDir: String, idxOffset: Int): Unit = {
+  private[graft] def moveSlices(stageDir: String, watchDir: String, idxOffset: Int): Unit = {
     val base = 1700000000000L
     new java.io.File(watchDir).mkdirs()
     val stage = new java.io.File(stageDir)
