@@ -101,7 +101,7 @@ object Bench {
       "q_asof_keyed", "q_asof_global", "q_range_join",
       "q_llm_decontaminate", "q_llm_seq_pack", "q_llm_fingerprint_portable",
       "q_llm_pipeline_e2e", "q_llm_temp_mix", "q_llm_shard_plan",
-      "q_llm_stream_neardup", "q_asof_stream")
+      "q_llm_stream_neardup", "q_asof_stream", "q_etl_stream_transactions")
     val byName = results.toMap
     val qs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + fmt(v)))
       .mkString("{", ",", "}")

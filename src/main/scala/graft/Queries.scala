@@ -2341,6 +2341,69 @@ object Queries {
     frameCache.clear()
   }
 
+  /** The flagship's STREAMING form promoted into the correctness
+    * surface: the reference's production path (Kafka → sessionize →
+    * commit → sink) driven as a real time-sliced file stream through
+    * StreamingEtl.sessionCommit (flatMapGroupsWithState, event-time
+    * watermark, per-tx TreeBuf state), its committed transactions
+    * hash-compared against the SAME full DuckDB commit replica as
+    * q_etl_transactions. Two far-future sentinel traces close the
+    * stream (watermark advance + a batch for the timers); sentinel
+    * keys never commit and are filtered defensively.
+    */
+  private val etlStreamTransactions: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    // Config chosen by measurement at sf0.1 (750k traces, steady state):
+    // default HDFS store + 8 partitions + 8 slices = ~15 s; RocksDB+32 =
+    // ~20 s; HDFS+16/32 = 45-90 s (the on-heap store's per-batch state
+    // maintenance dominates past ~8 partitions at this volume). More,
+    // smaller slices shrink the open-session state each batch snapshots.
+    // Production sizes partitions to the cluster; semantics don't change.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val spark2 = s
+      import spark2.implicits._
+      val nSlices = 8
+      val work = java.nio.file.Files.createTempDirectory("graft_stream_etl").toString
+      val norm = graft.operators.TraceEtl
+        .normalize(graft.sources.SyntheticTraces.bronze(s, dir))
+        .filter(col("transaction_hash").isNotNull && col("block_timestamp").isNotNull)
+      val watch = s"$work/in"
+      StreamRehearsal.stageSlices(norm.toDF(), "block_timestamp", nSlices,
+        s"$work/stage", watch)
+      val mx = s.read.parquet(watch).agg(max("block_timestamp")).head().getLong(0)
+      Seq(
+        (nSlices, graft.model.TraceRow(1L, "0xsentinel1", Some(0), Some("0xa"),
+          Some("0xb"), None, Some("0x00"), None, Some(1L), is_root = true,
+          Some(1L), Some(mx + 1000000L), Some("0xb"), None)),
+        (nSlices + 1, graft.model.TraceRow(1L, "0xsentinel2", Some(0), Some("0xa"),
+          Some("0xb"), None, Some("0x00"), None, Some(1L), is_root = true,
+          Some(1L), Some(mx + 2000000L), Some("0xb"), None)),
+      ).foreach { case (i, row) =>
+        Seq(row).toDS().withColumn("_slice", lit(i))
+          .write.partitionBy("_slice").mode("overwrite").parquet(s"$work/sent_$i")
+        StreamRehearsal.moveSlices(s"$work/sent_$i", watch, 0)
+      }
+      val stream = s.readStream.schema(s.read.parquet(watch).schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .as[graft.model.TraceRow]
+      val q = graft.streaming.StreamingEtl.sessionCommit(stream, gapSeconds = 1L)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$work/out").option("checkpointLocation", s"$work/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out")
+        .filter(col("transaction").isNotNull &&
+          !col("transaction.transaction_hash").startsWith("0xsentinel"))
+        .select("transaction.*")
+        .withColumn("closest_address", csv(col("closest_address")))
+        .withColumn("ec_pairing_input_sizes", csv(col("ec_pairing_input_sizes")))
+        .withColumn("ec_recover_addresses", csv(col("ec_recover_addresses")))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   private val etlTransactions: Q = (s, dir) => {
     val (txs, _) = graft.operators.TraceEtl.split(commits(s, dir))
     // arrays → sorted CSV for the verify surface (library callers get
@@ -2404,6 +2467,7 @@ object Queries {
     "q_p9_checksum" -> p9Checksum,
     "q_keccak256" -> keccakHex,
     "q_etl_transactions" -> etlTransactions,
+    "q_etl_stream_transactions" -> etlStreamTransactions,
     "q_etl_contracts" -> etlContracts,
     "q_etl_blocks" -> etlBlocks,
     "q_llm_exact_dedup" -> llmExactDedup,
@@ -2504,6 +2568,7 @@ object Queries {
     "q_p9_checksum" -> p9ChecksumOracle,
     "q_keccak256" -> keccakHexOracle,
     "q_etl_transactions" -> EtlOracleSql.transactions,
+    "q_etl_stream_transactions" -> EtlOracleSql.transactions,
     "q_etl_contracts" -> EtlOracleSql.contracts,
     "q_llm_exact_dedup" -> llmExactDedupOracle,
     "q_llm_norm_dedup" -> llmNormDedupOracle,
