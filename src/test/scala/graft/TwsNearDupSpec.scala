@@ -83,6 +83,49 @@ class TwsNearDupSpec extends SparkSpec {
     }
   }
 
+  test("state survives a checkpoint RESTART: second run pairs against first run's corpus") {
+    import spark.implicits._
+    withRocks {
+      val work = java.nio.file.Files.createTempDirectory("graft_nd_restart").toString
+      val watch = s"$work/in"
+      new java.io.File(watch).mkdirs()
+      def addFile(name: String, docs: Seq[(Long, String)], mtime: Long): Unit = {
+        val stage = s"$work/stage_$name"
+        docs.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(watch, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+      }
+      def runOnce(): Unit = {
+        val stream = spark.readStream
+          .schema(spark.read.parquet(watch).schema)
+          .option("maxFilesPerTrigger", 1).parquet(watch)
+        val q = TwsNearDup.nearDupPairsStream(stream, "doc_id", "text").toDF()
+          .writeStream.format("parquet")
+          .option("path", s"$work/out").option("checkpointLocation", s"$work/ck")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val first = Seq(1L -> base, 2L -> unrelated)
+      val second = Seq(3L -> base, 4L -> (base + " extra"))
+      addFile("a", first, 1700000000000L)
+      runOnce() // run 1: only the first corpus; no pairs possible
+      addFile("b", second, 1700000060000L)
+      runOnce() // run 2: fresh query, SAME checkpoint — resumes run 1's state
+      val pairs = spark.read.parquet(s"$work/out").select("id1", "id2").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = DedupOps.minhashSignaturePairs(
+          (first ++ second).toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == batch,
+        s"restarted stream $pairs != batch ${batch} — state lost across restart")
+      assert(pairs.contains((1L, 3L)), s"cross-RUN dup missed: $pairs")
+    }
+  }
+
   test("bucket cap evicts FIFO: oldest resident no longer pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
