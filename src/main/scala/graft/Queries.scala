@@ -17,8 +17,29 @@ import org.apache.spark.sql.functions._
   */
 object Queries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Base-table reads memoized per (dir, table): `spark.read.parquet`
+    * re-lists the directory and re-reads footers for the schema on
+    * every call, a fixed ~20-80 ms tax each of the ~100 catalog
+    * entries paid per table touch. Reusing the analyzed DataFrame is
+    * metadata-level only (a catalog table with a cached file index —
+    * what any real deployment has); no data is persisted, so
+    * clearCaches need not touch it. Guarded against a stopped session
+    * (tests recreate sessions within one JVM).
+    */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val k = (dir, name)
+    val cached = tableCache.get(k)
+    if (cached != null && (cached.sparkSession eq s) &&
+        !cached.sparkSession.sparkContext.isStopped) cached
+    else {
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      tableCache.put(k, df)
+      df
+    }
+  }
 
   /** events.parquet has shipped with two physical `ts` encodings across
     * testdata generations: TIMESTAMP(NANOS) (which Spark 4 only reads
@@ -500,7 +521,7 @@ object Queries {
       val spark2 = s
       import spark2.implicits._
       val nSlices = 4
-      val work = java.nio.file.Files.createTempDirectory("graft_stream_asof").toString
+      val work = graft.sources.Staging.sessionTempDir("graft_stream_asof")
       val ev = events(s, dir).select(
           col("user_id").as("key"),
           when(col("event_type") === "signup", 0).otherwise(1).as("tag"),
@@ -841,7 +862,7 @@ object Queries {
     // the partition count is pinned into the checkpoint either way)
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val work = java.nio.file.Files.createTempDirectory("graft_stream_nd").toString
+      val work = graft.sources.Staging.sessionTempDir("graft_stream_nd")
       val in = s"$work/in"
       // 4 hash slices → 4 micro-batches: pairs must be caught against
       // PRIOR-batch state, not just within a batch
@@ -2351,24 +2372,50 @@ object Queries {
     * stream (watermark advance + a batch for the timers); sentinel
     * keys never commit and are filtered defensively.
     */
-  private val etlStreamTransactions: Q = (s, dir) => {
+  // Config chosen by measurement (StreamStoreSweep, SCALE_STREAM_r09.md):
+  // RocksDB + changelog checkpointing is the measured default — the
+  // production config (changelog uploads per-batch deltas instead of
+  // full snapshots, so per-batch state maintenance stays flat as state
+  // grows; a 1000-executor deployment runs exactly this provider).
+  // Partition count is swept 8/16/32 per round; see the scale report
+  // for the crossover. Production sizes partitions to the cluster;
+  // semantics don't change.
+  private val etlStreamTransactions: Q = (s, dir) =>
+    etlStreamTransactionsWith(s, dir, partitions = 8, nSlices = 8,
+      rocksdb = true, changelog = true)
+
+  /** The streaming flagship body with the state-store knobs exposed so
+    * StreamStoreSweep can measure provider/partition combinations
+    * through the exact code path the catalog entry runs.
+    */
+  private[graft] def etlStreamTransactionsWith(s: SparkSession, dir: String,
+      partitions: Int, nSlices: Int, rocksdb: Boolean,
+      changelog: Boolean): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    // Config chosen by measurement at sf0.1 (750k traces, steady state):
-    // default HDFS store + 8 partitions + 8 slices = ~15 s; RocksDB+32 =
-    // ~20 s; HDFS+16/32 = 45-90 s (the on-heap store's per-batch state
-    // maintenance dominates past ~8 partitions at this volume). More,
-    // smaller slices shrink the open-session state each batch snapshots.
-    // Production sizes partitions to the cluster; semantics don't change.
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val ChangelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val prevProvider = s.conf.getOption(ProviderKey)
+    val prevChangelog = s.conf.getOption(ChangelogKey)
+    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    if (rocksdb) {
+      s.conf.set(ProviderKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set(ChangelogKey, changelog.toString)
+    } else s.conf.unset(ProviderKey)
     try {
       val spark2 = s
       import spark2.implicits._
-      val nSlices = 8
-      val work = java.nio.file.Files.createTempDirectory("graft_stream_etl").toString
+      val work = graft.sources.Staging.sessionTempDir("graft_stream_etl")
+      // null event-time flows through as 0, exactly sessionCommit's
+      // coalesce — keeps this entry byte-equal to the batch path and
+      // its oracle on corpora that do emit null timestamps (nulls land
+      // in slice 0, first micro-batch, so the watermark never drops them)
       val norm = graft.operators.TraceEtl
         .normalize(graft.sources.SyntheticTraces.bronze(s, dir))
-        .filter(col("transaction_hash").isNotNull && col("block_timestamp").isNotNull)
+        .filter(col("transaction_hash").isNotNull)
+        .withColumn("block_timestamp", coalesce(col("block_timestamp"), lit(0L)))
       val watch = s"$work/in"
       StreamRehearsal.stageSlices(norm.toDF(), "block_timestamp", nSlices,
         s"$work/stage", watch)
@@ -2401,7 +2448,17 @@ object Queries {
         .withColumn("closest_address", csv(col("closest_address")))
         .withColumn("ec_pairing_input_sizes", csv(col("ec_pairing_input_sizes")))
         .withColumn("ec_recover_addresses", csv(col("ec_recover_addresses")))
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevProvider match {
+        case Some(p) => s.conf.set(ProviderKey, p)
+        case None => s.conf.unset(ProviderKey)
+      }
+      prevChangelog match {
+        case Some(c) => s.conf.set(ChangelogKey, c)
+        case None => s.conf.unset(ChangelogKey)
+      }
+    }
   }
 
   private val etlTransactions: Q = (s, dir) => {

@@ -37,8 +37,67 @@ object RecallEval {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, sfDir, k, nQueries)
-    finally spark.stop()
+    try {
+      if (args.length > 3 && args(3) == "sweep") pqSweep(spark, sfDir, k, nQueries)
+      else run(spark, sfDir, k, nQueries)
+    } finally spark.stop()
+  }
+
+  /** PQ parameter sweep (VERDICT r8 item 6): recall of the trained PQ
+    * tier across (m, ksub) and of trained IVF across nlist (incl.
+    * nlist ∝ √n), to separate "PQ is mis-parameterized" from "the
+    * near-orthogonal synthetic corpus caps quantized recall".
+    *
+    *   sbt "runMain graft.RecallEval <sfDir> <k> <nQueries> sweep"
+    */
+  def pqSweep(spark: SparkSession, sfDir: String, k: Int, nQueries: Int): Unit = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCorpus = emb.count()
+    val queries = emb.filter(col("vec_id") < nQueries)
+    val truth = SimilarityOps.bruteForceTopKPortable(emb, queries, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    println(s"corpus=$nCorpus queries=${truth.size} k=$k ($sfDir)")
+
+    println(s"| m | ksub | pq trained recall@$k |")
+    println("|---|---|---|")
+    for (m <- Seq(8, 16); ksub <- Seq(16, 64, 256)) {
+      val cb = Quantizers.trainPqCodebook(emb, "vec_id", "embedding", m, ksub)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cb.count()
+      val r = recallAtK(truth,
+        SimilarityOps.pqTopK(emb, queries, "vec_id", "embedding", k, m, ksub,
+          codebook = Some(cb)))
+      println(f"| $m | $ksub | $r%.3f |")
+      cb.unpersist()
+    }
+
+    val sqrtN = math.max(4, math.round(math.sqrt(nCorpus.toDouble)).toInt)
+    println()
+    println(s"| nlist | nprobe | ivf trained recall@$k |")
+    println("|---|---|---|")
+    for (nlist <- Seq(16, sqrtN).distinct) {
+      val cents = Quantizers.trainIvfCentroids(emb, "vec_id", "embedding", nlist)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cents.count()
+      for (nprobe <- Seq(math.max(1, nlist / 8), math.max(1, nlist / 4), nlist / 2)) {
+        val r = recallAtK(truth, SimilarityOps.ivfTopK(
+          emb, queries, "vec_id", "embedding", k, nlist, nprobe,
+          score = SimilarityOps.quantizedCosineX1e6 _, centroids = Some(cents)))
+        println(f"| $nlist | $nprobe | $r%.3f |")
+      }
+      cents.unpersist()
+    }
+
+    // corpus-geometry diagnostic: on isotropic random vectors the
+    // neighbor/non-neighbor cosine margin shrinks with dimension and
+    // quantization destroys it — print the margin so a low recall
+    // above is attributable
+    val top1 = SimilarityOps.bruteForceTopKPortable(emb, queries, "vec_id",
+        "embedding", 1)
+      .agg(avg(col("score"))).head().getDouble(0)
+    println(f"%nmean top-1 exact score (x1e6 cosine): $top1%.0f (isotropic corpus → low margin)")
   }
 
   def run(spark: SparkSession, sfDir: String, k: Int, nQueries: Int): Unit = {

@@ -314,9 +314,10 @@ object StreamRehearsal {
       report("TwsNearDup.nearDupPairsStream (transformWithState, RocksDB)", wall, bs)
       // state rows = occupied (band, key) buckets — hard-bounded by
       // bands × documents regardless of how many batches streamed
+      val bandBound = graft.streaming.TwsNearDup.bandCount().toLong * nDocs
       val peak = if (bs.isEmpty) 0L else bs.map(_.stateRows).max
-      require(peak <= 4L * nDocs,
-        s"near-dup state exceeded the bucket bound: $peak > ${4L * nDocs}")
+      require(peak <= bandBound,
+        s"near-dup state exceeded the bucket bound: $peak > $bandBound")
       // unbounded cap ⇒ emitted pair set equals the batch banding twin
       val sPairs = spark.read.parquet(s"$work/nd_out")
         .select("id1", "id2").distinct()

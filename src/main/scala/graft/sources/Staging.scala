@@ -12,6 +12,19 @@ package graft.sources
   */
 object Staging {
 
+  /** Create a temp work dir that is deleted when this JVM exits.
+    * Streaming query entries return lazy DataFrames over their output
+    * dirs, so an eager `finally`-delete would break the caller's read;
+    * a shutdown hook bounds /tmp accumulation to one JVM's lifetime
+    * instead (bench/verify spawn a fresh JVM per run).
+    */
+  def sessionTempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.hadoop.fs.FileUtil.fullyDelete(dir)))
+    dir.toString
+  }
+
   /** Run `write(tmpDir)` and atomically publish the result as `path`,
     * unless `path` is already complete. `write` must leave a
     * `_SUCCESS` marker in its output (Spark's parquet committer does).
@@ -27,11 +40,15 @@ object Staging {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
       // another process published first (EEXIST/ENOTEMPTY surface as
-      // these); its output is identical — drop ours
-      case _: java.nio.file.FileAlreadyExistsException
-         | _: java.nio.file.DirectoryNotEmptyException
-         | _: java.nio.file.FileSystemException =>
+      // these); its output is identical — drop ours. But the same
+      // exception types also cover genuine failures (permissions, I/O,
+      // ATOMIC_MOVE unsupported), so only swallow when the destination
+      // was actually published by the winner.
+      case e @ (_: java.nio.file.FileAlreadyExistsException
+             | _: java.nio.file.DirectoryNotEmptyException
+             | _: java.nio.file.FileSystemException) =>
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+        if (!new java.io.File(s"$path/_SUCCESS").isFile) throw e
     }
   }
 }

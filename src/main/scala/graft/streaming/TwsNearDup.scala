@@ -77,11 +77,19 @@ class NearDupBucketProcessor(capPerBucket: Int)
   */
 object TwsNearDup {
 
+  /** Default MinHash permutation count for [[nearDupPairsStream]]. */
+  val DefaultPerms = 8
+
+  /** Bands per document: signatures are banded two permutations per
+    * band, so state rows are hard-bounded by `bandCount × documents`.
+    */
+  def bandCount(nPerms: Int = DefaultPerms): Int = nPerms / 2
+
   /** Requires the RocksDB state store provider, like every
     * transformWithState operator.
     */
   def nearDupPairsStream(docs: DataFrame, idCol: String, textCol: String,
-      nPerms: Int = 8, capPerBucket: Int = 64): Dataset[NearDupHit] = {
+      nPerms: Int = DefaultPerms, capPerBucket: Int = 64): Dataset[NearDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sig = DedupOps.minhashSignature(docs, idCol, textCol, nPerms)

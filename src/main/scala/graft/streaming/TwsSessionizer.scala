@@ -22,60 +22,60 @@ import org.apache.spark.sql.streaming._
   * (the reference's order-dependent fold does exactly that,
   * consumer/kafka/trace/mod.rs:65-77 — deliberate delta, SURVEY §7.1).
   */
+/** Single state row per open transaction: the aggregation buffer plus
+  * the running max event time and the armed timer's timestamp. One
+  * consolidated ValueState instead of three (tree/timer/maxevent as
+  * separate states tripled the store's row count for the same logical
+  * session — 450k vs 150k state rows at sf1, SCALE_STREAM_r08.md).
+  * maxEventMs is PERSISTED: a later micro-batch may deliver a non-late
+  * trace whose timestamp is below the max seen earlier, and re-arming
+  * from the batch-local max alone would regress the timer and commit
+  * the session early.
+  */
+case class TwsSessBuf(buf: TreeBuf, maxEventMs: Long, timerAt: Long)
+
 class TraceSessionProcessor(gapSeconds: Long)
     extends StatefulProcessor[(Long, String), TimedTrace, TxCommit] {
 
-  @transient private var buf: ValueState[TreeBuf] = _
-  @transient private var timer: ValueState[Long] = _
-  @transient private var maxEvent: ValueState[Long] = _
+  @transient private var sess: ValueState[TwsSessBuf] = _
   @transient private lazy val agg = new TraceTreeAggregator
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    buf = getHandle.getValueState[TreeBuf](
-      "tree", Encoders.product[TreeBuf], TTLConfig.NONE)
-    timer = getHandle.getValueState[Long](
-      "timer", Encoders.scalaLong, TTLConfig.NONE)
-    maxEvent = getHandle.getValueState[Long](
-      "maxevent", Encoders.scalaLong, TTLConfig.NONE)
+    sess = getHandle.getValueState[TwsSessBuf](
+      "session", Encoders.product[TwsSessBuf], TTLConfig.NONE)
   }
 
   override def handleInputRows(key: (Long, String), rows: Iterator[TimedTrace],
       tv: TimerValues): Iterator[TxCommit] = {
-    // running max event time is PERSISTED: a later micro-batch may
-    // deliver a non-late trace whose timestamp is below the max seen
-    // earlier, and re-arming from the batch-local max alone would
-    // regress the timer and commit the session early
-    var maxEventMs = if (maxEvent.exists()) maxEvent.get() else Long.MinValue
-    val merged = rows.foldLeft(if (buf.exists()) buf.get() else TreeBuf.empty) {
+    val prior = if (sess.exists()) Some(sess.get()) else None
+    var maxEventMs = prior.map(_.maxEventMs).getOrElse(Long.MinValue)
+    val merged = rows.foldLeft(prior.map(_.buf).getOrElse(TreeBuf.empty)) {
       (b, tt) =>
         if (tt.event_time != null)
           maxEventMs = math.max(maxEventMs, tt.event_time.getTime)
         agg.reduce(b, tt.trace)
     }
-    buf.update(merged)
-    if (maxEventMs != Long.MinValue) maxEvent.update(maxEventMs)
     // one live timer per open tx: re-arm on every new trace so the
     // session closes gapSeconds after the LATEST trace's event time
     val base = if (maxEventMs == Long.MinValue) tv.getCurrentWatermarkInMs() else maxEventMs
     val at = math.max(base + gapSeconds * 1000L, tv.getCurrentWatermarkInMs() + 1L)
-    if (timer.exists() && timer.get() != at) getHandle.deleteTimer(timer.get())
-    if (!timer.exists() || timer.get() != at) {
+    val priorAt = prior.map(_.timerAt).getOrElse(Long.MinValue)
+    if (priorAt != at) {
+      if (priorAt != Long.MinValue) getHandle.deleteTimer(priorAt)
       getHandle.registerTimer(at)
-      timer.update(at)
     }
+    sess.update(TwsSessBuf(merged, maxEventMs, at))
     Iterator.empty
   }
 
   override def handleExpiredTimer(key: (Long, String), tv: TimerValues,
       expired: ExpiredTimerInfo): Iterator[TxCommit] = {
     val out =
-      if (buf.exists())
-        Some(TraceTreeAggregator.commit(buf.get(), key._1, key._2))
+      if (sess.exists())
+        Some(TraceTreeAggregator.commit(sess.get().buf, key._1, key._2))
           .filter(c => c.transaction.nonEmpty || c.contracts.nonEmpty)
       else None
-    buf.clear()
-    timer.clear()
-    maxEvent.clear()
+    sess.clear()
     out.iterator
   }
 }
