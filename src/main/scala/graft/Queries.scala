@@ -54,8 +54,13 @@ object Queries {
     // TIMESTAMP_NTZ naive values are UTC wall-clock; pin the session tz
     // so the NTZ→TZ cast in eventSeconds is the identity on instants.
     s.conf.set("spark.sql.session.timeZone", "UTC")
-    val raw = t(s, dir, "events")
-    raw.withColumn("sec", eventSeconds(raw.schema("ts").dataType))
+    // partitioned by user_id (the sessionize/as-of families' key) for
+    // the same bucketed-layout reasons as lineitemEdges
+    cachedFrame(s, dir, "events") {
+      val raw = t(s, dir, "events")
+      raw.withColumn("sec", eventSeconds(raw.schema("ts").dataType))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("user_id"))
+    }
   }
 
   /** Whole-epoch-seconds projection of an events `ts` column, for
@@ -100,6 +105,16 @@ object Queries {
   /** The shared edge projection: every column the a/j-series reads,
     * nothing else (7 of lineitem's 16 — the persist stores the pruned
     * projection, not the table).
+    *
+    * Hash-partitioned by l_orderkey before the persist — the bucketed-
+    * table layout a deployment would give lineitem. Every a/j consumer
+    * groups or joins on an l_orderkey-prefixed key, and InMemoryRelation
+    * preserves the child's outputPartitioning, so HashPartitioning(ok)
+    * subset-satisfies their ClusteredDistributions: the downstream
+    * aggregates and self-joins run exchange-FREE, and the map sides run
+    * on numShufflePartitions cores instead of the single scan partition
+    * a 10 MB parquet file yields (the corpus ships as one file; at
+    * 100 TB the same effect comes from bucketing the table).
     */
   private def lineitemEdges(s: SparkSession, dir: String): DataFrame =
     cachedFrame(s, dir, "edges") {
@@ -107,6 +122,25 @@ object Queries {
         col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
         col("l_returnflag"), col("l_quantity"), col("l_linestatus"),
         col("l_linenumber"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
+    }
+
+  /** Pre-partitioned projections of the small single-file corpora —
+    * same bucketed-layout rationale as [[lineitemEdges]]: a one-file
+    * parquet scan is a single partition, which serializes every
+    * downstream per-row kernel (shingling, hashing, vector scoring) on
+    * one core. Partitioned by the id each family groups/joins on.
+    */
+  private def docsT(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "docs") {
+      val d = t(s, dir, "documents")
+      d.repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+    }
+
+  private def embT(s: SparkSession, dir: String): DataFrame =
+    cachedFrame(s, dir, "emb") {
+      val e = t(s, dir, "embeddings")
+      e.repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
     }
 
   /** Join an array column to a CSV string — the external verifier
@@ -833,7 +867,7 @@ object Queries {
 
   // D3: cross-batch seen-set — which contract keys exist
   private val d3SeenSet: Q = (s, dir) => {
-    val contracts = t(s, dir, "documents")
+    val contracts = docsT(s, dir)
       .select(col("lang").as("chain_id"), col("source").as("address"),
         array(col("lang")).as("function_signatures"))
     graft.streaming.StreamingEtl.dedupContracts(contracts)
@@ -866,7 +900,7 @@ object Queries {
       val in = s"$work/in"
       // 4 hash slices → 4 micro-batches: pairs must be caught against
       // PRIOR-batch state, not just within a batch
-      t(s, dir, "documents").select(col("doc_id"), col("text"))
+      docsT(s, dir).select(col("doc_id"), col("text"))
         .repartition(4, col("doc_id"))
         .write.mode("overwrite").parquet(in)
       val stream = s.readStream.schema(s.read.parquet(in).schema)
@@ -941,12 +975,12 @@ object Queries {
   // LLM-pipeline: dedup / text analysis / similarity search
   // ---------------------------------------------------------------
   private val llmExactDedup: Q = (s, dir) =>
-    graft.llm.DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+    graft.llm.DedupOps.exactDedup(docsT(s, dir), "doc_id", "text")
   private val llmExactDedupOracle =
     "SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id FROM documents GROUP BY 1"
 
   private val llmNormDedup: Q = (s, dir) =>
-    graft.llm.DedupOps.exactDedupNormalized(t(s, dir, "documents"), "doc_id", "text")
+    graft.llm.DedupOps.exactDedupNormalized(docsT(s, dir), "doc_id", "text")
   private val llmNormDedupOracle =
     """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
       |count(*) AS n_dups, min(doc_id) AS keep_id FROM documents GROUP BY 1""".stripMargin
@@ -962,7 +996,7 @@ object Queries {
     // interpreted and was the dominant per-scan cost of this entry);
     // equivalent on single-space-separated non-empty tokens, and the
     // DuckDB oracle chunks by token index so any divergence hash-fails
-    val lined = t(s, dir, "documents").select(col("doc_id"),
+    val lined = docsT(s, dir).select(col("doc_id"),
       regexp_replace(col("text"), "((?:[^ ]+ ){7}[^ ]+) ", "$1\n").as("text"))
     graft.llm.DedupOps.lineDedup(lined, "doc_id", "text")
   }
@@ -991,7 +1025,7 @@ object Queries {
   // 8-token shingle granularity): maximal per-doc token spans whose
   // every shingle appears verbatim in >= 2 distinct documents.
   private val llmDupSpans: Q = (s, dir) =>
-    graft.llm.DedupOps.dupSpanStats(t(s, dir, "documents"), "doc_id", "text")
+    graft.llm.DedupOps.dupSpanStats(docsT(s, dir), "doc_id", "text")
   private val llmDupSpansOracle =
     """WITH ws AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1024,7 +1058,7 @@ object Queries {
 
   // Per-doc top-3 TF-IDF terms, exact fixed-point idf (no floats).
   private val llmTfidf: Q = (s, dir) =>
-    graft.llm.TextOps.tfidfTopK(t(s, dir, "documents"), "doc_id", "text")
+    graft.llm.TextOps.tfidfTopK(docsT(s, dir), "doc_id", "text")
   private val llmTfidfOracle =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -1050,7 +1084,7 @@ object Queries {
   // fingerprints, odd half probes. Deterministic false positives
   // included — the oracle reproduces the exact bit positions.
   private val llmBloomSeen: Q = (s, dir) => {
-    val docs = t(s, dir, "documents").withColumn("fp",
+    val docs = docsT(s, dir).withColumn("fp",
       graft.functions.LlmFunctions.fingerprint64(col("text")))
     graft.llm.PipelineOps.bloomMembership(
       docs.filter(col("doc_id") % 2 === 0),
@@ -1061,7 +1095,7 @@ object Queries {
   // Per-doc top-3 BM25 terms, exact fixed-point (k1=1.2, b=0.75
   // cleared to integers; ratio idf; HUGEINT numerator).
   private val llmBm25: Q = (s, dir) =>
-    graft.llm.TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text")
+    graft.llm.TextOps.bm25TopK(docsT(s, dir), "doc_id", "text")
   private val llmBm25Oracle =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -1091,7 +1125,7 @@ object Queries {
   // source name here; a mixing table in production), hash-order
   // prefix cut.
   private val llmTokenBudgetMix: Q = (s, dir) =>
-    graft.llm.PipelineOps.tokenBudgetMix(t(s, dir, "documents"),
+    graft.llm.PipelineOps.tokenBudgetMix(docsT(s, dir),
       "doc_id", "text", "source",
       expr("400 + 40 * CAST(substring(source, 4) AS INT)"))
   private val llmTokenBudgetMixOracle =
@@ -1112,7 +1146,7 @@ object Queries {
   // budgets proportional to isqrt(source tokens), exact integer end
   // to end, then the same hash-order prefix cut.
   private val llmTempMix: Q = (s, dir) =>
-    graft.llm.PipelineOps.temperatureMix(t(s, dir, "documents"),
+    graft.llm.PipelineOps.temperatureMix(docsT(s, dir),
       "doc_id", "text", "source", 12000L)
   private val llmTempMixOracle =
     """WITH tok AS (
@@ -1143,7 +1177,7 @@ object Queries {
   // Deterministic export sharding: greedy token-packed shards per
   // source in the shared hash order, plus the loader-facing manifest.
   private val llmShardPlan: Q = (s, dir) =>
-    graft.llm.PipelineOps.shardPlan(t(s, dir, "documents"),
+    graft.llm.PipelineOps.shardPlan(docsT(s, dir),
       "doc_id", "text", "source", 2000L)
   private val shardPlanSql =
     """WITH tok AS (
@@ -1162,7 +1196,7 @@ object Queries {
   private val llmShardPlanOracle = shardPlanSql
   private val llmShardManifest: Q = (s, dir) =>
     graft.llm.PipelineOps.shardManifest(
-      graft.llm.PipelineOps.shardPlan(t(s, dir, "documents"),
+      graft.llm.PipelineOps.shardPlan(docsT(s, dir),
         "doc_id", "text", "source", 2000L))
   private val llmShardManifestOracle =
     s"""WITH plan AS ($shardPlanSql)
@@ -1172,7 +1206,7 @@ object Queries {
       |FROM plan GROUP BY source, shard_id""".stripMargin
 
   private val llmTokenStats: Q = (s, dir) =>
-    graft.llm.TextOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
+    graft.llm.TextOps.tokenStats(docsT(s, dir), "doc_id", "text")
   private val llmTokenStatsOracle =
     """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -1181,7 +1215,7 @@ object Queries {
       |FROM documents""".stripMargin
 
   private val llmBpeTokens: Q = (s, dir) =>
-    t(s, dir, "documents").select(col("doc_id"),
+    docsT(s, dir).select(col("doc_id"),
       size(graft.llm.TextOps.bpeishTokens(col("text"))).as("n_bpe_tokens"),
       size(array_distinct(graft.llm.TextOps.bpeishTokens(col("text")))).as("n_bpe_distinct"))
   private val llmBpeTokensOracle =
@@ -1191,7 +1225,7 @@ object Queries {
       |FROM documents""".stripMargin
 
   private val llmQuality: Q = (s, dir) =>
-    graft.llm.TextOps.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+    graft.llm.TextOps.qualityScore(docsT(s, dir), "doc_id", "text")
   private val llmQualityOracle =
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -1206,7 +1240,7 @@ object Queries {
       |FROM documents""".stripMargin
 
   private val llmLangId: Q = (s, dir) =>
-    graft.llm.TextOps.langId(t(s, dir, "documents"), "doc_id", "text")
+    graft.llm.TextOps.langId(docsT(s, dir), "doc_id", "text")
   private val llmLangIdOracle = {
     def cnt(words: Seq[String]) =
       s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
@@ -1226,7 +1260,7 @@ object Queries {
   }
 
   private val llmJaccardPairs: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+    val docs = docsT(s, dir)
       .select(col("doc_id"), graft.llm.DedupOps.tokenSet(col("text")).as("toks"))
     val (num, den) = graft.llm.DedupOps.jaccardParts(col("a.toks"), col("b.toks"))
     docs.as("a").join(docs.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
@@ -1240,7 +1274,7 @@ object Queries {
       |FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id""".stripMargin
 
   private val annTopkDot: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = embT(s, dir)
     graft.llm.SimilarityOps.bruteForceTopK(
         emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
@@ -1264,7 +1298,7 @@ object Queries {
   // both exactly reproducible in DuckDB — the deterministic complement
   // to the fast FNV-hash minhash path below.
   private val llmMinhashSig: Q = (s, dir) =>
-    graft.llm.DedupOps.minhashSignature(t(s, dir, "documents"), "doc_id", "text")
+    graft.llm.DedupOps.minhashSignature(docsT(s, dir), "doc_id", "text")
   /** DuckDB CTE computing each document's token-fingerprint list
     * (31-polynomial mod 1e9+7 per token) — the shared base of the
     * arithmetic minhash AND portable simhash oracles.
@@ -1303,7 +1337,7 @@ object Queries {
     s"$minhashFpsCte\nSELECT doc_id,\n$minhashSigSelect\nFROM d"
 
   private val llmMinhashLshPairs: Q = (s, dir) =>
-    graft.llm.DedupOps.minhashSignaturePairs(t(s, dir, "documents"), "doc_id", "text")
+    graft.llm.DedupOps.minhashSignaturePairs(docsT(s, dir), "doc_id", "text")
   private val llmMinhashLshOracle =
     s"""$minhashFpsCte,
       |sig AS (SELECT doc_id,
@@ -1322,7 +1356,7 @@ object Queries {
   // LSH pairs, min-reachable-id labels + canonical pick. Oracle is the
   // same fixpoint via a recursive CTE.
   private val llmDedupClusters: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+    val docs = docsT(s, dir)
     graft.llm.DedupOps.dedupClusters(docs, "doc_id",
       graft.llm.DedupOps.minhashSignaturePairs(docs, "doc_id", "text"))
   }
@@ -1362,7 +1396,7 @@ object Queries {
   // Composite curation: cluster-canonical + length band + language
   // confidence, every leg an independently-oracled operator
   private val llmCurate: Q = (s, dir) =>
-    graft.llm.TextOps.curate(t(s, dir, "documents"), "doc_id", "text")
+    graft.llm.TextOps.curate(docsT(s, dir), "doc_id", "text")
   private val llmCurateOracle = {
     def cnt(words: Seq[String]) =
       s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
@@ -1396,6 +1430,11 @@ object Queries {
   // confident-English ∧ decontaminated survivors, temperature-mixed
   // to a 6000-token budget — every stage an independently-oracled
   // operator, composed here so the full chain hash-compares too.
+  // raw (un-pre-partitioned) read on purpose: the chain's iterative
+  // star-contraction stages run best when AQE is free to coalesce each
+  // round's tiny shuffles — the fixed 32-partition cache costs ~0.5 s
+  // here (measured r9) while the single-stage doc kernels it helps
+  // read docsT
   private val llmPipelineE2e: Q = (s, dir) =>
     graft.llm.PipelineOps.curationPipeline(t(s, dir, "documents"),
       "doc_id", "text", "source", col("doc_id") % 50 === 0, 6000L)
@@ -1452,7 +1491,7 @@ object Queries {
   // float ANN variants below stay rows-only).
   private val embNearDup: Q = (s, dir) =>
     graft.llm.SimilarityOps.cosineNearDupPairs(
-      t(s, dir, "embeddings"), "vec_id", "embedding")
+      embT(s, dir), "vec_id", "embedding")
   private val embNearDupOracle = {
     def proj(p: Int) =
       s"list_sum(list_transform(range(len(q)), d -> " +
@@ -1483,7 +1522,7 @@ object Queries {
   // duplicate group" operator a curation pipeline actually runs.
   private val embSemDedup: Q = (s, dir) =>
     graft.llm.SimilarityOps.semanticDedup(
-        t(s, dir, "embeddings"), "vec_id", "embedding")
+        embT(s, dir), "vec_id", "embedding")
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
   private val embSemDedupOracle = {
     def proj(p: Int) =
@@ -1524,7 +1563,7 @@ object Queries {
   // binary->features path is hash-checked against SQL, not row-counted.
   private val mmBinCounts: Q = (s, dir) =>
     graft.llm.Multimodal.binCounts(
-      graft.llm.Multimodal.packFromDocuments(t(s, dir, "documents"))).toDF()
+      graft.llm.Multimodal.packFromDocuments(docsT(s, dir))).toDF()
       // exploded to (media, bin, count) rows so every comparison
       // harness can hash it (array cells can't be sorted in pandas)
       .select(col("media_id"), col("kind"), col("n_bytes"),
@@ -1547,7 +1586,7 @@ object Queries {
   // per-frame checksum — the demux/decode plumbing hash-checked.
   private val mmFrames: Q = (s, dir) =>
     graft.llm.Multimodal.frameSample(
-      graft.llm.Multimodal.packFromDocuments(t(s, dir, "documents"))).toDF()
+      graft.llm.Multimodal.packFromDocuments(docsT(s, dir))).toDF()
   private val mmFramesOracle =
     """WITH d AS (
       |  SELECT doc_id, list_transform(range(length(text)), i -> CAST(ord(text[i+1]) AS BIGINT)) AS codes,
@@ -1562,7 +1601,7 @@ object Queries {
   // Resize (image stub): 64-point stride resample, exact checksum.
   private val mmResize: Q = (s, dir) =>
     graft.llm.Multimodal.resize(
-      graft.llm.Multimodal.packFromDocuments(t(s, dir, "documents"))).toDF()
+      graft.llm.Multimodal.packFromDocuments(docsT(s, dir))).toDF()
   private val mmResizeOracle =
     """WITH d AS (
       |  SELECT doc_id, text, length(text) AS n,
@@ -1580,13 +1619,13 @@ object Queries {
   // mod-2^64 arithmetic (see [[FnvOracleSql]]; previously rows-only
   // under a wrong "not SQL-expressible" note)
   private val llmMinhashPairs: Q = (s, dir) =>
-    graft.llm.DedupOps.nearDupPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
+    graft.llm.DedupOps.nearDupPairs(docsT(s, dir), "doc_id", "text", 0.5)
   private val llmSimhashPairs: Q = (s, dir) =>
-    graft.llm.DedupOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
+    graft.llm.DedupOps.simhashPairs(docsT(s, dir), "doc_id", "text", 3)
       .select(col("id1"), col("id2"), col("hamming"))
   private val llmFingerprints: Q = (s, dir) => {
     graft.functions.GraftFunctions.register(s)
-    t(s, dir, "documents").select(col("doc_id"),
+    docsT(s, dir).select(col("doc_id"),
       graft.functions.GraftFunctions.simhash64(col("text")).as("simhash"),
       graft.functions.LlmFunctions.fingerprint64(col("text")).as("fingerprint"))
   }
@@ -1596,7 +1635,7 @@ object Queries {
   // (cheaper oracles, and cross-engine-reproducible signatures for
   // callers that need them).
   private val llmSimhashPortablePairs: Q = (s, dir) =>
-    graft.llm.DedupOps.simhashPortablePairs(t(s, dir, "documents"), "doc_id", "text", 3)
+    graft.llm.DedupOps.simhashPortablePairs(docsT(s, dir), "doc_id", "text", 3)
   private val llmSimhashPortableOracle = {
     def bit(src: String, b: Int, w: Long) =
       s"(CASE WHEN coalesce(list_sum(list_transform($src, f -> " +
@@ -1616,7 +1655,7 @@ object Queries {
   }
 
   private val llmFingerprintPortable: Q = (s, dir) =>
-    t(s, dir, "documents").select(col("doc_id"),
+    docsT(s, dir).select(col("doc_id"),
       graft.llm.DedupOps.portableFingerprint(col("text")).as("fingerprint"))
   private val llmFingerprintPortableOracle =
     """SELECT doc_id,
@@ -1646,7 +1685,7 @@ object Queries {
   // shuffle at 100 TB.
   private val llmDecontaminate: Q = (s, dir) =>
     graft.llm.PipelineOps.decontaminate(
-      t(s, dir, "documents"), "doc_id", "text", col("doc_id") % 50 === 0)
+      docsT(s, dir), "doc_id", "text", col("doc_id") % 50 === 0)
   private val llmDecontaminateOracle =
     s"""$minhashFpsCte,
       |s AS (SELECT doc_id, list_distinct(fps) AS fps FROM d),
@@ -1666,7 +1705,7 @@ object Queries {
   // uses. Fully hash-oracled (integer weights, integer sums).
   private val llmDsirScores: Q = (s, dir) =>
     graft.llm.PipelineOps.dsirScores(
-      t(s, dir, "documents"), "doc_id", "text", col("doc_id") % 50 === 0)
+      docsT(s, dir), "doc_id", "text", col("doc_id") % 50 === 0)
   private val llmDsirScoresOracle =
     s"""WITH $tokfpSub,
       |f AS (
@@ -1689,7 +1728,7 @@ object Queries {
   // unlike df.sample.
   private val llmStratifiedSample: Q = (s, dir) =>
     graft.llm.PipelineOps.stratifiedSample(
-      t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+      docsT(s, dir).select("doc_id", "lang"), "doc_id", "lang",
       when(col("lang") === "en", 200).otherwise(500))
   private val llmStratifiedSampleOracle =
     """SELECT doc_id, lang, ((doc_id & 2147483647) * 2654435761) % 1000 AS bucket
@@ -1700,7 +1739,7 @@ object Queries {
   // deterministic hash order — re-derivable, unlike a random sample.
   private val llmGroupQuota: Q = (s, dir) =>
     graft.llm.PipelineOps.groupQuota(
-      t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang", 60)
+      docsT(s, dir).select("doc_id", "lang"), "doc_id", "lang", 60)
   private val llmGroupQuotaOracle =
     """SELECT doc_id, lang,
       |  CAST(row_number() OVER (PARTITION BY lang
@@ -1712,7 +1751,7 @@ object Queries {
   // Sequence packing: per-language concat-and-split into 2048-token
   // packs via one cumulative-sum window.
   private val llmSeqPack: Q = (s, dir) =>
-    graft.llm.PipelineOps.seqPack(t(s, dir, "documents"), "doc_id", "lang", "text")
+    graft.llm.PipelineOps.seqPack(docsT(s, dir), "doc_id", "lang", "text")
   private val llmSeqPackOracle =
     """WITH d AS (
       |  SELECT doc_id, lang,
@@ -1728,7 +1767,7 @@ object Queries {
   // PII-pattern scan: per-doc email/phone/IPv4-shaped match counts
   // (RE2-compatible patterns so both engines count identically).
   private val llmPiiCounts: Q = (s, dir) =>
-    graft.llm.PipelineOps.piiCounts(t(s, dir, "documents"), "doc_id", "text")
+    graft.llm.PipelineOps.piiCounts(docsT(s, dir), "doc_id", "text")
   private val llmPiiCountsOracle = {
     import graft.llm.PipelineOps.{EmailRe, Ipv4Re, PhoneRe}
     s"""SELECT doc_id,
@@ -1741,7 +1780,7 @@ object Queries {
   // PII redaction: the masking transform (emails, then phones, then
   // IPv4s), with the number of masks actually placed.
   private val llmPiiRedact: Q = (s, dir) =>
-    graft.llm.PipelineOps.piiRedact(t(s, dir, "documents"), "doc_id", "text")
+    graft.llm.PipelineOps.piiRedact(docsT(s, dir), "doc_id", "text")
   private val llmPiiRedactOracle = {
     import graft.llm.PipelineOps.{EmailRe, Ipv4Re}
     s"""WITH m AS (
@@ -1765,7 +1804,7 @@ object Queries {
   // Common-bigram coverage: per-doc fraction (per mille) of bigram
   // instances landing in the corpus-wide top-1000 list.
   private val llmLmCoverage: Q = (s, dir) =>
-    graft.llm.PipelineOps.lmCoverage(t(s, dir, "documents"), "doc_id", "text", 1000)
+    graft.llm.PipelineOps.lmCoverage(docsT(s, dir), "doc_id", "text", 1000)
   private val llmLmCoverageOracle =
     """WITH tk AS (
       |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tk
@@ -1792,7 +1831,7 @@ object Queries {
   // Int8 embedding quantization: symmetric-scale codes with scalar
   // evidence (position-weighted checksum + saturation count).
   private val embInt8Quant: Q = (s, dir) =>
-    graft.llm.SimilarityOps.int8QuantStats(t(s, dir, "embeddings"), "vec_id", "embedding")
+    graft.llm.SimilarityOps.int8QuantStats(embT(s, dir), "vec_id", "embedding")
   private val embInt8QuantOracle =
     """WITH z AS (
       |  SELECT vec_id,
@@ -1813,7 +1852,7 @@ object Queries {
 
   // Global bigram top-100 (corpus n-gram statistics), deterministic cut.
   private val llmNgramFreq: Q = (s, dir) =>
-    graft.llm.PipelineOps.ngramTopK(t(s, dir, "documents"), "text", 100)
+    graft.llm.PipelineOps.ngramTopK(docsT(s, dir), "text", 100)
   private val llmNgramFreqOracle =
     """WITH tk AS (
       |  SELECT list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tk
@@ -1827,7 +1866,7 @@ object Queries {
       |QUALIFY row_number() OVER (ORDER BY count(*) DESC, bigram) <= 100""".stripMargin
 
   private val annCosineTopk: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = embT(s, dir)
     graft.llm.SimilarityOps.bruteForceTopKPortable(
         emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"), col("score_x1e6"), col("rank"))
@@ -1860,7 +1899,7 @@ object Queries {
   // embNearDup uses) + quantized-cosine ranking: the whole approximate
   // result — candidate membership AND order — is engine-exact.
   private val annLshTopk: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = embT(s, dir)
     graft.llm.SimilarityOps.lshTopKPortable(
         emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"), col("score_x1e6"), col("rank"))
@@ -1888,7 +1927,7 @@ object Queries {
   }
   // embedding column statistics with exact integer arithmetic
   private val embStats: Q = (s, dir) =>
-    t(s, dir, "embeddings").select(
+    embT(s, dir).select(
       col("vec_id"), col("label"),
       size(col("embedding")).cast("long").as("dims"),
       aggregate(
@@ -1915,7 +1954,7 @@ object Queries {
   // cell membership and final order both engine-exact (nlist=16,
   // nprobe=4 mirrored in the SQL literals).
   private val annIvfTopk: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = embT(s, dir)
     graft.llm.SimilarityOps.ivfTopK(
         emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5,
         score = graft.llm.SimilarityOps.quantizedCosineX1e6)
@@ -1927,7 +1966,7 @@ object Queries {
   // per cell in multiplicative-hash order.
   private val embClusterSample: Q = (s, dir) =>
     graft.llm.SimilarityOps.clusterSample(
-      t(s, dir, "embeddings"), "vec_id", "embedding", 5)
+      embT(s, dir), "vec_id", "embedding", 5)
   private val embClusterSampleOracle =
     s"""$quantNormCte,
       |cent AS (SELECT id AS cell, q AS cq, nq AS cnq FROM n
@@ -1980,7 +2019,7 @@ object Queries {
   // mirrored in the literals; codes use 0-based codebook POSITION
   // with position tie-break).
   private val annPqTopk: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = embT(s, dir)
     graft.llm.SimilarityOps.pqTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
   }
@@ -2018,7 +2057,7 @@ object Queries {
   // trigram fractions per document (the published repetition quality
   // rules), all-integer so both engines hash-match.
   private val llmRepetition: Q = (s, dir) =>
-    graft.llm.TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+    graft.llm.TextOps.repetitionStats(docsT(s, dir), "doc_id", "text")
   private val llmRepetitionOracle =
     """WITH tk AS (
       |  SELECT doc_id,
@@ -2051,7 +2090,7 @@ object Queries {
   // C4 cleaning rules (Raffel et al. 2020 §2.2): per-page integer
   // evidence for every rule + the composed verdict, hash-oracled.
   private val llmC4Stats: Q = (s, dir) =>
-    graft.llm.TextOps.c4Stats(t(s, dir, "documents"), "doc_id", "text")
+    graft.llm.TextOps.c4Stats(docsT(s, dir), "doc_id", "text")
   private val llmC4StatsOracle =
     """WITH d AS (
       |  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents),
@@ -2082,7 +2121,7 @@ object Queries {
   // ADC table (same dist CTE as q_ann_pq_topk). Exact integer math
   // end-to-end, so membership AND ranking hash-compare.
   private val annIvfPqTopk: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = embT(s, dir)
     graft.llm.SimilarityOps.ivfPqTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
   }
@@ -2145,7 +2184,7 @@ object Queries {
   // IVF-PQ + exact re-rank (FAISS refine): top-32 by compressed ADC,
   // re-scored pair-by-pair with the exact quantized cosine.
   private val annIvfPqRerank: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = embT(s, dir)
     graft.llm.SimilarityOps.ivfPqRerankTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
   }
@@ -2170,7 +2209,7 @@ object Queries {
   // the FAISS-standard encoding. Same integer domain end-to-end, so
   // membership AND ranking hash-compare.
   private val annIvfPqResidual: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+    val emb = embT(s, dir)
     graft.llm.SimilarityOps.ivfPqTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5,
       residual = true)
@@ -2222,7 +2261,7 @@ object Queries {
   // value is non-trivial on text payloads.
   private val mmFeatures: Q = (s, dir) =>
     graft.llm.Multimodal.extractFeatures(
-      graft.llm.Multimodal.packFromDocuments(t(s, dir, "documents"))).toDF()
+      graft.llm.Multimodal.packFromDocuments(docsT(s, dir))).toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"),
         size(col("features")).as("n_dims"),
         floor(element_at(col("features"), 7).cast("double") * 1000)
@@ -2348,6 +2387,9 @@ object Queries {
     frameTrees(s, dir)
     lineitemEdges(s, dir).count()
     firstDegSet(s, dir).count()
+    docsT(s, dir).count()
+    embT(s, dir).count()
+    events(s, dir).count()
   }
 
   /** Drop ALL shared per-corpus caches (commit + diagnostic frames).
