@@ -636,6 +636,78 @@ object Queries {
       |SELECT p_id, pts, iv_id, iv_start, iv_end
       |FROM p JOIN iv ON pts >= iv_start AND pts < iv_end""".stripMargin
 
+  // Z-order (Morton) clustering key over two frequently-filtered
+  // lineitem dimensions — the lakehouse layout lever: files written in
+  // z-value order carry tight min/max footer stats on BOTH columns,
+  // so either predicate alone prunes files at the scan (LayoutSpec
+  // pins the span bound; this entry pins the code itself bit-for-bit
+  // against an oracle built from the same interleave rule).
+  private val layoutZorder: Q = (s, dir) => {
+    val pts = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    pts.withColumn("zval",
+      graft.operators.Layout.zValue(Seq(col("x"), col("y")), bits = 16))
+  }
+  private val layoutZorderOracle: String = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"(((x >> $i) & 1) << ${2 * i})", s"(((y >> $i) & 1) << ${2 * i + 1})")
+    }
+    s"""WITH pts AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey AS x, l_suppkey AS y
+       |  FROM lineitem)
+       |SELECT l_orderkey, l_linenumber, x, y,
+       |       ${terms.mkString(" | ")} AS zval
+       |FROM pts""".stripMargin
+  }
+
+  // Small-file compaction planning over a deterministic synthetic
+  // manifest (group/path/bytes derived from orders): one window pass
+  // assigns each file to a ~target-sized merge bin. The operator runs
+  // over any real file listing the same way; the synthetic manifest
+  // exists so DuckDB can replicate the plan exactly.
+  private val layoutCompaction: Q = (s, dir) => {
+    val manifest = t(s, dir, "orders").select(
+      col("o_orderstatus").as("group"),
+      lpad(col("o_orderkey").cast("string"), 10, "0").as("path"),
+      (col("o_orderkey") % 997 + 1).as("bytes"))
+    graft.operators.Layout.compactionPlan(manifest, targetBytes = 50000L)
+      .withColumnRenamed("group", "file_group")
+  }
+  private val layoutCompactionOracle =
+    """WITH m AS (
+      |  SELECT o_orderstatus AS file_group,
+      |         lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS path,
+      |         o_orderkey % 997 + 1 AS bytes
+      |  FROM orders),
+      |b AS (
+      |  SELECT file_group, path, bytes,
+      |         CAST(floor(COALESCE(SUM(bytes) OVER (
+      |           PARTITION BY file_group ORDER BY path
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           / 50000) AS BIGINT) AS bin
+      |  FROM m)
+      |SELECT file_group, path, bytes, bin,
+      |       SUM(bytes) OVER (PARTITION BY file_group, bin) AS bin_bytes
+      |FROM b""".stripMargin
+
+  // Two-phase salted aggregation (Scale.saltedSum): the groupBy-side
+  // skew lever — a hot key's rows spread over `salts` reducers in
+  // phase 1, phase 2 merges the per-salt partials. Output is
+  // bit-identical to the direct groupBy the oracle runs; only the
+  // shuffle distribution differs.
+  private val scaleSaltedAgg: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(
+      col("l_returnflag"), col("l_linestatus"),
+      floor(col("l_quantity")).cast("long").as("qty"))
+    graft.operators.Scale.saltedSum(
+      li, Seq("l_returnflag", "l_linestatus"), "qty", "total_qty", salts = 32)
+  }
+  private val scaleSaltedAggOracle =
+    """SELECT l_returnflag, l_linestatus,
+      |       SUM(CAST(floor(l_quantity) AS BIGINT)) AS total_qty
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
   // Exact per-group quantiles (order statistics, not a sketch): the
   // value telemetry a pipeline tracks where approx quantiles can't be
   // oracle-compared. k-th smallest via row_number is well-defined
@@ -2545,6 +2617,9 @@ object Queries {
     "q_asof_stream" -> asofStream,
     "q_asof_global" -> asofGlobal,
     "q_range_join" -> rangeJoin,
+    "q_layout_zorder" -> layoutZorder,
+    "q_layout_compaction" -> layoutCompaction,
+    "q_scale_salted_agg" -> scaleSaltedAgg,
     "q_o_quantiles" -> oQuantiles,
     "q_d1_dedup_keep_last" -> d1KeepLast,
     "q_d2_dedup_keep_first" -> d2KeepFirst,
@@ -2647,6 +2722,9 @@ object Queries {
     "q_asof_stream" -> asofStreamOracle,
     "q_asof_global" -> asofGlobalOracle,
     "q_range_join" -> rangeJoinOracle,
+    "q_layout_zorder" -> layoutZorderOracle,
+    "q_layout_compaction" -> layoutCompactionOracle,
+    "q_scale_salted_agg" -> scaleSaltedAggOracle,
     "q_o_quantiles" -> oQuantilesOracle,
     "q_d1_dedup_keep_last" -> d1Oracle,
     "q_d2_dedup_keep_first" -> d2Oracle,

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton interleave, bit-by-bit, for differential checks. */
+  private def mortonRef(vals: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    val n = vals.size
+    for (d <- vals.indices; i <- 0 until bits)
+      z |= ((vals(d) >> i) & 1L) << (i * n + d)
+    z
+  }
+
+  test("zValue matches the bit-by-bit reference on a deterministic grid") {
+    val rows = for {
+      x <- 0L until 64L; y <- Seq(0L, 1L, 2L, 31L, 63L, 255L, 65535L)
+    } yield (x, y)
+    val df = rows.toDF("x", "y")
+      .withColumn("z", Layout.zValue(Seq(col("x"), col("y")), bits = 16))
+    df.collect().foreach { r =>
+      val expect = mortonRef(Seq(r.getLong(0), r.getLong(1)), 16)
+      assert(r.getLong(2) == expect, s"(${r.getLong(0)},${r.getLong(1)})")
+    }
+  }
+
+  test("zValue: three dimensions, masking of high bits, codegen plan") {
+    val df = Seq((5L, 9L, 1030L)).toDF("a", "b", "c")
+      .withColumn("z", Layout.zValue(Seq(col("a"), col("b"), col("c")), bits = 4))
+    // c=1030 keeps only its low 4 bits (6)
+    assert(df.head().getLong(3) == mortonRef(Seq(5L, 9L, 6L), 4))
+    // the expansion stays inside whole-stage codegen (pure built-ins);
+    // checked over a non-literal source (a literal input would be
+    // constant-folded into a LocalTableScan before codegen)
+    val plan = spark.range(100)
+      .withColumn("z", Layout.zValue(Seq(col("id"), col("id") + 1), bits = 8))
+      .queryExecution.executedPlan.toString
+    // the `*(1)` star marks the Project as inside a WholeStageCodegen span
+    assert(plan.startsWith("*("), plan.take(400))
+  }
+
+  test("clusterByZorder bounds per-slice ranges on BOTH dimensions") {
+    // 4096 points on a 64x64 grid. Linear sort by x gives slices that
+    // span the full y domain; Z-order bounds both coordinates.
+    val pts = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    def avgSpan(df: org.apache.spark.sql.DataFrame, dim: String): Double =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy("pid").agg((max(dim) - min(dim)).as("span"))
+        .agg(avg("span")).head().getDouble(0)
+
+    val zed = Layout.clusterByZorder(pts, Seq("x", "y"), numFiles = 16, bits = 6)
+      .cache()
+    val linear = pts.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .cache()
+    assert(zed.count() == 4096 && linear.count() == 4096)
+
+    val (zx, zy) = (avgSpan(zed, "x"), avgSpan(zed, "y"))
+    val ly = avgSpan(linear, "y")
+    // linear-by-x slices span essentially all of y (~63); z-order
+    // quadrants keep both spans near 16 for 16 slices of a 64x64 grid
+    assert(ly > 50, s"linear y-span unexpectedly tight: $ly")
+    assert(zy < ly / 2, s"z-order y-span $zy not < half of linear $ly")
+    assert(zx < 32, s"z-order x-span too wide: $zx")
+    zed.unpersist(); linear.unpersist()
+  }
+
+  test("compactionPlan: greedy boundary rule, per-group independence") {
+    val manifest = Seq(
+      ("p1", "a", 40L), ("p1", "b", 40L), ("p1", "c", 40L), ("p1", "d", 250L),
+      ("p1", "e", 10L), ("p2", "a", 10L), ("p2", "b", 10L)
+    ).toDF("group", "path", "bytes")
+    val plan = Layout.compactionPlan(manifest, targetBytes = 100L)
+      .orderBy("group", "path").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    // p1: before = 0,40,80,120,370 -> bins 0,0,0,1,3
+    assert(plan.toSeq == Seq(
+      ("p1", "a", 0L, 120L), ("p1", "b", 0L, 120L), ("p1", "c", 0L, 120L),
+      ("p1", "d", 1L, 250L), ("p1", "e", 3L, 10L),
+      ("p2", "a", 0L, 20L), ("p2", "b", 0L, 20L)))
+  }
+
+  test("compactionPlan shrinks a real small-file listing to ~target bins") {
+    // synthesize a 200-file manifest: sizes 1..200 KB over 4 groups
+    val manifest = (1 to 200)
+      .map(i => (s"g${i % 4}", f"f$i%04d", i.toLong * 1024))
+      .toDF("group", "path", "bytes")
+    val plan = Layout.compactionPlan(manifest, targetBytes = 1024 * 1024)
+    val bins = plan.groupBy("group", "bin").agg(sum("bytes").as("b"))
+    val n = bins.count()
+    val total = 1024L * (1 to 200).map(_.toLong).sum
+    val ideal = math.ceil(total.toDouble / (1024 * 1024)).toLong
+    assert(n >= ideal && n <= ideal + 8, s"bins=$n ideal=$ideal")
+    // no bin overshoots target by more than one file's bytes
+    val worst = bins.join(
+        plan.groupBy("group", "bin").agg(max("bytes").as("mx")),
+        Seq("group", "bin"))
+      .filter(col("b") > lit(1024 * 1024) + col("mx")).count()
+    assert(worst == 0)
+  }
+}
