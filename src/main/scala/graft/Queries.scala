@@ -2504,19 +2504,23 @@ object Queries {
     */
   private[graft] def etlStreamTransactionsWith(s: SparkSession, dir: String,
       partitions: Int, nSlices: Int, rocksdb: Boolean,
-      changelog: Boolean): DataFrame = {
+      changelog: Boolean, trackRows: Boolean = true): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
     val ChangelogKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val TrackKey =
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val prevProvider = s.conf.getOption(ProviderKey)
     val prevChangelog = s.conf.getOption(ChangelogKey)
+    val prevTrack = s.conf.getOption(TrackKey)
     s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     if (rocksdb) {
       s.conf.set(ProviderKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       s.conf.set(ChangelogKey, changelog.toString)
+      s.conf.set(TrackKey, trackRows.toString)
     } else s.conf.unset(ProviderKey)
     try {
       val spark2 = s
@@ -2571,6 +2575,10 @@ object Queries {
       prevChangelog match {
         case Some(c) => s.conf.set(ChangelogKey, c)
         case None => s.conf.unset(ChangelogKey)
+      }
+      prevTrack match {
+        case Some(tr) => s.conf.set(TrackKey, tr)
+        case None => s.conf.unset(TrackKey)
       }
     }
   }

@@ -96,7 +96,7 @@ object RecallEval {
     // above is attributable
     val top1 = SimilarityOps.bruteForceTopKPortable(emb, queries, "vec_id",
         "embedding", 1)
-      .agg(avg(col("score"))).head().getDouble(0)
+      .agg(avg(col("score_x1e6"))).head().getDouble(0)
     println(f"%nmean top-1 exact score (x1e6 cosine): $top1%.0f (isotropic corpus → low margin)")
   }
 

@@ -35,20 +35,26 @@ object StreamStoreSweep {
       var expected = -1L
       // first cell pays JVM/codegen warmup — order can be flipped via
       // args(1)=rev to bracket the warmup bias between two runs
+      // (store, changelog, partitions, trackTotalNumberOfRows) — the
+      // track=false cells measure skipping the get-before-put RocksDB
+      // does per state write purely to maintain the numRowsTotal
+      // metric (the documented write-heavy-workload knob)
       val fwd = Seq(
-        ("hdfs", false, 8), ("hdfs", false, 16),
-        ("rocksdb", false, 8),
-        ("rocksdb", true, 8), ("rocksdb", true, 16), ("rocksdb", true, 32))
+        ("hdfs", false, 8, true), ("hdfs", false, 16, true),
+        ("rocksdb", false, 8, true),
+        ("rocksdb", true, 8, true), ("rocksdb", true, 8, false),
+        ("rocksdb", true, 16, true), ("rocksdb", true, 32, true))
       val cells = if (args.length > 1 && args(1) == "rev") fwd.reverse else fwd
-      for ((store, changelog, parts) <- cells) {
+      for ((store, changelog, parts, track) <- cells) {
         val t0 = System.nanoTime()
         val n = Queries.etlStreamTransactionsWith(spark, sfDir,
           partitions = parts, nSlices = 8,
-          rocksdb = store == "rocksdb", changelog = changelog).count()
+          rocksdb = store == "rocksdb", changelog = changelog,
+          trackRows = track).count()
         val sec = (System.nanoTime() - t0) / 1e9
         if (expected < 0) expected = n
         val ok = n == expected
-        println(f"""{"store":"$store","changelog":$changelog,"partitions":$parts,"sec":$sec%.2f,"rows":$n,"rows_match":$ok}""")
+        println(f"""{"store":"$store","changelog":$changelog,"partitions":$parts,"track_rows":$track,"sec":$sec%.2f,"rows":$n,"rows_match":$ok}""")
         require(ok, s"row count diverged: $n != $expected under $store/$parts")
       }
     } finally spark.stop()

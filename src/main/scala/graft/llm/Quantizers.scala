@@ -147,36 +147,59 @@ object Quantizers {
     * k-means++): start from the hash-order-first sample vector, then
     * repeatedly pick the sample vector whose MAXIMUM quantized cosine
     * to the already-chosen set is smallest (the most angularly spread
-    * candidate), id tie-break. Each pick is one distributed job over
-    * the persisted sample scoring against the chosen-so-far literal —
-    * k small jobs total, no RNG, no collect of the sample. Stops
-    * early when every distinct sample vector is chosen (degenerate
-    * corpora keep the degrade-never-throw contract).
+    * candidate), id tie-break. Runs on the DRIVER over one collect of
+    * the persisted sample: the sample is bounded by `trainSize`
+    * (model-state-sized — ~2 MB at the 4096×64 default — independent
+    * of the corpus, which is never collected), and the greedy loop is
+    * O(k·n·d) arithmetic that as k sequential cluster jobs paid ~k
+    * scheduler round-trips for microseconds of math (measured: the
+    * k=256 seeding dominated whole training runs). The scoring is the
+    * serving path's exact metric — floor(dot·1e6 / √(|q|²·|c|²)) in
+    * the same double arithmetic the previous distributed form used —
+    * so picks are bit-identical to it. Stops early when every
+    * distinct sample vector is chosen (degenerate corpora keep the
+    * degrade-never-throw contract).
     */
   private def maximinSeed(sample: DataFrame, k: Int): Array[Array[Long]] = {
     val spark = sample.sparkSession
     import spark.implicits._
-    val firstOpt = sample.orderBy(hashOrder(col("id")), col("id")).limit(1)
-      .select(col("q")).as[Array[Long]].collect().headOption
-    if (firstOpt.isEmpty) return Array.empty
-    var chosen = Vector(firstOpt.get)
-    val n = sample.count()
-    while (chosen.size < math.min(k, n)) {
-      val chosenLit = typedlit(chosen.map(q => (q.toSeq, q.map(v => v * v).sum)))
-      // interpreted HOFs are fine here: trainSize × |chosen| dots,
-      // offline, once per pick
-      val maxCos = array_max(transform(chosenLit, c => {
-        val dot = aggregate(zip_with(col("q"), c.getField("_1"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x)
-        val nq = aggregate(transform(col("q"), v => v * v), lit(0L), (acc, x) => acc + x)
-        when(nq === 0 || c.getField("_2") === 0, lit(0L))
-          .otherwise(floor(dot.cast("double") * lit(1e6) /
-            sqrt((nq * c.getField("_2")).cast("double"))).cast("long"))
-      }))
-      val next = sample.select(col("id"), col("q"), maxCos.as("mc"))
-        .orderBy(col("mc").asc, col("id").asc).limit(1)
-        .select(col("q")).as[Array[Long]].head()
-      chosen = chosen :+ next
+    // one bounded collect, in the exact hash order the distributed
+    // form's per-pick orderBy used (id tie-break)
+    val rows: Array[(Long, Array[Long])] = sample
+      .select(col("id").cast("long"), col("q"))
+      .as[(Long, Array[Long])].collect()
+      .sortBy { case (id, _) => ((id & 2147483647L) * 2654435761L % 1000000007L, id) }
+    if (rows.isEmpty) return Array.empty
+    val norms = rows.map { case (_, q) => q.map(v => v * v).sum }
+    // mc(i) = max quantized cosine of sample i to the chosen set so
+    // far; each new pick only needs one pass updating the running max
+    val mc = Array.fill(rows.length)(Long.MinValue)
+    var chosen = Vector(rows(0)._2)
+    var lastPick = 0
+    val target = math.min(k, rows.length)
+    while (chosen.size < target) {
+      val (_, cq) = rows(lastPick)
+      val cn = norms(lastPick)
+      var i = 0
+      var best = -1
+      while (i < rows.length) {
+        val (_, q) = rows(i)
+        var dot = 0L
+        var d = 0
+        while (d < q.length) { dot += q(d) * cq(d); d += 1 }
+        val cos =
+          if (norms(i) == 0 || cn == 0) 0L
+          else math.floor(dot.toDouble * 1e6 /
+            math.sqrt((norms(i) * cn).toDouble)).toLong
+        if (cos > mc(i)) mc(i) = cos
+        // argmin over (mc, id): rows is hash-then-id ordered, which is
+        // NOT id order — track the true (mc, id) minimum explicitly
+        if (best < 0 || mc(i) < mc(best) ||
+            (mc(i) == mc(best) && rows(i)._1 < rows(best)._1)) best = i
+        i += 1
+      }
+      chosen = chosen :+ rows(best)._2
+      lastPick = best
     }
     chosen.toArray
   }
