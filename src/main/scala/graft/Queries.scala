@@ -708,6 +708,62 @@ object Queries {
       |       SUM(CAST(floor(l_quantity) AS BIGINT)) AS total_qty
       |FROM lineitem GROUP BY 1, 2""".stripMargin
 
+  // Salted replicate join (Scale.saltedJoin): the join-side skew lever
+  // for when the hot key sits in the FIRST shuffle (before AQE has
+  // stats) — small side replicated ×salts, big side tagged with a
+  // content-derived salt. Bit-identical to the plain equi-join the
+  // oracle runs.
+  private val scaleSaltedJoin: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      floor(col("l_quantity")).cast("long").as("qty"))
+    val ord = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    graft.operators.Scale.saltedJoin(li, ord, "l_orderkey", "o_orderkey",
+        salts = 8)
+      .select("l_orderkey", "l_linenumber", "qty", "o_custkey", "o_orderstatus")
+  }
+  private val scaleSaltedJoinOracle =
+    """SELECT l.l_orderkey, l.l_linenumber,
+      |       CAST(floor(l.l_quantity) AS BIGINT) AS qty,
+      |       o.o_custkey, o.o_orderstatus
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
+
+  // Fixed-iteration integer PageRank over the supplier→part edge set:
+  // value propagation as iterated join-aggregate supersteps, in exact
+  // fixed-point arithmetic so the oracle (the same three supersteps
+  // unrolled as CTEs) matches bit-for-bit.
+  private val graphPagerank: Q = (s, dir) => {
+    val edges = lineitemEdges(s, dir).select(
+      col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+    graft.operators.GraphOps.pageRank(edges, "src", "dst", iters = 3)
+      .withColumnRenamed("rank", "pr")
+  }
+  private val graphPagerankOracle: String = {
+    def step(i: Int) =
+      s"""c$i AS (
+         |  SELECT e.dst AS id,
+         |         SUM((r.r * 850) // (1000 * deg.d)) AS s
+         |  FROM e JOIN r${i - 1} r ON e.src = r.id
+         |       JOIN deg ON e.src = deg.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT n.id, CAST(150000 + COALESCE(c$i.s, 0) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$i ON n.id = c$i.id)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+       |nodes AS (
+       |  SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |deg AS (
+       |  SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |r0 AS (
+       |  SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}
+       |SELECT id, r AS pr FROM r3""".stripMargin
+  }
+
   // Exact per-group quantiles (order statistics, not a sketch): the
   // value telemetry a pipeline tracks where approx quantiles can't be
   // oracle-compared. k-th smallest via row_number is well-defined
@@ -2628,6 +2684,8 @@ object Queries {
     "q_layout_zorder" -> layoutZorder,
     "q_layout_compaction" -> layoutCompaction,
     "q_scale_salted_agg" -> scaleSaltedAgg,
+    "q_scale_salted_join" -> scaleSaltedJoin,
+    "q_graph_pagerank" -> graphPagerank,
     "q_o_quantiles" -> oQuantiles,
     "q_d1_dedup_keep_last" -> d1KeepLast,
     "q_d2_dedup_keep_first" -> d2KeepFirst,
@@ -2733,6 +2791,8 @@ object Queries {
     "q_layout_zorder" -> layoutZorderOracle,
     "q_layout_compaction" -> layoutCompactionOracle,
     "q_scale_salted_agg" -> scaleSaltedAggOracle,
+    "q_scale_salted_join" -> scaleSaltedJoinOracle,
+    "q_graph_pagerank" -> graphPagerankOracle,
     "q_o_quantiles" -> oQuantilesOracle,
     "q_d1_dedup_keep_last" -> d1Oracle,
     "q_d2_dedup_keep_first" -> d2Oracle,

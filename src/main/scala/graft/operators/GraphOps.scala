@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames — the Pregel-shaped
+  * workloads (rank propagation) done Spark-first: each superstep is
+  * one join-aggregate over the edge frame, so Catalyst plans it, AQE
+  * sizes it, and nothing ever leaves the cluster. Connected
+  * components (large-star/small-star) live in
+  * [[graft.llm.DedupOps.nearDupClusters]]; this hosts the
+  * fixed-iteration value-propagation family.
+  */
+object GraphOps {
+
+  /** Fixed-iteration PageRank in exact integer fixed-point: ranks are
+    * scaled longs (initial rank = `scale`, i.e. 1.0), damping 0.85 is
+    * the exact integer form `(r * 850) DIV (1000 * outdeg)` per edge,
+    * and each node's next rank is `0.15·scale + Σ contributions` —
+    * every operation is integral, so results are bit-identical across
+    * engines, partitionings, and run counts (a double-arithmetic
+    * PageRank can't be oracle-compared; this one can).
+    *
+    * Each of the `iters` supersteps is one shuffle: ranks ⋈ edges on
+    * src (contribution projection) then groupBy dst (partial-merge
+    * sum), with the per-src out-degree pre-joined once up front.
+    * Dangling nodes (no out-edges) contribute nothing; sink-only
+    * nodes hold the base rank. Scale shape: the edge frame is the
+    * big side and is never collected or replicated — at 100 TB the
+    * per-iteration cost is the same join-agg the session already
+    * pays for any grouped query, × a small fixed iteration count.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val eDeg = e.join(deg, "src")
+    val base = lit((scale * 150L) / 1000L)
+    var ranks = nodes.withColumn("r", lit(scale))
+    var it = 0
+    while (it < iters) {
+      val contribs = eDeg.join(ranks, eDeg("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          expr("(r * 850) DIV (1000 * d)").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"), (base + coalesce(col("s"), lit(0L))).as("r"))
+      it += 1
+    }
+    ranks.select(col("id"), col("r").as("rank"))
+  }
+}

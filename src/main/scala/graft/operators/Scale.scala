@@ -29,6 +29,34 @@ object Scale {
       .agg(sum(col("_partial")).as(resultName))
   }
 
+  /** Salted replicate join for a skewed join key, for engines/configs
+    * where AQE's runtime skew-split isn't available (or the skew is in
+    * the FIRST shuffle, before AQE has statistics): the small side is
+    * replicated `salts`× (explode over the salt range) and the big
+    * side tags each row with a content-derived salt, so a hot key's
+    * rows spread over `salts` reducers instead of one. Results are
+    * identical to the plain equi-join — every big-side row still
+    * meets exactly one copy of each matching small-side row.
+    *
+    * The salt is a deterministic hash of the big side's whole row
+    * (never a random() — rerun- and retry-stable). Cost: the small
+    * side's shuffle volume × salts; use for genuinely small dims
+    * that still can't be broadcast (or where the hot key would spill
+    * a single reducer at 100 TB).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, salts: Int = 16): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val bigSalted = big.withColumn("_salt",
+      pmod(hash(big.columns.map(col).toSeq: _*), lit(salts)))
+    val smallSalted = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bigSalted.join(smallSalted,
+        bigSalted(bigKey) === smallSalted(smallKey) &&
+          bigSalted("_salt") === smallSalted("_salt"))
+      .drop("_salt")
+  }
+
   /** Bronze writer: partitions raw traces by (chain_id, block day) so
     * incremental jobs and per-chain backfills prune at the directory
     * level — at 100 TB a day-of-one-chain query touches its slice

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: hand-computed fixed-point ranks on a 4-node graph") {
+    // 1 -> 2, 1 -> 3, 2 -> 3, 3 -> 1, 4 -> 3   (4 is a dangling source)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
+      .toDF("src", "dst")
+    val r = GraphOps.pageRank(edges, "src", "dst", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // base 150000; contribs of rank 1e6: deg(1)=2 -> 425000 each,
+    // deg(2)=1 -> 850000, deg(3)=1 -> 850000, deg(4)=1 -> 850000
+    assert(r(1L) == 150000L + 850000L)           // from 3
+    assert(r(2L) == 150000L + 425000L)           // from 1
+    assert(r(3L) == 150000L + 425000L + 850000L + 850000L) // 1,2,4
+    assert(r(4L) == 150000L)                     // sink-only side: base
+  }
+
+  test("pageRank: duplicate edges collapse; iters=0 is the initial rank") {
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 2L)).toDF("src", "dst")
+    val r1 = GraphOps.pageRank(edges, "src", "dst", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1(2L) == 150000L + 850000L) // one edge, not three
+    val r0 = GraphOps.pageRank(edges, "src", "dst", iters = 0)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r0 == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("pageRank: deterministic across partitionings (exact integers)") {
+    val edges = (1L to 500L).map(i => (i % 37, i % 53)).toDF("src", "dst")
+    val a = GraphOps.pageRank(edges.repartition(1), "src", "dst", iters = 3)
+      .orderBy("id").collect().toSeq
+    val b = GraphOps.pageRank(edges.repartition(7), "src", "dst", iters = 3)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+}

@@ -21,6 +21,20 @@ class ScaleSpec extends SparkSpec {
     assert(salted("hot") == 50000L * 50001L / 2)
   }
 
+  test("salted join: identical results to plain equi-join under skew") {
+    import spark.implicits._
+    // 20k big-side rows on ONE hot key + a cold tail; small side 100 keys
+    val big = ((1 to 20000).map(i => (1L, i.toLong)) ++
+      (2 to 2000).map(i => (2L + i % 98, i.toLong))).toDF("k", "v")
+    val small = (0 to 99).map(i => (i.toLong, s"dim$i")).toDF("dk", "name")
+    val plain = big.join(small, big("k") === small("dk"))
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    val salted = Scale.saltedJoin(big, small, "k", "dk", salts = 8)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.size == 20000 + 1999) // hot rows matched exactly once
+  }
+
   test("skewed monster transaction: 100k traces, 20k distinct addresses, one tx") {
     import graft.model._
     import graft.operators.TraceEtl
