@@ -2550,9 +2550,14 @@ object Queries {
   // Partition count is swept 8/16/32 per round; see the scale report
   // for the crossover. Production sizes partitions to the cluster;
   // semantics don't change.
+  // trackTotalNumberOfRows=false skips the get-before-put RocksDB does
+  // per state write solely to maintain the numRowsTotal metric — the
+  // documented knob for write-heavy state (measured −2 s of 15-16 s in
+  // both sweep orders; SCALE_STREAM_r09.md). Rehearsals that assert
+  // state-row bounds run their own sessions with tracking left on.
   private val etlStreamTransactions: Q = (s, dir) =>
     etlStreamTransactionsWith(s, dir, partitions = 8, nSlices = 8,
-      rocksdb = true, changelog = true)
+      rocksdb = true, changelog = true, trackRows = false)
 
   /** The streaming flagship body with the state-store knobs exposed so
     * StreamStoreSweep can measure provider/partition combinations
