@@ -29,16 +29,32 @@ object GraphOps {
     * big side and is never collected or replicated — at 100 TB the
     * per-iteration cost is the same join-agg the session already
     * pays for any grouped query, × a small fixed iteration count.
+    *
+    * The returned frame is persisted (it is the last materialized
+    * iterate); callers running many ranks in one session may
+    * `unpersist()` it when done.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, scale: Long = 1000000L): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    import org.apache.spark.storage.StorageLevel
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    // iterated frames are materialized per superstep (persist+count,
+    // previous iterate released), like GraphX/MLlib: without it,
+    // superstep i re-derives the whole prefix DAG — i× the edge prep
+    // per iteration and a plan that grows without bound. The edge
+    // frame is hash-partitioned by src once, so every superstep's
+    // ranks⋈edges shuffles only the (node, rank) frame — the small
+    // side — never the edges.
+    val shuffleParts = e.sparkSession.sessionState.conf.numShufflePartitions
     val eDeg = e.join(deg, "src")
+      .repartition(shuffleParts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val base = lit((scale * 150L) / 1000L)
     var ranks = nodes.withColumn("r", lit(scale))
     var it = 0
@@ -47,10 +63,16 @@ object GraphOps {
         .select(col("dst").as("id"),
           expr("(r * 850) DIV (1000 * d)").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
+      val next = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"), (base + coalesce(col("s"), lit(0L))).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist()
+      ranks = next
       it += 1
     }
+    eDeg.unpersist()
+    nodes.unpersist()
     ranks.select(col("id"), col("r").as("rank"))
   }
 }
