@@ -30,9 +30,9 @@ object GraphOps {
     * per-iteration cost is the same join-agg the session already
     * pays for any grouped query, × a small fixed iteration count.
     *
-    * The returned frame is persisted (it is the last materialized
-    * iterate); callers running many ranks in one session may
-    * `unpersist()` it when done.
+    * The returned frame is the last eagerly-materialized iterate
+    * (locally checkpointed); callers running many ranks in one
+    * session may `unpersist()` it when done.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, scale: Long = 1000000L): DataFrame = {
@@ -63,10 +63,17 @@ object GraphOps {
         .select(col("dst").as("id"),
           expr("(r * 850) DIV (1000 * d)").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
+      // localCheckpoint (eager) rather than persist: it truncates the
+      // lineage, so the logical plan stays one superstep deep instead
+      // of embedding the whole prefix (with persist, analysis/codegen
+      // cost grows per iteration and the plan text nests
+      // exponentially). Trade: blocks are not recomputable — an
+      // executor loss restarts the rank job; a 100 TB deployment
+      // running many supersteps should reliable-checkpoint every N
+      // iterations instead.
       val next = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"), (base + coalesce(col("s"), lit(0L))).as("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
+        .localCheckpoint(eager = true)
       ranks.unpersist()
       ranks = next
       it += 1
