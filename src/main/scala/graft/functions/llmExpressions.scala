@@ -84,6 +84,24 @@ case class Fingerprint64(child: Expression)
     copy(child = newChild)
 }
 
+/** FNV-1a64 of a string — the shared feature-hashing primitive
+  * (codegen'd; the same kernel MinHash/SimHash fold internally).
+  */
+case class Fnv64(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringUnaryInput {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv64"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.fnv1a64(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.fnv1a64($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv64 =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH bucket of an embedding vector: sign bits of
   * `planes` deterministic ±1 hyperplane projections (Charikar '02
   * SimHash for cosine similarity). Vectors in the same bucket are
@@ -117,6 +135,7 @@ case class HyperplaneLsh(child: Expression, planes: Int, seed: Int = 0)
 object LlmFunctions {
   def minhash_bands(c: Column): Column = GraftShim.column(MinHashBands(GraftShim.expression(c)))
   def fingerprint64(c: Column): Column = GraftShim.column(Fingerprint64(GraftShim.expression(c)))
+  def fnv64(c: Column): Column = GraftShim.column(Fnv64(GraftShim.expression(c)))
   def hyperplane_lsh(c: Column, planes: Int, seed: Int = 0): Column =
     GraftShim.column(HyperplaneLsh(GraftShim.expression(c), planes, seed))
 }
