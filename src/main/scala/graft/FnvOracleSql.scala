@@ -104,6 +104,30 @@ object FnvOracleSql {
     * HUGEINT division and the signed/unsigned representations agree
     * bit-for-bit (31-bit masked halves are sign-free).
     */
+  /** q_llm_lr_score: hashed-linear-classifier inference — word-bigram
+    * FNV feature hashing into 4096 buckets, deterministic arithmetic
+    * pseudo-weights, integer score sum (TextOps.hashedLinearScore's
+    * default-model path).
+    */
+  val lrScore: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS tk
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+       |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+       |    ELSE CAST([] AS VARCHAR[]) END) AS bigram
+       |  FROM tk),
+       |h AS (
+       |  SELECT doc_id,
+       |         CAST((${fnvStr("bigram")}) & 4095::HUGEINT AS BIGINT) AS bucket
+       |  FROM bg),
+       |w AS (
+       |  SELECT doc_id, (bucket + 1) * 2654435761 % 2001 - 1000 AS w FROM h)
+       |SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(w) AS BIGINT) AS score
+       |FROM w GROUP BY 1""".stripMargin
+
   val bloomSeen: String =
     s"""WITH $fpCte,
        |hs AS (

@@ -1751,6 +1751,12 @@ object Queries {
   private val llmSimhashPairs: Q = (s, dir) =>
     graft.llm.DedupOps.simhashPairs(docsT(s, dir), "doc_id", "text", 3)
       .select(col("id1"), col("id2"), col("hamming"))
+  // Hashed linear classifier inference (fastText-style quality model
+  // serving): bigram feature-hash → bucket weight → integer score sum,
+  // one codegen'd projection + one partial-merged groupBy.
+  private val llmLrScore: Q = (s, dir) =>
+    graft.llm.TextOps.hashedLinearScore(docsT(s, dir), "doc_id", "text")
+
   private val llmFingerprints: Q = (s, dir) => {
     graft.functions.GraftFunctions.register(s)
     docsT(s, dir).select(col("doc_id"),
@@ -2756,6 +2762,7 @@ object Queries {
     "q_llm_simhash_pairs" -> llmSimhashPairs,
     "q_llm_simhash_portable_pairs" -> llmSimhashPortablePairs,
     "q_llm_fingerprints" -> llmFingerprints,
+    "q_llm_lr_score" -> llmLrScore,
     "q_llm_fingerprint_portable" -> llmFingerprintPortable,
     "q_ann_topk_dot" -> annTopkDot,
     "q_ann_cosine_topk" -> annCosineTopk,
@@ -2841,6 +2848,7 @@ object Queries {
     "q_llm_minhash_pairs" -> FnvOracleSql.minhashPairs,
     "q_llm_simhash_pairs" -> FnvOracleSql.simhashPairs,
     "q_llm_fingerprints" -> FnvOracleSql.fingerprints,
+    "q_llm_lr_score" -> FnvOracleSql.lrScore,
     "q_o_approx_distinct" -> oApproxDistinctOracle,
     "q_llm_dedup_clusters" -> llmDedupClustersOracle,
     "q_llm_curate" -> llmCurateOracle,

@@ -120,6 +120,45 @@ object TextOps {
       (nTok >= 20 && nTok <= 200).cast("int").as("length_ok"))
   }
 
+  /** Hashed linear classifier inference (the fastText/quality-model
+    * serving shape): each document's word bigrams are feature-hashed
+    * into `dims` buckets (FNV-1a64, power-of-two mask) and the bucket
+    * weights are summed — one codegen'd map-side projection + one
+    * partial-merged groupBy, so model scoring streams through a
+    * 100 TB scan like any aggregation.
+    *
+    * `weights` is the trained-model seam: a (bucket, w) frame that is
+    * broadcast-joined (a real model is dims·8 bytes — kilobytes to a
+    * few MB — never a shuffle side). When absent, a deterministic
+    * pseudo-model derives each bucket's weight arithmetically
+    * (((bucket+1)·2654435761) mod 2001 − 1000 ∈ [−1000, 1000]), which
+    * keeps the whole path — hash, bucket, weight, sum — exact integer
+    * math that an independent engine reproduces bit-for-bit.
+    *
+    * Output: one row per document with ≥1 bigram — (id, n_feats,
+    * score). Integer scores are the serving form (a monotone logit);
+    * thresholding/sigmoid is the caller's last step.
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      dims: Int = 4096, weights: Option[DataFrame] = None): DataFrame = {
+    require(dims > 0 && (dims & (dims - 1)) == 0,
+      s"dims must be a power of two, got $dims")
+    val feats = df.select(col(idCol),
+        explode(graft.functions.VecFunctions.word_bigrams(col(textCol))).as("bigram"))
+      .withColumn("bucket",
+        graft.functions.LlmFunctions.fnv64(col("bigram"))
+          .bitwiseAND(lit((dims - 1).toLong)))
+    val weighted = weights match {
+      case Some(w) =>
+        feats.join(broadcast(w.select(col("bucket"), col("w"))), Seq("bucket"))
+      case None =>
+        feats.withColumn("w",
+          (col("bucket") + 1L) * 2654435761L % 2001L - 1000L)
+    }
+    weighted.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum("w").as("score"))
+  }
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "is", "and"),
     "es" -> Seq("la", "el", "y", "de"),
