@@ -112,7 +112,8 @@ object GraftFunctions {
     "quantized_dot" -> binary("quantized_dot", QuantizedDot.apply) _,
     "dot_long" -> binary("dot_long", DotLong.apply) _,
     "cosine_sim" -> binary("cosine_sim", CosineSim.apply) _,
-    "arith_minhash_sig" -> unary("arith_minhash_sig", ArithMinhashSig(_, 8)) _)
+    "arith_minhash_sig" -> unary("arith_minhash_sig", ArithMinhashSig(_, 8)) _,
+    "fnv64" -> unary("fnv64", Fnv64) _)
 
   /** Register SQL-callable names on a session (idempotent). */
   def register(spark: SparkSession): Unit = {

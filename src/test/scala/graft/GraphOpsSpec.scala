@@ -30,6 +30,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(r0 == Map(1L -> 1000000L, 2L -> 1000000L))
   }
 
+  test("pageRank: degenerate inputs degrade, never throw") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+    assert(GraphOps.pageRank(empty, "src", "dst", iters = 2).count() == 0)
+    // null endpoints: the null node never matches a join key, so it
+    // holds the base rank; non-null structure is unaffected
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(2L)), (Some(2L), None))
+      .toDF("src", "dst")
+    val r = GraphOps.pageRank(withNull, "src", "dst", iters = 1)
+      .collect().map(x => Option(x.get(0)).map(_.asInstanceOf[Long]) -> x.getLong(1)).toMap
+    assert(r(Some(2L)) == 150000L + 850000L) // only 1 -> 2 contributes
+    assert(r(Some(1L)) == 150000L && r(None) == 150000L)
+  }
+
   test("pageRank: deterministic across partitionings (exact integers)") {
     val edges = (1L to 500L).map(i => (i % 37, i % 53)).toDF("src", "dst")
     val a = GraphOps.pageRank(edges.repartition(1), "src", "dst", iters = 3)

@@ -68,6 +68,29 @@ class LayoutSpec extends SparkSpec {
     zed.unpersist(); linear.unpersist()
   }
 
+  test("degenerate inputs degrade, never throw") {
+    import org.apache.spark.sql.types._
+    // null dimension values propagate to a null z-value (no crash)
+    val withNull = Seq((Some(3L), 5L), (None, 7L)).toDF("x", "y")
+      .withColumn("z", Layout.zValue(Seq(col("x"), col("y")), bits = 8))
+    assert(withNull.filter(col("z").isNull).count() == 1)
+    // empty frame through clustering and compaction
+    val emptyPts = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("x", LongType), StructField("y", LongType))))
+    assert(Layout.clusterByZorder(emptyPts, Seq("x", "y"), 4).count() == 0)
+    val emptyMf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("group", StringType),
+        StructField("path", StringType), StructField("bytes", LongType))))
+    assert(Layout.compactionPlan(emptyMf, 100L).count() == 0)
+    // zero-byte files land in the current bin without advancing it
+    val zeros = Seq(("g", "a", 0L), ("g", "b", 0L), ("g", "c", 5L))
+      .toDF("group", "path", "bytes")
+    assert(Layout.compactionPlan(zeros, 100L).select("bin")
+      .as[Long].collect().toSet == Set(0L))
+  }
+
   test("compactionPlan: greedy boundary rule, per-group independence") {
     val manifest = Seq(
       ("p1", "a", 40L), ("p1", "b", 40L), ("p1", "c", 40L), ("p1", "d", 250L),
