@@ -546,10 +546,13 @@ object Queries {
   // ASOF LEFT JOIN, the same oracle family as q_asof_keyed.
   private val asofStream: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
+    val TrackKey = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevTrack = s.conf.getOption(TrackKey)
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(TrackKey, "false") // measured knob — SCALE_STREAM_r09.md
     s.conf.set("spark.sql.shuffle.partitions", "8") // see streamNearDup
     try {
       val spark2 = s
@@ -590,6 +593,10 @@ object Queries {
       prev match {
         case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevTrack match {
+        case Some(t) => s.conf.set(TrackKey, t)
+        case None => s.conf.unset(TrackKey)
       }
     }
   }
@@ -1014,10 +1021,13 @@ object Queries {
   // q_llm_minhash_lsh_pairs.
   private val streamNearDup: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
+    val TrackKey = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevTrack = s.conf.getOption(TrackKey)
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(TrackKey, "false") // measured knob — SCALE_STREAM_r09.md
     // state-store instances = shuffle partitions, each a RocksDB open +
     // commit PER MICRO-BATCH — at test scale that machinery dominates,
     // so run the stream narrow (production sizes this to the cluster;
@@ -1047,6 +1057,10 @@ object Queries {
       prev match {
         case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevTrack match {
+        case Some(t) => s.conf.set(TrackKey, t)
+        case None => s.conf.unset(TrackKey)
       }
     }
   }
