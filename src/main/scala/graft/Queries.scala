@@ -668,6 +668,47 @@ object Queries {
        |FROM pts""".stripMargin
   }
 
+  // Hilbert-curve clustering key over the same two dimensions — the
+  // tighter-locality twin of q_layout_zorder. The oracle unrolls the
+  // xy2d bit walk (reflect/swap per scale) as one CTE per bit with
+  // stage-numbered columns, so every step is plain integer CASE logic
+  // DuckDB evaluates exactly.
+  private val layoutHilbert: Q = (s, dir) => {
+    val pts = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    pts.withColumn("hval",
+      graft.operators.Layout.hilbertValue(col("x"), col("y"), bits = 16))
+  }
+  private val layoutHilbertOracle: String = {
+    val bits = 16
+    val n = 1L << bits
+    val stages = (0 until bits).map { i =>
+      val s = 1L << (bits - 1 - i)
+      val rx = s"(CASE WHEN (hx$i & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (hy$i & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""h${i + 1} AS (
+         |  SELECT l_orderkey, l_linenumber, x, y,
+         |    CASE WHEN (hy$i & $s) = 0
+         |      THEN (CASE WHEN (hx$i & $s) > 0 THEN ${n - 1} - hy$i ELSE hy$i END)
+         |      ELSE hx$i END AS hx${i + 1},
+         |    CASE WHEN (hy$i & $s) = 0
+         |      THEN (CASE WHEN (hx$i & $s) > 0 THEN ${n - 1} - hx$i ELSE hx$i END)
+         |      ELSE hy$i END AS hy${i + 1},
+         |    hd$i + $s * $s * xor(3 * $rx, $ry) AS hd${i + 1}
+         |  FROM h$i)""".stripMargin
+    }
+    s"""WITH pts AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey AS x, l_suppkey AS y
+       |  FROM lineitem),
+       |h0 AS (
+       |  SELECT l_orderkey, l_linenumber, x, y,
+       |         x & ${n - 1} AS hx0, y & ${n - 1} AS hy0, CAST(0 AS BIGINT) AS hd0
+       |  FROM pts),
+       |${stages.mkString(",\n")}
+       |SELECT l_orderkey, l_linenumber, x, y, hd$bits AS hval FROM h$bits""".stripMargin
+  }
+
   // Small-file compaction planning over a deterministic synthetic
   // manifest (group/path/bytes derived from orders): one window pass
   // assigns each file to a ~target-sized merge bin. The operator runs
@@ -2707,6 +2748,7 @@ object Queries {
     "q_asof_global" -> asofGlobal,
     "q_range_join" -> rangeJoin,
     "q_layout_zorder" -> layoutZorder,
+    "q_layout_hilbert" -> layoutHilbert,
     "q_layout_compaction" -> layoutCompaction,
     "q_scale_salted_agg" -> scaleSaltedAgg,
     "q_scale_salted_join" -> scaleSaltedJoin,
@@ -2815,6 +2857,7 @@ object Queries {
     "q_asof_global" -> asofGlobalOracle,
     "q_range_join" -> rangeJoinOracle,
     "q_layout_zorder" -> layoutZorderOracle,
+    "q_layout_hilbert" -> layoutHilbertOracle,
     "q_layout_compaction" -> layoutCompactionOracle,
     "q_scale_salted_agg" -> scaleSaltedAggOracle,
     "q_scale_salted_join" -> scaleSaltedJoinOracle,

@@ -67,6 +67,28 @@ object Layout {
       .drop("_graft_z")
   }
 
+  /** Hilbert-curve index of two dimensions — the tighter-locality
+    * alternative to [[zValue]]: consecutive curve positions are ALWAYS
+    * grid-neighbours (no quadrant-boundary jumps), so equal-width
+    * index ranges (= output files) get tighter per-file bounding
+    * boxes on adversarial query shapes. One codegen'd kernel call
+    * ([[graft.functions.SpaceFill.hilbert2d]]); same masking contract
+    * as zValue.
+    */
+  def hilbertValue(x: Column, y: Column, bits: Int = 16): Column =
+    graft.functions.SpaceFillFunctions.hilbert2d(x, y, bits)
+
+  /** [[clusterByZorder]] with the Hilbert index as the clustering key
+    * (two dimensions — the curve generalizes to more, the kernel is
+    * 2-D today).
+    */
+  def clusterByHilbert(df: DataFrame, xCol: String, yCol: String,
+      numFiles: Int, bits: Int = 16): DataFrame =
+    df.withColumn("_graft_h", hilbertValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("_graft_h"))
+      .sortWithinPartitions("_graft_h")
+      .drop("_graft_h")
+
   /** Greedy small-file compaction plan over a file manifest
     * `(group, path, bytes)`: within each group (a partition
     * directory), files are taken in path order and packed left-to-

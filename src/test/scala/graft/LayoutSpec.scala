@@ -68,6 +68,42 @@ class LayoutSpec extends SparkSpec {
     zed.unpersist(); linear.unpersist()
   }
 
+  test("hilbert2d: a true Hilbert walk — consecutive indices are grid-neighbours") {
+    import graft.functions.SpaceFill
+    val bits = 5 // full 32x32 grid, 1024 cells
+    val byD = (for (x <- 0L until 32L; y <- 0L until 32L)
+      yield SpaceFill.hilbert2d(x, y, bits) -> ((x, y))).toMap
+    assert(byD.size == 1024, "index must be a bijection over the grid")
+    assert(byD.keySet == (0L until 1024L).toSet)
+    for (d <- 0L until 1023L) {
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // masking contract matches zValue's
+    assert(SpaceFill.hilbert2d(32L + 3L, 64L + 7L, 5) ==
+      SpaceFill.hilbert2d(3L, 7L, 5))
+  }
+
+  test("hilbertValue column == kernel; clusterByHilbert bounds both dims") {
+    import graft.functions.SpaceFill
+    val pts = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val viaCol = pts.withColumn("h",
+        Layout.hilbertValue(col("x"), col("y"), bits = 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaCol(13L -> 27L) == SpaceFill.hilbert2d(13L, 27L, 6))
+    assert(viaCol.size == 4096)
+    def avgSpan(df: org.apache.spark.sql.DataFrame, dim: String): Double =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy("pid").agg((max(dim) - min(dim)).as("span"))
+        .agg(avg("span")).head().getDouble(0)
+    val h = Layout.clusterByHilbert(pts, "x", "y", numFiles = 16, bits = 6).cache()
+    assert(h.count() == 4096)
+    assert(avgSpan(h, "x") < 32 && avgSpan(h, "y") < 32)
+    h.unpersist()
+  }
+
   test("degenerate inputs degrade, never throw") {
     import org.apache.spark.sql.types._
     // null dimension values propagate to a null z-value (no crash)
