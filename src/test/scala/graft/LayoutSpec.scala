@@ -127,6 +127,33 @@ class LayoutSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(0L))
   }
 
+  test("z-ordered parquet files prune at the scan: fewer rows leave the reader") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout").toFile
+    dir.deleteOnExit()
+    // pseudo-random spread over a 997x991 domain, 200k points
+    val pts = spark.range(200000).select(
+      (col("id") % 997).as("x"), (col("id") * 31 % 991).as("y"))
+    Layout.clusterByZorder(pts.toDF(), Seq("x", "y"), numFiles = 16, bits = 10)
+      .write.mode("overwrite").parquet(s"$dir/zed")
+    pts.repartition(16).write.mode("overwrite").parquet(s"$dir/rand")
+
+    def rowsLeavingScan(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("x") === 123L)
+      df.collect() // run THIS plan instance (count() would plan anew)
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      }.getOrElse(fail("no FileSourceScanExec in plan"))
+    }
+    val (zed, rand) = (rowsLeavingScan(s"$dir/zed"), rowsLeavingScan(s"$dir/rand"))
+    // random layout: every row group's x-range covers 123, nothing is
+    // skipped — the scan emits all 200k rows and the filter does all
+    // the work. Z-ordered files carry tight x min/max, so parquet
+    // row-group pushdown drops most groups before they're read.
+    assert(rand == 200000L, s"random layout unexpectedly pruned: $rand")
+    assert(zed <= rand / 2, s"z-order pruned nothing: $zed vs $rand")
+  }
+
   test("compactionPlan: greedy boundary rule, per-group independence") {
     val manifest = Seq(
       ("p1", "a", 40L), ("p1", "b", 40L), ("p1", "c", 40L), ("p1", "d", 250L),
