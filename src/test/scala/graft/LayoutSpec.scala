@@ -145,13 +145,15 @@ class LayoutSpec extends SparkSpec {
         case f: FileSourceScanExec => f.metrics("numOutputRows").value
       }.getOrElse(fail("no FileSourceScanExec in plan"))
     }
-    val (zed, rand) = (rowsLeavingScan(s"$dir/zed"), rowsLeavingScan(s"$dir/rand"))
-    // random layout: every row group's x-range covers 123, nothing is
-    // skipped — the scan emits all 200k rows and the filter does all
-    // the work. Z-ordered files carry tight x min/max, so parquet
-    // row-group pushdown drops most groups before they're read.
-    assert(rand == 200000L, s"random layout unexpectedly pruned: $rand")
-    assert(zed <= rand / 2, s"z-order pruned nothing: $zed vs $rand")
+    try {
+      val (zed, rand) = (rowsLeavingScan(s"$dir/zed"), rowsLeavingScan(s"$dir/rand"))
+      // random layout: every row group's x-range covers 123, nothing is
+      // skipped — the scan emits all 200k rows and the filter does all
+      // the work. Z-ordered files carry tight x min/max, so parquet
+      // row-group pushdown drops most groups before they're read.
+      assert(rand == 200000L, s"random layout unexpectedly pruned: $rand")
+      assert(zed <= rand / 2, s"z-order pruned nothing: $zed vs $rand")
+    } finally org.apache.hadoop.fs.FileUtil.fullyDelete(dir)
   }
 
   test("compactionPlan: greedy boundary rule, per-group independence") {
