@@ -736,7 +736,7 @@ object Queries {
       |           / 50000) AS BIGINT) AS bin
       |  FROM m)
       |SELECT file_group, path, bytes, bin,
-      |       SUM(bytes) OVER (PARTITION BY file_group, bin) AS bin_bytes
+      |       CAST(SUM(bytes) OVER (PARTITION BY file_group, bin) AS BIGINT) AS bin_bytes
       |FROM b""".stripMargin
 
   // Two-phase salted aggregation (Scale.saltedSum): the groupBy-side
@@ -753,7 +753,7 @@ object Queries {
   }
   private val scaleSaltedAggOracle =
     """SELECT l_returnflag, l_linestatus,
-      |       SUM(CAST(floor(l_quantity) AS BIGINT)) AS total_qty
+      |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
       |FROM lineitem GROUP BY 1, 2""".stripMargin
 
   // Salted replicate join (Scale.saltedJoin): the join-side skew lever
