@@ -45,6 +45,11 @@ object FnvOracleSql {
   private def fnvStr(s: String): String =
     fnvList(s"list_transform(range(1, length($s)+1), j -> ord(($s)[j])::HUGEINT)")
 
+  /** [[fnvStr]] for oracle builders outside this object (the hashed-
+    * classifier entries bucket bigram strings with it).
+    */
+  def fnvStrPublic(s: String): String = fnvStr(s)
+
   /** Unsigned HUGEINT in [0,2^64) → Spark's signed BIGINT. */
   private def u2s(v: String): String =
     s"CAST(CASE WHEN ($v) >= 9223372036854775808::HUGEINT THEN ($v) - $Mod ELSE ($v) END AS BIGINT)"

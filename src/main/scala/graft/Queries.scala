@@ -1812,6 +1812,45 @@ object Queries {
   private val llmLrScore: Q = (s, dir) =>
     graft.llm.TextOps.hashedLinearScore(docsT(s, dir), "doc_id", "text")
 
+  // Composed train→serve classifier: Naive-Bayes-flavoured bucket
+  // weights trained on the corpus (label = 4-char source name), then
+  // served back through the hashedLinearScore weights seam — the full
+  // model loop in exact integer arithmetic, oracled end-to-end.
+  private val llmNbScore: Q = (s, dir) => {
+    val labeled = docsT(s, dir).withColumn("y",
+      when(length(col("source")) === 4, 1L).otherwise(0L))
+    val w = graft.llm.TextOps.trainClassifierWeights(labeled, "text", "y")
+    graft.llm.TextOps.hashedLinearScore(docsT(s, dir), "doc_id", "text",
+      weights = Some(w))
+  }
+  private val llmNbScoreOracle: String = {
+    val bg =
+      """tk AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 2
+        |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS bigram
+        |  FROM tk)""".stripMargin
+    s"""WITH $bg,
+       |feats AS (
+       |  SELECT doc_id, source,
+       |         CAST((${FnvOracleSql.fnvStrPublic("bigram")}) & 4095::HUGEINT AS BIGINT) AS bucket
+       |  FROM bg),
+       |agg AS (
+       |  SELECT bucket,
+       |         CAST(SUM(CASE WHEN length(source) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM feats GROUP BY 1),
+       |w AS (
+       |  SELECT bucket, (pos + 1) * 1000000 // (n + 2) AS w FROM agg)
+       |SELECT f.doc_id, COUNT(*) AS n_feats, CAST(SUM(w.w) AS BIGINT) AS score
+       |FROM feats f JOIN w ON f.bucket = w.bucket
+       |GROUP BY 1""".stripMargin
+  }
+
   private val llmFingerprints: Q = (s, dir) => {
     graft.functions.GraftFunctions.register(s)
     docsT(s, dir).select(col("doc_id"),
@@ -2819,6 +2858,7 @@ object Queries {
     "q_llm_simhash_portable_pairs" -> llmSimhashPortablePairs,
     "q_llm_fingerprints" -> llmFingerprints,
     "q_llm_lr_score" -> llmLrScore,
+    "q_llm_nb_score" -> llmNbScore,
     "q_llm_fingerprint_portable" -> llmFingerprintPortable,
     "q_ann_topk_dot" -> annTopkDot,
     "q_ann_cosine_topk" -> annCosineTopk,
@@ -2906,6 +2946,7 @@ object Queries {
     "q_llm_simhash_pairs" -> FnvOracleSql.simhashPairs,
     "q_llm_fingerprints" -> FnvOracleSql.fingerprints,
     "q_llm_lr_score" -> FnvOracleSql.lrScore,
+    "q_llm_nb_score" -> llmNbScoreOracle,
     "q_o_approx_distinct" -> oApproxDistinctOracle,
     "q_llm_dedup_clusters" -> llmDedupClustersOracle,
     "q_llm_curate" -> llmCurateOracle,

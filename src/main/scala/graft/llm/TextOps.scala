@@ -139,15 +139,52 @@ object TextOps {
     * score). Integer scores are the serving form (a monotone logit);
     * thresholding/sigmoid is the caller's last step.
     */
-  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
-      dims: Int = 4096, weights: Option[DataFrame] = None): DataFrame = {
+  /** (id, bucket) feature rows shared by training and serving: one
+    * row per word-bigram OCCURRENCE, bucketed by FNV & (dims-1).
+    */
+  private def featureBuckets(df: DataFrame, idCol: String, textCol: String,
+      dims: Int): DataFrame = {
     require(dims > 0 && (dims & (dims - 1)) == 0,
       s"dims must be a power of two, got $dims")
-    val feats = df.select(col(idCol),
+    df.select(col(idCol),
         explode(graft.functions.VecFunctions.word_bigrams(col(textCol))).as("bigram"))
       .withColumn("bucket",
         graft.functions.LlmFunctions.fnv64(col("bigram"))
           .bitwiseAND(lit((dims - 1).toLong)))
+  }
+
+  /** Deterministic classifier training for [[hashedLinearScore]]'s
+    * `weights` seam: per feature bucket, the add-one-smoothed
+    * positive-class frequency in fixed point —
+    * w(b) = ((pos_b + 1) · 10⁶) DIV (n_b + 2), where pos_b counts
+    * positive-document feature occurrences in the bucket and n_b all
+    * of them. The Naive-Bayes-flavoured estimator keeps the whole
+    * train→serve loop exact integer arithmetic (no log, no floats),
+    * so training is as oracle-comparable as serving — and it is one
+    * explode + one groupBy(bucket): the model never exceeds dims
+    * rows, the corpus is never collected.
+    *
+    * `labelCol` is a 0/1 integer column on `df` (the caller encodes
+    * its labeling rule).
+    */
+  def trainClassifierWeights(df: DataFrame, textCol: String,
+      labelCol: String, dims: Int = 4096): DataFrame = {
+    require(dims > 0 && (dims & (dims - 1)) == 0,
+      s"dims must be a power of two, got $dims")
+    df.select(col(labelCol).cast("long").as("_y"),
+        explode(graft.functions.VecFunctions.word_bigrams(col(textCol))).as("bigram"))
+      .withColumn("bucket",
+        graft.functions.LlmFunctions.fnv64(col("bigram"))
+          .bitwiseAND(lit((dims - 1).toLong)))
+      .groupBy("bucket")
+      .agg(sum(col("_y")).as("pos"), count(lit(1)).as("n"))
+      .select(col("bucket"),
+        expr("(pos + 1) * 1000000 DIV (n + 2)").as("w"))
+  }
+
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      dims: Int = 4096, weights: Option[DataFrame] = None): DataFrame = {
+    val feats = featureBuckets(df, idCol, textCol, dims)
     val weighted = weights match {
       case Some(w) =>
         feats.join(broadcast(w.select(col("bucket"), col("w"))), Seq("bucket"))

@@ -36,6 +36,25 @@ class TextScoreSpec extends SparkSpec {
     assert(ids == Set(3L))
   }
 
+  test("trainClassifierWeights: smoothed frequencies, and scores separate classes") {
+    val docs = Seq(
+      (1L, "good stuff here", 1L), (2L, "good stuff again", 1L),
+      (3L, "bad stuff here", 0L), (4L, "bad stuff again", 0L)
+    ).toDF("doc_id", "text", "y")
+    val w = TextOps.trainClassifierWeights(docs, "text", "y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bucket(b: String) = TextHash.fnv1a64(b) & 4095L
+    // "good stuff" occurs twice, all positive: (2+1)*1e6 DIV (2+2)
+    assert(w(bucket("good stuff")) == 750000L)
+    assert(w(bucket("bad stuff")) == 250000L)
+    // compose through the serving seam: positives outscore negatives
+    val weights = TextOps.trainClassifierWeights(docs, "text", "y")
+    val scores = TextOps.hashedLinearScore(docs, "doc_id", "text",
+        weights = Some(weights))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(Seq(1L, 2L).map(scores).min > Seq(3L, 4L).map(scores).max)
+  }
+
   test("trained-weights seam: a broadcast (bucket, w) frame overrides the pseudo-model") {
     val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
     // buckets actually hit by this doc's bigrams ("a b", "b a", "a b")
