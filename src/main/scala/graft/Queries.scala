@@ -1812,6 +1812,33 @@ object Queries {
   private val llmLrScore: Q = (s, dir) =>
     graft.llm.TextOps.hashedLinearScore(docsT(s, dir), "doc_id", "text")
 
+  // Overlapping token-window chunking (RAG ingestion): map-only
+  // tokenize → sequence-explode → slice, oracled via DuckDB 1-based
+  // inclusive list slicing.
+  private val llmChunks: Q = (s, dir) =>
+    graft.llm.TextOps.chunkDocs(docsT(s, dir), "doc_id", "text")
+  private val llmChunksOracle =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tk
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+      |  FROM tk WHERE len(tk) > 0),
+      |c AS (
+      |  SELECT doc_id, tk, n,
+      |         unnest(range(0, ((n - 1) // 48) + 1)) AS chunk_id
+      |  FROM base),
+      |spans AS (
+      |  SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+      |         CASE WHEN n - chunk_id * 48 < 64
+      |              THEN n - chunk_id * 48 ELSE 64 END AS n_tok,
+      |         tk
+      |  FROM c)
+      |SELECT doc_id, chunk_id, start_tok, n_tok,
+      |       array_to_string(tk[start_tok + 1 : start_tok + n_tok], ' ') AS chunk_text
+      |FROM spans""".stripMargin
+
   // Composed train→serve classifier: Naive-Bayes-flavoured bucket
   // weights trained on the corpus (label = 4-char source name), then
   // served back through the hashedLinearScore weights seam — the full
@@ -2859,6 +2886,7 @@ object Queries {
     "q_llm_fingerprints" -> llmFingerprints,
     "q_llm_lr_score" -> llmLrScore,
     "q_llm_nb_score" -> llmNbScore,
+    "q_llm_chunks" -> llmChunks,
     "q_llm_fingerprint_portable" -> llmFingerprintPortable,
     "q_ann_topk_dot" -> annTopkDot,
     "q_ann_cosine_topk" -> annCosineTopk,
@@ -2947,6 +2975,7 @@ object Queries {
     "q_llm_fingerprints" -> FnvOracleSql.fingerprints,
     "q_llm_lr_score" -> FnvOracleSql.lrScore,
     "q_llm_nb_score" -> llmNbScoreOracle,
+    "q_llm_chunks" -> llmChunksOracle,
     "q_o_approx_distinct" -> oApproxDistinctOracle,
     "q_llm_dedup_clusters" -> llmDedupClustersOracle,
     "q_llm_curate" -> llmCurateOracle,

@@ -196,6 +196,35 @@ object TextOps {
       .agg(count(lit(1)).as("n_feats"), sum("w").as("score"))
   }
 
+  /** Overlapping token-window chunking (the RAG-ingestion shape): each
+    * document becomes ⌈…⌉ chunks of `chunkTokens` whitespace tokens
+    * with `overlap` tokens shared between neighbours — chunk k covers
+    * token span [k·step, k·step + chunkTokens) for step = chunkTokens
+    * − overlap, truncated at the document end; every start < n_tokens
+    * emits. Map-only (tokenize → sequence-explode → slice), so
+    * chunking streams through the scan; output rows are
+    * (id, chunk_id, start_tok, n_tok, chunk_text). Empty documents
+    * emit nothing.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got ($overlap, $chunkTokens)")
+    val step = chunkTokens - overlap
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    df.select(col(idCol), toks.as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L), expr(s"(n - 1) DIV $step"))))
+      .withColumn("start_tok", col("chunk_id") * step)
+      .withColumn("n_tok",
+        least(lit(chunkTokens.toLong), col("n") - col("start_tok")))
+      .select(col(idCol), col("chunk_id"), col("start_tok"), col("n_tok"),
+        concat_ws(" ", slice(col("tk"),
+          (col("start_tok") + 1).cast("int"), col("n_tok").cast("int")))
+          .as("chunk_text"))
+  }
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "is", "and"),
     "es" -> Seq("la", "el", "y", "de"),

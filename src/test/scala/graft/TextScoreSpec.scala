@@ -36,6 +36,32 @@ class TextScoreSpec extends SparkSpec {
     assert(ids == Set(3L))
   }
 
+  test("chunkDocs: overlap geometry, truncation, reconstruction") {
+    val words = (1 to 150).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, "solo"), (3L, ""), (4L, "   "))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocs(docs, "doc_id", "text",
+        chunkTokens = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // 150 tokens, step 48 -> starts 0, 48, 96, 144
+    assert(chunks.keys.count(_._1 == 1L) == 4)
+    val (s0, n0, t0) = chunks(1L -> 0L)
+    assert(s0 == 0L && n0 == 64L && t0.startsWith("w1 w2 ") && t0.endsWith(" w64"))
+    val (s3, n3, t3) = chunks(1L -> 3L)
+    assert(s3 == 144L && n3 == 6L && t3 == (145 to 150).map("w" + _).mkString(" "))
+    // consecutive chunks share exactly the 16-token overlap
+    assert(chunks(1L -> 1L)._3.startsWith("w49 ") &&
+      chunks(1L -> 0L)._3.endsWith("w49 w50 w51 w52 w53 w54 w55 w56 w57 w58 w59 w60 w61 w62 w63 w64"))
+    // single-token doc -> one 1-token chunk; blank/empty docs emit nothing
+    assert(chunks(2L -> 0L) == ((0L, 1L, "solo")))
+    assert(!chunks.keys.exists(k => k._1 == 3L || k._1 == 4L))
+    // non-overlap prefixes + last chunk reconstruct the original tokens
+    val rebuilt = (0 to 2).map(k => chunks(1L -> k.toLong)._3.split(" ").take(48))
+      .flatten ++ chunks(1L -> 3L)._3.split(" ")
+    assert(rebuilt.mkString(" ") == words)
+  }
+
   test("trainClassifierWeights: smoothed frequencies, and scores separate classes") {
     val docs = Seq(
       (1L, "good stuff here", 1L), (2L, "good stuff again", 1L),
