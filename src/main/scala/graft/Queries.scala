@@ -812,6 +812,48 @@ object Queries {
        |SELECT id, r AS pr FROM r3""".stripMargin
   }
 
+  // Multi-level aggregation in ONE pass (ROLLUP): per-(flag, status),
+  // per-flag, and grand-total rows from a single grouping-sets
+  // expansion — at 100 TB this replaces three separate scans+shuffles
+  // with one. grouping_id disambiguates real NULL keys from rolled-up
+  // levels (both engines emit the same bitmask).
+  private val aggRollup: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(
+      col("l_returnflag"), col("l_linestatus"),
+      floor(col("l_quantity")).cast("long").as("qty"))
+    li.rollup("l_returnflag", "l_linestatus")
+      .agg(sum("qty").as("total_qty"), count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+  }
+  private val aggRollupOracle =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+      |       COUNT(*) AS n_rows,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // Pivot (wide aggregation): return-flag values become columns in one
+  // groupBy — the plan is a single hash aggregate over CASE-gated
+  // partial sums, never one scan per pivoted value.
+  private val aggPivot: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(
+      col("l_returnflag"), col("l_linestatus"),
+      floor(col("l_quantity")).cast("long").as("qty"))
+    li.groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum("qty"))
+  }
+  private val aggPivotOracle =
+    """SELECT l_linestatus,
+      |       CAST(SUM(CASE WHEN l_returnflag = 'A'
+      |                     THEN CAST(floor(l_quantity) AS BIGINT) END) AS BIGINT) AS A,
+      |       CAST(SUM(CASE WHEN l_returnflag = 'N'
+      |                     THEN CAST(floor(l_quantity) AS BIGINT) END) AS BIGINT) AS N,
+      |       CAST(SUM(CASE WHEN l_returnflag = 'R'
+      |                     THEN CAST(floor(l_quantity) AS BIGINT) END) AS BIGINT) AS R
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   // Exact per-group quantiles (order statistics, not a sketch): the
   // value telemetry a pipeline tracks where approx quantiles can't be
   // oracle-compared. k-th smallest via row_number is well-defined
@@ -2819,6 +2861,8 @@ object Queries {
     "q_scale_salted_agg" -> scaleSaltedAgg,
     "q_scale_salted_join" -> scaleSaltedJoin,
     "q_graph_pagerank" -> graphPagerank,
+    "q_agg_rollup" -> aggRollup,
+    "q_agg_pivot" -> aggPivot,
     "q_o_quantiles" -> oQuantiles,
     "q_d1_dedup_keep_last" -> d1KeepLast,
     "q_d2_dedup_keep_first" -> d2KeepFirst,
@@ -2930,6 +2974,8 @@ object Queries {
     "q_scale_salted_agg" -> scaleSaltedAggOracle,
     "q_scale_salted_join" -> scaleSaltedJoinOracle,
     "q_graph_pagerank" -> graphPagerankOracle,
+    "q_agg_rollup" -> aggRollupOracle,
+    "q_agg_pivot" -> aggPivotOracle,
     "q_o_quantiles" -> oQuantilesOracle,
     "q_d1_dedup_keep_last" -> d1Oracle,
     "q_d2_dedup_keep_first" -> d2Oracle,
