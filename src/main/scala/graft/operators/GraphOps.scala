@@ -38,8 +38,17 @@ object GraphOps {
       iters: Int = 3, scale: Long = 1000000L): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     import org.apache.spark.storage.StorageLevel
+    // ONE edge shuffle total: hash-partition by src, then dedup on
+    // (src, dst) — partitioning on a subset of the dedup keys
+    // satisfies the aggregate's clustering requirement, so the
+    // dedup, the out-degree count, and the degree join below all run
+    // exchange-free on the src-partitioned frame.
+    val shuffleParts =
+      edges.sparkSession.sessionState.conf.numShufflePartitions
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+        col(dstCol).cast("long").as("dst"))
+      .repartition(shuffleParts, col("src"))
+      .dropDuplicates("src", "dst")
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -48,12 +57,10 @@ object GraphOps {
     // previous iterate released), like GraphX/MLlib: without it,
     // superstep i re-derives the whole prefix DAG — i× the edge prep
     // per iteration and a plan that grows without bound. The edge
-    // frame is hash-partitioned by src once, so every superstep's
-    // ranks⋈edges shuffles only the (node, rank) frame — the small
-    // side — never the edges.
-    val shuffleParts = e.sparkSession.sessionState.conf.numShufflePartitions
+    // frame stays src-partitioned, so every superstep's ranks⋈edges
+    // shuffles only the (node, rank) frame — the small side — never
+    // the edges.
     val eDeg = e.join(deg, "src")
-      .repartition(shuffleParts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = lit((scale * 150L) / 1000L)
     var ranks = nodes.withColumn("r", lit(scale))
