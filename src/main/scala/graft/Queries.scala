@@ -782,7 +782,11 @@ object Queries {
   // fixed-point arithmetic so the oracle (the same three supersteps
   // unrolled as CTEs) matches bit-for-bit.
   private val graphPagerank: Q = (s, dir) => {
-    val edges = lineitemEdges(s, dir).select(
+    // raw table, not the staged 7-column frame: pageRank re-shuffles
+    // by src anyway, so the orderkey layout buys nothing and a
+    // 2-column pruned parquet scan is cheaper than decompressing the
+    // full cached projection
+    val edges = t(s, dir, "lineitem").select(
       col("l_suppkey").as("src"), col("l_partkey").as("dst"))
     graft.operators.GraphOps.pageRank(edges, "src", "dst", iters = 3)
       .withColumnRenamed("rank", "pr")

@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Below this many supersteps the fused single-plan path stays
+    * shallow enough that analysis/codegen cost is negligible; above
+    * it the materialized path is forced regardless of input size
+    * (the composed plan nests per superstep).
+    */
+  private val LazyMaxIters = 8
+
+  /** Which path the most recent [[pageRank]] call took (true =
+    * per-superstep materialization). Observability for specs and the
+    * scale rehearsal; not part of the API contract.
+    */
+  @volatile private[graft] var lastMaterialized: Boolean = false
+
   /** Fixed-iteration PageRank in exact integer fixed-point: ranks are
     * scaled longs (initial rank = `scale`, i.e. 1.0), damping 0.85 is
     * the exact integer form `(r * 850) DIV (1000 * outdeg)` per edge,
@@ -21,72 +34,191 @@ object GraphOps {
     * engines, partitionings, and run counts (a double-arithmetic
     * PageRank can't be oracle-compared; this one can).
     *
-    * Each of the `iters` supersteps is one shuffle: ranks ⋈ edges on
-    * src (contribution projection) then groupBy dst (partial-merge
-    * sum), with the per-src out-degree pre-joined once up front.
-    * Dangling nodes (no out-edges) contribute nothing; sink-only
-    * nodes hold the base rank. Scale shape: the edge frame is the
-    * big side and is never collected or replicated — at 100 TB the
-    * per-iteration cost is the same join-agg the session already
-    * pays for any grouped query, × a small fixed iteration count.
+    * Shuffle shape: edges are shuffled ONCE total — hash-partitioned
+    * by src, then deduped and out-degree-counted (a COUNT window over
+    * the same partitioning) exchange-free. The iterated state is the CONTRIBUTION frame
+    * `c_t(id) = Σ incoming contributions`, not the rank frame: ranks
+    * are implicit (`r_t = 0.15·scale + c_t`, absent id ⇒ c = 0), the
+    * t=0 rank is the constant `scale` so the first superstep is a
+    * plain aggregate with NO join, and the full node set is joined
+    * exactly once at the very end to surface sink-only/isolated
+    * nodes. Each superstep therefore moves only one node-sized frame
+    * through one join (into the src-partitioned edge frame) + one
+    * partial-merge aggregate — at 100 TB the per-iteration cost is
+    * the same join-agg the session already pays for any grouped
+    * query, × a small fixed iteration count.
     *
-    * The returned frame is the last eagerly-materialized iterate
-    * (locally checkpointed); callers running many ranks in one
-    * session may `unpersist()` it when done.
+    * Dangling nodes (no out-edges) contribute nothing — their mass
+    * leaks, matching the reference's fixed-iteration form. Sink-only
+    * nodes hold the base rank.
+    *
+    * Size-gated materialization: iterating frames must not re-derive
+    * their whole prefix DAG, but eagerly materializing every
+    * superstep costs one scheduled job each — pure fixed overhead
+    * that dominates on small graphs (measured ~27× an unrolled-CTE
+    * single plan at sf0.1). So: when the Catalyst size estimate of
+    * the edge frame is ≤ `materializeAboveBytes` (and `iters` ≤ 8),
+    * the supersteps compose into ONE plan evaluated by ONE action
+    * (the final eager checkpoint) — the oracle's unrolled-CTE shape.
+    * The shared prep frame (eDeg) is lazily persisted: plan-time
+    * column pruning specializes each textual re-occurrence of a
+    * subtree differently, so ReuseExchange never matches (measured:
+    * 52 exchanges, 0 reused on the unshared form), but an
+    * InMemoryRelation is computed once at first use inside the
+    * action and every later reference scans the cache — the same
+    * each-CTE-once evaluation DuckDB gives the oracle. The cache is
+    * released before returning; only the node-sized result blocks
+    * remain (caller may release them via
+    * `GraftShim.releaseLocalCheckpoint`).
+    *
+    * Above the gate, each superstep is eagerly `localCheckpoint`ed
+    * (lineage truncated, plan stays one step deep) and the previous
+    * iterate's blocks are released deterministically via the
+    * checkpoint-aware shim (plain `unpersist()` is a no-op on
+    * checkpointed Datasets). Trade: checkpoint blocks are not
+    * recomputable — an executor loss restarts the rank job; a 100 TB
+    * deployment running many supersteps should reliable-checkpoint
+    * every N iterations instead. Same measure-then-pick shape as the
+    * commit filter's size-gated broadcast and the dedup-cluster gate.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+      iters: Int = 3, scale: Long = 1000000L,
+      materializeAboveBytes: Long = 64L << 20): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     import org.apache.spark.storage.StorageLevel
-    // ONE edge shuffle total: hash-partition by src, then dedup on
-    // (src, dst) — partitioning on a subset of the dedup keys
-    // satisfies the aggregate's clustering requirement, so the
-    // dedup, the out-degree count, and the degree join below all run
-    // exchange-free on the src-partitioned frame.
+    val materialize = iters > LazyMaxIters ||
+      edges.queryExecution.optimizedPlan.stats.sizeInBytes >
+        BigInt(materializeAboveBytes)
+    lastMaterialized = materialize
+    // ONE edge shuffle and ONE persisted frame total: hash-partition
+    // by src, dedup on (src, dst) — partitioning on a subset of the
+    // dedup keys satisfies the aggregate's clustering requirement —
+    // then the out-degree comes from a COUNT window over the same
+    // src partitioning (a local sort, no self-join, no second
+    // derivation of the edge subtree). The inner-join-on-src shape
+    // the window replaces also dropped null-src edges from the
+    // contribution feed; the explicit filter keeps that contract.
     val shuffleParts =
       edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
+    val srcWin = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    def eCast = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // big path: partition by SRC — dedup runs exchange-free on the
+    // key subset, the degree comes from a COUNT window over the same
+    // partitioning (a local sort, no self-join), and each superstep
+    // shuffles only the contribution rows into groupBy(dst).
+    // MEMORY_AND_DISK persist — recomputable on block loss, which
+    // matters once the edge frame is the 100 TB side. The
+    // inner-join-on-src shape the window replaces also dropped
+    // null-src edges from the contribution feed; the explicit filter
+    // keeps that contract.
+    lazy val eDeg = eCast
       .repartition(shuffleParts, col("src"))
       .dropDuplicates("src", "dst")
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+      .filter(col("src").isNotNull)
+      .withColumn("d", count(lit(1)).over(srcWin))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    // iterated frames are materialized per superstep (persist+count,
-    // previous iterate released), like GraphX/MLlib: without it,
-    // superstep i re-derives the whole prefix DAG — i× the edge prep
-    // per iteration and a plan that grows without bound. The edge
-    // frame stays src-partitioned, so every superstep's ranks⋈edges
-    // shuffles only the (node, rank) frame — the small side — never
-    // the edges.
-    val eDeg = e.join(deg, "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val base = lit((scale * 150L) / 1000L)
-    var ranks = nodes.withColumn("r", lit(scale))
-    var it = 0
-    while (it < iters) {
-      val contribs = eDeg.join(ranks, eDeg("src") === ranks("id"))
-        .select(col("dst").as("id"),
-          expr("(r * 850) DIV (1000 * d)").as("c"))
-        .groupBy("id").agg(sum("c").as("s"))
-      // localCheckpoint (eager) rather than persist: it truncates the
-      // lineage, so the logical plan stays one superstep deep instead
-      // of embedding the whole prefix (with persist, analysis/codegen
-      // cost grows per iteration and the plan text nests
-      // exponentially). Trade: blocks are not recomputable — an
-      // executor loss restarts the rank job; a 100 TB deployment
-      // running many supersteps should reliable-checkpoint every N
-      // iterations instead.
-      val next = nodes.join(contribs, Seq("id"), "left")
-        .select(col("id"), (base + coalesce(col("s"), lit(0L))).as("r"))
+    // small path: partition by DST instead — the rank side of every
+    // superstep join is broadcast (gate-guaranteed small), so src
+    // clustering buys nothing, while dst clustering makes every
+    // superstep's groupBy(dst) EXCHANGE-FREE: supersteps become
+    // scan → broadcast-join → local agg, zero shuffles. The degree
+    // needs one extra tiny aggregate (src grouping isn't available),
+    // broadcast back onto the frame. Eager localCheckpoint — raw row
+    // blocks (partitioning preserved through LogicalRDD), no
+    // columnar encode/decode tax, released via the shim on exit.
+    lazy val eDst = {
+      val dd = eCast
+        .repartition(shuffleParts, col("dst"))
+        .dropDuplicates("src", "dst")
+        .filter(col("src").isNotNull)
+      // degree straight off the raw input (one independent pass;
+      // deriving it from `dd` would recompute the dedup — column
+      // pruning splits the subtrees, so nothing is reused).
+      // count_distinct dedupes map-side; the struct wrapper keeps
+      // null-dst edges in the count, as the deduped join-based
+      // degree did (count_distinct alone drops NULLs)
+      val deg = eCast.filter(col("src").isNotNull)
+        .groupBy("src")
+        .agg(count_distinct(struct(col("dst"))).as("d"))
+      dd.join(broadcast(deg), "src")
         .localCheckpoint(eager = true)
-      ranks.unpersist()
-      ranks = next
-      it += 1
     }
-    eDeg.unpersist()
-    nodes.unpersist()
-    ranks.select(col("id"), col("r").as("rank"))
+    // node set straight off the raw input (distinct needs no edge
+    // dedup and no src partitioning — let partial aggregation eat
+    // the duplicates before its own small shuffle); includes
+    // null-src/only-dst endpoints the contribution feed excludes
+    val nodes = edges.select(col(srcCol).cast("long").as("id"))
+      .union(edges.select(col(dstCol).cast("long").as("id"))).distinct()
+    val base = (scale * 150L) / 1000L
+
+    // in the small path the gate guarantees node-sized frames are
+    // broadcastable — hint them so no superstep ever shuffles the
+    // edge frame or waits on AQE stats; in the materialized path AQE
+    // decides
+    def sized(c: DataFrame): DataFrame =
+      if (materialize) c else broadcast(c)
+
+    // superstep on the implicit-rank form: rank(src) at step t is
+    // base + c_t(src) (c absent ⇒ 0), so the next contribution frame
+    // is one join + one aggregate. `vExpr` is the per-src
+    // contribution value; the small path computes it once per src
+    // and explodes the adjacency, the big path computes it per edge
+    // row.
+    def nextContribs(c0: DataFrame): DataFrame = {
+      val c = sized(c0)
+      val vExpr = expr(s"((${base}L + coalesce(s, 0L)) * 850) DIV (1000 * d)")
+      val edgeFrame = if (materialize) eDeg else eDst
+      edgeFrame.join(c, edgeFrame("src") === c("id"), "left")
+        .select(col("dst"), vExpr.as("c"))
+        .groupBy(col("dst").as("id")).agg(sum("c").as("s"))
+    }
+
+    // step 1: every rank is the constant `scale` — no join at all
+    def firstContribs(): DataFrame = {
+      val vExpr = expr(s"(${scale}L * 850) DIV (1000 * d)")
+      val edgeFrame = if (materialize) eDeg else eDst
+      edgeFrame.select(col("dst"), vExpr.as("c"))
+        .groupBy(col("dst").as("id")).agg(sum("c").as("s"))
+    }
+
+    def finish(cLast: Option[DataFrame]): DataFrame = cLast match {
+      case None => nodes.select(col("id"), lit(scale).as("rank"))
+      case Some(c) =>
+        nodes.join(sized(c), Seq("id"), "left")
+          .select(col("id"),
+            (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
+    }
+
+    val (result, lastC) =
+      if (iters == 0) (finish(None), None)
+      else if (!materialize) {
+        var c = firstContribs()
+        var it = 1
+        while (it < iters) { c = nextContribs(c); it += 1 }
+        (finish(Some(c)), None)
+      } else {
+        var c = firstContribs().localCheckpoint(eager = true)
+        var it = 1
+        while (it < iters) {
+          val next = nextContribs(c).localCheckpoint(eager = true)
+          // free the previous iterate's checkpoint blocks now, not at
+          // GC: Dataset.unpersist() can't see checkpoint storage
+          org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(c)
+          c = next
+          it += 1
+        }
+        (finish(Some(c)), Some(c))
+      }
+    // ONE action runs the composed finish plan; afterwards every prep
+    // cache (and the last superstep's checkpoint) can be dropped —
+    // the checkpointed result is self-contained
+    val out = result.localCheckpoint(eager = true)
+    lastC.foreach(org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(_))
+    if (iters > 0) { // iters == 0 never built an edge frame
+      if (materialize) eDeg.unpersist()
+      else org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(eDst)
+    }
+    out
   }
 }

@@ -8,11 +8,34 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Per-row round-robin salt in [0, salts): `mono_id mod salts`.
+    * `monotonically_increasing_id` is `partition_id << 33 + ordinal`,
+    * so the modulus round-robins WITHIN each partition — a hot key's
+    * rows spread evenly over all `salts` reducers even when the rows
+    * are byte-identical (the spam-contract case), which no
+    * content-derived hash can do: identical rows hash identically
+    * and land on one reducer, silently defeating the mitigation in
+    * exactly the degenerate case it targets.
+    *
+    * Determinism: the ordinal is stable for a fixed upstream
+    * partitioning (recomputing a partition replays the same ids),
+    * but Spark conservatively marks it nondeterministic, so a fetch
+    * failure downstream retries the whole stage rather than one map
+    * task. That is the accepted price of spreading identical rows;
+    * both salted operators are correct under ANY per-row salt
+    * assignment, so retry-reassigned salts never change results.
+    */
+  private[graft] def rowSalt(salts: Int): Column =
+    pmod(monotonically_increasing_id(), lit(salts.toLong))
+
   /** Two-phase salted aggregation for skewed grouping keys: phase 1
     * aggregates on (key, salt) — spreading a hot key over `salts`
     * reducers — phase 2 merges the partials per key. Correct for any
-    * algebraic aggregate (sum/count/min/max); results are identical to
-    * a direct groupBy, only the shuffle distribution changes.
+    * algebraic aggregate (sum/count/min/max) under any per-row salt
+    * assignment; results are identical to a direct groupBy, only the
+    * shuffle distribution changes. The salt is the round-robin
+    * [[rowSalt]] (see there for the identical-rows and determinism
+    * story — shared with [[saltedJoin]]).
     *
     * AQE's skew-join splitting handles joins; this is the groupBy-side
     * lever for when one key holds a disproportionate share of rows
@@ -20,8 +43,8 @@ object Scale {
     */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
       resultName: String, salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("_salt",
-      pmod(hash(col(valueCol), monotonically_increasing_id()), lit(salts)))
+    require(salts > 0, s"salts must be positive, got $salts")
+    val salted = df.withColumn("_salt", rowSalt(salts))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_partial"))
@@ -33,24 +56,24 @@ object Scale {
     * where AQE's runtime skew-split isn't available (or the skew is in
     * the FIRST shuffle, before AQE has statistics): the small side is
     * replicated `salts`× (explode over the salt range) and the big
-    * side tags each row with a content-derived salt, so a hot key's
-    * rows spread over `salts` reducers instead of one. Results are
-    * identical to the plain equi-join — every big-side row still
-    * meets exactly one copy of each matching small-side row.
+    * side tags each row with the round-robin [[rowSalt]], so a hot
+    * key's rows — including byte-identical duplicates — spread over
+    * `salts` reducers instead of one. Results are identical to the
+    * plain equi-join — every big-side row still meets exactly one
+    * copy of each matching small-side row, whatever salt it drew.
     *
-    * The salt is a deterministic hash of the big side's whole row
-    * (never a random() — rerun- and retry-stable). Cost: the small
-    * side's shuffle volume × salts; use for genuinely small dims
-    * that still can't be broadcast (or where the hot key would spill
-    * a single reducer at 100 TB).
+    * Never a random(): the ordinal salt is partition-stable (see
+    * [[rowSalt]] for the retry semantics Spark applies). Cost: the
+    * small side's shuffle volume × salts; use for genuinely small
+    * dims that still can't be broadcast (or where the hot key would
+    * spill a single reducer at 100 TB).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, salts: Int = 16): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    val bigSalted = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col).toSeq: _*), lit(salts)))
+    val bigSalted = big.withColumn("_salt", rowSalt(salts))
     val smallSalted = small.withColumn("_salt",
-      explode(sequence(lit(0), lit(salts - 1))))
+      explode(sequence(lit(0L), lit(salts - 1L))))
     bigSalted.join(smallSalted,
         bigSalted(bigKey) === smallSalted(smallKey) &&
           bigSalted("_salt") === smallSalted("_salt"))

@@ -23,6 +23,23 @@ object GraftShim {
     case c: classic.SparkSession => c.sessionUUID
     case other => "idhash-" + System.identityHashCode(other)
   }
+
+  /** Release the storage blocks behind a `localCheckpoint`ed Dataset.
+    *
+    * `Dataset.unpersist()` only uncaches entries registered with the
+    * `CacheManager`; a local checkpoint persists its blocks directly
+    * on the internal RDD, so `unpersist()` on the Dataset is a no-op
+    * and the blocks linger until the RDD is GC'd. Iterative operators
+    * (PageRank supersteps) call this to free the previous iterate
+    * deterministically. Returns false (and does nothing) when the
+    * plan is not a checkpoint scan — safe to call unconditionally.
+    */
+  def releaseLocalCheckpoint(df: Dataset[Row]): Boolean =
+    df.queryExecution.analyzed match {
+      case l: execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); true
+      case _ => false
+    }
 }
 
 /** Mixin declaring "exactly one StringType input" for graft's unary

@@ -46,6 +46,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(r(Some(1L)) == 150000L && r(None) == 150000L)
   }
 
+  test("pageRank: size gate — lazy below, materialized above, identical ranks") {
+    val edges = (1L to 500L).map(i => (i % 37, i % 53)).toDF("src", "dst")
+    val lazyR = GraphOps.pageRank(edges, "src", "dst", iters = 3)
+      .orderBy("id").collect().toSeq
+    assert(!GraphOps.lastMaterialized,
+      "a 500-row local edge frame must take the lazy composed-plan path")
+    val matR = GraphOps.pageRank(edges, "src", "dst", iters = 3,
+        materializeAboveBytes = 0L)
+      .orderBy("id").collect().toSeq
+    assert(GraphOps.lastMaterialized,
+      "materializeAboveBytes=0 must force the per-superstep path")
+    assert(lazyR == matR)
+    // deep iteration forces materialization regardless of size (plan
+    // nesting would otherwise grow per superstep)
+    GraphOps.pageRank(edges, "src", "dst", iters = 9).count()
+    assert(GraphOps.lastMaterialized)
+  }
+
   test("pageRank: deterministic across partitionings (exact integers)") {
     val edges = (1L to 500L).map(i => (i % 37, i % 53)).toDF("src", "dst")
     val a = GraphOps.pageRank(edges.repartition(1), "src", "dst", iters = 3)

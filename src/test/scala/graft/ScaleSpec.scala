@@ -35,6 +35,31 @@ class ScaleSpec extends SparkSpec {
     assert(salted.size == 20000 + 1999) // hot rows matched exactly once
   }
 
+  test("planted duplicate-row hot key: salts actually spread identical rows") {
+    import spark.implicits._
+    // 10k BYTE-IDENTICAL rows on one hot key — the degenerate case a
+    // content-derived salt silently fails on (identical rows hash to
+    // one salt, one reducer). The round-robin ordinal salt must use
+    // every salt value, and the join must still multiply correctly.
+    val salts = 16
+    val dup = Seq.fill(10000)((1L, "same-payload")).toDF("k", "payload")
+    val distinctSalts = dup.withColumn("_salt", Scale.rowSalt(salts))
+      .select("_salt").distinct().count()
+    assert(distinctSalts >= salts / 2,
+      s"identical rows landed on only $distinctSalts/$salts salts")
+    // end-to-end: duplicates preserved as a multiset, every row
+    // matched exactly once
+    val small = Seq((1L, "dim")).toDF("dk", "name")
+    val joined = Scale.saltedJoin(dup, small, "k", "dk", salts = salts)
+    assert(joined.count() == 10000)
+    assert(joined.select("k", "payload", "name").distinct().count() == 1)
+    // salted sum over identical rows stays exact
+    val total = Scale.saltedSum(dup.withColumn("v", lit(3L)),
+        Seq("k"), "v", "total", salts = salts)
+      .collect().head.getLong(1)
+    assert(total == 30000L)
+  }
+
   test("skewed monster transaction: 100k traces, 20k distinct addresses, one tx") {
     import graft.model._
     import graft.operators.TraceEtl
