@@ -816,6 +816,103 @@ object Queries {
        |SELECT id, r AS pr FROM r3""".stripMargin
   }
 
+  // Mass-conserving PageRank twin: dangling-node rank mass is
+  // redistributed evenly each superstep (a bounded scalar aggregate,
+  // not row data); same integer fixed-point, so the oracle unrolls
+  // the supersteps with a per-step dangling-mass CTE and matches
+  // bit-for-bit.
+  private val graphPagerankDangling: Q = (s, dir) => {
+    val edges = t(s, dir, "lineitem").select(
+      col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+    graft.operators.GraphOps.pageRankDangling(edges, "src", "dst", iters = 3)
+      .withColumnRenamed("rank", "pr")
+  }
+  private val graphPagerankDanglingOracle: String = {
+    def step(i: Int) =
+      s"""dm$i AS (
+         |  SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm FROM r${i - 1}
+         |  WHERE id NOT IN (SELECT src FROM e WHERE src IS NOT NULL)),
+         |c$i AS (
+         |  SELECT e.dst AS id,
+         |         SUM((r.r * 850) // (1000 * deg.d)) AS s
+         |  FROM e JOIN r${i - 1} r ON e.src = r.id
+         |       JOIN deg ON e.src = deg.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT n.id,
+         |         CAST(150000 + COALESCE(c$i.s, 0)
+         |              + (SELECT (dm * 850) // (1000 * n2.n)
+         |                 FROM dm$i, nn n2) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$i ON n.id = c$i.id)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+       |nodes AS (
+       |  SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |deg AS (
+       |  SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (
+       |  SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}
+       |SELECT id, r AS pr FROM r3""".stripMargin
+  }
+
+  // Iterate-to-ε PageRank twin: supersteps run until the max rank
+  // delta is ≤ eps (here 0 — the integer fixed-point reaches an
+  // exact fixpoint) or maxIters. The result carries the superstep
+  // count t, so the oracle must reproduce the STOPPING DECISION from
+  // the same unrolled iterates, not just the arithmetic.
+  private val GraphConvergeMaxIters = 5
+  private val graphPagerankConverge: Q = (s, dir) => {
+    val edges = t(s, dir, "lineitem").select(
+      col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+    graft.operators.GraphOps.pageRankConverge(edges, "src", "dst",
+        eps = 0L, maxIters = GraphConvergeMaxIters)
+      .withColumnRenamed("rank", "pr")
+  }
+  private val graphPagerankConvergeOracle: String = {
+    val k = GraphConvergeMaxIters
+    def step(i: Int) =
+      s"""c$i AS (
+         |  SELECT e.dst AS id,
+         |         SUM((r.r * 850) // (1000 * deg.d)) AS s
+         |  FROM e JOIN r${i - 1} r ON e.src = r.id
+         |       JOIN deg ON e.src = deg.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT n.id, CAST(150000 + COALESCE(c$i.s, 0) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$i ON n.id = c$i.id),
+         |d$i AS (
+         |  SELECT CAST(COALESCE(MAX(ABS(a.r - b.r)), 0) AS BIGINT) AS md
+         |  FROM r$i a JOIN r${i - 1} b ON a.id = b.id)""".stripMargin
+    val whens = (1 until k)
+      .map(i => s"WHEN (SELECT md FROM d$i) <= 0 THEN $i")
+      .mkString("\n       |  ")
+    val rJoins = (2 to k)
+      .map(i => s"JOIN r$i ON r1.id = r$i.id").mkString(" ")
+    val rCases = (1 to k)
+      .map(i => s"WHEN $i THEN r$i.r").mkString(" ")
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+       |nodes AS (
+       |  SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |deg AS (
+       |  SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |r0 AS (
+       |  SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${(1 to k).map(step).mkString(",\n")},
+       |pick AS (
+       |  SELECT CAST(CASE
+       |  $whens
+       |  ELSE $k END AS BIGINT) AS t)
+       |SELECT r1.id,
+       |       CASE (SELECT t FROM pick) $rCases END AS pr,
+       |       (SELECT t FROM pick) AS t
+       |FROM r1 $rJoins""".stripMargin
+  }
+
   // Multi-level aggregation in ONE pass (ROLLUP): per-(flag, status),
   // per-flag, and grand-total rows from a single grouping-sets
   // expansion — at 100 TB this replaces three separate scans+shuffles
@@ -858,6 +955,50 @@ object Queries {
       |                     THEN CAST(floor(l_quantity) AS BIGINT) END) AS BIGINT) AS R
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  // CUBE: every subset of the grouping keys in ONE grouping-sets
+  // expansion — four aggregation levels (flag×status, flag, status,
+  // grand total) from a single scan+shuffle; the Expand operator
+  // multiplies rows by the level count BEFORE the exchange, so
+  // map-side partial aggregation still collapses them to one row per
+  // (level, group) and the shuffle carries only group-sized data.
+  private val aggCube: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(
+      col("l_returnflag"), col("l_linestatus"),
+      floor(col("l_quantity")).cast("long").as("qty"))
+    li.cube("l_returnflag", "l_linestatus")
+      .agg(sum("qty").as("total_qty"), count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+  }
+  private val aggCubeOracle =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+      |       COUNT(*) AS n_rows,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  // Explicit GROUPING SETS: an arbitrary level list — here the two
+  // single-key marginals WITHOUT the pairwise level or grand total,
+  // the shape neither rollup nor cube expresses. Same one-pass
+  // Expand plan; grouping_id tells the two marginals apart.
+  private val aggGroupingSets: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(
+      col("l_returnflag"), col("l_linestatus"),
+      floor(col("l_quantity")).cast("long").as("qty"))
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("qty").as("total_qty"), count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+  }
+  private val aggGroupingSetsOracle =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+      |       COUNT(*) AS n_rows,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin
+
   // Exact per-group quantiles (order statistics, not a sketch): the
   // value telemetry a pipeline tracks where approx quantiles can't be
   // oracle-compared. k-th smallest via row_number is well-defined
@@ -866,11 +1007,15 @@ object Queries {
     val ev = events(s, dir).select(col("event_type"),
       floor(col("value") * 100).cast("long").as("v"))
     val w = Window.partitionBy("event_type").orderBy("v")
+    // group size from an unordered window over the SAME partitioning —
+    // one more pass over the already-shuffled-and-sorted rows instead
+    // of a separate aggregate + broadcast-join (which costs its own
+    // broadcast-build job per run)
+    val wn = Window.partitionBy("event_type")
     val ranked = ev.withColumn("rn", row_number().over(w))
-    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("n", count(lit(1)).over(wn))
     def pick(p: Double) = ceil(lit(p) * col("n")).cast("long")
-    ranked.join(broadcast(counts), Seq("event_type"))
-      .groupBy("event_type")
+    ranked.groupBy("event_type")
       .agg(max("n").as("n"),
         max(when(col("rn") === pick(0.5), col("v"))).as("p50"),
         max(when(col("rn") === pick(0.9), col("v"))).as("p90"),
@@ -2865,8 +3010,12 @@ object Queries {
     "q_scale_salted_agg" -> scaleSaltedAgg,
     "q_scale_salted_join" -> scaleSaltedJoin,
     "q_graph_pagerank" -> graphPagerank,
+    "q_graph_pagerank_dangling" -> graphPagerankDangling,
+    "q_graph_pagerank_converge" -> graphPagerankConverge,
     "q_agg_rollup" -> aggRollup,
     "q_agg_pivot" -> aggPivot,
+    "q_agg_cube" -> aggCube,
+    "q_agg_grouping_sets" -> aggGroupingSets,
     "q_o_quantiles" -> oQuantiles,
     "q_d1_dedup_keep_last" -> d1KeepLast,
     "q_d2_dedup_keep_first" -> d2KeepFirst,
@@ -2978,8 +3127,12 @@ object Queries {
     "q_scale_salted_agg" -> scaleSaltedAggOracle,
     "q_scale_salted_join" -> scaleSaltedJoinOracle,
     "q_graph_pagerank" -> graphPagerankOracle,
+    "q_graph_pagerank_dangling" -> graphPagerankDanglingOracle,
+    "q_graph_pagerank_converge" -> graphPagerankConvergeOracle,
     "q_agg_rollup" -> aggRollupOracle,
     "q_agg_pivot" -> aggPivotOracle,
+    "q_agg_cube" -> aggCubeOracle,
+    "q_agg_grouping_sets" -> aggGroupingSetsOracle,
     "q_o_quantiles" -> oQuantilesOracle,
     "q_d1_dedup_keep_last" -> d1Oracle,
     "q_d2_dedup_keep_first" -> d2Oracle,

@@ -80,11 +80,18 @@ object AsofJoin {
     val n = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // range partitions are ordered by id, so "the partitions before
-    // me" is a prefix; materialize once for the two passes
+    // me" is a prefix; materialize once for the two passes. LAZY
+    // localCheckpoint — the pass-1 collect below is the first action
+    // anyway, so it both computes the seeds and pins the blocks in
+    // one job instead of paying a separate eager-materialize job.
+    // (Persisting the union across repartitionByRange's sampling and
+    // shuffle derivations was measured SLOWER here: the inputs are
+    // already cached upstream, so the extra cache write outweighs
+    // the recompute it saves.)
     val parted = p.unionByName(s)
       .repartitionByRange(n, col(tsCol), col("_tag"))
       .sortWithinPartitions(col(tsCol), col("_tag"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val unionSchema = parted.schema
     val nProbeCols = probeCols.length
     val stateOffset = 2 + nProbeCols

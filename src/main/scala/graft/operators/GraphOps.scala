@@ -161,10 +161,7 @@ object GraphOps {
 
     // superstep on the implicit-rank form: rank(src) at step t is
     // base + c_t(src) (c absent ⇒ 0), so the next contribution frame
-    // is one join + one aggregate. `vExpr` is the per-src
-    // contribution value; the small path computes it once per src
-    // and explodes the adjacency, the big path computes it per edge
-    // row.
+    // is one join + one aggregate over the path's edge frame.
     def nextContribs(c0: DataFrame): DataFrame = {
       val c = sized(c0)
       val vExpr = expr(s"((${base}L + coalesce(s, 0L)) * 850) DIV (1000 * d)")
@@ -219,6 +216,126 @@ object GraphOps {
       if (materialize) eDeg.unpersist()
       else org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(eDst)
     }
+    out
+  }
+
+  /** Shared prep for the explicit-rank variants: ONE edge shuffle
+    * (hash-partition by src → dedup exchange-free → null-src filter →
+    * COUNT window degree) checkpointed, plus the full node set off
+    * the raw input. Callers release the checkpoint via the shim.
+    */
+  private def edgePrep(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
+    val shuffleParts =
+      edges.sparkSession.sessionState.conf.numShufflePartitions
+    val srcWin = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val eDeg = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .repartition(shuffleParts, col("src"))
+      .dropDuplicates("src", "dst")
+      .filter(col("src").isNotNull)
+      .withColumn("d", count(lit(1)).over(srcWin))
+      .localCheckpoint(eager = true)
+    val nodes = edges.select(col(srcCol).cast("long").as("id"))
+      .union(edges.select(col(dstCol).cast("long").as("id"))).distinct()
+    (eDeg, nodes)
+  }
+
+  /** Mass-conserving PageRank: like [[pageRank]] but the rank mass of
+    * DANGLING nodes (no out-edges) is redistributed evenly instead of
+    * leaking — each superstep every node additionally receives
+    * `(D_t * 850) DIV (1000 * N)` where `D_t = Σ ranks of dangling
+    * nodes` and `N` = node count, all in the same integer fixed-point
+    * (bit-identical to the unrolled-CTE oracle). `D_t` and `N` are
+    * BOUNDED driver scalars (one aggregate each — the same "scalar
+    * gauge" class as the observability counters), never row data; the
+    * edge frame is prepped once and each superstep is the same
+    * join-agg as the base form plus one tiny anti-join aggregate.
+    * Supersteps are eagerly checkpointed with the previous iterate's
+    * blocks released via the shim — the variant exists for semantic
+    * completeness, not the toy-scale fast path, so it has no fused
+    * small-graph twin.
+    */
+  def pageRankDangling(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val (eDeg, nodes0) = edgePrep(edges, srcCol, dstCol)
+    val nodes = nodes0.localCheckpoint(eager = true)
+    val base = (scale * 150L) / 1000L
+    val n = nodes.count()
+    val srcs = eDeg.select(col("src")).distinct()
+    var ranks = nodes.withColumn("r", lit(scale))
+    var it = 0
+    while (it < iters && n > 0) {
+      // D_t: one bounded scalar off the current iterate
+      val dMass = ranks.join(srcs, ranks("id") === srcs("src"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0L))).collect()(0).getLong(0)
+      val share = (dMass * 850L) / (1000L * n)
+      val contribs = eDeg.join(ranks, eDeg("src") === ranks("id"))
+        .select(col("dst").as("cid"),
+          expr("(r * 850) DIV (1000 * d)").as("c"))
+        .groupBy("cid").agg(sum("c").as("s"))
+      val next = nodes.join(contribs, nodes("id") === contribs("cid"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("s"), lit(0L)) + lit(share)).as("r"))
+        .localCheckpoint(eager = true)
+      org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(ranks)
+      ranks = next
+      it += 1
+    }
+    val out = ranks.select(col("id"), col("r").as("rank"))
+      .localCheckpoint(eager = true)
+    org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(ranks)
+    org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(nodes)
+    org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(eDeg)
+    out
+  }
+
+  /** Iterate-to-ε PageRank (dangling mass leaking, as [[pageRank]]):
+    * supersteps run until `max |r_t - r_{t-1}| ≤ eps` or `maxIters`,
+    * whichever first, in the same integer fixed-point. Returns the
+    * converged ranks plus a constant `t` column — the superstep count
+    * actually run — so the oracle must reproduce the STOPPING
+    * DECISION, not just the arithmetic (both engines compute the same
+    * iterates, hence the same t). The convergence check is one
+    * bounded scalar aggregate per superstep — inherent to any
+    * iterate-to-fixpoint loop, and the reason this variant has no
+    * single-plan form: control flow depends on data.
+    */
+  def pageRankConverge(edges: DataFrame, srcCol: String, dstCol: String,
+      eps: Long, maxIters: Int = 10,
+      scale: Long = 1000000L): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(eps >= 0, s"eps must be >= 0, got $eps")
+    val (eDeg, nodes0) = edgePrep(edges, srcCol, dstCol)
+    val nodes = nodes0.localCheckpoint(eager = true)
+    val base = (scale * 150L) / 1000L
+    var ranks = nodes.withColumn("r", lit(scale))
+    var it = 0
+    var done = nodes.isEmpty
+    while (!done && it < maxIters) {
+      val contribs = eDeg.join(ranks, eDeg("src") === ranks("id"))
+        .select(col("dst").as("cid"),
+          expr("(r * 850) DIV (1000 * d)").as("c"))
+        .groupBy("cid").agg(sum("c").as("s"))
+      val next = nodes.join(contribs, nodes("id") === contribs("cid"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+        .localCheckpoint(eager = true)
+      it += 1
+      // bounded scalar: the max rank delta this superstep
+      val md = next.as("n").join(ranks.as("p"), col("n.id") === col("p.id"))
+        .agg(coalesce(max(abs(col("n.r") - col("p.r"))), lit(0L)))
+        .collect()(0).getLong(0)
+      org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(ranks)
+      ranks = next
+      done = md <= eps
+    }
+    val out = ranks.select(col("id"), col("r").as("rank"),
+        lit(it.toLong).as("t"))
+      .localCheckpoint(eager = true)
+    org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(ranks)
+    org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(nodes)
+    org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(eDeg)
     out
   }
 }

@@ -64,6 +64,64 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.lastMaterialized)
   }
 
+  test("pageRankDangling: hand-computed redistribution on a 3-node graph") {
+    // 1 -> 2, 1 -> 3; nodes 2 and 3 dangle. N = 3, base = 150000.
+    // step 1: D0 = r0(2) + r0(3) = 2e6,
+    //   share = (2e6 * 850) / (1000 * 3) = 566666
+    //   c(2) = c(3) = (1e6 * 850) / (1000 * 2) = 425000
+    //   r1(1) = 150000 + 566666 = 716666
+    //   r1(2) = r1(3) = 150000 + 425000 + 566666 = 1141666
+    val g = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val r = GraphOps.pageRankDangling(g, "src", "dst", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == 716666L)
+    assert(r(2L) == 1141666L && r(3L) == 1141666L)
+  }
+
+  test("pageRankDangling: all-dangling graph (no usable out-edges)") {
+    // only a null-src edge: every node dangles; nodes = {null, 5}
+    val g = Seq((Option.empty[Long], Some(5L))).toDF("src", "dst")
+    // N=2, D0 = 2e6, share = (2e6*850)/(1000*2) = 850000
+    // no contributions: r1 = 150000 + 850000 = 1000000 for both
+    val r = GraphOps.pageRankDangling(g, "src", "dst", iters = 1)
+      .collect().map(x => Option(x.get(0)) -> x.getLong(1)).toMap
+    assert(r.values.toSet == Set(1000000L))
+    assert(r.size == 2)
+  }
+
+  test("pageRankDangling: self-loops count as out-edges (no dangling)") {
+    // 1 -> 1, 2 -> 2: every node feeds itself; D = 0 every step
+    val g = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    // r1 = 150000 + (1e6*850)/1000 = 1000000 (exact fixpoint at once)
+    val r = GraphOps.pageRankDangling(g, "src", "dst", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("pageRankConverge: stops at the exact fixpoint and reports t") {
+    // self-loop graph: r1 = base + (scale*850)/1000 = scale = r0, so
+    // the very first superstep observes md == 0 -> t = 1
+    val g = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    val rows = GraphOps.pageRankConverge(g, "src", "dst", eps = 0L,
+      maxIters = 8).collect()
+    assert(rows.map(_.getLong(2)).toSet == Set(1L))
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("pageRankConverge: maxIters bound binds; empty graph degrades") {
+    val g = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val t = GraphOps.pageRankConverge(g, "src", "dst", eps = 0L,
+      maxIters = 1).collect().map(_.getLong(2)).head
+    assert(t == 1L)
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+    assert(GraphOps.pageRankConverge(empty, "src", "dst", eps = 0L).count() == 0)
+    assert(GraphOps.pageRankDangling(empty, "src", "dst").count() == 0)
+  }
+
   test("pageRank: deterministic across partitionings (exact integers)") {
     val edges = (1L to 500L).map(i => (i % 37, i % 53)).toDF("src", "dst")
     val a = GraphOps.pageRank(edges.repartition(1), "src", "dst", iters = 3)
