@@ -47,6 +47,18 @@ object FnvOracleSql {
 
   /** [[fnvStr]] for oracle builders outside this object (the hashed-
     * classifier entries bucket bigram strings with it).
+    *
+    * CORPUS CONSTRAINT (applies to every oracle built on this —
+    * lrScore, the nb train→serve oracle in Queries): bit-parity with
+    * the Scala kernel holds only for ASCII text whose whitespace is
+    * space/tab/\n/\r/\f, because (a) this folds per-CHARACTER
+    * `ord()` codepoints while `TextHash.fnv1a64` folds UTF-8 BYTES —
+    * identical on ASCII, divergent beyond U+007F — and (b) the
+    * tokenizers differ on \x0B (vertical tab): Java's `\s` includes
+    * it, DuckDB's RE2 `\s` does not. The synthetic documents corpus
+    * satisfies both; a future non-ASCII corpus must either fold
+    * codepoints in the Scala kernel or re-derive these oracles over
+    * UTF-8 bytes before trusting the gate.
     */
   def fnvStrPublic(s: String): String = fnvStr(s)
 

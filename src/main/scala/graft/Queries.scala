@@ -739,6 +739,62 @@ object Queries {
       |       CAST(SUM(bytes) OVER (PARTITION BY file_group, bin) AS BIGINT) AS bin_bytes
       |FROM b""".stripMargin
 
+  // Compaction EXECUTION: orders is staged as a real small-file
+  // layout (one parquet file per (status, zero-padded orderkey%8
+  // bucket)), a manifest is built from the actual listing with
+  // row-count weights, and compactBins stream-merges each planned
+  // bin into one file. The result — per-(group, bin) row count +
+  // content checksum over the COMPACTED files — is reproducible in
+  // SQL because the manifest is a deterministic function of orders:
+  // the oracle re-derives the same weights, the same lexicographic
+  // file order (the padded bucket is the path's deciding segment),
+  // and the same greedy binning.
+  private def compactExecRoot(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/orders.parquet")
+    val fp = java.lang.Long.toHexString(src.length() * 31L + src.lastModified())
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" + fp
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_compact_$key"
+    if (!new java.io.File(s"$root/src/_SUCCESS").isFile) synchronized {
+      graft.sources.Staging.stageOnce(s"$root/src") { tmp =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus").as("grp"),
+            lpad((col("o_orderkey") % 8).cast("string"), 2, "0").as("b"))
+          .repartition(col("grp"), col("b"))
+          .write.partitionBy("grp", "b").parquet(tmp)
+      }
+    }
+    root
+  }
+  private val layoutCompactExec: Q = (s, dir) => {
+    val root = compactExecRoot(s, dir)
+    val manifest = s.read.parquet(s"$root/src")
+      .withColumn("path", input_file_name())
+      .groupBy("path").agg(count(lit(1)).as("bytes"))
+      .withColumn("group", regexp_extract(col("path"), "grp=([^/]+)", 1))
+    val out = graft.operators.Layout.compactBins(
+      manifest, targetBytes = 500L, s"$root/out")
+    out.groupBy(col("group").as("grp"), col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("o_orderkey") * 31 + col("o_custkey")) % 1000003).as("chk"))
+  }
+  private val layoutCompactExecOracle =
+    """WITH f AS (
+      |  SELECT o_orderstatus AS grp,
+      |         lpad(CAST(o_orderkey % 8 AS VARCHAR), 2, '0') AS b,
+      |         COUNT(*) AS w,
+      |         CAST(SUM((o_orderkey * 31 + o_custkey) % 1000003) AS BIGINT) AS chk
+      |  FROM orders GROUP BY 1, 2),
+      |binned AS (
+      |  SELECT grp, b, w, chk,
+      |         CAST(COALESCE(SUM(w) OVER (PARTITION BY grp ORDER BY b
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) // 500 AS bin
+      |  FROM f)
+      |SELECT grp, bin, CAST(SUM(w) AS BIGINT) AS n_rows,
+      |       CAST(SUM(chk) AS BIGINT) AS chk
+      |FROM binned GROUP BY 1, 2""".stripMargin
+
   // Two-phase salted aggregation (Scale.saltedSum): the groupBy-side
   // skew lever — a hot key's rows spread over `salts` reducers in
   // phase 1, phase 2 merges the per-salt partials. Output is
@@ -2064,8 +2120,9 @@ object Queries {
        |  FROM feats GROUP BY 1),
        |w AS (
        |  SELECT bucket, (pos + 1) * 1000000 // (n + 2) AS w FROM agg)
-       |SELECT f.doc_id, COUNT(*) AS n_feats, CAST(SUM(w.w) AS BIGINT) AS score
-       |FROM feats f JOIN w ON f.bucket = w.bucket
+       |SELECT f.doc_id, COUNT(*) AS n_feats,
+       |       CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score
+       |FROM feats f LEFT JOIN w ON f.bucket = w.bucket
        |GROUP BY 1""".stripMargin
   }
 
@@ -3007,6 +3064,7 @@ object Queries {
     "q_layout_zorder" -> layoutZorder,
     "q_layout_hilbert" -> layoutHilbert,
     "q_layout_compaction" -> layoutCompaction,
+    "q_layout_compact_exec" -> layoutCompactExec,
     "q_scale_salted_agg" -> scaleSaltedAgg,
     "q_scale_salted_join" -> scaleSaltedJoin,
     "q_graph_pagerank" -> graphPagerank,
@@ -3124,6 +3182,7 @@ object Queries {
     "q_layout_zorder" -> layoutZorderOracle,
     "q_layout_hilbert" -> layoutHilbertOracle,
     "q_layout_compaction" -> layoutCompactionOracle,
+    "q_layout_compact_exec" -> layoutCompactExecOracle,
     "q_scale_salted_agg" -> scaleSaltedAggOracle,
     "q_scale_salted_join" -> scaleSaltedJoinOracle,
     "q_graph_pagerank" -> graphPagerankOracle,

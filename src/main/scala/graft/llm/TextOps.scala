@@ -187,7 +187,14 @@ object TextOps {
     val feats = featureBuckets(df, idCol, textCol, dims)
     val weighted = weights match {
       case Some(w) =>
-        feats.join(broadcast(w.select(col("bucket"), col("w"))), Seq("bucket"))
+        // LEFT join + coalesce: a bucket absent from a pruned or
+        // partially-trained model scores 0 — the document still
+        // appears, and n_feats counts every feature it emitted (an
+        // inner join here silently dropped documents whose buckets
+        // all missed the model)
+        feats.join(broadcast(w.select(col("bucket"), col("w"))),
+            Seq("bucket"), "left")
+          .withColumn("w", coalesce(col("w"), lit(0L)))
       case None =>
         feats.withColumn("w",
           (col("bucket") + 1L) * 2654435761L % 2001L - 1000L)

@@ -123,4 +123,56 @@ object Layout {
       .select(col(groupCol), col(pathCol), col(bytesCol),
         col("bin"), col("bin_bytes"))
   }
+
+  /** Execute a [[compactionPlan]]: stream every planned bin's files
+    * into ONE output file per bin, in a single Spark job.
+    *
+    * Shape: the manifest's paths feed one multi-path parquet scan;
+    * each row is tagged with its source file (`input_file_name`),
+    * joined against the broadcast plan (path → group, bin), hash-
+    * repartitioned on (group, bin) — so a bin's rows land in exactly
+    * one task — and written `partitionBy(group, bin)`: one file per
+    * bin directory, content = the concatenation of the bin's input
+    * files. No driver-side per-bin loop, no second listing pass; a
+    * manifest of a million files is one job with a million-row
+    * broadcast seam at worst (the same driver-sized file-listing
+    * metadata Spark's own InMemoryFileIndex holds for any scan).
+    *
+    * Idempotent via [[graft.sources.Staging.stageOnce]]: the output
+    * is built under a process-unique temp sibling and atomically
+    * renamed into `outDir`; re-running against a published `outDir`
+    * is a no-op. Paths are scheme-normalized (`file:/...` ==
+    * `/...`) before the join so manifests may carry either form.
+    * Returns the compacted frame read back from `outDir` (data
+    * columns + `group`/`bin` partition directories).
+    */
+  def compactBins(manifest: DataFrame, targetBytes: Long, outDir: String,
+      groupCol: String = "group", pathCol: String = "path",
+      bytesCol: String = "bytes"): DataFrame = {
+    val spark = manifest.sparkSession
+    val plan = compactionPlan(manifest, targetBytes, groupCol, pathCol,
+      bytesCol)
+    def normalize(c: Column): Column =
+      regexp_replace(c, "^file:/+", "/")
+    // the path list is driver-sized scan metadata, not data — Spark's
+    // FileIndex would hold the same listing for any read of the dirs
+    val paths = manifest.select(col(pathCol)).collect().map(_.getString(0))
+    if (paths.nonEmpty) {
+      graft.sources.Staging.stageOnce(outDir) { tmp =>
+        val tagged = spark.read.parquet(paths.toIndexedSeq: _*)
+          .withColumn("_graft_src", normalize(input_file_name()))
+        val binOf = broadcast(plan.select(
+          normalize(col(pathCol)).as("_graft_src"),
+          col(groupCol).as("_graft_group"), col("bin").as("_graft_bin")))
+        tagged.join(binOf, "_graft_src")
+          .drop("_graft_src")
+          .repartition(col("_graft_group"), col("_graft_bin"))
+          .write.partitionBy("_graft_group", "_graft_bin")
+          .parquet(tmp)
+      }
+      spark.read.parquet(outDir)
+        .withColumnRenamed("_graft_group", groupCol)
+        .withColumnRenamed("_graft_bin", "bin")
+    } else manifest.sparkSession.emptyDataFrame
+  }
 }

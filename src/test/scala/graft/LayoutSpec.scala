@@ -156,6 +156,94 @@ class LayoutSpec extends SparkSpec {
     } finally org.apache.hadoop.fs.FileUtil.fullyDelete(dir)
   }
 
+  test("hilbert-clustered parquet files prune at the scan like z-order, " +
+      "with tighter per-file bounding boxes") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout_h").toFile
+    dir.deleteOnExit()
+    // same 200k-point corpus and predicate as the z-order proof
+    val pts = spark.range(200000).select(
+      (col("id") % 997).as("x"), (col("id") * 31 % 991).as("y"))
+    Layout.clusterByHilbert(pts.toDF(), "x", "y", numFiles = 16, bits = 10)
+      .write.mode("overwrite").parquet(s"$dir/hil")
+    Layout.clusterByZorder(pts.toDF(), Seq("x", "y"), numFiles = 16, bits = 10)
+      .write.mode("overwrite").parquet(s"$dir/zed")
+    pts.repartition(16).write.mode("overwrite").parquet(s"$dir/rand")
+
+    def rowsLeavingScan(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("x") === 123L)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      }.getOrElse(fail("no FileSourceScanExec in plan"))
+    }
+    // the locality claim, measured directly: sum over output files of
+    // the file's (x, y) bounding-box area. Contiguous Hilbert index
+    // ranges are connected grid regions (no quadrant jumps), so their
+    // boxes should be no looser than z-order's in aggregate.
+    def bboxArea(path: String): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(((max("x") - min("x")) * (max("y") - min("y"))).as("a"))
+        .agg(sum("a")).collect()(0).getLong(0)
+    try {
+      val (hil, rand) = (rowsLeavingScan(s"$dir/hil"), rowsLeavingScan(s"$dir/rand"))
+      assert(rand == 200000L, s"random layout unexpectedly pruned: $rand")
+      assert(hil <= rand / 2, s"hilbert pruned nothing: $hil vs $rand")
+      val (hBox, zBox) = (bboxArea(s"$dir/hil"), bboxArea(s"$dir/zed"))
+      info(s"measured: hilbert rows leaving scan = $hil / $rand; " +
+        s"bbox-area sum hilbert = $hBox vs z-order = $zBox")
+      assert(hBox <= zBox,
+        s"hilbert per-file boxes looser than z-order: $hBox vs $zBox")
+    } finally org.apache.hadoop.fs.FileUtil.fullyDelete(dir)
+  }
+
+  test("compactBins: one file per bin, rows and content preserved, idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toFile
+    dir.deleteOnExit()
+    // 3 groups × 5 buckets of small files, 3000 rows total
+    val src = spark.range(3000).select(col("id"),
+      (col("id") % 3).cast("string").as("g"),
+      (col("id") * 7 % 101).as("v"),
+      lpad((col("id") % 5).cast("string"), 2, "0").as("b"))
+    src.repartition(col("g"), col("b"))
+      .write.partitionBy("g", "b").parquet(s"$dir/src")
+    try {
+      val listed = spark.read.parquet(s"$dir/src")
+        .withColumn("path", input_file_name())
+      val manifest = listed.groupBy("path")
+        .agg(count(lit(1)).as("bytes"))
+        .withColumn("group", regexp_extract(col("path"), "g=([^/]+)", 1))
+      // 5 files of ~200 rows per group; target 450 -> bins of ~2-3 files
+      val out = Layout.compactBins(manifest, targetBytes = 450L, s"$dir/out")
+      // rows and content preserved exactly (multiset via count + hash sum)
+      val (n0, h0) = src.agg(count(lit(1)),
+        sum(col("id") * 31 + col("v"))).collect()(0) match {
+        case r => (r.getLong(0), r.getLong(1))
+      }
+      val (n1, h1) = out.agg(count(lit(1)),
+        sum(col("id") * 31 + col("v"))).collect()(0) match {
+        case r => (r.getLong(0), r.getLong(1))
+      }
+      assert((n1, h1) == (n0, h0))
+      // exactly one physical file per planned bin
+      val filesPerBin = out.withColumn("f", input_file_name())
+        .groupBy("group", "bin")
+        .agg(countDistinct("f").as("nf"))
+        .select("nf").as[Long].collect()
+      assert(filesPerBin.nonEmpty && filesPerBin.forall(_ == 1L))
+      // multiple bins per group actually materialized (not one blob)
+      assert(out.select("group", "bin").distinct().count() >
+        out.select("group").distinct().count())
+      // idempotent: a second run is a no-op against the published dir
+      val again = Layout.compactBins(manifest, targetBytes = 450L, s"$dir/out")
+      assert(again.count() == n0)
+      // empty manifest degrades
+      assert(Layout.compactBins(manifest.limit(0), 450L, s"$dir/out2")
+        .isEmpty)
+    } finally org.apache.hadoop.fs.FileUtil.fullyDelete(dir)
+  }
+
   test("compactionPlan: greedy boundary rule, per-group independence") {
     val manifest = Seq(
       ("p1", "a", 40L), ("p1", "b", 40L), ("p1", "c", 40L), ("p1", "d", 250L),

@@ -90,4 +90,17 @@ class TextScoreSpec extends SparkSpec {
       .head()
     assert(r.getLong(1) == 3L && r.getLong(2) == 21L)
   }
+
+  test("pruned model: absent buckets score 0, documents never vanish") {
+    val docs = Seq((1L, "a b a b"), (2L, "x y")).toDF("doc_id", "text")
+    // weights carry ONLY doc 1's "a b" bucket; doc 2's bucket and
+    // doc 1's "b a" bucket are absent from the model
+    val w = Seq((TextHash.fnv1a64("a b") & 4095L, 7L)).toDF("bucket", "w")
+    val r = TextOps.hashedLinearScore(docs, "doc_id", "text", weights = Some(w))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // doc 1: 3 features ("a b" twice at w=7, "b a" once at w=0)
+    assert(r(1L) == (3L, 14L))
+    // doc 2: fully unmatched — still present, score 0
+    assert(r(2L) == (1L, 0L))
+  }
 }
