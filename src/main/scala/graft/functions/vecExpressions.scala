@@ -46,6 +46,23 @@ object VecBridge {
     s
   }
 
+  /** Count of elements ≤ key in an ASCENDING-sorted array<long> —
+    * i.e. the 1-based index of the floor element, 0 when every
+    * element exceeds the key. Binary search: the per-probe kernel of
+    * the broadcast as-of path (log2 n long reads per row, no nulls
+    * expected — the caller packs the array from non-null state
+    * timestamps).
+    */
+  def floorIndexLong(arr: ArrayData, key: Long): Int = {
+    var lo = 0
+    var hi = arr.numElements() // exclusive
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr.getLong(mid) <= key) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   /** Integer dot product of two array<long> columns. */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -714,6 +731,34 @@ case class DotLong(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** 1-based floor index of `right` (long key) in `left` (ascending
+  * array<long>); 0 = no element ≤ key. Codegen'd binary search — the
+  * probe-side kernel of the size-gated broadcast as-of join.
+  */
+case class FloorIndexLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "floor_index_long"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, bigint), got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, k: Any): Any =
+    VecBridge.floorIndexLong(a.asInstanceOf[ArrayData], k.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, k) =>
+      s"${ev.value} = graft.functions.VecBridge.floorIndexLong($a, $k);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FloorIndexLong =
+    copy(left = l, right = r)
+}
+
 /** Cosine similarity of two float vectors. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with ArrayPairInput {
@@ -1106,6 +1151,8 @@ object VecFunctions {
     GraftShim.column(QuantizedDot(GraftShim.expression(a), GraftShim.expression(b)))
   def dot_long(a: Column, b: Column): Column =
     GraftShim.column(DotLong(GraftShim.expression(a), GraftShim.expression(b)))
+  def floor_index_long(arr: Column, key: Column): Column =
+    GraftShim.column(FloorIndexLong(GraftShim.expression(arr), GraftShim.expression(key)))
   def cosine_sim(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
   def portable_sign_bucket(q: Column, planes: Int, tbl: Int): Column =

@@ -64,10 +64,62 @@ object AsofJoin {
   }
 
   /** Global (unkeyed) backward as-of join; `tsCol` must be LongType in
-    * both inputs and state timestamps must be unique.
+    * both inputs, state timestamps must be unique and non-null.
+    *
+    * Size-gated two-path execution (the measure-then-pick shape the
+    * commit filter, dedup clustering, and PageRank use):
+    *
+    *  - **Broadcast path** (state side's Catalyst size estimate ≤
+    *    `broadcastBelowBytes`): states collapse into ONE row of two
+    *    sorted arrays (timestamps + state structs, sorted together by
+    *    `sort_array` over ts-led structs), broadcast to every probe
+    *    partition, and each probe binary-searches its floor state
+    *    with the codegen'd [[graft.functions.VecFunctions
+    *    .floor_index_long]] kernel — ZERO shuffles of the probe side,
+    *    no global sort, log2(n) long reads per probe. The state side
+    *    of a global as-of is usually an aggregate (one row per
+    *    distinct timestamp), so this is the common case even at
+    *    100 TB probe volume.
+    *  - **Partitioned path** (above the gate): range-repartition the
+    *    union on timestamp, per-partition running-state scan seeded
+    *    by a bounded per-partition summary (below). Handles a state
+    *    side too large to broadcast.
+    *
+    * Both paths produce identical rows; the differential is pinned in
+    * AsofJoinSpec by forcing each side of the gate.
     */
   def global(probes: DataFrame, states: DataFrame, tsCol: String,
-      stateCols: Seq[String], numPartitions: Int = 0): DataFrame = {
+      stateCols: Seq[String], numPartitions: Int = 0,
+      broadcastBelowBytes: Long = 8L << 20): DataFrame = {
+    if (states.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(broadcastBelowBytes))
+      globalBroadcast(probes, states, tsCol, stateCols)
+    else globalPartitioned(probes, states, tsCol, stateCols, numPartitions)
+  }
+
+  private def globalBroadcast(probes: DataFrame, states: DataFrame,
+      tsCol: String, stateCols: Seq[String]): DataFrame = {
+    val probeCols = probes.columns.filterNot(_ == tsCol)
+    // ts array and ts-led struct array sort identically (timestamps
+    // are unique by contract), so index i in one matches index i in
+    // the other; `get` is 0-based and null-safe for index -1 (no
+    // state at or before the probe)
+    val packed = states.agg(
+      sort_array(collect_list(col(tsCol))).as("_asof_ts"),
+      sort_array(collect_list(struct(
+        col(tsCol) +: stateCols.map(col): _*))).as("_asof_vs"))
+    val idx = graft.functions.VecFunctions.floor_index_long(
+      col("_asof_ts"), col(tsCol))
+    val hit = get(col("_asof_vs"), idx - lit(1))
+    probes.crossJoin(broadcast(packed))
+      .select(
+        Seq(col(tsCol)) ++ probeCols.map(col) ++
+          stateCols.map(c => hit.getField(c).as(s"asof_$c")): _*)
+  }
+
+  private def globalPartitioned(probes: DataFrame, states: DataFrame,
+      tsCol: String, stateCols: Seq[String],
+      numPartitions: Int): DataFrame = {
     val spark = probes.sparkSession
     val probeCols = probes.columns.filterNot(_ == tsCol)
     val p = probes.select(

@@ -13,7 +13,7 @@ class AsofJoinSpec extends SparkSpec {
     // tiny data over many range partitions: states and probes straddle
     // partition boundaries, exercising the cross-partition seeding
     val out = AsofJoin.global(probes, states, "sec", Seq("state_id"),
-        numPartitions = 7)
+        numPartitions = 7, broadcastBelowBytes = -1L) // force partitioned
       .collect().map(r => r.getAs[Long]("probe_id") ->
         Option(r.getAs[Any]("asof_state_id"))).toMap
     assert(out(1L).isEmpty, "probe before first state must be null")
@@ -54,6 +54,36 @@ class AsofJoinSpec extends SparkSpec {
       .select("probe_id", "sec", "asof_state_id")
       .collect().map(_.toString).sorted
     assert(g.sameElements(k))
+  }
+
+  test("global asof: broadcast path — same hand-corpus semantics, no shuffle of probes") {
+    import spark.implicits._
+    val probes = Seq((1L, 5L), (2L, 10L), (3L, 15L), (4L, 25L), (5L, 20L))
+      .toDF("probe_id", "sec")
+    val states = Seq((100L, 10L), (200L, 20L)).toDF("state_id", "sec")
+    val df = AsofJoin.global(probes, states, "sec", Seq("state_id"))
+    // tiny states must take the broadcast path: no Exchange above the
+    // probe scan (only the state-side aggregate + broadcast build)
+    val out = df.collect().map(r => r.getAs[Long]("probe_id") ->
+      Option(r.getAs[Any]("asof_state_id"))).toMap
+    assert(out(1L).isEmpty && out(2L).contains(100L) &&
+      out(3L).contains(100L) && out(5L).contains(200L) && out(4L).contains(200L))
+  }
+
+  test("global asof: broadcast == partitioned on a random corpus (gate differential)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val probes = (1L to 500L).map(i => (i, rnd.nextInt(2000).toLong))
+      .toDF("probe_id", "sec")
+    val states = (1L to 60L).map(i => (i + 9000L, rnd.nextInt(2000).toLong))
+      .toDF("state_id", "sec")
+      .groupBy("sec").agg(max("state_id").as("state_id"))
+    def run(thresh: Long) =
+      AsofJoin.global(probes, states, "sec", Seq("state_id"),
+          numPartitions = 5, broadcastBelowBytes = thresh)
+        .select("probe_id", "sec", "asof_state_id")
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(Long.MaxValue) == run(-1L))
   }
 
   test("global asof: empty state side yields all-null attachments") {
