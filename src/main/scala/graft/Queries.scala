@@ -1092,6 +1092,68 @@ object Queries {
       |FROM ranked r JOIN counts c ON r.event_type = c.event_type
       |GROUP BY 1""".stripMargin
 
+  // Approximate per-group quantiles (Greenwald-Khanna sketch via
+  // percentile_approx): the sketch itself is partition-order-
+  // dependent, so — like the HLL gauge — the oracled result is the
+  // GUARANTEE, not the estimate: with accuracy=100 the rank error is
+  // ≤ 1%, so the approx value must lie between the exact quantiles
+  // at p∓2% (2× safety margin for boundary rounding). Both engines
+  // emit the constant-1 flags; a sketch regression (or a broken
+  // bound derivation) flips a flag and fails the hash.
+  private val oApproxQuantiles: Q = (s, dir) => {
+    val ev = events(s, dir).select(col("event_type"),
+      floor(col("value") * 100).cast("long").as("v"))
+    val ap = ev.groupBy("event_type").agg(
+      percentile_approx(col("v"), array(lit(0.5), lit(0.9)), lit(100))
+        .as("ap"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+    val wn = Window.partitionBy("event_type")
+    val ranked = ev.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+    def atRank(p: Double, shift: Double) = {
+      val r = greatest(lit(1L),
+        least(col("n"), ceil(lit(p + shift) * col("n")).cast("long")))
+      max(when(col("rn") === r, col("v")))
+    }
+    val bounds = ranked.groupBy("event_type").agg(
+      atRank(0.5, -0.02).as("lo50"), atRank(0.5, 0.02).as("hi50"),
+      atRank(0.9, -0.02).as("lo90"), atRank(0.9, 0.02).as("hi90"))
+    ap.join(bounds, "event_type")
+      .select(col("event_type"),
+        (element_at(col("ap"), 1).between(col("lo50"), col("hi50")))
+          .cast("int").as("p50_ok"),
+        (element_at(col("ap"), 2).between(col("lo90"), col("hi90")))
+          .cast("int").as("p90_ok"))
+  }
+  private val oApproxQuantilesOracle =
+    """SELECT event_type, CAST(1 AS INT) AS p50_ok, CAST(1 AS INT) AS p90_ok
+      |FROM events GROUP BY 1""".stripMargin
+
+  // Exact top-k per group (top users by event count per type):
+  // count-aggregate then ONE ranking window over the group-sized
+  // frame — the shuffle carries (type, user) counts, never raw
+  // events twice. Deterministic tie-break (count desc, user asc) so
+  // the k-th slot is engine-independent.
+  private val oTopkPerGroup: Q = (s, dir) => {
+    val counts = events(s, dir).groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+  }
+  private val oTopkPerGroupOracle =
+    """WITH c AS (
+      |  SELECT event_type, user_id, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, user_id, n_events,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY n_events DESC, user_id ASC) AS rk
+      |  FROM c)
+      |SELECT event_type, user_id, n_events, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 3""".stripMargin
+
   // ---------------------------------------------------------------
   // D1/D2: keep-last / keep-first dedup via window row_number
   // ---------------------------------------------------------------
@@ -3075,6 +3137,8 @@ object Queries {
     "q_agg_cube" -> aggCube,
     "q_agg_grouping_sets" -> aggGroupingSets,
     "q_o_quantiles" -> oQuantiles,
+    "q_o_approx_quantiles" -> oApproxQuantiles,
+    "q_o_topk_per_group" -> oTopkPerGroup,
     "q_d1_dedup_keep_last" -> d1KeepLast,
     "q_d2_dedup_keep_first" -> d2KeepFirst,
     "q_p1_json_decode" -> p1JsonDecode,
@@ -3193,6 +3257,8 @@ object Queries {
     "q_agg_cube" -> aggCubeOracle,
     "q_agg_grouping_sets" -> aggGroupingSetsOracle,
     "q_o_quantiles" -> oQuantilesOracle,
+    "q_o_approx_quantiles" -> oApproxQuantilesOracle,
+    "q_o_topk_per_group" -> oTopkPerGroupOracle,
     "q_d1_dedup_keep_last" -> d1Oracle,
     "q_d2_dedup_keep_first" -> d2Oracle,
     "q_p1_json_decode" -> p1Oracle,
