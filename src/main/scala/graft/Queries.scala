@@ -1154,6 +1154,33 @@ object Queries {
       |SELECT event_type, user_id, n_events, CAST(rk AS BIGINT) AS rk
       |FROM r WHERE rk <= 3""".stripMargin
 
+  // SCD-2 interval build (temporal table): each per-key event opens a
+  // validity interval closed by the NEXT event's timestamp — one
+  // shuffle on the key, one lead() window pass, no self-join. The
+  // open (current) row has valid_to NULL. Deterministic order:
+  // (sec, event_id) — event_id is unique.
+  private val scd2Intervals: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("sec").as("valid_from"),
+        col("event_type"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("valid_from"), col("event_id"))
+    ev.withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+  }
+  private val scd2IntervalsOracle =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+      |         event_type, event_id
+      |  FROM events)
+      |SELECT user_id, valid_from, event_type, event_id,
+      |       lead(valid_from, 1) OVER (PARTITION BY user_id
+      |         ORDER BY valid_from, event_id) AS valid_to,
+      |       CAST(CASE WHEN lead(valid_from, 1) OVER (PARTITION BY user_id
+      |         ORDER BY valid_from, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS INT) AS is_current
+      |FROM ev""".stripMargin
+
   // ---------------------------------------------------------------
   // D1/D2: keep-last / keep-first dedup via window row_number
   // ---------------------------------------------------------------
@@ -3139,6 +3166,7 @@ object Queries {
     "q_o_quantiles" -> oQuantiles,
     "q_o_approx_quantiles" -> oApproxQuantiles,
     "q_o_topk_per_group" -> oTopkPerGroup,
+    "q_scd2_intervals" -> scd2Intervals,
     "q_d1_dedup_keep_last" -> d1KeepLast,
     "q_d2_dedup_keep_first" -> d2KeepFirst,
     "q_p1_json_decode" -> p1JsonDecode,
@@ -3259,6 +3287,7 @@ object Queries {
     "q_o_quantiles" -> oQuantilesOracle,
     "q_o_approx_quantiles" -> oApproxQuantilesOracle,
     "q_o_topk_per_group" -> oTopkPerGroupOracle,
+    "q_scd2_intervals" -> scd2IntervalsOracle,
     "q_d1_dedup_keep_last" -> d1Oracle,
     "q_d2_dedup_keep_first" -> d2Oracle,
     "q_p1_json_decode" -> p1Oracle,

@@ -127,29 +127,40 @@ object GraphOps {
     // broadcast back onto the frame. Eager localCheckpoint — raw row
     // blocks (partitioning preserved through LogicalRDD), no
     // columnar encode/decode tax, released via the shim on exit.
+    // The small-path degree frame is shared with its node derivation
+    lazy val degAll = eCast.groupBy("src")
+      .agg(count_distinct(struct(col("dst"))).as("d"))
     lazy val eDst = {
       val dd = eCast
         .repartition(shuffleParts, col("dst"))
         .dropDuplicates("src", "dst")
-        .filter(col("src").isNotNull)
       // degree straight off the raw input (one independent pass;
       // deriving it from `dd` would recompute the dedup — column
       // pruning splits the subtrees, so nothing is reused).
       // count_distinct dedupes map-side; the struct wrapper keeps
       // null-dst edges in the count, as the deduped join-based
-      // degree did (count_distinct alone drops NULLs)
-      val deg = eCast.filter(col("src").isNotNull)
-        .groupBy("src")
-        .agg(count_distinct(struct(col("dst"))).as("d"))
-      dd.join(broadcast(deg), "src")
+      // degree did (count_distinct alone drops NULLs). LEFT join:
+      // null-src edges never match (null ≠ null), so they ride along
+      // with d = NULL — their contribution expression is NULL and
+      // sum() skips it, preserving the null-src-contributes-nothing
+      // contract while keeping their dsts visible to the node set.
+      dd.join(broadcast(degAll), Seq("src"), "left")
         .localCheckpoint(eager = true)
     }
-    // node set straight off the raw input (distinct needs no edge
-    // dedup and no src partitioning — let partial aggregation eat
-    // the duplicates before its own small shuffle); includes
-    // null-src/only-dst endpoints the contribution feed excludes
-    val nodes = edges.select(col(srcCol).cast("long").as("id"))
+    // node set: big path reads it straight off the raw input (two
+    // branches + distinct — the edge frame there excludes null-src
+    // rows); small path derives it from frames ALREADY computed —
+    // dst-distinct runs exchange-free on eDst's partitioning and the
+    // src side is the broadcast-sized degree frame (null src
+    // included: groupBy keeps the null group), so the final distinct
+    // shuffles ~|nodes| rows instead of re-scanning 2× the edges.
+    lazy val nodesRaw = edges.select(col(srcCol).cast("long").as("id"))
       .union(edges.select(col(dstCol).cast("long").as("id"))).distinct()
+    lazy val nodesSmall = eDst.select(col("dst").as("id")).distinct()
+      .unionByName(degAll.select(col("src").as("id"))).distinct()
+    // iters == 0 must not build the (checkpointed) edge frame just to
+    // list nodes — take the raw derivation there
+    def nodes = if (materialize || iters == 0) nodesRaw else nodesSmall
     val base = (scale * 150L) / 1000L
 
     // in the small path the gate guarantees node-sized frames are
