@@ -122,6 +122,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.pageRankDangling(empty, "src", "dst").count() == 0)
   }
 
+  test("pageRank: randomized differential — both paths vs an independent " +
+      "in-memory reference") {
+    // pure-Scala reference implementation: same integer fixed-point,
+    // written independently of the Spark plan shapes
+    def refRanks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val e = edges.distinct
+      val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+      val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+      var r = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 0 until iters) {
+        val contrib = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        for ((s, d) <- e)
+          contrib(d) += (r(s) * 850L) / (1000L * deg(s))
+        r = nodes.map(n => n -> (150000L + contrib(n))).toMap
+      }
+      r
+    }
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(200 + trial * 100)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(60).toLong))
+      val expected = refRanks(edges, iters = 3)
+      val df = edges.toDF("src", "dst")
+      val fused = GraphOps.pageRank(df, "src", "dst", iters = 3)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val mat = GraphOps.pageRank(df, "src", "dst", iters = 3,
+          materializeAboveBytes = 0L)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(fused == expected, s"fused path diverged on trial $trial")
+      assert(mat == expected, s"materialized path diverged on trial $trial")
+    }
+  }
+
   test("pageRank: deterministic across partitionings (exact integers)") {
     val edges = (1L to 500L).map(i => (i % 37, i % 53)).toDF("src", "dst")
     val a = GraphOps.pageRank(edges.repartition(1), "src", "dst", iters = 3)
