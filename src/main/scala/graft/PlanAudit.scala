@@ -1,5 +1,28 @@
 package graft
 object PlanAudit {
+
+  /** Entries whose CartesianProduct/BroadcastNestedLoopJoin is a
+    * BOUNDED broadcast of scalar or model-sized state, not a data×data
+    * product — the two accepted categories. The audit prints the
+    * justification inline so a flag either resolves here or is a real
+    * regression.
+    */
+  private val boundedCartesians: Map[String, String] = Map(
+    "q_asof_global" -> "1-row broadcast of the packed sorted state arrays",
+    "q_llm_pipeline_e2e" -> "broadcast scalar totals + centroid/model frames",
+    "q_llm_temp_mix" -> "broadcast per-source scalar weights (1 row each)",
+    "q_llm_tfidf" -> "broadcast corpus-size scalar (1 row)",
+    "q_llm_bm25" -> "broadcast corpus stats scalar (1 row)",
+    "q_llm_dsir" -> "broadcast distribution scalars",
+    "q_ann_ivf_topk" -> "broadcast centroid array (model state)",
+    "q_ann_ivfpq_topk" -> "broadcast centroid/codebook arrays",
+    "q_ann_ivfpq_rerank" -> "broadcast centroid/codebook arrays",
+    "q_ann_ivfpq_residual" -> "broadcast centroid/codebook arrays",
+    "q_ann_pq_topk" -> "broadcast codebook array (model state)",
+    "q_ann_cosine_topk" -> "labeled brute-force oracle tier (exact top-k baseline)",
+    "q_ann_topk_dot" -> "labeled brute-force oracle tier (exact top-k baseline)",
+    "q_emb_cluster_sample" -> "broadcast centroid array (model state)")
+
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]").config("spark.sql.shuffle.partitions", "8")
@@ -14,7 +37,13 @@ object PlanAudit {
         val bcast = "BroadcastExchange".r.findAllIn(plan).size
         val cartesian = plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
         val smj = "SortMergeJoin".r.findAllIn(plan).size
-        val flags = (if (cartesian) " CARTESIAN" else "") + (if (smj > 0) s" SMJ=$smj" else "")
+        val cartFlag =
+          if (!cartesian) ""
+          else boundedCartesians.get(name) match {
+            case Some(why) => s" CARTESIAN(bounded: $why)"
+            case None => " CARTESIAN(UNEXPLAINED)"
+          }
+        val flags = cartFlag + (if (smj > 0) s" SMJ=$smj" else "")
         println(f"AUDIT $name%-28s shuffles=$exchanges%-3d bcast=$bcast%-3d$flags")
       } catch { case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage.take(60)}") }
     }

@@ -70,20 +70,25 @@ class AsofJoinSpec extends SparkSpec {
       out(3L).contains(100L) && out(5L).contains(200L) && out(4L).contains(200L))
   }
 
-  test("global asof: broadcast == partitioned on a random corpus (gate differential)") {
+  test("global asof: broadcast == partitioned on random corpora (gate differential)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
-    val probes = (1L to 500L).map(i => (i, rnd.nextInt(2000).toLong))
-      .toDF("probe_id", "sec")
-    val states = (1L to 60L).map(i => (i + 9000L, rnd.nextInt(2000).toLong))
-      .toDF("state_id", "sec")
-      .groupBy("sec").agg(max("state_id").as("state_id"))
-    def run(thresh: Long) =
-      AsofJoin.global(probes, states, "sec", Seq("state_id"),
-          numPartitions = 5, broadcastBelowBytes = thresh)
-        .select("probe_id", "sec", "asof_state_id")
-        .collect().map(_.toString).sorted.toSeq
-    assert(run(Long.MaxValue) == run(-1L))
+    for (trial <- 1 to 3) {
+      // trial shapes: dense ties, sparse states, probes straddling the
+      // state range on both ends
+      val span = 500 * trial
+      val probes = (1L to 400L).map(i =>
+          (i, rnd.nextInt(span).toLong - 50L)).toDF("probe_id", "sec")
+      val states = (1L to 20L * trial).map(i =>
+          (i + 9000L, rnd.nextInt(span - 100).toLong)).toDF("state_id", "sec")
+        .groupBy("sec").agg(max("state_id").as("state_id"))
+      def run(thresh: Long) =
+        AsofJoin.global(probes, states, "sec", Seq("state_id"),
+            numPartitions = 5, broadcastBelowBytes = thresh)
+          .select("probe_id", "sec", "asof_state_id")
+          .collect().map(_.toString).sorted.toSeq
+      assert(run(Long.MaxValue) == run(-1L), s"paths diverged on trial $trial")
+    }
   }
 
   test("global asof: empty state side yields all-null attachments") {
