@@ -49,7 +49,11 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        # ScaleUp corpora write each table as a DIRECTORY of part files
+        src = f"{SF}/{t}.parquet"
+        if (Path(src) / "_SUCCESS").exists() or Path(src).is_dir():
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
     results = {}
