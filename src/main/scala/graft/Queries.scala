@@ -1139,7 +1139,7 @@ object Queries {
       .agg(count(lit(1)).as("n_events"))
     val w = Window.partitionBy("event_type")
       .orderBy(col("n_events").desc, col("user_id").asc)
-    counts.withColumn("rk", row_number().over(w))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
   }
   private val oTopkPerGroupOracle =
