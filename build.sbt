@@ -12,6 +12,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout, NOT through sbt's logger:
+// the driver machine-parses Bench's one-line JSON from the captured
+// tail, and the logger's "[info] " prefix broke json.load every round
+// (BENCH_r07..r10 all have parsed: null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -123,8 +123,13 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_FULL.json: $e")
     }
-    System.err.println(s"[bench] full per-query map: $full")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    // The driver captures a bounded (~2 KB) tail of the combined
+    // output and json-parses the final JSON-looking line: keep this
+    // line compact, LAST, and unprefixed (build.sbt routes forked run
+    // output straight to stdout) — and do NOT echo the ~2.5 KB full
+    // map here, it would evict the parseable line from the tail (the
+    // full map lives in BENCH_FULL.json).
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
   }
 }

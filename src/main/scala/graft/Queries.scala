@@ -887,7 +887,8 @@ object Queries {
     def step(i: Int) =
       s"""dm$i AS (
          |  SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm FROM r${i - 1}
-         |  WHERE id NOT IN (SELECT src FROM e WHERE src IS NOT NULL)),
+         |  WHERE id IS NULL
+         |     OR id NOT IN (SELECT src FROM e WHERE src IS NOT NULL)),
          |c$i AS (
          |  SELECT e.dst AS id,
          |         SUM((r.r * 850) // (1000 * deg.d)) AS s

@@ -87,12 +87,26 @@ object AsofJoin {
     *
     * Both paths produce identical rows; the differential is pinned in
     * AsofJoinSpec by forcing each side of the gate.
+    *
+    * Gate caveats: the broadcast decision trusts Catalyst's size
+    * ESTIMATE — a state side whose stats are badly underestimated
+    * (e.g. a selective filter under default column stats) would
+    * single-task a huge array build; callers with filtered state
+    * sides should pass an explicit `broadcastBelowBytes` (0 forces
+    * the partitioned path). And `sort_array` needs every state
+    * column orderable — a map-typed state column would fail the
+    * broadcast path outright — so non-orderable state dtypes fall
+    * through to the partitioned path, which carries them fine.
     */
   def global(probes: DataFrame, states: DataFrame, tsCol: String,
       stateCols: Seq[String], numPartitions: Int = 0,
       broadcastBelowBytes: Long = 8L << 20): DataFrame = {
-    if (states.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        BigInt(broadcastBelowBytes))
+    val orderable = stateCols.forall(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(states.schema(c).dataType))
+    if (orderable &&
+        states.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          BigInt(broadcastBelowBytes))
       globalBroadcast(probes, states, tsCol, stateCols)
     else globalPartitioned(probes, states, tsCol, stateCols, numPartitions)
   }

@@ -17,13 +17,24 @@ object Scale {
     * and land on one reducer, silently defeating the mitigation in
     * exactly the degenerate case it targets.
     *
-    * Determinism: the ordinal is stable for a fixed upstream
-    * partitioning (recomputing a partition replays the same ids),
-    * but Spark conservatively marks it nondeterministic, so a fetch
-    * failure downstream retries the whole stage rather than one map
-    * task. That is the accepted price of spreading identical rows;
-    * both salted operators are correct under ANY per-row salt
-    * assignment, so retry-reassigned salts never change results.
+    * Determinism: the ordinal is stable ONLY when the upstream
+    * partition order is itself deterministic (e.g. directly over a
+    * file scan, where a recomputed partition replays the same rows
+    * in the same order). Spark's indeterminate-stage rollback keys
+    * off RDD `DeterministicLevel`, which SQL nondeterministic
+    * expressions do NOT set — on a fetch failure only the missing
+    * map outputs are recomputed, and if this salt's input is itself
+    * downstream of a shuffle, the replayed partition can deliver
+    * rows in a different order, assign different salts, and let two
+    * reducers see inconsistent views of the same map output.
+    * [[saltedJoin]] is correct under ANY per-row salt assignment
+    * (consistency across retries doesn't matter — every big-side
+    * row meets exactly one copy of each match whatever salt it
+    * draws); [[saltedSum]]'s phase-1 partials need a CONSISTENT
+    * assignment, so it must not be applied directly downstream of a
+    * shuffle — salt over the deterministic source, or
+    * `sortWithinPartitions` on a deterministic key first to pin the
+    * ordinal.
     */
   private[graft] def rowSalt(salts: Int): Column =
     pmod(monotonically_increasing_id(), lit(salts.toLong))
