@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch lab for the pageRank small-path structure hunt (round 11).
+  * Times alternative single-plan formulations of the fused 3-superstep
+  * PageRank at sf0.1 without touching GraphOps. Delete or keep as an
+  * experiment log; not part of the API.
+  */
+object PrLab {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val n = if (args.length > 1) args(1).toInt else 4
+    val spark = SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_PROBE_JOBS"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            t0.put(j.jobId, System.nanoTime())
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            println(f"  [job ${j.jobId}%3d] ${(System.nanoTime() - t0.getOrDefault(j.jobId, 0L)) / 1e9}%6.3f s")
+        })
+    Queries.stageAll(spark, dir)
+    val scale = 1000000L
+    val base = 150000L
+
+    def edges = spark.read.parquet(s"$dir/lineitem.parquet").select(
+      col("l_suppkey").cast("long").as("src"),
+      col("l_partkey").cast("long").as("dst"))
+
+    // S1: current shape — dst-partitioned eager-checkpointed edge
+    // frame, broadcast contributions, composed finish plan.
+    def s1(): DataFrame =
+      graft.operators.GraphOps.pageRank(edges, "src", "dst", iters = 3)
+
+    // S2: lazy-persisted eDst (ONE action total), broadcast contribs.
+    def s2(): DataFrame = {
+      import org.apache.spark.storage.StorageLevel
+      val degAll = edges.groupBy("src")
+        .agg(count_distinct(struct(col("dst"))).as("d"))
+      val eDst = edges.repartition(32, col("dst"))
+        .dropDuplicates("src", "dst")
+        .join(broadcast(degAll), Seq("src"), "left")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nodes = eDst.select(col("dst").as("id")).distinct()
+        .unionByName(degAll.select(col("src").as("id"))).distinct()
+      def step(c0: Option[DataFrame]): DataFrame = {
+        val vExpr = c0 match {
+          case None => expr(s"(${scale}L * 850) DIV (1000 * d)")
+          case Some(_) => expr(s"((${base}L + coalesce(s, 0L)) * 850) DIV (1000 * d)")
+        }
+        val j = c0 match {
+          case None => eDst
+          case Some(c) => eDst.join(broadcast(c), eDst("src") === c("id"), "left")
+        }
+        j.select(col("dst"), vExpr.as("c"))
+          .groupBy(col("dst").as("id")).agg(sum("c").as("s"))
+      }
+      val c3 = step(Some(step(Some(step(None)))))
+      val out = nodes.join(broadcast(c3), Seq("id"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
+        .localCheckpoint(eager = true)
+      eDst.unpersist()
+      out
+    }
+
+    // S3: single aggregate to an adjacency-list frame — one shuffle of
+    // the raw edges, degree for free, supersteps explode the list.
+    def s3(): DataFrame = {
+      import org.apache.spark.storage.StorageLevel
+      val adj = edges.groupBy("src")
+        .agg(collect_set(col("dst")).as("dsts"))
+        .withColumn("d", size(col("dsts")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nodes = adj.select(explode(col("dsts")).as("id")).distinct()
+        .unionByName(adj.select(col("src").as("id"))).distinct()
+      def step(c0: Option[DataFrame]): DataFrame = {
+        val vExpr = c0 match {
+          case None => expr(s"(${scale}L * 850) DIV (1000 * d)")
+          case Some(_) => expr(s"((${base}L + coalesce(s, 0L)) * 850) DIV (1000 * d)")
+        }
+        val j = c0 match {
+          case None => adj
+          case Some(c) => adj.join(broadcast(c), adj("src") === c("id"), "left")
+        }
+        j.select(explode(col("dsts")).as("dst"), vExpr.as("c"))
+          .groupBy(col("dst").as("id")).agg(sum("c").as("s"))
+      }
+      val c3 = step(Some(step(Some(step(None)))))
+      val out = nodes.join(broadcast(c3), Seq("id"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
+        .localCheckpoint(eager = true)
+      adj.unpersist()
+      out
+    }
+
+    // S4: s2 without the final eager checkpoint (persist leaks during
+    // the measurement; hygiene question separated from speed question)
+    def s4(): DataFrame = {
+      import org.apache.spark.storage.StorageLevel
+      val degAll = edges.groupBy("src")
+        .agg(count_distinct(struct(col("dst"))).as("d"))
+      val eDst = edges.repartition(32, col("dst"))
+        .dropDuplicates("src", "dst")
+        .join(broadcast(degAll), Seq("src"), "left")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nodes = eDst.select(col("dst").as("id")).distinct()
+        .unionByName(degAll.select(col("src").as("id"))).distinct()
+      def step(c0: Option[DataFrame]): DataFrame = {
+        val vExpr = c0 match {
+          case None => expr(s"(${scale}L * 850) DIV (1000 * d)")
+          case Some(_) => expr(s"((${base}L + coalesce(s, 0L)) * 850) DIV (1000 * d)")
+        }
+        val j = c0 match {
+          case None => eDst
+          case Some(c) => eDst.join(broadcast(c), eDst("src") === c("id"), "left")
+        }
+        j.select(col("dst"), vExpr.as("c"))
+          .groupBy(col("dst").as("id")).agg(sum("c").as("s"))
+      }
+      val c3 = step(Some(step(Some(step(None)))))
+      nodes.join(broadcast(c3), Seq("id"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
+    }
+
+    val variants: Seq[(String, () => DataFrame)] =
+      Seq("s1" -> (() => s1()), "s2" -> (() => s2()), "s3" -> (() => s3()),
+        "s4" -> (() => s4()))
+    // correctness cross-check once
+    val ref = s1().collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    for ((name, f) <- variants.drop(1)) {
+      val got = f().collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      println(s"CHECK $name == s1: ${got.sameElements(ref)} (${got.length} rows)")
+    }
+    for ((name, f) <- variants; i <- 1 to n) {
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      println(f"LAB $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

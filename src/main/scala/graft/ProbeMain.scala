@@ -14,6 +14,21 @@ object ProbeMain {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROBE_JOBS=1: per-job wall/task accounting — where a
+    // multi-action operator (pagerank, as-of partitioned) spends time
+    if (sys.env.contains("SPARK_GRAFT_PROBE_JOBS"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            t0.put(j.jobId, System.nanoTime())
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val dt = (System.nanoTime() - t0.getOrDefault(j.jobId, 0L)) / 1e9
+            println(f"  [job ${j.jobId}%3d] ${dt}%6.3f s")
+          }
+        })
     graft.functions.GraftFunctions.register(spark)
     // mirror Bench attribution: corpora + shared persists staged
     // outside measured time

@@ -3012,16 +3012,22 @@ object Queries {
   // production config (changelog uploads per-batch deltas instead of
   // full snapshots, so per-batch state maintenance stays flat as state
   // grows; a 1000-executor deployment runs exactly this provider).
-  // Partition count is swept 8/16/32 per round; see the scale report
-  // for the crossover. Production sizes partitions to the cluster;
-  // semantics don't change.
+  // Partition count is SIZE-GATED off the staged input volume
+  // (partitions = 0 → pick inside the body once the staged bytes are
+  // known): the r9/r10 sweeps measured the 8→16 crossover moving with
+  // volume — 8 beats 16 at sf0.1 (every provider), 16/32 beat 8
+  // decisively at sf1 AND sf3 (SCALE_STREAM_r10.md:55-71) — because
+  // per-store fixed cost amortizes once each store holds enough
+  // sessions. Same measure-then-pick shape as pageRank/as-of/commit.
+  // Production still sizes partitions to the cluster; the gate's
+  // thresholds encode this box's sweep table.
   // trackTotalNumberOfRows=false skips the get-before-put RocksDB does
   // per state write solely to maintain the numRowsTotal metric — the
   // documented knob for write-heavy state (measured −2 s of 15-16 s in
   // both sweep orders; SCALE_STREAM_r09.md). Rehearsals that assert
   // state-row bounds run their own sessions with tracking left on.
   private val etlStreamTransactions: Q = (s, dir) =>
-    etlStreamTransactionsWith(s, dir, partitions = 8, nSlices = 8,
+    etlStreamTransactionsWith(s, dir, partitions = 0, nSlices = 8,
       rocksdb = true, changelog = true, trackRows = false)
 
   /** The streaming flagship body with the state-store knobs exposed so
@@ -3041,7 +3047,6 @@ object Queries {
     val prevProvider = s.conf.getOption(ProviderKey)
     val prevChangelog = s.conf.getOption(ChangelogKey)
     val prevTrack = s.conf.getOption(TrackKey)
-    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     if (rocksdb) {
       s.conf.set(ProviderKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -3063,6 +3068,28 @@ object Queries {
       val watch = s"$work/in"
       StreamRehearsal.stageSlices(norm.toDF(), "block_timestamp", nSlices,
         s"$work/stage", watch)
+      // Size gate (partitions = 0): pick the state-store partition
+      // count from the staged bytes the stream will actually replay.
+      // Thresholds bracket the measured sweep cells: sf0.1 staged
+      // input (≈ tens of MB) keeps 8 stores (8 wins every provider
+      // there), one decade up (sf1) 16 wins both orders, and ≥ ~3×
+      // that 32 ties/beats 16 (SCALE_STREAM_r10.md) — so 8 below
+      // 96 MiB, 16 below 480 MiB, 32 above. Must be set BEFORE the
+      // stream starts: shuffle partitions pin the state-store layout
+      // at first checkpoint.
+      val chosenParts =
+        if (partitions > 0) partitions
+        else {
+          val bytes = Option(new java.io.File(watch).listFiles())
+            .map(_.filter(_.isFile).map(_.length()).sum).getOrElse(0L)
+          val p = if (bytes < (96L << 20)) 8
+            else if (bytes < (480L << 20)) 16
+            else 32
+          System.err.println(
+            s"[stream-etl] staged ${bytes >> 20} MiB -> $p state partitions")
+          p
+        }
+      s.conf.set("spark.sql.shuffle.partitions", chosenParts.toString)
       val mx = s.read.parquet(watch).agg(max("block_timestamp")).head().getLong(0)
       Seq(
         (nSlices, graft.model.TraceRow(1L, "0xsentinel1", Some(0), Some("0xa"),

@@ -58,18 +58,21 @@ object GraphOps {
     * that dominates on small graphs (measured ~27× an unrolled-CTE
     * single plan at sf0.1). So: when the Catalyst size estimate of
     * the edge frame is ≤ `materializeAboveBytes` (and `iters` ≤ 8),
-    * the supersteps compose into ONE plan evaluated by ONE action
-    * (the final eager checkpoint) — the oracle's unrolled-CTE shape.
-    * The shared prep frame (eDeg) is lazily persisted: plan-time
-    * column pruning specializes each textual re-occurrence of a
-    * subtree differently, so ReuseExchange never matches (measured:
-    * 52 exchanges, 0 reused on the unshared form), but an
+    * the supersteps compose into ONE lazy plan run by the CALLER'S
+    * action — the oracle's unrolled-CTE shape, with zero actions
+    * inside the operator (r10 shipped an eager edge checkpoint + an
+    * eager result checkpoint here; removing both was worth ~3× wall
+    * at sf0.1 — the result was being materialized twice). The shared
+    * edge frame is lazily persisted: plan-time column pruning
+    * specializes each textual re-occurrence of a subtree
+    * differently, so ReuseExchange never matches (measured: 52
+    * exchanges, 0 reused on the unshared form), but an
     * InMemoryRelation is computed once at first use inside the
     * action and every later reference scans the cache — the same
-    * each-CTE-once evaluation DuckDB gives the oracle. The cache is
-    * released before returning; only the node-sized result blocks
-    * remain (caller may release them via
-    * `GraftShim.releaseLocalCheckpoint`).
+    * each-CTE-once evaluation DuckDB gives the oracle. The cache
+    * self-releases when the caller's first action over the returned
+    * frame completes (one-shot QueryExecutionListener; see
+    * [[releaseAfterFirstAction]]).
     *
     * Above the gate, each superstep is eagerly `localCheckpoint`ed
     * (lineage truncated, plan stays one step deep) and the previous
@@ -86,9 +89,9 @@ object GraphOps {
       materializeAboveBytes: Long = 64L << 20): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     import org.apache.spark.storage.StorageLevel
+    val edgeBytes = edges.queryExecution.optimizedPlan.stats.sizeInBytes
     val materialize = iters > LazyMaxIters ||
-      edges.queryExecution.optimizedPlan.stats.sizeInBytes >
-        BigInt(materializeAboveBytes)
+      edgeBytes > BigInt(materializeAboveBytes)
     lastMaterialized = materialize
     // ONE edge shuffle and ONE persisted frame total: hash-partition
     // by src, dedup on (src, dst) — partitioning on a subset of the
@@ -124,9 +127,16 @@ object GraphOps {
     // superstep's groupBy(dst) EXCHANGE-FREE: supersteps become
     // scan → broadcast-join → local agg, zero shuffles. The degree
     // needs one extra tiny aggregate (src grouping isn't available),
-    // broadcast back onto the frame. Eager localCheckpoint — raw row
-    // blocks (partitioning preserved through LogicalRDD), no
-    // columnar encode/decode tax, released via the shim on exit.
+    // broadcast back onto the frame. LAZY MEMORY_AND_DISK persist,
+    // NOT an eager checkpoint: the whole small path must stay ONE
+    // action (r10's eager-ckpt variant paid ~3× the single-plan wall
+    // at sf0.1 — the edge build was a second scheduled job and the
+    // final eager checkpoint materialized the result once into
+    // blocks and then again for the caller's action). The cache is
+    // computed at first use inside the caller's action and released
+    // by a one-shot listener when that action completes (below);
+    // being recomputable, a missed release degrades to recompute,
+    // never to data loss.
     // The small-path degree frame is shared with its node derivation
     lazy val degAll = eCast.groupBy("src")
       .agg(count_distinct(struct(col("dst"))).as("d"))
@@ -145,7 +155,7 @@ object GraphOps {
       // sum() skips it, preserving the null-src-contributes-nothing
       // contract while keeping their dsts visible to the node set.
       dd.join(broadcast(degAll), Seq("src"), "left")
-        .localCheckpoint(eager = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
     // node set: big path reads it straight off the raw input (two
     // branches + distinct — the edge frame there excludes null-src
@@ -198,36 +208,78 @@ object GraphOps {
             (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
     }
 
-    val (result, lastC) =
-      if (iters == 0) (finish(None), None)
-      else if (!materialize) {
-        var c = firstContribs()
-        var it = 1
-        while (it < iters) { c = nextContribs(c); it += 1 }
-        (finish(Some(c)), None)
-      } else {
-        var c = firstContribs().localCheckpoint(eager = true)
-        var it = 1
-        while (it < iters) {
-          val next = nextContribs(c).localCheckpoint(eager = true)
-          // free the previous iterate's checkpoint blocks now, not at
-          // GC: Dataset.unpersist() can't see checkpoint storage
-          org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(c)
-          c = next
-          it += 1
-        }
-        (finish(Some(c)), Some(c))
+    if (iters == 0) finish(None)
+    else if (!materialize) {
+      // ONE composed plan, ZERO actions here: the caller's first
+      // action computes the eDst cache once (every later reference
+      // scans it) and runs the supersteps; the one-shot listener
+      // releases the cache when that action completes. Re-running
+      // the returned frame after release recomputes eDst — correct,
+      // just uncached (documented trade of the single-action shape).
+      var c = firstContribs()
+      var it = 1
+      while (it < iters) { c = nextContribs(c); it += 1 }
+      val out = finish(Some(c))
+      releaseAfterFirstAction(out, eDst)
+      out
+    } else {
+      var c = firstContribs().localCheckpoint(eager = true)
+      var it = 1
+      while (it < iters) {
+        val next = nextContribs(c).localCheckpoint(eager = true)
+        // free the previous iterate's checkpoint blocks now, not at
+        // GC: Dataset.unpersist() can't see checkpoint storage
+        org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(c)
+        c = next
+        it += 1
       }
-    // ONE action runs the composed finish plan; afterwards every prep
-    // cache (and the last superstep's checkpoint) can be dropped —
-    // the checkpointed result is self-contained
-    val out = result.localCheckpoint(eager = true)
-    lastC.foreach(org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(_))
-    if (iters > 0) { // iters == 0 never built an edge frame
-      if (materialize) eDeg.unpersist()
-      else org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(eDst)
+      // the eager checkpoint makes the result self-contained, so the
+      // prep persist and the last superstep's blocks drop here
+      val out = finish(Some(c)).localCheckpoint(eager = true)
+      org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(c)
+      eDeg.unpersist()
+      out
     }
-    out
+  }
+
+  /** Unpersist `cached` as soon as the FIRST action that executes
+    * `result`'s plan completes (success or failure): a one-shot
+    * [[org.apache.spark.sql.util.QueryExecutionListener]] that matches
+    * the action's analyzed tree against `result`'s plan objects by
+    * REFERENCE (write commands embed the Dataset's own logical plan as
+    * their child; re-analysis leaves already-resolved subtrees
+    * untouched, so identity survives). This is what lets the fused
+    * small-graph path stay a single action and still not leak its
+    * prep cache. If no action ever runs — or the matcher misses (the
+    * caller transformed the frame first, breaking reference
+    * identity) — the MEMORY_AND_DISK cache lingers until session end
+    * or eviction: degraded, never wrong, since it is recomputable.
+    */
+  private def releaseAfterFirstAction(result: DataFrame,
+      cached: DataFrame): Unit = {
+    val spark = result.sparkSession
+    val markers = Seq(result.queryExecution.logical,
+      result.queryExecution.analyzed)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def fire(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+        val hit =
+          try qe.analyzed.exists(p => markers.exists(_ eq p)) ||
+            qe.logical.exists(p => markers.exists(_ eq p))
+          catch { case _: Throwable => true } // fail open: release
+        if (hit && done.compareAndSet(false, true)) {
+          cached.unpersist(false)
+          spark.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = fire(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = fire(qe)
+    }
+    spark.listenerManager.register(listener)
   }
 
   /** Shared prep for the explicit-rank variants: ONE edge shuffle
