@@ -414,20 +414,24 @@ object PipelineOps {
   def lmCoverage(df: DataFrame, idCol: String, textCol: String,
       k: Int = 1000): DataFrame = {
     val top = ngramTopK(df, textCol, k).select(col("bigram"))
+    // explode_OUTER keeps a null-bigram row for documents with no
+    // bigrams, so one doc_id aggregate covers every document and the
+    // old "join the id list back to restore empty docs" pass (an
+    // extra corpus-keyed shuffle + join) disappears: count(bigram)
+    // skips the null marker rows, the broadcast probe never matches
+    // them, and the whole scoring pass is ONE shuffle (by doc) after
+    // the tiny top-k broadcast.
     val exploded = df.select(col(idCol),
-        explode(graft.functions.VecFunctions.word_bigrams(col(textCol))).as("bigram"))
-    val counts = exploded.join(broadcast(top.withColumn("hit", lit(1L))),
+        explode_outer(graft.functions.VecFunctions.word_bigrams(col(textCol))).as("bigram"))
+    exploded.join(broadcast(top.withColumn("hit", lit(1L))),
         Seq("bigram"), "left")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"),
+      .agg(count(col("bigram")).as("n_bigrams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_common"))
-    df.select(col(idCol)).join(counts, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("n_common"), lit(0L)).as("n_common"),
-        when(coalesce(col("n_bigrams"), lit(0L)) === 0, 0L)
-          .otherwise(floor(lit(1000) * coalesce(col("n_common"), lit(0L)) /
-            col("n_bigrams")).cast("long")).as("cov_permille"))
+      .select(col(idCol), col("n_bigrams"), col("n_common"),
+        when(col("n_bigrams") === 0, 0L)
+          .otherwise(floor(lit(1000) * col("n_common") / col("n_bigrams"))
+            .cast("long")).as("cov_permille"))
   }
 
   /** Global top-k word bigrams by frequency (corpus-level n-gram

@@ -291,9 +291,20 @@ object TextOps {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // df_t as a VOCABULARY-sized aggregate joined back, not a window:
+    // the window form sorts the whole tf table by term; the aggregate
+    // form moves only map-combined (term, count) partials — vocab
+    // rows, not tf rows. No broadcast hint: AQE sees the materialized
+    // vocab stage (tiny for real corpora → broadcast-hash) and falls
+    // back to a shuffled join only if the vocabulary genuinely
+    // outgrows broadcast (web-scale noisy-token tails). The tf
+    // subtree feeding both the join and the vocab agg shares ONE
+    // exchange via stage reuse.
+    val dfT = tf.groupBy("term")
+      .agg(sum(least(col("tf"), lit(1L))).as("df_t"))  // ≡ count; see bm25TopK
     val nDocs = df.select(count(lit(1)).as("n_docs"))
     val scored = tf
-      .withColumn("df_t", count(lit(1)).over(Window.partitionBy("term")))
+      .join(dfT, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score_x", col("tf") * expr("(n_docs * 1000000) div df_t"))
     scored
@@ -325,23 +336,34 @@ object TextOps {
     * overflows 63 bits long before the corpus reaches 100 TB.
     *
     * Scale shape: identical to [[tfidfTopK]] — one explode, one
-    * (doc, term) tf shuffle, then dl (Σtf per doc) and df_t (partition
-    * row count per term) as window aggregates over the tf table itself,
-    * so the token stream is never exploded or shuffled a second time.
-    * Corpus totals come from the raw documents scan (count + Σ token
-    * counts, no explode) and join in as a 1-row broadcast, never a
-    * driver collect. The dl window is placed last so its hash(doc_id)
-    * exchange is the one the final top-k window reuses.
+    * (doc, term) tf shuffle, df_t as a vocabulary-sized aggregate
+    * joined back (AQE broadcast when the vocab is small, shuffled
+    * join when a web-scale token tail outgrows broadcast; the tf
+    * exchange feeding both sides is reused), and dl (Σtf per doc) as
+    * a window over the tf table, so the token stream is never
+    * exploded or shuffled a second time. Corpus totals come from the
+    * raw documents scan (count + Σ token counts, no explode) and
+    * join in as a 1-row broadcast, never a driver collect. The dl
+    * window is placed last so its hash(doc_id) exchange is the one
+    * the final top-k window reuses.
     */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // sum(least(tf,1)) ≡ count (tf ≥ 1 by construction) — but unlike
+    // count(1) it REFERENCES tf, so column pruning cannot specialize
+    // this branch's copy of the tf aggregate to keys-only and the two
+    // tf subtrees stay canonically identical → ONE exchange, reused
+    // (with count(1) the optimizer strips tf below, the exchanges
+    // diverge, and the explode runs twice — verified in the plan).
+    val dfT = tf.groupBy("term")
+      .agg(sum(least(col("tf"), lit(1L))).as("df_t"))
     val corpus = df.agg(count(lit(1)).as("n_docs"),
       sum(size(split(col(textCol), " "))).cast("long").as("t_tokens"))
     val scored = tf
-      .withColumn("df_t", count(lit(1)).over(Window.partitionBy("term")))
+      .join(dfT, "term")
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
       .crossJoin(broadcast(corpus))
       .withColumn("idf_x", expr("(n_docs * 1000) div df_t"))
