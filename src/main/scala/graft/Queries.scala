@@ -709,6 +709,73 @@ object Queries {
        |SELECT l_orderkey, l_linenumber, x, y, hd$bits AS hval FROM h$bits""".stripMargin
   }
 
+  // 3-D Hilbert clustering key (Skilling transform) over three
+  // lineitem dimensions — the d>2 generalization of q_layout_hilbert.
+  // The oracle unrolls Skilling's AxesToTranspose exactly: per scale
+  // q, the sequential invert/exchange sub-steps run as one CTE each
+  // (every t staged through its own column — DuckDB does no CSE),
+  // then Gray encode, the trailing-axis correction word, and the
+  // final transposed-bit interleave as a 24-term OR, so every value
+  // hash-compares bit-for-bit.
+  private val layoutHilbert3d: Q = (s, dir) => {
+    val pts = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey").as("x"), col("l_suppkey").as("y"),
+      (col("l_orderkey") % 251).as("z"))
+    pts.withColumn("hval",
+      graft.operators.Layout.hilbertValue3(col("x"), col("y"), col("z"),
+        bits = 8))
+  }
+  private val layoutHilbert3dOracle: String = {
+    val bits = 8
+    val mask = (1L << bits) - 1
+    val keep = "l_orderkey, l_linenumber, x, y, z"
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    var idx = 0
+    var cur = "s0"
+    def emit(cols: String): Unit = {
+      idx += 1
+      ctes += s"s$idx AS (\n  SELECT $keep, $cols\n  FROM $cur)"
+      cur = s"s$idx"
+    }
+    // inverse undo: q = 2^(bits-1) .. 2; per q the i-loop runs
+    // sequentially — i = 0 touches only a; i >= 1 exchanges (a, w)
+    // through a staged t word (t = p-invert in the THEN branch so `a`
+    // unconditionally xors t)
+    for (qi <- (bits - 1) to 1 by -1) {
+      val q = 1L << qi
+      val p = q - 1
+      emit(s"CASE WHEN (a & $q) <> 0 THEN xor(a, $p) ELSE a END AS a, b, c")
+      emit(s"a, b, c, CASE WHEN (b & $q) <> 0 THEN $p ELSE xor(a, b) & $p END AS t")
+      emit(s"xor(a, t) AS a, CASE WHEN (b & $q) <> 0 THEN b ELSE xor(b, t) END AS b, c")
+      emit(s"a, b, c, CASE WHEN (c & $q) <> 0 THEN $p ELSE xor(a, c) & $p END AS t")
+      emit(s"xor(a, t) AS a, b, CASE WHEN (c & $q) <> 0 THEN c ELSE xor(c, t) END AS c")
+    }
+    // Gray encode (sequential), then the trailing-axis correction word
+    emit("a, xor(b, a) AS b, c")
+    emit("a, b, xor(c, b) AS c")
+    val tTerms = ((bits - 1) to 1 by -1).map { qi =>
+      val q = 1L << qi
+      s"(CASE WHEN (c & $q) <> 0 THEN ${q - 1} ELSE 0 END)"
+    }
+    emit(s"a, b, c, ${tTerms.reduce((l, r) => s"xor($l, $r)")} AS t")
+    emit("xor(a, t) AS a, xor(b, t) AS b, xor(c, t) AS c")
+    // transposed-bit interleave: bit j of axis i -> position j*3+(2-i)
+    val hTerms = for {
+      j <- 0 until bits
+      (w, i) <- Seq("a", "b", "c").zipWithIndex
+    } yield s"(((${w} >> $j) & 1) << ${j * 3 + (2 - i)})"
+    s"""WITH pts AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey AS x, l_suppkey AS y,
+       |         l_orderkey % 251 AS z
+       |  FROM lineitem),
+       |s0 AS (
+       |  SELECT $keep, x & $mask AS a, y & $mask AS b, z & $mask AS c
+       |  FROM pts),
+       |${ctes.mkString(",\n")}
+       |SELECT $keep, ${hTerms.mkString(" | ")} AS hval FROM $cur""".stripMargin
+  }
+
   // Small-file compaction planning over a deterministic synthetic
   // manifest (group/path/bytes derived from orders): one window pass
   // assigns each file to a ~target-sized merge bin. The operator runs
@@ -3180,6 +3247,7 @@ object Queries {
     "q_range_join" -> rangeJoin,
     "q_layout_zorder" -> layoutZorder,
     "q_layout_hilbert" -> layoutHilbert,
+    "q_layout_hilbert3d" -> layoutHilbert3d,
     "q_layout_compaction" -> layoutCompaction,
     "q_layout_compact_exec" -> layoutCompactExec,
     "q_scale_salted_agg" -> scaleSaltedAgg,
@@ -3301,6 +3369,7 @@ object Queries {
     "q_range_join" -> rangeJoinOracle,
     "q_layout_zorder" -> layoutZorderOracle,
     "q_layout_hilbert" -> layoutHilbertOracle,
+    "q_layout_hilbert3d" -> layoutHilbert3dOracle,
     "q_layout_compaction" -> layoutCompactionOracle,
     "q_layout_compact_exec" -> layoutCompactExecOracle,
     "q_scale_salted_agg" -> scaleSaltedAggOracle,

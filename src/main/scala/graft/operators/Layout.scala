@@ -78,9 +78,20 @@ object Layout {
   def hilbertValue(x: Column, y: Column, bits: Int = 16): Column =
     graft.functions.SpaceFillFunctions.hilbert2d(x, y, bits)
 
+  /** 3-D Hilbert index via the Skilling transform
+    * ([[graft.functions.SpaceFill.hilbertD]] — bijective and
+    * neighbour-adjacent like the 2-D walk; a DIFFERENT curve
+    * orientation than [[hilbertValue]], don't mix codes within one
+    * layout). The JVM kernel generalizes to any d (d·bits ≤ 62);
+    * 2-D and 3-D are the column-level arities.
+    */
+  def hilbertValue3(x: Column, y: Column, z: Column,
+      bits: Int = 16): Column =
+    graft.functions.SpaceFillFunctions.hilbert3d(x, y, z, bits)
+
   /** [[clusterByZorder]] with the Hilbert index as the clustering key
-    * (two dimensions — the curve generalizes to more, the kernel is
-    * 2-D today).
+    * (two or three dimensions; [[hilbertValue3]]'s kernel covers
+    * d > 3 for library callers).
     */
   def clusterByHilbert(df: DataFrame, xCol: String, yCol: String,
       numFiles: Int, bits: Int = 16): DataFrame =

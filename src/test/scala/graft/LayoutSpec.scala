@@ -85,6 +85,68 @@ class LayoutSpec extends SparkSpec {
       SpaceFill.hilbert2d(3L, 7L, 5))
   }
 
+  test("hilbertD (Skilling): bijection + neighbour adjacency at d=3 and d=4") {
+    import graft.functions.SpaceFill
+    // d=3, bits=3: full 8x8x8 grid, 512 cells
+    val byD3 = (for (x <- 0L until 8L; y <- 0L until 8L; z <- 0L until 8L)
+      yield SpaceFill.hilbertD(Array(x, y, z), 3) -> ((x, y, z))).toMap
+    assert(byD3.size == 512, "d=3 index must be a bijection over the grid")
+    assert(byD3.keySet == (0L until 512L).toSet)
+    for (d <- 0L until 511L) {
+      val (x1, y1, z1) = byD3(d); val (x2, y2, z2) = byD3(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+        s"jump at d=$d: ($x1,$y1,$z1) -> ($x2,$y2,$z2)")
+    }
+    // d=4, bits=2: full 4^4 grid, 256 cells
+    val byD4 = (for (x <- 0L until 4L; y <- 0L until 4L;
+        z <- 0L until 4L; w <- 0L until 4L)
+      yield SpaceFill.hilbertD(Array(x, y, z, w), 2) -> Seq(x, y, z, w)).toMap
+    assert(byD4.size == 256 && byD4.keySet == (0L until 256L).toSet)
+    for (d <- 0L until 255L)
+      assert(byD4(d).zip(byD4(d + 1)).map { case (a, b) => math.abs(a - b) }.sum == 1,
+        s"d=4 jump at $d")
+    // masking contract and the fixed-arity 3-D wrapper
+    assert(SpaceFill.hilbertD(Array(8L + 3L, 16L + 5L, 24L + 7L), 3) ==
+      SpaceFill.hilbertD(Array(3L, 5L, 7L), 3))
+    assert(SpaceFill.hilbert3d(3L, 5L, 7L, 3) ==
+      SpaceFill.hilbertD(Array(3L, 5L, 7L), 3))
+  }
+
+  test("hilbertValue3 column == kernel; tighter 3-D chunk boxes than Morton") {
+    import graft.functions.SpaceFill
+    val pts = (for (x <- 0L until 16L; y <- 0L until 16L; z <- 0L until 16L)
+      yield (x, y, z)).toDF("x", "y", "z")
+    val viaCol = pts.withColumn("h",
+        Layout.hilbertValue3(col("x"), col("y"), col("z"), bits = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(viaCol.size == 4096)
+    assert(viaCol((13L, 7L, 2L)) == SpaceFill.hilbert3d(13L, 7L, 2L, 4))
+    // bbox-locality: sort the grid by each code, cut into equal chunks
+    // (= files) whose size is NOT octree-aligned (at power-of-two
+    // chunk sizes both curves give perfect cubes and the comparison
+    // degenerates), sum the chunk bounding-box VOLUMES — the Hilbert
+    // layout's per-file boxes must not be looser than Morton's
+    def boxVolumeSum(key: (Long, Long, Long) => Long): Long = {
+      val sorted = (for (x <- 0L until 16L; y <- 0L until 16L; z <- 0L until 16L)
+        yield (x, y, z)).sortBy { case (x, y, z) => key(x, y, z) }
+      sorted.grouped(100).map { chunk =>
+        def span(f: ((Long, Long, Long)) => Long) =
+          chunk.map(f).max - chunk.map(f).min + 1
+        span(_._1) * span(_._2) * span(_._3)
+      }.sum
+    }
+    val hVol = boxVolumeSum(SpaceFill.hilbert3d(_, _, _, 4))
+    val zVol = boxVolumeSum { (x, y, z) =>
+      (0 until 4).map { i =>
+        (((x >> i) & 1L) << (3 * i)) | (((y >> i) & 1L) << (3 * i + 1)) |
+          (((z >> i) & 1L) << (3 * i + 2))
+      }.reduce(_ | _)
+    }
+    info(s"3-D bbox-volume sum: hilbert = $hVol vs morton = $zVol")
+    assert(hVol <= zVol, s"hilbert boxes looser than morton: $hVol vs $zVol")
+  }
+
   test("hilbertValue column == kernel; clusterByHilbert bounds both dims") {
     import graft.functions.SpaceFill
     val pts = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
