@@ -1249,6 +1249,74 @@ object Queries {
       |         THEN 1 ELSE 0 END AS INT) AS is_current
       |FROM ev""".stripMargin
 
+  // SCD-2 MERGE-APPLY (the incremental twin of q_scd2_intervals):
+  // the corpus is split at its midpoint timestamp into an existing
+  // temporal table (built from the first half) and a change batch
+  // (the second half); Scd2.mergeApply closes each touched key's open
+  // row at the key's first effective change and chains the new
+  // intervals. The split scalar is computed IN-PLAN ((min+max) DIV 2,
+  // one broadcast row) so both engines derive it identically; users
+  // whose events all land after the midpoint exercise the new-key
+  // path (no open row to close). Oracle = the same close-then-insert
+  // merge as DuckDB CTEs. Idempotence/staleness are pinned in
+  // Scd2Spec (re-applying a merged batch is a no-op).
+  private val scd2Merge: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("sec"), col("event_type"), col("event_id"))
+    val mid = ev.agg(expr("(min(sec) + max(sec)) DIV 2").as("mid"))
+    val evM = ev.crossJoin(broadcast(mid))
+    val baseEv = evM.filter(col("sec") <= col("mid"))
+      .select(col("user_id"), col("sec").as("valid_from"),
+        col("event_type"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("valid_from"), col("event_id"))
+    val base = baseEv.withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+    val delta = evM.filter(col("sec") > col("mid"))
+      .select(col("user_id"), col("sec").as("ts"),
+        col("event_type"), col("event_id"))
+    graft.operators.Scd2.mergeApply(base, delta, Seq("user_id"),
+        Seq("event_type", "event_id"), tieCols = Seq("event_id"))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+  }
+  private val scd2MergeOracle =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         event_type, event_id
+      |  FROM events),
+      |mm AS (SELECT (min(sec) + max(sec)) // 2 AS mid FROM ev),
+      |base AS (
+      |  SELECT user_id, sec AS valid_from, event_type, event_id,
+      |         lead(sec, 1) OVER (PARTITION BY user_id
+      |           ORDER BY sec, event_id) AS valid_to
+      |  FROM ev, mm WHERE sec <= mid),
+      |delta AS (
+      |  SELECT user_id, sec AS ts, event_type, event_id
+      |  FROM ev, mm WHERE sec > mid),
+      |opn AS (SELECT * FROM base WHERE valid_to IS NULL),
+      |closed AS (SELECT * FROM base WHERE valid_to IS NOT NULL),
+      |eff AS (
+      |  SELECT d.user_id, d.ts, d.event_type, d.event_id
+      |  FROM delta d LEFT JOIN opn o ON d.user_id = o.user_id
+      |  WHERE o.valid_from IS NULL OR d.ts > o.valid_from),
+      |effiv AS (
+      |  SELECT user_id, ts AS valid_from, event_type, event_id,
+      |         lead(ts, 1) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS valid_to
+      |  FROM eff),
+      |fst AS (SELECT user_id, min(ts) AS first_ts FROM eff GROUP BY 1),
+      |openadj AS (
+      |  SELECT o.user_id, o.valid_from, o.event_type, o.event_id,
+      |         coalesce(f.first_ts, o.valid_to) AS valid_to
+      |  FROM opn o LEFT JOIN fst f ON o.user_id = f.user_id),
+      |merged AS (
+      |  SELECT * FROM closed UNION ALL
+      |  SELECT * FROM openadj UNION ALL
+      |  SELECT * FROM effiv)
+      |SELECT user_id, valid_from, event_type, event_id, valid_to,
+      |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+      |         AS is_current
+      |FROM merged""".stripMargin
+
   // ---------------------------------------------------------------
   // D1/D2: keep-last / keep-first dedup via window row_number
   // ---------------------------------------------------------------
@@ -3263,6 +3331,7 @@ object Queries {
     "q_o_approx_quantiles" -> oApproxQuantiles,
     "q_o_topk_per_group" -> oTopkPerGroup,
     "q_scd2_intervals" -> scd2Intervals,
+    "q_scd2_merge" -> scd2Merge,
     "q_d1_dedup_keep_last" -> d1KeepLast,
     "q_d2_dedup_keep_first" -> d2KeepFirst,
     "q_p1_json_decode" -> p1JsonDecode,
@@ -3385,6 +3454,7 @@ object Queries {
     "q_o_approx_quantiles" -> oApproxQuantilesOracle,
     "q_o_topk_per_group" -> oTopkPerGroupOracle,
     "q_scd2_intervals" -> scd2IntervalsOracle,
+    "q_scd2_merge" -> scd2MergeOracle,
     "q_d1_dedup_keep_last" -> d1Oracle,
     "q_d2_dedup_keep_first" -> d2Oracle,
     "q_p1_json_decode" -> p1Oracle,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type 2 maintenance: apply a CHANGESET to
+  * an existing temporal table — the MERGE shape real pipelines run on
+  * every batch (the interval BUILD from scratch is `q_scd2_intervals`;
+  * this is the incremental twin that keeps a 100 TB dimension current
+  * without rebuilding it).
+  *
+  * Table contract: one row per (key, version) with `[fromCol, toCol)`
+  * validity; `toCol IS NULL` marks the single open (current) row per
+  * key. Changeset contract: one row per (key, tsCol) — callers dedupe
+  * first (e.g. keep-last per key+ts); ties within a key at equal ts
+  * are ordered by `tieCols` so the interval chain is deterministic.
+  *
+  * Semantics (close-then-insert with staleness protection):
+  *   - a delta row is EFFECTIVE iff its key has no open row, or its
+  *     ts is strictly after the open row's `fromCol` — stale/replayed
+  *     changes (at or before the current version's effective time)
+  *     are dropped, which makes the merge IDEMPOTENT: re-applying a
+  *     batch already merged is a no-op (every ts ≤ the new open
+  *     row's `fromCol`);
+  *   - each touched key's open row is closed at the key's FIRST
+  *     effective delta ts;
+  *   - effective delta rows become the key's new interval chain
+  *     (lead() per key; last one open);
+  *   - closed history and untouched open rows pass through unchanged.
+  *
+  * Scale shape: everything is keyed on `keyCols` — one shuffle for
+  * the per-key delta window, one aggregate for the first-ts frame
+  * (map-combined, key-sized output), and two key-equi joins that AQE
+  * broadcasts when the changeset is small (the common case: a batch
+  * of changes against a huge dimension — the big base side is never
+  * shuffled for them) and shuffles otherwise. No windows over the
+  * base table: history rows stream through untouched.
+  */
+object Scd2 {
+
+  def mergeApply(base: DataFrame, delta: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], fromCol: String = "valid_from",
+      toCol: String = "valid_to", tsCol: String = "ts",
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "mergeApply needs at least one key column")
+    val k = keyCols.map(col)
+    val outCols = (keyCols ++ Seq(fromCol) ++ attrCols ++ Seq(toCol)).map(col)
+    val open = base.filter(col(toCol).isNull)
+    val closed = base.filter(col(toCol).isNotNull)
+    // staleness gate: joins only the key-sized open-row metadata
+    val openMeta = open.select((k :+ col(fromCol).as("_graft_open_from")): _*)
+    val eff = delta.join(openMeta, keyCols, "left")
+      .filter(col("_graft_open_from").isNull ||
+        col(tsCol) > col("_graft_open_from"))
+      .drop("_graft_open_from")
+    // new interval chain per touched key (tie columns ride along for
+    // the window order even when they are not output attributes)
+    val extraTies = tieCols.filterNot(c =>
+      attrCols.contains(c) || keyCols.contains(c) || c == tsCol)
+    val effIv = eff
+      .select((k ++ Seq(col(tsCol).as(fromCol)) ++
+        (attrCols ++ extraTies).map(col)): _*)
+      .withColumn(toCol, lead(col(fromCol), 1).over(
+        Window.partitionBy(k: _*)
+          .orderBy((col(fromCol) +: tieCols.map(col)): _*)))
+    // close each touched open row at the key's first effective ts;
+    // untouched open rows keep toCol NULL through the coalesce
+    val firstTs = eff.groupBy(k: _*).agg(min(col(tsCol)).as("_graft_first_ts"))
+    val openAdj = open.join(firstTs, keyCols, "left")
+      .withColumn(toCol, coalesce(col("_graft_first_ts"), col(toCol)))
+      .drop("_graft_first_ts")
+    closed.select(outCols: _*)
+      .unionByName(openAdj.select(outCols: _*))
+      .unionByName(effIv.select(outCols: _*))
+  }
+}

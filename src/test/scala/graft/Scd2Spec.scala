@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Scd2
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+/** SCD-2 merge-apply semantics: close-then-insert, staleness gate,
+  * new keys, untouched keys, and MERGE idempotence (re-applying an
+  * already-merged batch is a no-op).
+  */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  // base: k1 has history [10,20) 'a' + open [20,∞) 'b'; k2 open-only;
+  // k3 absent (new-key case); k4 open, untouched by any delta
+  private def base: DataFrame = Seq(
+    ("k1", 10L, "a", Some(20L)),
+    ("k1", 20L, "b", None),
+    ("k2", 5L, "x", None),
+    ("k4", 7L, "q", None)
+  ).toDF("k", "valid_from", "v", "valid_to")
+    .withColumn("valid_to", col("valid_to").cast("long"))
+
+  private def delta: DataFrame = Seq(
+    ("k1", 30L, "c"), ("k1", 40L, "d"), // two chained changes
+    ("k2", 5L, "y"),                    // STALE: ts == open valid_from
+    ("k3", 15L, "n")                    // new key, no open row
+  ).toDF("k", "ts", "v")
+
+  private def merged: DataFrame =
+    Scd2.mergeApply(base, delta, Seq("k"), Seq("v"))
+
+  private def rows(df: DataFrame): Set[(String, Long, String, Option[Long])] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+
+  test("close-then-insert, staleness gate, new key, untouched key") {
+    val got = rows(merged.select("k", "valid_from", "v", "valid_to"))
+    assert(got == Set(
+      ("k1", 10L, "a", Some(20L)),  // closed history untouched
+      ("k1", 20L, "b", Some(30L)),  // open row closed at first delta
+      ("k1", 30L, "c", Some(40L)),  // chained
+      ("k1", 40L, "d", None),       // new open row
+      ("k2", 5L, "x", None),        // stale delta dropped -> still open
+      ("k3", 15L, "n", None),       // new key: inserted open
+      ("k4", 7L, "q", None)         // untouched key passes through
+    ))
+    // exactly one open row per surviving key
+    val opens = merged.filter(col("valid_to").isNull)
+      .groupBy("k").count().collect().map(_.getLong(1))
+    assert(opens.forall(_ == 1L))
+  }
+
+  test("idempotence: re-applying the same batch is a no-op") {
+    val once = merged
+    val twice = Scd2.mergeApply(once, delta, Seq("k"), Seq("v"))
+    assert(rows(twice.select("k", "valid_from", "v", "valid_to")) ==
+      rows(once.select("k", "valid_from", "v", "valid_to")))
+  }
+
+  test("equal-ts delta ties are ordered by tieCols deterministically") {
+    val d2 = Seq(("k9", 50L, "b2", 2L), ("k9", 50L, "a1", 1L))
+      .toDF("k", "ts", "v", "tie")
+    val b0 = Seq.empty[(String, Long, String, Option[Long])]
+      .toDF("k", "valid_from", "v", "valid_to")
+      .withColumn("valid_to", col("valid_to").cast("long"))
+    val out = Scd2.mergeApply(b0, d2, Seq("k"), Seq("v"), tieCols = Seq("tie"))
+      .orderBy("valid_from", "v").collect()
+    // tie=1 comes first: a1 holds [50,50), b2 is the open row
+    assert(out.map(_.getString(2)).toSeq == Seq("a1", "b2"))
+    assert(out(0).getLong(3) == 50L && out(1).isNullAt(3))
+  }
+}
