@@ -276,15 +276,17 @@ object TextOps {
     * ties broken by term.
     *
     * Scale shape: the term explode is a map that feeds exactly ONE
-    * (doc, term) hash-agg shuffle. The document-frequency leg is a
-    * window `count(*)` partitioned by term over the tf table itself
-    * (tf rows are distinct (doc, term) pairs, so the partition row
-    * count IS the distinct-document count) — the token stream is never
-    * exploded a second time, and everything after the tf aggregate
-    * moves only vocabulary×doc-sized rows. The corpus size comes from
-    * the raw documents scan (a count, no explode) and joins in as a
-    * 1-row broadcast, never a driver-side collect; the final top-k is
-    * a per-doc window over the already tf-aggregated rows.
+    * (doc, term) hash-agg shuffle — AQE stage reuse collapses the
+    * vocab leg's copy of that subtree into a ReusedExchange at
+    * runtime (pinned by PlanShapeSpec on the final adaptive plan).
+    * The document-frequency leg is a vocabulary-sized aggregate
+    * joined back onto the tf table (AQE broadcasts it when small,
+    * shuffled join if a web-scale token tail outgrows broadcast), so
+    * everything after the tf aggregate moves only vocabulary- and
+    * doc-sized rows. The corpus size comes from the raw documents
+    * scan (a count, no explode) and joins in as a 1-row broadcast,
+    * never a driver-side collect; the final top-k is a per-doc window
+    * over the already tf-aggregated rows.
     */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
