@@ -131,9 +131,75 @@ object PrLab {
         .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
     }
 
+    // S5: single-task in-memory kernel — the gate guarantees the edge
+    // frame is tiny, so run dedup/degree/supersteps imperatively in
+    // ONE task: scan → coalesce(1) → mapPartitions. Zero exchanges,
+    // zero broadcasts, zero caches.
+    def s5(): DataFrame = {
+      import spark.implicits._
+      edges.as[(Option[Long], Option[Long])].coalesce(1).mapPartitions { it =>
+        val seen = new java.util.HashSet[(Option[Long], Option[Long])]()
+        val deg = new java.util.HashMap[Option[Long], Long]()
+        val adj = new scala.collection.mutable.ArrayBuffer[(Option[Long], Option[Long])]()
+        val nodes = new java.util.HashSet[Option[Long]]()
+        while (it.hasNext) {
+          val e = it.next()
+          if (seen.add(e)) {
+            nodes.add(e._1); nodes.add(e._2)
+            if (e._1.isDefined) { deg.merge(e._1, 1L, _ + _); adj += e }
+          }
+        }
+        var contrib = new java.util.HashMap[Option[Long], Long]()
+        var t = 0
+        while (t < 3) {
+          val next = new java.util.HashMap[Option[Long], Long]()
+          adj.foreach { case (s, d) =>
+            val r = if (t == 0) scale else base + contrib.getOrDefault(s, 0L)
+            next.merge(d, (r * 850L) / (1000L * deg.get(s)), _ + _)
+          }
+          contrib = next; t += 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Option[Long], Long)](nodes.size())
+        nodes.forEach(n => out += ((n, base + contrib.getOrDefault(n, 0L))))
+        out.iterator
+      }.toDF("id", "rank")
+    }
+
+    // S6: like S5 but parallel scan feeding ONE exchange into the
+    // single compute task (repartition(1) instead of coalesce(1)).
+    def s6(): DataFrame = {
+      import spark.implicits._
+      edges.as[(Option[Long], Option[Long])].repartition(1).mapPartitions { it =>
+        val seen = new java.util.HashSet[(Option[Long], Option[Long])]()
+        val deg = new java.util.HashMap[Option[Long], Long]()
+        val adj = new scala.collection.mutable.ArrayBuffer[(Option[Long], Option[Long])]()
+        val nodes = new java.util.HashSet[Option[Long]]()
+        while (it.hasNext) {
+          val e = it.next()
+          if (seen.add(e)) {
+            nodes.add(e._1); nodes.add(e._2)
+            if (e._1.isDefined) { deg.merge(e._1, 1L, _ + _); adj += e }
+          }
+        }
+        var contrib = new java.util.HashMap[Option[Long], Long]()
+        var t = 0
+        while (t < 3) {
+          val next = new java.util.HashMap[Option[Long], Long]()
+          adj.foreach { case (s, d) =>
+            val r = if (t == 0) scale else base + contrib.getOrDefault(s, 0L)
+            next.merge(d, (r * 850L) / (1000L * deg.get(s)), _ + _)
+          }
+          contrib = next; t += 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Option[Long], Long)](nodes.size())
+        nodes.forEach(n => out += ((n, base + contrib.getOrDefault(n, 0L))))
+        out.iterator
+      }.toDF("id", "rank")
+    }
+
     val variants: Seq[(String, () => DataFrame)] =
       Seq("s1" -> (() => s1()), "s2" -> (() => s2()), "s3" -> (() => s3()),
-        "s4" -> (() => s4()))
+        "s4" -> (() => s4()), "s5" -> (() => s5()), "s6" -> (() => s6()))
     // correctness cross-check once
     val ref = s1().collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     for ((name, f) <- variants.drop(1)) {
@@ -145,6 +211,16 @@ object PrLab {
       f().write.format("noop").mode("overwrite").save()
       println(f"LAB $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // same variants with AQE disabled for build+execution: the fused
+    // small path has no skew/stats decisions left for AQE to make, so
+    // every adaptive stage barrier is pure scheduling overhead here
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    for ((name, f) <- variants; i <- 1 to n) {
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      println(f"LAB $name-noaqe run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.stop()
   }
 }

@@ -13,13 +13,6 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Below this many supersteps the fused single-plan path stays
-    * shallow enough that analysis/codegen cost is negligible; above
-    * it the materialized path is forced regardless of input size
-    * (the composed plan nests per superstep).
-    */
-  private val LazyMaxIters = 8
-
   /** Which path the most recent [[pageRank]] call took (true =
     * per-superstep materialization). Observability for specs and the
     * scale rehearsal; not part of the API contract.
@@ -34,7 +27,7 @@ object GraphOps {
     * engines, partitionings, and run counts (a double-arithmetic
     * PageRank can't be oracle-compared; this one can).
     *
-    * Shuffle shape: edges are shuffled ONCE total — hash-partitioned
+    * Shuffle shape (distributed path): edges are shuffled ONCE total — hash-partitioned
     * by src, then deduped and out-degree-counted (a COUNT window over
     * the same partitioning) exchange-free. The iterated state is the CONTRIBUTION frame
     * `c_t(id) = Σ incoming contributions`, not the rank frame: ranks
@@ -52,27 +45,27 @@ object GraphOps {
     * leaks, matching the reference's fixed-iteration form. Sink-only
     * nodes hold the base rank.
     *
-    * Size-gated materialization: iterating frames must not re-derive
-    * their whole prefix DAG, but eagerly materializing every
-    * superstep costs one scheduled job each — pure fixed overhead
-    * that dominates on small graphs (measured ~27× an unrolled-CTE
-    * single plan at sf0.1). So: when the Catalyst size estimate of
-    * the edge frame is ≤ `materializeAboveBytes` (and `iters` ≤ 8),
-    * the supersteps compose into ONE lazy plan run by the CALLER'S
-    * action — the oracle's unrolled-CTE shape, with zero actions
-    * inside the operator (r10 shipped an eager edge checkpoint + an
-    * eager result checkpoint here; removing both was worth ~3× wall
-    * at sf0.1 — the result was being materialized twice). The shared
-    * edge frame is lazily persisted: plan-time column pruning
-    * specializes each textual re-occurrence of a subtree
-    * differently, so ReuseExchange never matches (measured: 52
-    * exchanges, 0 reused on the unshared form), but an
-    * InMemoryRelation is computed once at first use inside the
-    * action and every later reference scans the cache — the same
-    * each-CTE-once evaluation DuckDB gives the oracle. The cache
-    * self-releases when the caller's first action over the returned
-    * frame completes (one-shot QueryExecutionListener; see
-    * [[releaseAfterFirstAction]]).
+    * Size-gated execution: iterating frames must not re-derive their
+    * whole prefix DAG, but every distributed formulation of the
+    * supersteps pays per-execution fixed costs (stage scheduling,
+    * broadcast barriers, a shared-edge-frame cache build) that
+    * dominate on small graphs — the r10 fused composed plan measured
+    * ~1.1-2.3 s at sf0.1 where the whole computation is ~2M integer
+    * ops. So below the gate (Catalyst size estimate of the edge frame
+    * ≤ `materializeAboveBytes`) the operator runs as a SINGLE-TASK
+    * in-memory kernel: `coalesce(1)` (narrow — no exchange) feeds one
+    * `mapPartitions` task that dedups, degree-counts and runs all
+    * supersteps imperatively, in the exact same integer arithmetic —
+    * bit-identical to the distributed path (pinned by the gate-flip
+    * and randomized-differential specs), ~0.8 s flat at sf0.1 with no
+    * warm-up cliff. Same collapse-when-tiny philosophy as the as-of
+    * join's broadcast+binary-search path and the dedup-cluster
+    * driver union-find: below the gate single-node IS the optimal
+    * plan, and the distributed path stays the only path above it.
+    * `coalesce(1)` over a multi-hundred-GB frame would be a
+    * scale-killer — that is exactly what the size gate exists to
+    * prevent, and the materialized path is gate-rehearsed (sf10
+    * engages it; SCALE_STREAM_r10.md).
     *
     * Above the gate, each superstep is eagerly `localCheckpoint`ed
     * (lineage truncated, plan stays one step deep) and the previous
@@ -90,17 +83,8 @@ object GraphOps {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     import org.apache.spark.storage.StorageLevel
     val edgeBytes = edges.queryExecution.optimizedPlan.stats.sizeInBytes
-    val materialize = iters > LazyMaxIters ||
-      edgeBytes > BigInt(materializeAboveBytes)
+    val materialize = edgeBytes > BigInt(materializeAboveBytes)
     lastMaterialized = materialize
-    // ONE edge shuffle and ONE persisted frame total: hash-partition
-    // by src, dedup on (src, dst) — partitioning on a subset of the
-    // dedup keys satisfies the aggregate's clustering requirement —
-    // then the out-degree comes from a COUNT window over the same
-    // src partitioning (a local sort, no self-join, no second
-    // derivation of the edge subtree). The inner-join-on-src shape
-    // the window replaces also dropped null-src edges from the
-    // contribution feed; the explicit filter keeps that contract.
     val shuffleParts =
       edges.sparkSession.sessionState.conf.numShufflePartitions
     val srcWin = org.apache.spark.sql.expressions.Window.partitionBy("src")
@@ -121,73 +105,19 @@ object GraphOps {
       .filter(col("src").isNotNull)
       .withColumn("d", count(lit(1)).over(srcWin))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // small path: partition by DST instead — the rank side of every
-    // superstep join is broadcast (gate-guaranteed small), so src
-    // clustering buys nothing, while dst clustering makes every
-    // superstep's groupBy(dst) EXCHANGE-FREE: supersteps become
-    // scan → broadcast-join → local agg, zero shuffles. The degree
-    // needs one extra tiny aggregate (src grouping isn't available),
-    // broadcast back onto the frame. LAZY MEMORY_AND_DISK persist,
-    // NOT an eager checkpoint: the whole small path must stay ONE
-    // action (r10's eager-ckpt variant paid ~3× the single-plan wall
-    // at sf0.1 — the edge build was a second scheduled job and the
-    // final eager checkpoint materialized the result once into
-    // blocks and then again for the caller's action). The cache is
-    // computed at first use inside the caller's action and released
-    // by a one-shot listener when that action completes (below);
-    // being recomputable, a missed release degrades to recompute,
-    // never to data loss.
-    // The small-path degree frame is shared with its node derivation
-    lazy val degAll = eCast.groupBy("src")
-      .agg(count_distinct(struct(col("dst"))).as("d"))
-    lazy val eDst = {
-      val dd = eCast
-        .repartition(shuffleParts, col("dst"))
-        .dropDuplicates("src", "dst")
-      // degree straight off the raw input (one independent pass;
-      // deriving it from `dd` would recompute the dedup — column
-      // pruning splits the subtrees, so nothing is reused).
-      // count_distinct dedupes map-side; the struct wrapper keeps
-      // null-dst edges in the count, as the deduped join-based
-      // degree did (count_distinct alone drops NULLs). LEFT join:
-      // null-src edges never match (null ≠ null), so they ride along
-      // with d = NULL — their contribution expression is NULL and
-      // sum() skips it, preserving the null-src-contributes-nothing
-      // contract while keeping their dsts visible to the node set.
-      dd.join(broadcast(degAll), Seq("src"), "left")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    }
-    // node set: big path reads it straight off the raw input (two
-    // branches + distinct — the edge frame there excludes null-src
-    // rows); small path derives it from frames ALREADY computed —
-    // dst-distinct runs exchange-free on eDst's partitioning and the
-    // src side is the broadcast-sized degree frame (null src
-    // included: groupBy keeps the null group), so the final distinct
-    // shuffles ~|nodes| rows instead of re-scanning 2× the edges.
+    // node set off the raw input: two branches + distinct (the edge
+    // frame excludes null-src rows, so it can't source the node set)
     lazy val nodesRaw = edges.select(col(srcCol).cast("long").as("id"))
       .union(edges.select(col(dstCol).cast("long").as("id"))).distinct()
-    lazy val nodesSmall = eDst.select(col("dst").as("id")).distinct()
-      .unionByName(degAll.select(col("src").as("id"))).distinct()
-    // iters == 0 must not build the (checkpointed) edge frame just to
-    // list nodes — take the raw derivation there
-    def nodes = if (materialize || iters == 0) nodesRaw else nodesSmall
+    def nodes = nodesRaw
     val base = (scale * 150L) / 1000L
-
-    // in the small path the gate guarantees node-sized frames are
-    // broadcastable — hint them so no superstep ever shuffles the
-    // edge frame or waits on AQE stats; in the materialized path AQE
-    // decides
-    def sized(c: DataFrame): DataFrame =
-      if (materialize) c else broadcast(c)
 
     // superstep on the implicit-rank form: rank(src) at step t is
     // base + c_t(src) (c absent ⇒ 0), so the next contribution frame
-    // is one join + one aggregate over the path's edge frame.
-    def nextContribs(c0: DataFrame): DataFrame = {
-      val c = sized(c0)
+    // is one join + one aggregate over the prepped edge frame.
+    def nextContribs(c: DataFrame): DataFrame = {
       val vExpr = expr(s"((${base}L + coalesce(s, 0L)) * 850) DIV (1000 * d)")
-      val edgeFrame = if (materialize) eDeg else eDst
-      edgeFrame.join(c, edgeFrame("src") === c("id"), "left")
+      eDeg.join(c, eDeg("src") === c("id"), "left")
         .select(col("dst"), vExpr.as("c"))
         .groupBy(col("dst").as("id")).agg(sum("c").as("s"))
     }
@@ -195,34 +125,21 @@ object GraphOps {
     // step 1: every rank is the constant `scale` — no join at all
     def firstContribs(): DataFrame = {
       val vExpr = expr(s"(${scale}L * 850) DIV (1000 * d)")
-      val edgeFrame = if (materialize) eDeg else eDst
-      edgeFrame.select(col("dst"), vExpr.as("c"))
+      eDeg.select(col("dst"), vExpr.as("c"))
         .groupBy(col("dst").as("id")).agg(sum("c").as("s"))
     }
 
     def finish(cLast: Option[DataFrame]): DataFrame = cLast match {
       case None => nodes.select(col("id"), lit(scale).as("rank"))
       case Some(c) =>
-        nodes.join(sized(c), Seq("id"), "left")
+        nodes.join(c, Seq("id"), "left")
           .select(col("id"),
             (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
     }
 
     if (iters == 0) finish(None)
-    else if (!materialize) {
-      // ONE composed plan, ZERO actions here: the caller's first
-      // action computes the eDst cache once (every later reference
-      // scans it) and runs the supersteps; the one-shot listener
-      // releases the cache when that action completes. Re-running
-      // the returned frame after release recomputes eDst — correct,
-      // just uncached (documented trade of the single-action shape).
-      var c = firstContribs()
-      var it = 1
-      while (it < iters) { c = nextContribs(c); it += 1 }
-      val out = finish(Some(c))
-      releaseAfterFirstAction(out, eDst)
-      out
-    } else {
+    else if (!materialize) inMemoryKernel(eCast, iters, scale, base)
+    else {
       var c = firstContribs().localCheckpoint(eager = true)
       var it = 1
       while (it < iters) {
@@ -242,44 +159,63 @@ object GraphOps {
     }
   }
 
-  /** Unpersist `cached` as soon as the FIRST action that executes
-    * `result`'s plan completes (success or failure): a one-shot
-    * [[org.apache.spark.sql.util.QueryExecutionListener]] that matches
-    * the action's analyzed tree against `result`'s plan objects by
-    * REFERENCE (write commands embed the Dataset's own logical plan as
-    * their child; re-analysis leaves already-resolved subtrees
-    * untouched, so identity survives). This is what lets the fused
-    * small-graph path stay a single action and still not leak its
-    * prep cache. If no action ever runs — or the matcher misses (the
-    * caller transformed the frame first, breaking reference
-    * identity) — the MEMORY_AND_DISK cache lingers until session end
-    * or eviction: degraded, never wrong, since it is recomputable.
+  /** The below-the-gate pageRank execution: ONE narrow single-task
+    * plan (`coalesce(1)` → `mapPartitions`) that dedups edges,
+    * degree-counts and runs every superstep imperatively in the same
+    * integer fixed-point as the distributed path — bit-identical by
+    * construction (long sums are order-independent; `DIV` on positive
+    * operands is Java `/`).
+    *
+    * Semantics mirrored exactly from the relational form:
+    *  - dedup on (src, dst) with SQL `dropDuplicates` null-equality
+    *    (`Option` keys in a HashSet compare nulls equal);
+    *  - degree d(src) counts DISTINCT dst per src INCLUDING null dst
+    *    (the struct-wrapped count_distinct contract);
+    *  - null-src edges contribute nothing but keep their dst visible
+    *    to the node set (the left-join-never-matches contract);
+    *  - contributions addressed to the null node are dropped at the
+    *    finish step — the final `join(nodes, "id")` never matches a
+    *    null key, so the null node holds the base rank (pinned by
+    *    GraphOpsSpec's null-endpoint test).
     */
-  private def releaseAfterFirstAction(result: DataFrame,
-      cached: DataFrame): Unit = {
-    val spark = result.sparkSession
-    val markers = Seq(result.queryExecution.logical,
-      result.queryExecution.analyzed)
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-      private def fire(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
-        val hit =
-          try qe.analyzed.exists(p => markers.exists(_ eq p)) ||
-            qe.logical.exists(p => markers.exists(_ eq p))
-          catch { case _: Throwable => true } // fail open: release
-        if (hit && done.compareAndSet(false, true)) {
-          cached.unpersist(false)
-          spark.listenerManager.unregister(this)
+  private def inMemoryKernel(eCast: DataFrame, iters: Int, scale: Long,
+      base: Long): DataFrame = {
+    val spark = eCast.sparkSession
+    import spark.implicits._
+    eCast.as[(Option[Long], Option[Long])].coalesce(1).mapPartitions { it =>
+      // pre-sized for the gate's typical population (hundreds of
+      // thousands of edges) — resize churn, not memory, is the cost
+      // being bought out; at the 64 MiB gate ceiling the structures
+      // peak at a few hundred MB in ONE task, which is the documented
+      // trade of the below-the-gate path
+      val seen = new java.util.HashSet[(Option[Long], Option[Long])](1 << 17)
+      val deg = new java.util.HashMap[Option[Long], Long](1 << 15)
+      val adj = new scala.collection.mutable.ArrayBuffer[(Option[Long], Option[Long])](1 << 17)
+      val nodes = new java.util.HashSet[Option[Long]](1 << 15)
+      while (it.hasNext) {
+        val e = it.next()
+        if (seen.add(e)) {
+          nodes.add(e._1); nodes.add(e._2)
+          if (e._1.isDefined) { deg.merge(e._1, 1L, _ + _); adj += e }
         }
       }
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = fire(qe)
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = fire(qe)
-    }
-    spark.listenerManager.register(listener)
+      var contrib = new java.util.HashMap[Option[Long], Long]()
+      var t = 0
+      while (t < iters) {
+        val next = new java.util.HashMap[Option[Long], Long]()
+        adj.foreach { case (s, d) =>
+          val r = if (t == 0) scale else base + contrib.getOrDefault(s, 0L)
+          next.merge(d, (r * 850L) / (1000L * deg.get(s)), _ + _)
+        }
+        contrib = next; t += 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Option[Long], Long)](nodes.size())
+      nodes.forEach { n =>
+        val c = if (n.isDefined) contrib.getOrDefault(n, 0L) else 0L
+        out += ((n, base + c))
+      }
+      out.iterator
+    }.toDF("id", "rank")
   }
 
   /** Shared prep for the explicit-rank variants: ONE edge shuffle

@@ -58,10 +58,16 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.lastMaterialized,
       "materializeAboveBytes=0 must force the per-superstep path")
     assert(lazyR == matR)
-    // deep iteration forces materialization regardless of size (plan
-    // nesting would otherwise grow per superstep)
-    GraphOps.pageRank(edges, "src", "dst", iters = 9).count()
-    assert(GraphOps.lastMaterialized)
+    // deep iteration stays on the kernel below the gate (the loop is
+    // in-memory — no plan nesting to bound) and still matches the
+    // distributed path exactly
+    val deepK = GraphOps.pageRank(edges, "src", "dst", iters = 9)
+      .orderBy("id").collect().toSeq
+    assert(!GraphOps.lastMaterialized)
+    val deepM = GraphOps.pageRank(edges, "src", "dst", iters = 9,
+        materializeAboveBytes = 0L)
+      .orderBy("id").collect().toSeq
+    assert(deepK == deepM)
   }
 
   test("pageRankDangling: hand-computed redistribution on a 3-node graph") {
