@@ -8,6 +8,42 @@ import org.apache.spark.sql.functions._
   * PageRank at sf0.1 without touching GraphOps. Delete or keep as an
   * experiment log; not part of the API.
   */
+/** Gate rehearsal for [[graft.operators.GraphOps.pageRank]]: runs the
+  * q_graph_pagerank edge derivation against each given corpus, prints
+  * the edge-size estimate, which path the gate picked, the wall time
+  * and the rank checksum — the cross-path differential at scale
+  * (ScaleUp replicas dedup to the same graph, so every SF must agree).
+  *
+  *   runMain graft.PrGate [dir1 dir2 ...]
+  */
+object PrGate {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/root/repo/tmp/sf1",
+        "/root/repo/tmp/sf3", "/root/repo/tmp/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (dir <- dirs) {
+      val lineitem = dir + (if (new java.io.File(s"$dir/lineitem.parquet").exists)
+        "/lineitem.parquet" else "/lineitem")
+      val edges = spark.read.parquet(lineitem).select(
+        col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+      val est = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+      val t0 = System.nanoTime()
+      val sums = graft.operators.GraphOps.pageRank(edges, "src", "dst", iters = 3)
+        .agg(sum("rank"), count(lit(1))).collect()(0)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"GATE $dir est=${est.toLong / 1048576.0}%.1f MB " +
+        f"materialized=${graft.operators.GraphOps.lastMaterialized} " +
+        f"rankSum=${sums.getLong(0)} nodes=${sums.getLong(1)} wall=$wall%.2f s")
+    }
+    spark.stop()
+  }
+}
+
 object PrLab {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -183,11 +183,43 @@ object GraphOps {
     val spark = eCast.sparkSession
     import spark.implicits._
     eCast.as[(Option[Long], Option[Long])].coalesce(1).mapPartitions { it =>
-      // pre-sized for the gate's typical population (hundreds of
-      // thousands of edges) — resize churn, not memory, is the cost
-      // being bought out; at the 64 MiB gate ceiling the structures
-      // peak at a few hundred MB in ONE task, which is the documented
-      // trade of the below-the-gate path
+      val g = Kernel.build(it)
+      var contrib = new java.util.HashMap[Option[Long], Long]()
+      var t = 0
+      while (t < iters) {
+        val next = new java.util.HashMap[Option[Long], Long]()
+        g.adj.foreach { case (s, d) =>
+          val r = if (t == 0) scale else base + contrib.getOrDefault(s, 0L)
+          next.merge(d, (r * 850L) / (1000L * g.deg.get(s)), _ + _)
+        }
+        contrib = next; t += 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Option[Long], Long)](g.nodes.size())
+      g.nodes.forEach { n =>
+        val c = if (n.isDefined) contrib.getOrDefault(n, 0L) else 0L
+        out += ((n, base + c))
+      }
+      out.iterator
+    }.toDF("id", "rank")
+  }
+
+  /** Shared in-task graph build for the below-the-gate kernels: dedup
+    * on (src, dst) with null-equality (`Option` keys compare nulls
+    * equal, like SQL `dropDuplicates`), degree = deduped out-edges per
+    * DEFINED src INCLUDING null dst (the struct-wrapped count_distinct
+    * / post-filter COUNT window contract), adjacency = deduped
+    * defined-src edges, node set = every src and dst incl. null.
+    * Structures are pre-sized for the gate's typical population
+    * (hundreds of thousands of edges) — resize churn, not memory, is
+    * the cost bought out; at the 64 MiB gate ceiling they peak at a
+    * few hundred MB in ONE task, the documented trade of the path.
+    */
+  private object Kernel extends Serializable {
+    final class G(
+        val deg: java.util.HashMap[Option[Long], Long],
+        val adj: scala.collection.mutable.ArrayBuffer[(Option[Long], Option[Long])],
+        val nodes: java.util.HashSet[Option[Long]]) extends Serializable
+    def build(it: Iterator[(Option[Long], Option[Long])]): G = {
       val seen = new java.util.HashSet[(Option[Long], Option[Long])](1 << 17)
       val deg = new java.util.HashMap[Option[Long], Long](1 << 15)
       val adj = new scala.collection.mutable.ArrayBuffer[(Option[Long], Option[Long])](1 << 17)
@@ -199,23 +231,8 @@ object GraphOps {
           if (e._1.isDefined) { deg.merge(e._1, 1L, _ + _); adj += e }
         }
       }
-      var contrib = new java.util.HashMap[Option[Long], Long]()
-      var t = 0
-      while (t < iters) {
-        val next = new java.util.HashMap[Option[Long], Long]()
-        adj.foreach { case (s, d) =>
-          val r = if (t == 0) scale else base + contrib.getOrDefault(s, 0L)
-          next.merge(d, (r * 850L) / (1000L * deg.get(s)), _ + _)
-        }
-        contrib = next; t += 1
-      }
-      val out = new scala.collection.mutable.ArrayBuffer[(Option[Long], Long)](nodes.size())
-      nodes.forEach { n =>
-        val c = if (n.isDefined) contrib.getOrDefault(n, 0L) else 0L
-        out += ((n, base + c))
-      }
-      out.iterator
-    }.toDF("id", "rank")
+      new G(deg, adj, nodes)
+    }
   }
 
   /** Shared prep for the explicit-rank variants: ONE edge shuffle
@@ -251,13 +268,53 @@ object GraphOps {
     * edge frame is prepped once and each superstep is the same
     * join-agg as the base form plus one tiny anti-join aggregate.
     * Supersteps are eagerly checkpointed with the previous iterate's
-    * blocks released via the shim — the variant exists for semantic
-    * completeness, not the toy-scale fast path, so it has no fused
-    * small-graph twin.
+    * blocks released via the shim.
+    *
+    * Size-gated like [[pageRank]]: below the gate the whole loop runs
+    * in the single-task kernel (dangling mass and share are two locals
+    * there, not even driver scalars), bit-identical by the same
+    * argument; the distributed loop is the only path above it.
     */
   def pageRankDangling(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+      iters: Int = 3, scale: Long = 1000000L,
+      materializeAboveBytes: Long = 64L << 20): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    val edgeBytes = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+    val materialize = edgeBytes > BigInt(materializeAboveBytes)
+    lastMaterialized = materialize
+    val base0 = (scale * 150L) / 1000L
+    if (!materialize) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .as[(Option[Long], Option[Long])].coalesce(1).mapPartitions { it =>
+          val g = Kernel.build(it)
+          val n = g.nodes.size().toLong
+          val ranks = new java.util.HashMap[Option[Long], Long](1 << 15)
+          g.nodes.forEach(x => ranks.put(x, scale))
+          var t = 0
+          while (t < iters && n > 0) {
+            // dangling mass: nodes with no out-edge (None is always
+            // dangling — a null id never matches a src key)
+            var dMass = 0L
+            g.nodes.forEach(x => if (!g.deg.containsKey(x)) dMass += ranks.get(x))
+            val share = (dMass * 850L) / (1000L * n)
+            val contrib = new java.util.HashMap[Option[Long], Long]()
+            g.adj.foreach { case (s, d) =>
+              contrib.merge(d, (ranks.get(s) * 850L) / (1000L * g.deg.get(s)), _ + _)
+            }
+            g.nodes.forEach { x =>
+              val c = if (x.isDefined) contrib.getOrDefault(x, 0L) else 0L
+              ranks.put(x, base0 + c + share)
+            }
+            t += 1
+          }
+          val out = new scala.collection.mutable.ArrayBuffer[(Option[Long], Long)](g.nodes.size())
+          g.nodes.forEach(x => out += ((x, ranks.get(x))))
+          out.iterator
+        }.toDF("id", "rank")
+    }
     val (eDeg, nodes0) = edgePrep(edges, srcCol, dstCol)
     val nodes = nodes0.localCheckpoint(eager = true)
     val base = (scale * 150L) / 1000L
@@ -300,12 +357,56 @@ object GraphOps {
     * bounded scalar aggregate per superstep — inherent to any
     * iterate-to-fixpoint loop, and the reason this variant has no
     * single-plan form: control flow depends on data.
+    *
+    * Size-gated like [[pageRank]]: below the gate the fixpoint loop —
+    * including the stopping decision — runs in the single-task kernel
+    * (the max-delta is a local, not a per-superstep scalar job),
+    * producing the same iterates and hence the same `t`; the
+    * distributed loop is the only path above the gate. The delta is
+    * measured over DEFINED node ids only, mirroring the distributed
+    * path's inner self-join (a null id never matches itself).
     */
   def pageRankConverge(edges: DataFrame, srcCol: String, dstCol: String,
       eps: Long, maxIters: Int = 10,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      materializeAboveBytes: Long = 64L << 20): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     require(eps >= 0, s"eps must be >= 0, got $eps")
+    val edgeBytes = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+    val materialize = edgeBytes > BigInt(materializeAboveBytes)
+    lastMaterialized = materialize
+    val base0 = (scale * 150L) / 1000L
+    if (!materialize) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .as[(Option[Long], Option[Long])].coalesce(1).mapPartitions { it =>
+          val g = Kernel.build(it)
+          val ranks = new java.util.HashMap[Option[Long], Long](1 << 15)
+          g.nodes.forEach(x => ranks.put(x, scale))
+          var t = 0
+          var done = g.nodes.isEmpty
+          while (!done && t < maxIters) {
+            val contrib = new java.util.HashMap[Option[Long], Long]()
+            g.adj.foreach { case (s, d) =>
+              contrib.merge(d, (ranks.get(s) * 850L) / (1000L * g.deg.get(s)), _ + _)
+            }
+            t += 1
+            var md = 0L
+            g.nodes.forEach { x =>
+              val c = if (x.isDefined) contrib.getOrDefault(x, 0L) else 0L
+              val next = base0 + c
+              if (x.isDefined) md = math.max(md, math.abs(next - ranks.get(x)))
+              ranks.put(x, next)
+            }
+            done = md <= eps
+          }
+          val out = new scala.collection.mutable.ArrayBuffer[(Option[Long], Long, Long)](g.nodes.size())
+          g.nodes.forEach(x => out += ((x, ranks.get(x), t.toLong)))
+          out.iterator
+        }.toDF("id", "rank", "t")
+    }
     val (eDeg, nodes0) = edgePrep(edges, srcCol, dstCol)
     val nodes = nodes0.localCheckpoint(eager = true)
     val base = (scale * 150L) / 1000L

@@ -128,6 +128,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.pageRankDangling(empty, "src", "dst").count() == 0)
   }
 
+  test("pageRankDangling/Converge: size gate — kernel below, distributed " +
+      "above, identical (incl. null endpoints)") {
+    val rows = (1L to 400L).map(i => (Some(i % 23): Option[Long], Some(i % 31): Option[Long])) ++
+      Seq((None: Option[Long], Some(7L): Option[Long]),
+        (Some(7L): Option[Long], None: Option[Long]))
+    val edges = rows.toDF("src", "dst")
+    val dk = GraphOps.pageRankDangling(edges, "src", "dst", iters = 3)
+      .orderBy("id").collect().toSeq
+    assert(!GraphOps.lastMaterialized,
+      "a local edge frame must take the kernel path")
+    val dm = GraphOps.pageRankDangling(edges, "src", "dst", iters = 3,
+      materializeAboveBytes = 0L).orderBy("id").collect().toSeq
+    assert(GraphOps.lastMaterialized)
+    assert(dk == dm)
+    val ck = GraphOps.pageRankConverge(edges, "src", "dst", eps = 1000L,
+      maxIters = 6).orderBy("id").collect().toSeq
+    assert(!GraphOps.lastMaterialized)
+    val cm = GraphOps.pageRankConverge(edges, "src", "dst", eps = 1000L,
+      maxIters = 6, materializeAboveBytes = 0L).orderBy("id").collect().toSeq
+    assert(GraphOps.lastMaterialized)
+    assert(ck == cm, "converge iterates AND stopping decision must match")
+  }
+
   test("pageRank: randomized differential — both paths vs an independent " +
       "in-memory reference") {
     // pure-Scala reference implementation: same integer fixed-point,
