@@ -914,6 +914,45 @@ object Queries {
     graft.operators.GraphOps.pageRank(edges, "src", "dst", iters = 3)
       .withColumnRenamed("rank", "pr")
   }
+
+  // Per-node triangle counts on the same supplier-part edge set,
+  // degree-ordered orientation (each triangle enumerated once at its
+  // order-minimum apex; wedge frame bounded by the arboricity
+  // argument — see GraphOps.triangleCounts).
+  private val graphTriangles: Q = (s, dir) => {
+    val edges = t(s, dir, "lineitem").select(
+      col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+    graft.operators.GraphOps.triangleCounts(edges, "src", "dst")
+  }
+  private val graphTrianglesOracle =
+    """WITH e0 AS (
+      |  SELECT DISTINCT least(l_suppkey, l_partkey) AS u,
+      |         greatest(l_suppkey, l_partkey) AS v
+      |  FROM lineitem
+      |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+      |    AND l_suppkey <> l_partkey),
+      |deg AS (
+      |  SELECT id, count(*) AS d
+      |  FROM (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+      |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t
+      |  FROM e0 JOIN deg du ON u = du.id JOIN deg dv ON v = dv.id),
+      |oc AS (SELECT least(s, t) AS x, greatest(s, t) AS y FROM o),
+      |w AS (
+      |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      |  FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.t < e2.t),
+      |tri AS (
+      |  SELECT a, b, c FROM w
+      |  WHERE EXISTS (SELECT 1 FROM oc WHERE x = b AND y = c)),
+      |cn AS (
+      |  SELECT id, count(*) AS triangles
+      |  FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+      |        UNION ALL SELECT c FROM tri)
+      |  GROUP BY 1)
+      |SELECT deg.id, CAST(coalesce(cn.triangles, 0) AS BIGINT) AS triangles
+      |FROM deg LEFT JOIN cn ON deg.id = cn.id""".stripMargin
   private val graphPagerankOracle: String = {
     def step(i: Int) =
       s"""c$i AS (
@@ -2007,6 +2046,42 @@ object Queries {
       |FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
 
+  // MinHash estimator-accuracy audit: per candidate pair, signature
+  // agreement (permille) next to the EXACT shingle-fingerprint-set
+  // Jaccard — the estimator itself is value-checked, not just the
+  // signatures (the oracle-the-guarantee pattern, made exact).
+  private val llmMinhashEstimate: Q = (s, dir) =>
+    graft.llm.DedupOps.minhashEstimateAudit(docsT(s, dir), "doc_id", "text")
+  private val llmMinhashEstimateOracle = {
+    val estSum = (0 until 8)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" +\n      |     ")
+    s"""$minhashFpsCte,
+      |sig AS (SELECT doc_id,
+      |$minhashSigSelect
+      |FROM d),
+      |bands AS (
+      |  SELECT doc_id, i AS band,
+      |    CASE i WHEN 0 THEN mh0*2147483647+mh1 WHEN 1 THEN mh2*2147483647+mh3
+      |           WHEN 2 THEN mh4*2147483647+mh5 ELSE mh6*2147483647+mh7 END AS key
+      |  FROM sig, (SELECT unnest(range(4)) AS i) t),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |fq AS (SELECT doc_id, list_distinct(fps) AS fset FROM d),
+      |j AS (
+      |  SELECT p.id1, p.id2,
+      |    ($estSum) * 125 AS est,
+      |    len(list_filter(fa.fset, z -> list_contains(fb.fset, z))) AS inter,
+      |    len(fa.fset) + len(fb.fset) AS tot
+      |  FROM pairs p
+      |  JOIN sig sa ON p.id1 = sa.doc_id JOIN sig sb ON p.id2 = sb.doc_id
+      |  JOIN fq fa ON p.id1 = fa.doc_id JOIN fq fb ON p.id2 = fb.doc_id)
+      |SELECT id1, id2, CAST(est AS BIGINT) AS est_milli,
+      |  (inter * 1000) // (tot - inter) AS jacc_milli FROM j""".stripMargin
+  }
+
   // Near-dup clustering: connected components over the arithmetic
   // LSH pairs, min-reachable-id labels + canonical pick. Oracle is the
   // same fixpoint via a recursive CTE.
@@ -2475,6 +2550,28 @@ object Queries {
       |FROM documents
       |QUALIFY row_number() OVER (PARTITION BY lang
       |  ORDER BY ((doc_id & 2147483647) * 2654435761) % 1000000007, doc_id) <= 60""".stripMargin
+
+  // Weighted priority sample: top-20 per language by the integer
+  // (w·2^33) DIV (u+1) priority (weight = text byte length, a
+  // quality-score stand-in) — odds rise with weight, selection stays
+  // exactly re-derivable (see PipelineOps.weightedSample scaladoc for
+  // the deliberate A-ES divergence).
+  private val llmWeightedSample: Q = (s, dir) =>
+    graft.llm.PipelineOps.weightedSample(
+      docsT(s, dir).select("doc_id", "lang", "text"), "doc_id", "lang",
+      octet_length(col("text")), 20)
+      .select(col("doc_id"), col("lang"), col("smpl_pri"), col("smpl_rank"))
+  private val llmWeightedSampleOracle =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    ((doc_id & 2147483647) * 2654435761) % 1000000007 AS u,
+      |    greatest(least(CAST(strlen(text) AS BIGINT), 1048576), 1) AS w
+      |  FROM documents),
+      |p AS (SELECT doc_id, lang, (w * 8589934592) // (u + 1) AS smpl_pri FROM b)
+      |SELECT doc_id, lang, smpl_pri,
+      |  CAST(row_number() OVER (PARTITION BY lang ORDER BY smpl_pri DESC, doc_id) AS BIGINT) AS smpl_rank
+      |FROM p
+      |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY smpl_pri DESC, doc_id) <= 20""".stripMargin
 
   // Sequence packing: per-language concat-and-split into 2048-token
   // packs via one cumulative-sum window.
@@ -3323,6 +3420,7 @@ object Queries {
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_pagerank_dangling" -> graphPagerankDangling,
     "q_graph_pagerank_converge" -> graphPagerankConverge,
+    "q_graph_triangles" -> graphTriangles,
     "q_agg_rollup" -> aggRollup,
     "q_agg_pivot" -> aggPivot,
     "q_agg_cube" -> aggCube,
@@ -3374,6 +3472,7 @@ object Queries {
     "q_llm_minhash_pairs" -> llmMinhashPairs,
     "q_llm_minhash_sig" -> llmMinhashSig,
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshPairs,
+    "q_llm_minhash_estimate" -> llmMinhashEstimate,
     "q_llm_dedup_clusters" -> llmDedupClusters,
     "q_llm_curate" -> llmCurate,
     "q_llm_pipeline_e2e" -> llmPipelineE2e,
@@ -3382,6 +3481,7 @@ object Queries {
     "q_llm_stratified_sample" -> llmStratifiedSample,
     "q_llm_seq_pack" -> llmSeqPack,
     "q_llm_group_quota" -> llmGroupQuota,
+    "q_llm_weighted_sample" -> llmWeightedSample,
     "q_llm_ngram_freq" -> llmNgramFreq,
     "q_llm_pii_counts" -> llmPiiCounts,
     "q_llm_pii_redact" -> llmPiiRedact,
@@ -3446,6 +3546,7 @@ object Queries {
     "q_graph_pagerank" -> graphPagerankOracle,
     "q_graph_pagerank_dangling" -> graphPagerankDanglingOracle,
     "q_graph_pagerank_converge" -> graphPagerankConvergeOracle,
+    "q_graph_triangles" -> graphTrianglesOracle,
     "q_agg_rollup" -> aggRollupOracle,
     "q_agg_pivot" -> aggPivotOracle,
     "q_agg_cube" -> aggCubeOracle,
@@ -3494,6 +3595,7 @@ object Queries {
     "q_llm_jaccard_pairs" -> llmJaccardOracle,
     "q_llm_minhash_sig" -> llmMinhashSigOracle,
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshOracle,
+    "q_llm_minhash_estimate" -> llmMinhashEstimateOracle,
     "q_llm_minhash_pairs" -> FnvOracleSql.minhashPairs,
     "q_llm_simhash_pairs" -> FnvOracleSql.simhashPairs,
     "q_llm_fingerprints" -> FnvOracleSql.fingerprints,
@@ -3509,6 +3611,7 @@ object Queries {
     "q_llm_stratified_sample" -> llmStratifiedSampleOracle,
     "q_llm_seq_pack" -> llmSeqPackOracle,
     "q_llm_group_quota" -> llmGroupQuotaOracle,
+    "q_llm_weighted_sample" -> llmWeightedSampleOracle,
     "q_llm_ngram_freq" -> llmNgramFreqOracle,
     "q_llm_pii_counts" -> llmPiiCountsOracle,
     "q_llm_pii_redact" -> llmPiiRedactOracle,

@@ -249,23 +249,78 @@ object DedupOps {
     */
   def minhashSignatureHof(df: DataFrame, idCol: String, textCol: String,
       nPerms: Int = 8): DataFrame = {
-    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
-    val M = lit(FingerprintMod)
-    val C = lit(ShingleComb)
-    def comb(a: Column, b: Column): Column = (a * C + b) % M
-    val withFpt = df.select(col(idCol).as("doc_id"),
-      transform(toks, tokenFingerprint(_)).as("fpt"))
-    val fps = when(size(col("fpt")) < 3,
-        array(aggregate(col("fpt"), lit(0L), comb)))
-      .otherwise(transform(sequence(lit(0), size(col("fpt")) - 3), j =>
-        comb(comb(element_at(col("fpt"), j + 1), element_at(col("fpt"), j + 2)),
-          element_at(col("fpt"), j + 3))))
     val mhs = (0 until nPerms).map { i =>
       array_min(transform(col("fps"),
         f => (f * lit(2L * i + 3) + lit(5L * i + 7)) % lit(PermMod))).as(s"mh$i")
     }
-    withFpt.select(col("doc_id"), fps.as("fps"))
+    df.select(col(idCol).as("doc_id"), shingleFps(col(textCol)).as("fps"))
       .select(col("doc_id") +: mhs: _*)
+  }
+
+  /** The 3-shingle fingerprint STREAM the arithmetic MinHash hashes
+    * over (token fingerprints rolled pairwise mod [[FingerprintMod]];
+    * sub-3-token documents collapse to one whole-stream fold) — the
+    * exact set (after `array_distinct`) whose Jaccard the signature
+    * estimates. Shared by the HOF signature twin and the estimator
+    * audit so both sit in the same similarity space as the codegen'd
+    * `arith_minhash_sig` (pinned by the HOF differential spec).
+    */
+  private[llm] def shingleFps(textCol: Column): Column = {
+    val toks = filter(split(textCol, "\\s+"), t => length(t) > 0)
+    val M = lit(FingerprintMod)
+    val C = lit(ShingleComb)
+    def comb(a: Column, b: Column): Column = (a * C + b) % M
+    val fpt = transform(toks, tokenFingerprint(_))
+    when(size(fpt) < 3, array(aggregate(fpt, lit(0L), comb)))
+      .otherwise(transform(sequence(lit(0), size(fpt) - 3), j =>
+        comb(comb(element_at(fpt, j + 1), element_at(fpt, j + 2)),
+          element_at(fpt, j + 3))))
+  }
+
+  /** MinHash ESTIMATOR-accuracy audit — the gauge a dedup pipeline
+    * reports before trusting a banding threshold: for every LSH
+    * candidate pair, the signature-agreement Jaccard estimate
+    * (matching components / nPerms, in permille) next to the EXACT
+    * Jaccard of the distinct shingle-fingerprint sets the signature
+    * hashes over. Both sides are exact integer arithmetic (the
+    * estimate numerator is a component-equality count; the permille
+    * values divide exactly in doubles far below 2^53), so the
+    * estimator itself is oracle-checkable — the same
+    * "oracle-the-guarantee" pattern as the approx-quantile and HLL
+    * gauges, but here the estimate is deterministic in both engines
+    * and compared VALUE-for-value, not just bound-checked.
+    *
+    * Scale shape: candidate pairs come from banding (Σ|bucket|², never
+    * all-pairs); the audit joins the pair frame to the doc-keyed
+    * signature and shingle-set frames — pair-sized shuffles, and at
+    * 100 TB the audit typically runs on a sampled pair subset, which
+    * composes (filter the pair frame first).
+    */
+  def minhashEstimateAudit(df: DataFrame, idCol: String, textCol: String,
+      nPerms: Int = 8): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, nPerms)
+    val pairs = minhashSignaturePairs(df, idCol, textCol, nPerms)
+    // the codegen'd fps kernel, not the interpreted HOF twin (they are
+    // differential-pinned equal; the HOF costs ~5 s at sf0.1 here)
+    val fpset = df.select(col(idCol).as("doc_id"),
+      array_distinct(graft.functions.VecFunctions
+        .arith_shingle_fps(col(textCol))).as("fset"))
+    val est = (0 until nPerms)
+      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    // intersection over distinct sets; union by inclusion-exclusion —
+    // avoids engine-specific list_union dedup semantics in the oracle
+    val inter = size(array_intersect(col("fa.fset"), col("fb.fset"))).cast("long")
+    val uni = size(col("fa.fset")).cast("long") +
+      size(col("fb.fset")).cast("long") - inter
+    pairs
+      .join(sig.as("a"), col("id1") === col("a.doc_id"))
+      .join(sig.as("b"), col("id2") === col("b.doc_id"))
+      .join(fpset.as("fa"), col("id1") === col("fa.doc_id"))
+      .join(fpset.as("fb"), col("id2") === col("fb.doc_id"))
+      .select(col("id1"), col("id2"),
+        (est * lit(1000L) / lit(nPerms.toLong)).cast("long").as("est_milli"),
+        (inter * lit(1000L) / uni).cast("long").as("jacc_milli"))
   }
 
   /** LSH banding over the arithmetic signature: nPerms/2 bands of two

@@ -344,6 +344,41 @@ object PipelineOps {
       .filter(col("smpl_rank") <= k)
   }
 
+  /** WEIGHTED top-k sample per stratum — quality-weighted subsampling,
+    * the curation step between scoring and mixing: rows compete by
+    * priority `(w · 2^33) DIV (u + 1)` where `u` is the shared
+    * [[sampleHash]] uniform and `w` the clamped weight, so a row's
+    * odds rise monotonically with its weight while selection stays
+    * fully deterministic and engine-portable. This is PRIORITY
+    * sampling, not exact Efraimidis-Spirakis A-ES (that needs
+    * `u^(1/w)`, which no integer formula expresses) — the documented
+    * trade is the same as the arithmetic-MinHash twin: a slightly
+    * different inclusion distribution in exchange for bit-identical
+    * reproducibility across engines, re-runs and partitionings.
+    * Overflow-safe by construction: w ≤ 2^20 and u < 2^30, so
+    * w · 2^33 ≤ 2^53 — exact in every engine's BIGINT and in doubles.
+    *
+    * Scale shape: one window per stratum over (weight, hash)-augmented
+    * rows — identical to [[groupQuota]]'s adjudicated single-shuffle
+    * shape; a dominant stratum serializes into one partition, the
+    * same documented skew caveat (pre-split or salt upstream).
+    */
+  def weightedSample(df: DataFrame, idCol: String, stratumCol: String,
+      weightCol: Column, k: Int): DataFrame = {
+    val u = sampleHash(col(idCol)) % lit(1000000007L)
+    val w = greatest(least(weightCol.cast("long"), lit(1L << 20)), lit(1L))
+    val win = Window.partitionBy(stratumCol).orderBy(col("smpl_pri").desc,
+      col(idCol))
+    // integer DIV, never the double `/` operator: the numerator runs
+    // to 2^53, where double-rounded division can land one past the
+    // floor — the oracle's integer floor-div would then disagree
+    df.withColumn("smpl_u", u).withColumn("smpl_w", w)
+      .withColumn("smpl_pri", expr("smpl_w * 8589934592L DIV (smpl_u + 1L)"))
+      .drop("smpl_u", "smpl_w")
+      .withColumn("smpl_rank", row_number().over(win).cast("long"))
+      .filter(col("smpl_rank") <= k)
+  }
+
   /** Sequence packing (concat-and-split): documents are laid out
     * back-to-back per stratum in id order and cut into fixed
     * `capacity`-token packs; a document starts in pack

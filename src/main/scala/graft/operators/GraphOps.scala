@@ -257,6 +257,68 @@ object GraphOps {
     (eDeg, nodes)
   }
 
+  /** Per-node triangle counts over the UNDIRECTED simple graph induced
+    * by the edge frame (direction, duplicate edges and self-loops
+    * dropped; null endpoints excluded — a null never equals a third
+    * vertex). Standard degree-ordered orientation: each undirected
+    * edge points from its lower (degree, id) endpoint to the higher,
+    * so every triangle {a ≺ b ≺ c} is enumerated EXACTLY once, as the
+    * wedge at its ≺-minimum a (out-edges a→b, a→c) closed by the
+    * oriented edge b→c. The wedge frame is Σ_v d⁺(v)², and
+    * orientation bounds d⁺ by O(√m) on ANY degree distribution (the
+    * arboricity argument) — the reason every distributed triangle
+    * counter orients before joining; an unoriented wedge join would
+    * square the hub degrees instead. Shuffle shape: one distinct +
+    * one degree aggregate + the orientation joins (node-sized frame,
+    * AQE broadcasts it when small), then ONE self-join on the wedge
+    * apex and ONE pair semi-join — all equi-joins on keys, nothing
+    * quadratic in the corpus.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("ea"),
+        col(dstCol).cast("long").as("eb"))
+      .filter(col("ea").isNotNull && col("eb").isNotNull &&
+        col("ea") =!= col("eb"))
+      .select(least(col("ea"), col("eb")).as("u"),
+        greatest(col("ea"), col("eb")).as("v"))
+      .distinct()
+    val deg = e0.select(col("u").as("id"))
+      .unionAll(e0.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val uFirst = col("du.d") < col("dv.d") ||
+      (col("du.d") === col("dv.d") && col("u") < col("v"))
+    // explicit repartition on the apex: the wedge join's clustering
+    // requirement is satisfied by this ONE exchange, and all three
+    // consumers (both join sides and the closing-edge projection)
+    // read the same canonical exchange — ReuseExchange collapses the
+    // orientation subtree to one computation instead of three
+    val oriented = e0
+      .join(Hints.maybeBroadcast(deg.as("du")), col("u") === col("du.id"))
+      .join(Hints.maybeBroadcast(deg.as("dv")), col("v") === col("dv.id"))
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("s"),
+        when(uFirst, col("v")).otherwise(col("u")).as("t"))
+      .repartition(col("s"))
+    // wedge at apex s: unordered out-pair canonicalized by id; the
+    // closing oriented edge between b and c is unique, so a semi-join
+    // on the id-canonical pair closes it regardless of its direction.
+    // The closing side is edge-sized — size-gate the broadcast so the
+    // wedge frame (Σd⁺², the BIG side) is never shuffled when the
+    // edge set fits the threshold; above it both sides shuffle.
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    val closing = oriented.select(least(col("s"), col("t")).as("x"),
+      greatest(col("s"), col("t")).as("y"))
+    val tris = wedges.join(Hints.maybeBroadcast(closing),
+      col("b") === col("x") && col("c") === col("y"), "left_semi")
+    val cnts = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.select(col("id")).join(cnts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
   /** Mass-conserving PageRank: like [[pageRank]] but the rank mass of
     * DANGLING nodes (no out-edges) is redistributed evenly instead of
     * leaking — each superstep every node additionally receives

@@ -185,6 +185,50 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts: hand graphs — K4, path, direction/dup/self-loop/null hygiene") {
+    // K4: every node is in C(3,2) = 3 triangles
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)).toDF("src", "dst")
+    val rk4 = GraphOps.triangleCounts(k4, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rk4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // path graph: zero triangles, every node still listed
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val rp = GraphOps.triangleCounts(path, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rp == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // a triangle written with duplicates, reversed edges, a self-loop
+    // and a null endpoint counts exactly once, nulls never join
+    val messy = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)), (Some(1L), Some(2L)),
+      (Some(2L), Some(3L)), (Some(3L), Some(1L)), (Some(2L), Some(2L)),
+      (None: Option[Long], Some(1L))).toDF("src", "dst")
+    val rm = GraphOps.triangleCounts(messy, "src", "dst")
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getLong(1))).toMap
+    assert(rm == Map(Some(1L) -> 1L, Some(2L) -> 1L, Some(3L) -> 1L))
+  }
+
+  test("triangleCounts: randomized differential vs a brute-force reference") {
+    def ref(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      def adj(a: Long, b: Long) = und((math.min(a, b), math.max(a, b)))
+      val t = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for (Seq(a, b, c) <- nodes.combinations(3)
+           if adj(a, b) && adj(b, c) && adj(a, c)) {
+        t(a) += 1; t(b) += 1; t(c) += 1
+      }
+      nodes.map(n => n -> t(n)).toMap
+    }
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(120 + 40 * trial)(
+        (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong)).filter(e => e._1 != e._2)
+      val got = GraphOps.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref(edges), s"trial $trial diverged")
+    }
+  }
+
   test("pageRank: deterministic across partitionings (exact integers)") {
     val edges = (1L to 500L).map(i => (i % 37, i % 53)).toDF("src", "dst")
     val a = GraphOps.pageRank(edges.repartition(1), "src", "dst", iters = 3)

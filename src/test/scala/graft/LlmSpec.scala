@@ -95,6 +95,74 @@ class LlmSpec extends SparkSpec {
     assert(out(1).getLong(2) == 2 && out(1).getLong(3) == 16, s"doc2: ${out(1)}")
   }
 
+  test("minhash estimate audit: exact duplicates read 1000/1000; estimate " +
+      "matches a manual recompute from the signatures") {
+    import spark.implicits._
+    val audit = DedupOps.minhashEstimateAudit(corpusWithDups, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(audit.nonEmpty, "LSH must surface candidate pairs on this corpus")
+    // every planted exact duplicate pair agrees on all 8 components
+    // and has identical shingle sets
+    val exactPairs = docs.select(col("doc_id")).as[Long].collect()
+      .filter(_ % 10 == 0).map(id => (id, id + 200000L))
+    for (p <- exactPairs; v <- audit.get(p))
+      assert(v == ((1000L, 1000L)), s"exact dup pair $p read $v")
+    // estimate column == component agreement recomputed from the
+    // signature frame, for every emitted pair
+    val sig = DedupOps.minhashSignature(corpusWithDups, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    for (((a, b), (est, _)) <- audit) {
+      val m = sig(a).zip(sig(b)).count { case (x, y) => x == y }
+      assert(est == m * 1000L / 8, s"pair ($a,$b): est $est vs recomputed $m/8")
+    }
+    // estimator sanity on planted near-dups long enough that the
+    // 2-token cut leaves the shingle sets mostly intact: the EXACT
+    // side stays high deterministically, and the 8-perm estimate is
+    // unbiased in aggregate — individual pairs legitimately wobble at
+    // k=8 (that variance is exactly what the audit makes measurable)
+    val longDocs = docs.filter(size(split(col("text"), "\\s+")) >= 30)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val nearAudited = docs.select(col("doc_id")).as[Long].collect()
+      .filter(longDocs).map(id => (id, id + 100000L)).flatMap(audit.get)
+    assert(nearAudited.nonEmpty)
+    assert(nearAudited.forall { case (_, jacc) => jacc >= 400 })
+    val meanEst = nearAudited.map(_._1).sum.toDouble / nearAudited.length
+    val meanJacc = nearAudited.map(_._2).sum.toDouble / nearAudited.length
+    assert(math.abs(meanEst - meanJacc) <= 150,
+      s"estimator bias: mean est $meanEst vs mean exact $meanJacc")
+  }
+
+  test("weighted sample: top-k by the documented integer priority, " +
+      "deterministic across partitionings") {
+    import graft.llm.PipelineOps
+    val df = docs.select(col("doc_id"), col("lang"), col("text"))
+    val got = PipelineOps.weightedSample(df, "doc_id", "lang",
+        octet_length(col("text")), 5)
+      .select("doc_id", "lang", "smpl_pri", "smpl_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // independent Scala recompute of the priority + per-stratum top-k
+    val base = df.collect().map { r =>
+      val id = r.getLong(0); val lang = r.getString(1)
+      val bytes = r.getString(2).getBytes("UTF-8").length.toLong
+      val u = ((id & 2147483647L) * 2654435761L) % 1000000007L
+      val w = math.max(math.min(bytes, 1L << 20), 1L)
+      (id, lang, (w * (1L << 33)) / (u + 1L))
+    }
+    val expect = base.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._1)).take(5).zipWithIndex
+        .map { case ((id, l, pri), i) => (id, l, pri, i + 1L) }
+    }.toSet
+    assert(got.toSet == expect)
+    assert(got.groupBy(_._2).values.forall(_.length <= 5))
+    // partitioning invariance
+    val again = PipelineOps.weightedSample(df.repartition(7), "doc_id", "lang",
+        octet_length(col("text")), 5)
+      .select("doc_id", "lang", "smpl_pri", "smpl_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet == got.toSet)
+  }
+
   test("tf-idf top-k: rare terms outrank common ones, exact fixed point") {
     import spark.implicits._
     val docs = Seq(
