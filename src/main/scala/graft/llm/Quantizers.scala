@@ -302,4 +302,24 @@ object Quantizers {
         .toDF("cid", "cvec")
     } finally sample.unpersist()
   }
+
+  /** Persist a trained model frame — IVF centroids `(cell, centroid)`,
+    * PQ codebook `(cid, cvec)`, classifier weights, any model-state
+    * DataFrame — for the train-once / serve-many production split:
+    * the training job writes the model, every serving job loads it.
+    * Float arrays round-trip bit-exactly through parquet, so serving
+    * from a loaded model is IDENTICAL to serving from the in-session
+    * frame (pinned by ModelSeamSpec's train → save → load → serve
+    * round-trips). Models are model-state-sized (k·d floats — KBs to
+    * MBs), so `coalesce(1)` is the right layout: one footer, one file,
+    * trivially broadcast at load; a model too big for one file is a
+    * sign it shouldn't be a broadcast-side model at all.
+    */
+  def saveModel(model: DataFrame, path: String): Unit =
+    model.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a model persisted by [[saveModel]]. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
 }

@@ -440,9 +440,18 @@ object SimilarityOps {
         .limit(ksub)
     }
     // aggregate orderBy+limit directly (keeps TakeOrderedAndProject),
-    // quantize on the single array row before broadcast — see ivfTopK
+    // quantize on the single array row before broadcast — see ivfTopK.
+    // pq_encode indexes codewords by ARRAY POSITION, so a
+    // caller-provided codebook is canonicalized to cid order —
+    // collect_list order is partition-dependent, and a model loaded
+    // from storage must serve exactly like the in-session frame
+    // (ModelSeamSpec); trained codebooks already carry cid 0..ksub-1.
+    // The default hash-order path keeps its own deterministic
+    // TakeOrderedAndProject order (cids there are corpus ids).
     val cbArr = cb
-      .agg(collect_list(struct(col("cid"), col("cvec"))).as("raw"))
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("raw0"))
+      .select((if (codebook.isDefined) sort_array(col("raw0"))
+        else col("raw0")).as("raw"))
       .select(transform(col("raw"), c =>
         struct(c("cid").cast("long").as("cid"), quant(c("cvec")).as("cq"))).as("cb"))
     val codes = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
@@ -511,10 +520,15 @@ object SimilarityOps {
         struct(c("cell").cast("long").as("cell"), cq.as("cq"),
           V.dot_long(cq, cq).as("cnq"))
       }).as("cents"))
+    // provided codebooks canonicalized to cid order: pq_encode indexes
+    // by array position (see pqTopK), and collect_list order is
+    // partition-dependent for an arbitrary loaded frame
     val cbArr = codebook
       .map(_.select(col("cid"), col("cvec")))
       .getOrElse(hashOrderTopK(ksub, "cid", "cvec"))
-      .agg(collect_list(struct(col("cid"), col("cvec"))).as("raw"))
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("raw0"))
+      .select((if (codebook.isDefined) sort_array(col("raw0"))
+        else col("raw0")).as("raw"))
       .select(transform(col("raw"), c =>
         struct(c("cid").cast("long").as("cid"), quant(c("cvec")).as("cq"))).as("cb"))
     // quantizer + codebook fold into ONE broadcast row (two stacked

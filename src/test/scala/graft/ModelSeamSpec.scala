@@ -1,0 +1,78 @@
+package graft
+
+import graft.llm.{Quantizers, SimilarityOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The train-once / serve-many seam: trained model frames persisted
+  * with [[Quantizers.saveModel]] and loaded back must serve results
+  * IDENTICAL to the in-session frames — floats round-trip bit-exactly
+  * through parquet, and the serving kernels are deterministic in the
+  * model values.
+  */
+class ModelSeamSpec extends SparkSpec {
+
+  private def emb: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def queries: DataFrame =
+    emb.filter(col("vec_id") % 97 === 0).select("vec_id", "embedding")
+
+  private def roundTrip(model: DataFrame, name: String): DataFrame = {
+    val path = graft.sources.Staging.sessionTempDir(s"graft_model_$name")
+    Quantizers.saveModel(model, path)
+    Quantizers.loadModel(spark, path)
+  }
+
+  test("IVF centroids: save -> load -> serve == serve from the in-session frame") {
+    val cents = Quantizers.trainIvfCentroids(emb, "vec_id", "embedding", k = 8,
+      iters = 2, trainSize = 256)
+    val loaded = roundTrip(cents, "ivf")
+    // the model file is one parquet part (coalesce(1) layout)
+    assert(loaded.schema.fieldNames.toSet == Set("cell", "centroid"))
+    val direct = SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nlist = 8, nprobe = 3, centroids = Some(cents))
+      .collect().map(_.toSeq).toSet
+    val served = SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nlist = 8, nprobe = 3, centroids = Some(loaded))
+      .collect().map(_.toSeq).toSet
+    assert(direct == served)
+    assert(direct.nonEmpty)
+  }
+
+  test("PQ codebook: save -> load -> serve == serve from the in-session frame") {
+    val cb = Quantizers.trainPqCodebook(emb, "vec_id", "embedding", m = 4,
+      ksub = 8, iters = 2, trainSize = 256)
+    val loaded = roundTrip(cb, "pq")
+    val direct = SimilarityOps.pqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        m = 4, ksub = 8, codebook = Some(cb))
+      .collect().map(_.toSeq).toSet
+    val served = SimilarityOps.pqTopK(emb, queries, "vec_id", "embedding", k = 5,
+        m = 4, ksub = 8, codebook = Some(loaded))
+      .collect().map(_.toSeq).toSet
+    assert(direct == served)
+    assert(direct.nonEmpty)
+    // order-scrambled model frame serves identically: position is the
+    // codeword identity, so the seam canonicalizes by cid
+    val scrambled = SimilarityOps.pqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, m = 4, ksub = 8,
+        codebook = Some(loaded.orderBy(col("cvec").getItem(0))))
+      .collect().map(_.toSeq).toSet
+    assert(scrambled == direct)
+  }
+
+  test("model values survive the round-trip bit-exactly") {
+    val cents = Quantizers.trainIvfCentroids(emb, "vec_id", "embedding", k = 4,
+      iters = 1, trainSize = 64)
+    val loaded = roundTrip(cents, "bits")
+    val a = cents.orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val b = loaded.orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(a.length == b.length)
+    for (((ca, va), (cb2, vb)) <- a.zip(b)) {
+      assert(ca == cb2)
+      assert(va == vb, s"cell $ca centroid changed across the round-trip")
+    }
+  }
+}
