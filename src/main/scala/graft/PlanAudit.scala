@@ -21,7 +21,8 @@ object PlanAudit {
     "q_ann_pq_topk" -> "broadcast codebook array (model state)",
     "q_ann_cosine_topk" -> "labeled brute-force oracle tier (exact top-k baseline)",
     "q_ann_topk_dot" -> "labeled brute-force oracle tier (exact top-k baseline)",
-    "q_emb_cluster_sample" -> "broadcast centroid array (model state)")
+    "q_emb_cluster_sample" -> "broadcast centroid array (model state)",
+    "q_scd2_merge" -> "broadcast midpoint scalar (1 row, in-plan corpus split)")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()

@@ -186,6 +186,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("triangles: the apex exchange is computed once and reused; the " +
+      "closing semi-join broadcasts below the gate") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val df = graft.operators.GraphOps.triangleCounts(
+      li.select(col("l_suppkey").as("src"), col("l_partkey").as("dst")),
+      "src", "dst")
+    // the static plan prints the orientation subtree once per consumer
+    // (wedge e1/e2 + closing); the invariant lives in the FINAL
+    // adaptive plan, where stage reuse must collapse the copies
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("isFinalPlan=true"), s"expected executed adaptive plan:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"wedge/closing consumers must reuse the apex exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"triangle join went cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("LeftSemi"),
+      s"closing edge set must semi-join, broadcast below the gate:\n$p")
+  }
+
   test("dup spans: shingles are codegen'd fingerprints, never built strings") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.llm.DedupOps.dupSpanStats(docs, "doc_id", "text"))
