@@ -2082,6 +2082,54 @@ object Queries {
       |  (inter * 1000) // (tot - inter) AS jacc_milli FROM j""".stripMargin
   }
 
+  // Fuzzy-dedup verify tier: exact levenshtein over the LSH candidate
+  // pairs (both engines run the same DP recurrence — the distance AND
+  // the keep decision are hash-oracled).
+  private val llmEditVerify: Q = (s, dir) =>
+    graft.llm.DedupOps.editVerifiedPairs(docsT(s, dir), "doc_id", "text")
+  private val llmEditVerifyOracle =
+    s"""$minhashFpsCte,
+      |sig AS (SELECT doc_id,
+      |$minhashSigSelect
+      |FROM d),
+      |bands AS (
+      |  SELECT doc_id, i AS band,
+      |    CASE i WHEN 0 THEN mh0*2147483647+mh1 WHEN 1 THEN mh2*2147483647+mh3
+      |           WHEN 2 THEN mh4*2147483647+mh5 ELSE mh6*2147483647+mh7 END AS key
+      |  FROM sig, (SELECT unnest(range(4)) AS i) t),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT p.id1, p.id2,
+      |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+      |    CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS max_len
+      |  FROM pairs p
+      |  JOIN documents ta ON p.id1 = ta.doc_id
+      |  JOIN documents tb ON p.id2 = tb.doc_id)
+      |SELECT id1, id2, edit_dist, max_len,
+      |  CAST(edit_dist * 1000 <= max_len * 200 AS INT) AS is_dup FROM j""".stripMargin
+
+  // Cross-source percentile calibration of a quality proxy (token
+  // count): within-source percent_rank in permille, exact order
+  // statistics with id tie-break.
+  private val llmCalibrate: Q = (s, dir) =>
+    graft.llm.PipelineOps.calibrateBySource(
+      docsT(s, dir).select("doc_id", "source", "text"), "doc_id", "source",
+      size(filter(split(col("text"), "\\s+"), t => length(t) > 0)))
+      .select(col("doc_id"), col("source"), col("cal_score"), col("pr_milli"))
+  private val llmCalibrateOracle =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |      t -> length(t) > 0)) AS BIGINT) AS cal_score
+      |  FROM documents)
+      |SELECT doc_id, source, cal_score,
+      |  CAST(floor(percent_rank() OVER (PARTITION BY source
+      |    ORDER BY cal_score, doc_id) * 1000) AS BIGINT) AS pr_milli
+      |FROM d""".stripMargin
+
   // Near-dup clustering: connected components over the arithmetic
   // LSH pairs, min-reachable-id labels + canonical pick. Oracle is the
   // same fixpoint via a recursive CTE.
@@ -3473,6 +3521,8 @@ object Queries {
     "q_llm_minhash_sig" -> llmMinhashSig,
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshPairs,
     "q_llm_minhash_estimate" -> llmMinhashEstimate,
+    "q_llm_edit_verify" -> llmEditVerify,
+    "q_llm_calibrate" -> llmCalibrate,
     "q_llm_dedup_clusters" -> llmDedupClusters,
     "q_llm_curate" -> llmCurate,
     "q_llm_pipeline_e2e" -> llmPipelineE2e,
@@ -3596,6 +3646,8 @@ object Queries {
     "q_llm_minhash_sig" -> llmMinhashSigOracle,
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshOracle,
     "q_llm_minhash_estimate" -> llmMinhashEstimateOracle,
+    "q_llm_edit_verify" -> llmEditVerifyOracle,
+    "q_llm_calibrate" -> llmCalibrateOracle,
     "q_llm_minhash_pairs" -> FnvOracleSql.minhashPairs,
     "q_llm_simhash_pairs" -> FnvOracleSql.simhashPairs,
     "q_llm_fingerprints" -> FnvOracleSql.fingerprints,

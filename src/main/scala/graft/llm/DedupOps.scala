@@ -342,6 +342,35 @@ object DedupOps {
       .distinct()
   }
 
+  /** Fuzzy-dedup VERIFY tier: LSH candidates are probabilistic, and a
+    * pipeline verifies them with an exact string metric before any
+    * destructive dedup. Levenshtein is the classic verifier — both
+    * engines implement the same DP recurrence over characters, so the
+    * distance AND the keep/drop decision are oracle-exact. A pair is
+    * a verified duplicate when `dist · 1000 ≤ max(len) ·
+    * maxDistPermille` (integer arithmetic throughout).
+    *
+    * Scale shape: the metric runs per CANDIDATE pair only (banding
+    * keeps that Σ|bucket|², never all-pairs), joined to the doc-keyed
+    * text frame — the same bucket-bounded pattern as every dedup
+    * verify here. Cost per pair is O(|a|·|b|); gate candidate volume
+    * upstream (tighter bands) if documents are long.
+    */
+  def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDistPermille: Int = 200): DataFrame = {
+    val pairs = minhashSignaturePairs(df, idCol, textCol)
+    val txt = df.select(col(idCol).as("doc_id"), col(textCol).as("t"))
+    pairs
+      .join(txt.as("ta"), col("id1") === col("ta.doc_id"))
+      .join(txt.as("tb"), col("id2") === col("tb.doc_id"))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("ta.t"), col("tb.t")).cast("long").as("edit_dist"),
+        greatest(length(col("ta.t")), length(col("tb.t"))).cast("long").as("max_len"))
+      .withColumn("is_dup",
+        (col("edit_dist") * lit(1000L) <= col("max_len") * lit(maxDistPermille.toLong))
+          .cast("int"))
+  }
+
   /** Near-duplicate CLUSTERING: connected components over a candidate
     * pair set, labeling every document with the minimum doc id
     * reachable through near-dup edges — the canonical representative a

@@ -344,6 +344,25 @@ object PipelineOps {
       .filter(col("smpl_rank") <= k)
   }
 
+  /** Cross-source score CALIBRATION: raw quality scores are not
+    * comparable across sources (each source has its own length/style
+    * prior), so curation pipelines convert them to within-source
+    * percentile ranks before applying one global keep threshold.
+    * Exact order statistics — one window per source, deterministic
+    * ties via the id — quantized to permille; both engines evaluate
+    * the identical `floor(percent_rank·1000)` (same IEEE double ops
+    * in the same order), so the rank column is hash-oracled, not just
+    * bound-checked. Same skew caveat as every per-stratum window: a
+    * dominant source serializes into one partition.
+    */
+  def calibrateBySource(df: DataFrame, idCol: String, sourceCol: String,
+      scoreCol: Column): DataFrame = {
+    val w = Window.partitionBy(sourceCol).orderBy(col("cal_score"), col(idCol))
+    df.withColumn("cal_score", scoreCol.cast("long"))
+      .withColumn("pr_milli",
+        floor(percent_rank().over(w) * lit(1000)).cast("long"))
+  }
+
   /** WEIGHTED top-k sample per stratum — quality-weighted subsampling,
     * the curation step between scoring and mixing: rows compete by
     * priority `(w · 2^33) DIV (u + 1)` where `u` is the shared

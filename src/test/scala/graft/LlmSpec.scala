@@ -163,6 +163,54 @@ class LlmSpec extends SparkSpec {
     assert(again.toSet == got.toSet)
   }
 
+  test("edit-verify tier: exact dups at distance 0; decision column is " +
+      "the documented integer rule; permille 0 keeps only exact") {
+    val out = DedupOps.editVerifiedPairs(corpusWithDups, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(out.nonEmpty)
+    import spark.implicits._
+    val exactPairs = docs.select(col("doc_id")).as[Long].collect()
+      .filter(_ % 10 == 0).map(id => (id, id + 200000L))
+    val exactAudited = exactPairs.flatMap(out.get)
+    assert(exactAudited.nonEmpty)
+    assert(exactAudited.forall { case (d, _, keep) => d == 0L && keep == 1 })
+    // the keep decision is exactly dist*1000 <= maxLen*200 on every pair
+    for (((_, _), (d, ml, keep)) <- out)
+      assert((keep == 1) == (d * 1000 <= ml * 200))
+    // permille 0: only exact duplicates survive as dups
+    val strict = DedupOps.editVerifiedPairs(corpusWithDups, "doc_id", "text",
+        maxDistPermille = 0)
+      .collect().map(r => (r.getLong(2), r.getInt(4)))
+    assert(strict.forall { case (d, keep) => (keep == 1) == (d == 0L) })
+  }
+
+  test("calibrate by source: permille percentile ranks match an " +
+      "independent recompute; singleton stratum ranks 0") {
+    import graft.llm.PipelineOps
+    val base = docs.select(col("doc_id"), col("source"), col("text"))
+      // plant a singleton stratum
+      .unionByName(spark.createDataFrame(Seq((900001L, "solo", "one doc")))
+        .toDF("doc_id", "source", "text"))
+    val got = PipelineOps.calibrateBySource(base, "doc_id", "source",
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)))
+      .select("doc_id", "source", "cal_score", "pr_milli")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySource = got.groupBy(_._2)
+    for ((_, rows) <- bySource) {
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      val n = sorted.length
+      for ((r, i) <- sorted.zipWithIndex) {
+        val expect =
+          if (n == 1) 0L
+          else math.floor(i.toDouble / (n - 1) * 1000).toLong
+        assert(r._4 == expect, s"row $r expected pr_milli $expect")
+      }
+    }
+    assert(got.count(_._2 == "solo") == 1)
+    assert(got.find(_._2 == "solo").get._4 == 0L)
+  }
+
   test("tf-idf top-k: rare terms outrank common ones, exact fixed point") {
     import spark.implicits._
     val docs = Seq(
