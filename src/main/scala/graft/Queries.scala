@@ -2117,7 +2117,7 @@ object Queries {
   private val llmCalibrate: Q = (s, dir) =>
     graft.llm.PipelineOps.calibrateBySource(
       docsT(s, dir).select("doc_id", "source", "text"), "doc_id", "source",
-      size(filter(split(col("text"), "\\s+"), t => length(t) > 0)))
+      size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long"))
       .select(col("doc_id"), col("source"), col("cal_score"), col("pr_milli"))
   private val llmCalibrateOracle =
     """WITH d AS (

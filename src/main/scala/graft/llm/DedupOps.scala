@@ -298,8 +298,13 @@ object DedupOps {
     */
   def minhashEstimateAudit(df: DataFrame, idCol: String, textCol: String,
       nPerms: Int = 8): DataFrame = {
+    // ONE signature computation for all four consumers (banding a/b,
+    // est join a/b): the explicit repartition pins a canonical
+    // exchange that AQE stage reuse hands to every reference — without
+    // it each textual copy re-runs the per-doc hash kernel
     val sig = minhashSignature(df, idCol, textCol, nPerms)
-    val pairs = minhashSignaturePairs(df, idCol, textCol, nPerms)
+      .repartition(col("doc_id"))
+    val pairs = bandPairs(sig, nPerms)
     // the codegen'd fps kernel, not the interpreted HOF twin (they are
     // differential-pinned equal; the HOF costs ~5 s at sf0.1 here)
     val fpset = df.select(col(idCol).as("doc_id"),
@@ -329,8 +334,15 @@ object DedupOps {
     * [[minhashCandidates]], but deterministic across engines.
     */
   def minhashSignaturePairs(df: DataFrame, idCol: String, textCol: String,
-      nPerms: Int = 8): DataFrame = {
-    val sig = minhashSignature(df, idCol, textCol, nPerms)
+      nPerms: Int = 8): DataFrame =
+    bandPairs(minhashSignature(df, idCol, textCol, nPerms), nPerms)
+
+  /** Banding over an ALREADY-BUILT signature frame — callers that also
+    * consume the signatures (the estimator audit) pass one shared,
+    * explicitly-exchanged sig frame so every consumer reads a
+    * ReusedExchange instead of re-running the per-doc hash kernel.
+    */
+  private def bandPairs(sig: DataFrame, nPerms: Int): DataFrame = {
     val keys = (0 until nPerms / 2).map(b =>
       col(s"mh${2 * b}") * lit(PermMod) + col(s"mh${2 * b + 1}"))
     val banded = sig.select(col("doc_id"), posexplode(array(keys: _*)))

@@ -354,11 +354,17 @@ object PipelineOps {
     * in the same order), so the rank column is hash-oracled, not just
     * bound-checked. Same skew caveat as every per-stratum window: a
     * dominant source serializes into one partition.
+    *
+    * The score column keeps its OWN type — percent_rank only needs an
+    * ordering, so real-valued classifier scores in [0, 1) calibrate
+    * correctly (an earlier draft cast to long, which would have
+    * silently collapsed fractional scores to all-ties). Callers
+    * wanting an oracle-hashable score column quantize it themselves.
     */
   def calibrateBySource(df: DataFrame, idCol: String, sourceCol: String,
       scoreCol: Column): DataFrame = {
     val w = Window.partitionBy(sourceCol).orderBy(col("cal_score"), col(idCol))
-    df.withColumn("cal_score", scoreCol.cast("long"))
+    df.withColumn("cal_score", scoreCol)
       .withColumn("pr_milli",
         floor(percent_rank().over(w) * lit(1000)).cast("long"))
   }
@@ -385,7 +391,12 @@ object PipelineOps {
   def weightedSample(df: DataFrame, idCol: String, stratumCol: String,
       weightCol: Column, k: Int): DataFrame = {
     val u = sampleHash(col(idCol)) % lit(1000000007L)
-    val w = greatest(least(weightCol.cast("long"), lit(1L << 20)), lit(1L))
+    // NULL weights degrade to the MINIMUM weight, not the maximum:
+    // least()/greatest() skip nulls, so without the coalesce a
+    // null-weighted row would clamp to 2^20 and dominate the sample —
+    // the opposite of sane treatment for unscored rows
+    val w = greatest(least(coalesce(weightCol.cast("long"), lit(1L)),
+      lit(1L << 20)), lit(1L))
     val win = Window.partitionBy(stratumCol).orderBy(col("smpl_pri").desc,
       col(idCol))
     // integer DIV, never the double `/` operator: the numerator runs

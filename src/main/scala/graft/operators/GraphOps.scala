@@ -65,7 +65,18 @@ object GraphOps {
     * `coalesce(1)` over a multi-hundred-GB frame would be a
     * scale-killer — that is exactly what the size gate exists to
     * prevent, and the materialized path is gate-rehearsed (sf10
-    * engages it; SCALE_STREAM_r10.md).
+    * engages it; SCALE_STREAM_r10.md). Two caveats, shared by all
+    * three variants: (1) the gate TRUSTS Catalyst's size estimate —
+    * a selective filter over default column stats can underestimate
+    * badly; callers feeding a filtered edge frame should pass an
+    * explicit `materializeAboveBytes` (0 forces the distributed
+    * path), the same trust-the-estimate contract as the as-of
+    * broadcast gate. (2) The kernel result is a LAZY single-stage
+    * plan — every action over it re-runs the kernel (cheap by
+    * definition below the gate, but callers running many actions
+    * over the ranks should cache or checkpoint the returned frame;
+    * the materialized path returns an eager self-contained
+    * checkpoint by construction).
     *
     * Above the gate, each superstep is eagerly `localCheckpoint`ed
     * (lineage truncated, plan stays one step deep) and the previous

@@ -55,15 +55,20 @@ object Scd2 {
         col(tsCol) > col("_graft_open_from"))
       .drop("_graft_open_from")
     // new interval chain per touched key (tie columns ride along for
-    // the window order even when they are not output attributes)
+    // the window order even when they are not output attributes).
+    // tsCol is renamed to fromCol by the select below, so a tieCols
+    // entry naming tsCol (or fromCol) must resolve against fromCol —
+    // which already leads the ordering, so it simply drops out.
     val extraTies = tieCols.filterNot(c =>
       attrCols.contains(c) || keyCols.contains(c) || c == tsCol)
+    val orderTies = tieCols.map(c => if (c == tsCol) fromCol else c)
+      .filterNot(_ == fromCol)
     val effIv = eff
       .select((k ++ Seq(col(tsCol).as(fromCol)) ++
         (attrCols ++ extraTies).map(col)): _*)
       .withColumn(toCol, lead(col(fromCol), 1).over(
         Window.partitionBy(k: _*)
-          .orderBy((col(fromCol) +: tieCols.map(col)): _*)))
+          .orderBy((col(fromCol) +: orderTies.map(col)): _*)))
     // close each touched open row at the key's first effective ts;
     // untouched open rows keep toCol NULL through the coalesce
     val firstTs = eff.groupBy(k: _*).agg(min(col(tsCol)).as("_graft_first_ts"))

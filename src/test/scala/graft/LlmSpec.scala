@@ -193,7 +193,7 @@ class LlmSpec extends SparkSpec {
       .unionByName(spark.createDataFrame(Seq((900001L, "solo", "one doc")))
         .toDF("doc_id", "source", "text"))
     val got = PipelineOps.calibrateBySource(base, "doc_id", "source",
-        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)))
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long"))
       .select("doc_id", "source", "cal_score", "pr_milli")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val bySource = got.groupBy(_._2)

@@ -69,4 +69,21 @@ class Scd2Spec extends SparkSpec {
     assert(out.map(_.getString(2)).toSeq == Seq("a1", "b2"))
     assert(out(0).getLong(3) == 50L && out(1).isNullAt(3))
   }
+
+  test("tieCols naming tsCol resolves (ts is renamed to fromCol by then)") {
+    // callers commonly write tieCols = Seq(tsCol, secondary) — tsCol
+    // must remap to the renamed fromCol, not throw unresolved-column
+    val d2 = Seq(("k9", 50L, "b2", 2L), ("k9", 50L, "a1", 1L))
+      .toDF("k", "ts", "v", "tie")
+    val b0 = Seq.empty[(String, Long, String, Option[Long])]
+      .toDF("k", "valid_from", "v", "valid_to")
+      .withColumn("valid_to", col("valid_to").cast("long"))
+    val withTs = Scd2.mergeApply(b0, d2, Seq("k"), Seq("v"),
+        tieCols = Seq("ts", "tie"))
+      .orderBy("valid_from", "v").collect()
+    val plain = Scd2.mergeApply(b0, d2, Seq("k"), Seq("v"),
+        tieCols = Seq("tie"))
+      .orderBy("valid_from", "v").collect()
+    assert(withTs.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
 }
