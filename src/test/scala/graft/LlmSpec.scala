@@ -211,6 +211,26 @@ class LlmSpec extends SparkSpec {
     assert(got.find(_._2 == "solo").get._4 == 0L)
   }
 
+  test("weighted sample: NULL weight degrades to the MINIMUM weight, " +
+      "never the clamp ceiling") {
+    import graft.llm.PipelineOps
+    // one stratum, two rows: a null-weighted row and a mid-weight row;
+    // least()/greatest() skip nulls, so without the coalesce the null
+    // row would clamp to 2^20 and outrank everything
+    val df = spark.createDataFrame(Seq(
+        (1L, "s", Some(500L)), (2L, "s", Option.empty[Long])))
+      .toDF("doc_id", "stratum", "w")
+    val out = PipelineOps.weightedSample(df, "doc_id", "stratum", col("w"), 2)
+      .select("doc_id", "smpl_pri").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def pri(id: Long, w: Long): Long = {
+      val u = ((id & 2147483647L) * 2654435761L) % 1000000007L
+      (w * (1L << 33)) / (u + 1L)
+    }
+    assert(out(1L) == pri(1L, 500L))
+    assert(out(2L) == pri(2L, 1L), "null weight must price as weight 1")
+  }
+
   test("tf-idf top-k: rare terms outrank common ones, exact fixed point") {
     import spark.implicits._
     val docs = Seq(
