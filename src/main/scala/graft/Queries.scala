@@ -2082,6 +2082,30 @@ object Queries {
       |  (inter * 1000) // (tot - inter) AS jacc_milli FROM j""".stripMargin
   }
 
+  // Incremental near-dup: the odd-id half of the corpus arrives as a
+  // new batch and is deduped against the even-id baked half — only
+  // batch×corpus band buckets are joined, never corpus×corpus.
+  private val llmIncrementalDedup: Q = (s, dir) => {
+    val d = docsT(s, dir)
+    graft.llm.DedupOps.incrementalNearDupPairs(
+      d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text")
+  }
+  private val llmIncrementalDedupOracle =
+    s"""$minhashFpsCte,
+      |sig AS (SELECT doc_id,
+      |$minhashSigSelect
+      |FROM d),
+      |bands AS (
+      |  SELECT doc_id, i AS band,
+      |    CASE i WHEN 0 THEN mh0*2147483647+mh1 WHEN 1 THEN mh2*2147483647+mh3
+      |           WHEN 2 THEN mh4*2147483647+mh5 ELSE mh6*2147483647+mh7 END AS key
+      |  FROM sig, (SELECT unnest(range(4)) AS i) t)
+      |SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      |FROM bands b JOIN bands c
+      |  ON b.band = c.band AND b.key = c.key
+      | AND b.doc_id % 2 = 1 AND c.doc_id % 2 = 0""".stripMargin
+
   // Fuzzy-dedup verify tier: exact levenshtein over the LSH candidate
   // pairs (both engines run the same DP recurrence — the distance AND
   // the keep decision are hash-oracled).
@@ -3522,6 +3546,7 @@ object Queries {
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshPairs,
     "q_llm_minhash_estimate" -> llmMinhashEstimate,
     "q_llm_edit_verify" -> llmEditVerify,
+    "q_llm_incremental_dedup" -> llmIncrementalDedup,
     "q_llm_calibrate" -> llmCalibrate,
     "q_llm_dedup_clusters" -> llmDedupClusters,
     "q_llm_curate" -> llmCurate,
@@ -3647,6 +3672,7 @@ object Queries {
     "q_llm_minhash_lsh_pairs" -> llmMinhashLshOracle,
     "q_llm_minhash_estimate" -> llmMinhashEstimateOracle,
     "q_llm_edit_verify" -> llmEditVerifyOracle,
+    "q_llm_incremental_dedup" -> llmIncrementalDedupOracle,
     "q_llm_calibrate" -> llmCalibrateOracle,
     "q_llm_minhash_pairs" -> FnvOracleSql.minhashPairs,
     "q_llm_simhash_pairs" -> FnvOracleSql.simhashPairs,

@@ -343,14 +343,47 @@ object DedupOps {
     * ReusedExchange instead of re-running the per-doc hash kernel.
     */
   private def bandPairs(sig: DataFrame, nPerms: Int): DataFrame = {
-    val keys = (0 until nPerms / 2).map(b =>
-      col(s"mh${2 * b}") * lit(PermMod) + col(s"mh${2 * b + 1}"))
-    val banded = sig.select(col("doc_id"), posexplode(array(keys: _*)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
+    val banded = bandKeys(sig, nPerms)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** (doc_id, band, key) rows from a signature frame — nPerms/2 bands
+    * of two signature components each.
+    */
+  private def bandKeys(sig: DataFrame, nPerms: Int): DataFrame = {
+    val keys = (0 until nPerms / 2).map(b =>
+      col(s"mh${2 * b}") * lit(PermMod) + col(s"mh${2 * b + 1}"))
+    sig.select(col("doc_id"), posexplode(array(keys: _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
+  }
+
+  /** INCREMENTAL near-dup: candidate pairs between a NEW batch and an
+    * existing corpus — the production ingest shape (the streaming twin
+    * is [[graft.streaming.TwsNearDup]]): each arriving batch is deduped
+    * against what is already baked, WITHOUT re-banding corpus×corpus.
+    * Returns `(batch_id, corpus_id)` candidate pairs from the band-
+    * bucket equi-join of the two signature frames; batch-internal
+    * pairs are [[minhashSignaturePairs]] on the batch alone — callers
+    * compose the two as their retention policy dictates.
+    *
+    * Scale shape: cost is Σ_bucket |batch ∩ bucket|·|corpus ∩ bucket|
+    * — LINEAR in the batch for stable bucket occupancy, never
+    * all-pairs and never corpus×corpus. The corpus side needs only
+    * its banded signature projection, which a production pipeline
+    * persists once (signatures are append-only derived state — the
+    * same train-once/serve-many split as [[Quantizers.saveModel]]).
+    */
+  def incrementalNearDupPairs(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, nPerms: Int = 8): DataFrame = {
+    val cb = bandKeys(minhashSignature(corpus, idCol, textCol, nPerms), nPerms)
+    val bb = bandKeys(minhashSignature(batch, idCol, textCol, nPerms), nPerms)
+    bb.as("b").join(cb.as("c"),
+        col("b.band") === col("c.band") && col("b.key") === col("c.key"))
+      .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
       .distinct()
   }
 

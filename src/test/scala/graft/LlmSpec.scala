@@ -163,6 +163,39 @@ class LlmSpec extends SparkSpec {
     assert(again.toSet == got.toSet)
   }
 
+  test("incremental near-dup: a batch of dups finds its corpus originals; " +
+      "never corpus-side or batch-side internal pairs") {
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("text"))
+    val batch = corpusWithDups.filter(col("doc_id") >= 100000)
+    val pairs = DedupOps.incrementalNearDupPairs(base, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // direction: batch ids on the left, corpus ids on the right — and
+    // never a pair within one side
+    assert(pairs.forall { case (b, c) => b >= 100000 && c < 100000 })
+    // every planted EXACT duplicate must find its original (identical
+    // signatures always share every band)
+    val exactIds = docs.select(col("doc_id")).as[Long].collect()
+      .filter(_ % 10 == 0)
+    val found = pairs.toSet
+    assert(exactIds.forall(id => found((id + 200000L, id))),
+      "an exact duplicate missed its corpus original")
+    // near-dups: banding recall on ~0.9 Jaccard pairs stays high
+    val nearIds = docs.select(col("doc_id")).as[Long].collect()
+    val nearHits = nearIds.count(id => found((id + 100000L, id)))
+    assert(nearHits.toDouble / nearIds.length >= 0.9,
+      s"incremental banding recall ${nearHits.toDouble / nearIds.length}")
+    // parity with the symmetric pair set: batch×corpus pairs from the
+    // union-corpus banding restricted to cross-side == incremental
+    val sym = DedupOps.minhashSignaturePairs(
+        base.unionByName(batch), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a < 100000) != (b < 100000) }
+      .map { case (a, b) => if (a >= 100000) (a, b) else (b, a) }.toSet
+    assert(found == sym)
+  }
+
   test("edit-verify tier: exact dups at distance 0; decision column is " +
       "the documented integer rule; permille 0 keeps only exact") {
     val out = DedupOps.editVerifiedPairs(corpusWithDups, "doc_id", "text")
