@@ -116,11 +116,30 @@ object DedupOps {
                    n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 1,
       s"dupSpanStats needs n >= 1 and minDocs >= 1, got n=$n minDocs=$minDocs")
+    val spans = dupSpans(df, idCol, textCol, n, minDocs)
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_tokens"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
+  }
+
+  /** Maximal duplicated token spans per document — the shared core of
+    * [[dupSpanStats]] (measure) and [[dupSpanRemove]] (excise).
+    * Returns (doc_id, island, s, e) with [s, e] inclusive token
+    * positions. Scale shape per the [[dupSpanStats]] scaladoc: one
+    * codegen'd fingerprint kernel per doc, one hash-agg shuffle on the
+    * 8-byte fp, an equi-join back, and island merging windowed over
+    * HIT positions only.
+    */
+  private def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).as("doc_id"),
-      size(split(col(textCol), " ")).as("n_tokens"),
-      graft.functions.VecFunctions.token_ngram_fps(col(textCol), n).as("fps"))
-    val sh = base.select(col("doc_id"), posexplode(col("fps")))
+    val sh = df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.VecFunctions.token_ngram_fps(col(textCol), n)))
       .select(col("doc_id"), col("pos"), col("col").as("sh"))
     val common = sh.groupBy("sh")
       .agg(countDistinct(col("doc_id")).as("sh_df"))
@@ -131,18 +150,51 @@ object DedupOps {
     val prev = lag(col("pos"), 1).over(ord)
     // a shingle at pos covers tokens [pos, pos+n-1]; the next hit starts
     // a new island only when it clears the previous cover entirely
-    val isl = hits
+    hits
       .withColumn("brk", when(prev.isNull || col("pos") > prev + n, 1).otherwise(0))
       .withColumn("island", sum(col("brk")).over(ord))
-    val spans = isl.groupBy("doc_id", "island")
+      .groupBy("doc_id", "island")
       .agg(min(col("pos")).as("s"), (max(col("pos")) + (n - 1)).as("e"))
-    val perDoc = spans.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("dup_tokens"))
-    base.select(col("doc_id"), col("n_tokens"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
+  }
+
+  /** The destructive twin of [[dupSpanStats]] — the pipeline step a
+    * real curation run executes (Lee et al. 2021 ExactSubstr dedup):
+    * rewrite each document with every duplicated span (tokens covered
+    * by an n-token shingle appearing in >= `minDocs` distinct docs)
+    * excised, re-joining the surviving tokens with single spaces.
+    *
+    * Returns one row per input document: `doc_id`, `n_tokens` (original
+    * token count), `removed_tokens` (tokens excised), `kept_text` (the
+    * rewritten document; empty string when everything was duplicated).
+    *
+    * Scale shape: identical to [[dupSpanStats]] through the spans
+    * frame, then ONE extra per-doc step — spans collapse to a small
+    * array (merged maximal islands, typically a handful per doc) via
+    * collect_list, and the token filter is an `exists` over that
+    * array per token. The HOF pair is CodegenFallback but iterates
+    * only |tokens| x |spans| per row with no shuffle; the alternative
+    * (explode spans to positions and anti-join per token) would
+    * shuffle the full token stream. 100 TB story: same two shuffles as
+    * the stats pass plus one doc-keyed join — no new exchange.
+    */
+  def dupSpanRemove(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 1,
+      s"dupSpanRemove needs n >= 1 and minDocs >= 1, got n=$n minDocs=$minDocs")
+    val spansPerDoc = dupSpans(df, idCol, textCol, n, minDocs)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"),
+        sum(col("e") - col("s") + 1).as("removed_tokens"))
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .join(spansPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("removed_tokens"), lit(0L)).cast("long").as("removed_tokens"),
+        array_join(filter(col("toks"), (_, i) =>
+          !exists(coalesce(col("spans"),
+              array().cast("array<struct<s:int,e:int>>")),
+            sp => i >= sp.getField("s") && i <= sp.getField("e"))),
+          " ").as("kept_text"))
   }
 
   /** Distinct token set of a document (whitespace tokens). */
@@ -378,10 +430,37 @@ object DedupOps {
     * same train-once/serve-many split as [[Quantizers.saveModel]]).
     */
   def incrementalNearDupPairs(corpus: DataFrame, batch: DataFrame,
-      idCol: String, textCol: String, nPerms: Int = 8): DataFrame = {
-    val cb = bandKeys(minhashSignature(corpus, idCol, textCol, nPerms), nPerms)
+      idCol: String, textCol: String, nPerms: Int = 8): DataFrame =
+    incrementalNearDupPairsPrebanded(
+      bandedProjection(corpus, idCol, textCol, nPerms),
+      batch, idCol, textCol, nPerms)
+
+  /** The corpus side's persistable derived state for
+    * [[incrementalNearDupPairs]]: the banded minhash-signature
+    * projection `(doc_id, band, key)`. Append-only by construction —
+    * a document's band keys never change, so a production pipeline
+    * writes this ONCE per baked document (plain partitioned parquet;
+    * it is corpus-sized, not model-sized) and appends each batch's
+    * projection after admission. [[incrementalNearDupPairsPrebanded]]
+    * serves directly from the reloaded frame; ModelSeamSpec pins
+    * persisted-vs-in-memory parity and the q_llm_incremental_dedup
+    * catalog entry runs through the persisted seam.
+    */
+  def bandedProjection(df: DataFrame, idCol: String, textCol: String,
+      nPerms: Int = 8): DataFrame =
+    bandKeys(minhashSignature(df, idCol, textCol, nPerms), nPerms)
+
+  /** [[incrementalNearDupPairs]] against an already-banded corpus
+    * projection (typically reloaded from the parquet
+    * [[bandedProjection]] persisted at bake time): bands ONLY the
+    * arriving batch, joins batch x corpus buckets — linear in the
+    * batch, never corpus x corpus re-banding.
+    */
+  def incrementalNearDupPairsPrebanded(corpusBands: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      nPerms: Int = 8): DataFrame = {
     val bb = bandKeys(minhashSignature(batch, idCol, textCol, nPerms), nPerms)
-    bb.as("b").join(cb.as("c"),
+    bb.as("b").join(corpusBands.as("c"),
         col("b.band") === col("c.band") && col("b.key") === col("c.key"))
       .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
       .distinct()

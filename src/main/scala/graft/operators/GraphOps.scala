@@ -287,6 +287,36 @@ object GraphOps {
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
+    val (deg, oriented) = degreeOriented(edges, srcCol, dstCol)
+    // wedge at apex s: unordered out-pair canonicalized by id; the
+    // closing oriented edge between b and c is unique, so a semi-join
+    // on the id-canonical pair closes it regardless of its direction.
+    // The closing side is edge-sized — size-gate the broadcast so the
+    // wedge frame (Σd⁺², the BIG side) is never shuffled when the
+    // edge set fits the threshold; above it both sides shuffle.
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    val closing = oriented.select(least(col("s"), col("t")).as("x"),
+      greatest(col("s"), col("t")).as("y"))
+    val tris = wedges.join(Hints.maybeBroadcast(closing),
+      col("b") === col("x") && col("c") === col("y"), "left_semi")
+    val cnts = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.select(col("id")).join(cnts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** The degree-ordered orientation shared by [[triangleCounts]] and
+    * the skew-measurement lab ([[graft.TriSkew]]): returns the
+    * undirected-simple degree frame `(id, d)` and the oriented edge
+    * frame `(s, t)` with every edge pointing from its lower
+    * (degree, id) endpoint to the higher, hash-partitioned on the
+    * wedge apex `s`.
+    */
+  private[graft] def degreeOriented(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
     val e0 = edges.select(col(srcCol).cast("long").as("ea"),
         col(dstCol).cast("long").as("eb"))
       .filter(col("ea").isNotNull && col("eb").isNotNull &&
@@ -310,24 +340,7 @@ object GraphOps {
       .select(when(uFirst, col("u")).otherwise(col("v")).as("s"),
         when(uFirst, col("v")).otherwise(col("u")).as("t"))
       .repartition(col("s"))
-    // wedge at apex s: unordered out-pair canonicalized by id; the
-    // closing oriented edge between b and c is unique, so a semi-join
-    // on the id-canonical pair closes it regardless of its direction.
-    // The closing side is edge-sized — size-gate the broadcast so the
-    // wedge frame (Σd⁺², the BIG side) is never shuffled when the
-    // edge set fits the threshold; above it both sides shuffle.
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
-      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
-    val closing = oriented.select(least(col("s"), col("t")).as("x"),
-      greatest(col("s"), col("t")).as("y"))
-    val tris = wedges.join(Hints.maybeBroadcast(closing),
-      col("b") === col("x") && col("c") === col("y"), "left_semi")
-    val cnts = tris
-      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("triangles"))
-    deg.select(col("id")).join(cnts, Seq("id"), "left")
-      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+    (deg, oriented)
   }
 
   /** Mass-conserving PageRank: like [[pageRank]] but the rank mass of

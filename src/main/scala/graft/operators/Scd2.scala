@@ -39,6 +39,55 @@ import org.apache.spark.sql.functions._
   */
 object Scd2 {
 
+  /** Point-in-time (`AS OF ts`) read over an SCD-2 temporal table —
+    * the natural consumer of [[mergeApply]]'s output: for each probe
+    * row (key + `tsCol`) return the version valid at that instant,
+    * i.e. the row with `fromCol <= ts < coalesce(toCol, +inf)`.
+    *
+    * Composes with the as-of machinery instead of a predicate join:
+    * versions become per-key states at `fromCol` and
+    * [[AsofJoin.keyed]] carries the floor version to each probe in
+    * ONE keyed shuffle + window pass — no join operator at all, no
+    * cartesian, and no per-probe interval scan (the naive
+    * `fromCol <= ts < toCol` theta-join re-checks every version per
+    * probe). Correctness beyond the chained-interval happy path:
+    *
+    *  - zero-length versions (`fromCol == toCol`, produced when two
+    *    changes share a key and timestamp) are valid at NO instant —
+    *    they are dropped up front, which also restores the per-key
+    *    timestamp uniqueness [[AsofJoin.keyed]] requires;
+    *  - gapped histories (a closed version followed by nothing until
+    *    a later version) are handled by an expiry guard: a carried
+    *    version whose `toCol <= ts` was no longer valid at the probe
+    *    instant, so its attributes read as NULL (same answer as the
+    *    predicate join).
+    *
+    * Output: every probe row plus `asof_<fromCol>`, `asof_<attr>`...,
+    * `asof_<toCol>` (all NULL when no version was valid at `ts`).
+    * Scale shape: one shuffle on `keyCols` for the union'd window —
+    * the 100 TB story of the keyed as-of join (AsofJoin.scala:38).
+    */
+  def asOfRead(table: DataFrame, probes: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], fromCol: String = "valid_from",
+      toCol: String = "valid_to", tsCol: String = "ts"): DataFrame = {
+    require(keyCols.nonEmpty, "asOfRead needs at least one key column")
+    val readable = table.filter(col(toCol).isNull || col(fromCol) < col(toCol))
+    val stateCols = (fromCol +: attrCols) :+ toCol
+    val states = readable.select(
+      keyCols.map(col) ++ Seq(col(fromCol).as(tsCol)) ++ stateCols.map(col): _*)
+    val joined = AsofJoin.keyed(probes, states, keyCols, tsCol, stateCols)
+    val expired = col(s"asof_$toCol").isNotNull &&
+      col(s"asof_$toCol") <= col(tsCol)
+    // one select so the expiry test reads the ORIGINAL carried toCol
+    // for every guarded column (a per-column withColumn chain would
+    // null toCol first and un-expire the rest)
+    joined.select(joined.columns.toIndexedSeq.map { c =>
+      if (stateCols.map("asof_" + _).contains(c))
+        when(expired, lit(null)).otherwise(col(c)).as(c)
+      else col(c)
+    }: _*)
+  }
+
   def mergeApply(base: DataFrame, delta: DataFrame, keyCols: Seq[String],
       attrCols: Seq[String], fromCol: String = "valid_from",
       toCol: String = "valid_to", tsCol: String = "ts",

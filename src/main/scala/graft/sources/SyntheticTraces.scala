@@ -21,15 +21,22 @@ object SyntheticTraces {
     * then read like any real trace table — the generation cost is
     * paid once instead of inside every query that consumes traces).
     */
-  def bronze(spark: SparkSession, sfDir: String): DataFrame = {
-    // key carries a fingerprint of the source tables (length + mtime)
-    // so a regenerated dataset at the same path invalidates the cache
+  /** Staging-cache key for a corpus dir: path + a fingerprint of the
+    * source tables (length + mtime), so a regenerated dataset at the
+    * same path invalidates every staged derivative (bronze, the
+    * flagship's sliced stream replay).
+    */
+  def corpusKey(sfDir: String): String = {
     val fp = Seq("orders", "lineitem").map { t =>
       val f = new java.io.File(s"$sfDir/$t.parquet")
       f.length() * 31L + f.lastModified()
     }.reduce(_ * 1000003L + _)
-    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") +
+    sfDir.replaceAll("[^a-zA-Z0-9.]", "_") +
       "_" + java.lang.Long.toHexString(fp)
+  }
+
+  def bronze(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = corpusKey(sfDir)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_bronze_v2_$key"
     if (!new java.io.File(s"$path/_SUCCESS").isFile) synchronized {
       // stage in one file per core ([[blocksBronze]] rationale): the

@@ -229,6 +229,32 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts: orientation caps the wedge frame on a planted hub " +
+      "(arboricity bound measured, not asserted)") {
+    // hub 0 -- spokes 1..H, chain edge every 10th spoke pair: the
+    // unoriented wedge join would pay C(H,2) pairs at the hub; the
+    // degree-ordered orientation points every hub edge INTO the hub
+    // (it is the (deg,id)-maximum), so the hub contributes ZERO wedges
+    val h = 2000
+    val hub = (1 to h).map(i => (0L, i.toLong))
+    val chain = (1 until h).filter(_ % 10 == 1).map(i => (i.toLong, i + 1L))
+    val edges = (hub ++ chain).toDF("src", "dst")
+    val (deg, oriented) = GraphOps.degreeOriented(edges, "src", "dst")
+    val unoriented = deg.agg(expr("sum(d * (d - 1) DIV 2)")).head().getLong(0)
+    val wedgeRows = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t")).count()
+    // C(2000,2) = 1,999,000 hub pairs unoriented; oriented only the
+    // chain apexes wedge (one per planted triangle)
+    assert(unoriented >= 1999000L, s"unoriented=$unoriented")
+    assert(wedgeRows == chain.size.toLong, s"oriented=$wedgeRows")
+    val maxOut = oriented.groupBy("s").count().agg(max("count")).head().getLong(0)
+    assert(maxOut <= 2L, s"max out-degree $maxOut should stay O(sqrt m)")
+    // correctness pin: each planted triangle counted at all 3 corners
+    val triSum = GraphOps.triangleCounts(edges, "src", "dst")
+      .agg(sum("triangles")).head().getLong(0)
+    assert(triSum == 3L * chain.size)
+  }
+
   test("pageRank: deterministic across partitionings (exact integers)") {
     val edges = (1L to 500L).map(i => (i % 37, i % 53)).toDF("src", "dst")
     val a = GraphOps.pageRank(edges.repartition(1), "src", "dst", iters = 3)

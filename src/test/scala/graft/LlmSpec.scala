@@ -80,6 +80,38 @@ class LlmSpec extends SparkSpec {
     assert(out(3).getInt(1) == 2 && out(3).getLong(2) == 0 && out(3).getLong(3) == 0)
   }
 
+  test("dup-span removal excises exactly the planted overlap and rejoins " +
+      "the survivors") {
+    import spark.implicits._
+    val phrase = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $phrase a4 a5 a6 a7 a8 a9 a10 a11"),
+      (2L, s"b1 b2 $phrase b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),   // untouched
+      (4L, "short doc"),                     // < n tokens: untouched
+      (5L, phrase),                          // fully duplicated -> empty
+      (6L, phrase)
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dupSpanRemove(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1/2: the 10-token planted phrase is excised, flanks rejoin
+    assert(out(0).getLong(1) == 21 && out(0).getLong(2) == 10
+      && out(0).getString(3) == "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11",
+      s"doc1: ${out(0)}")
+    assert(out(1).getString(3) == "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12",
+      s"doc2: ${out(1)}")
+    // no cross-doc shingle / too short -> text survives verbatim
+    assert(out(2).getLong(2) == 0 && out(2).getString(3) == "c1 c2 c3 c4 c5 c6 c7 c8 c9")
+    assert(out(3).getLong(2) == 0 && out(3).getString(3) == "short doc")
+    // everything duplicated -> empty rewrite, full removal count
+    assert(out(4).getLong(2) == 10 && out(4).getString(3) == "",
+      s"doc5: ${out(4)}")
+    // removal composes with the stats pass: removed == dup_tokens per doc
+    val stats = DedupOps.dupSpanStats(docs, "doc_id", "text")
+      .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+    out.foreach(r => assert(r.getLong(2) == stats(r.getLong(0)), r.toString))
+  }
+
   test("duplicated-substring spans: disjoint shared regions stay separate islands") {
     import spark.implicits._
     val p = "x1 x2 x3 x4 x5 x6 x7 x8"   // exactly one shingle

@@ -61,6 +61,60 @@ class ModelSeamSpec extends SparkSpec {
     assert(scrambled == direct)
   }
 
+  test("classifier weights: save -> load -> serve == serve from the " +
+      "in-session frame") {
+    import graft.llm.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("label", (col("doc_id") % 2 === 0).cast("int"))
+    val w = TextOps.trainClassifierWeights(docs, "text", "label")
+    val loaded = roundTrip(w, "clf")
+    assert(loaded.schema.fieldNames.toSet == Set("bucket", "w"))
+    val direct = TextOps.hashedLinearScore(docs, "doc_id", "text",
+        weights = Some(w)).collect().map(_.toSeq).toSet
+    val served = TextOps.hashedLinearScore(docs, "doc_id", "text",
+        weights = Some(loaded)).collect().map(_.toSeq).toSet
+    assert(direct == served)
+    assert(direct.nonEmpty)
+    // integer fixed-point weights survive parquet exactly (no floats
+    // anywhere in the train -> serve loop)
+    val a = w.orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = loaded.orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("incremental-dedup corpus banded projection: persist -> reload -> " +
+      "band a new batch == the in-memory path") {
+    import graft.llm.DedupOps
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 === 1)
+    val proj = DedupOps.bandedProjection(corpus, "doc_id", "text")
+    // corpus-sized derived state: plain parquet write (NOT the
+    // coalesce(1) model layout), exactly what the catalog entry stages
+    val path = graft.sources.Staging.sessionTempDir("graft_bands_seam")
+    proj.write.mode("overwrite").parquet(path)
+    val fromLoaded = DedupOps.incrementalNearDupPairsPrebanded(
+        spark.read.parquet(path), batch, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val inMemory = DedupOps.incrementalNearDupPairs(corpus, batch,
+        "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(fromLoaded == inMemory)
+    assert(fromLoaded.nonEmpty)
+    // append-only contract: appending a NEW baked doc's projection to
+    // the persisted state is the same as re-projecting the grown corpus
+    val growth = d.filter(col("doc_id") % 2 === 1).limit(1)
+    DedupOps.bandedProjection(growth, "doc_id", "text")
+      .write.mode("append").parquet(path)
+    val appended = DedupOps.incrementalNearDupPairsPrebanded(
+        spark.read.parquet(path), batch, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val rebuilt = DedupOps.incrementalNearDupPairs(corpus.unionByName(growth),
+        batch, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(appended == rebuilt)
+  }
+
   test("model values survive the round-trip bit-exactly") {
     val cents = Quantizers.trainIvfCentroids(emb, "vec_id", "embedding", k = 4,
       iters = 1, trainSize = 64)

@@ -86,4 +86,54 @@ class Scd2Spec extends SparkSpec {
       .orderBy("valid_from", "v").collect()
     assert(withTs.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
+
+  test("asOfRead: containment semantics, gaps expire, zero-length versions " +
+      "unreadable, pre-history probes null") {
+    // k1: chained [10,20) a, [20,30) b, open [30,∞) c
+    // k2: GAPPED history — closed [10,20) x, then nothing until open [50,∞) y
+    // k3: zero-length [40,40) z0 then open [40,∞) z1 (same-instant change)
+    val table = Seq(
+      ("k1", 10L, "a", Some(20L)), ("k1", 20L, "b", Some(30L)),
+      ("k1", 30L, "c", None),
+      ("k2", 10L, "x", Some(20L)), ("k2", 50L, "y", None),
+      ("k3", 40L, "z0", Some(40L)), ("k3", 40L, "z1", None)
+    ).toDF("k", "valid_from", "v", "valid_to")
+      .withColumn("valid_to", col("valid_to").cast("long"))
+    val probes = Seq(
+      ("k1", 5L),   // before any version -> nulls
+      ("k1", 10L),  // inclusive start -> a
+      ("k1", 20L),  // boundary: a expired, b starts -> b
+      ("k1", 99L),  // open row -> c
+      ("k2", 25L),  // inside the GAP -> nulls (x expired at 20)
+      ("k2", 50L),  // gap ends -> y
+      ("k3", 40L),  // zero-length z0 never readable -> z1
+      ("k9", 10L)   // unknown key -> nulls
+    ).toDF("k", "ts")
+    val got = Scd2.asOfRead(table, probes, Seq("k"), Seq("v"))
+      .select("k", "ts", "asof_v").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(got == Set(
+      ("k1", 5L, null), ("k1", 10L, "a"), ("k1", 20L, "b"), ("k1", 99L, "c"),
+      ("k2", 25L, null), ("k2", 50L, "y"), ("k3", 40L, "z1"),
+      ("k9", 10L, null)), got.toString)
+    // the expiry guard nulls the WHOLE version consistently (from/to too)
+    val gapRow = Scd2.asOfRead(table, probes.filter(col("ts") === 25L),
+      Seq("k"), Seq("v")).collect().head
+    assert(gapRow.isNullAt(gapRow.fieldIndex("asof_valid_from"))
+      && gapRow.isNullAt(gapRow.fieldIndex("asof_valid_to")))
+  }
+
+  test("asOfRead composes with mergeApply: reading the merged table at a " +
+      "version boundary returns the post-merge version") {
+    val t = Scd2.mergeApply(base, delta, Seq("k"), Seq("v"))
+    val probes = Seq(("k1", 35L), ("k2", 99L), ("k3", 14L)).toDF("k", "ts")
+    val got = Scd2.asOfRead(t, probes, Seq("k"), Seq("v"))
+      .select("k", "asof_v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    // k1 at 35 sits in [30,40) 'c'; k2 still open 'x'; k3 before its
+    // first version (inserted at 15) -> null
+    assert(got == Map("k1" -> "c", "k2" -> "x", "k3" -> null), got.toString)
+  }
 }
