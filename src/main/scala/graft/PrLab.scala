@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
   * and the rank checksum — the cross-path differential at scale
   * (ScaleUp replicas dedup to the same graph, so every SF must agree).
   *
-  *   runMain graft.PrGate [dir1 dir2 ...]
+  *   runMain graft.PrGate <dir1> [dir2 ...]
   */
 object PrGate {
   def main(args: Array[String]): Unit = {
-    val dirs = if (args.nonEmpty) args.toSeq
-      else Seq("/root/testdata/sf0.1", "/root/repo/tmp/sf1",
-        "/root/repo/tmp/sf3", "/root/repo/tmp/sf10")
+    // corpora are explicit args — no machine-specific fallbacks in
+    // the shipped artifact (rehearsal commands live in COVERAGE.md)
+    require(args.nonEmpty,
+      "usage: runMain graft.PrGate <corpusDir> [corpusDir ...]")
+    val dirs = args.toSeq
     val spark = SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -46,7 +48,8 @@ object PrGate {
 
 object PrLab {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    require(args.nonEmpty, "usage: runMain graft.PrLab <corpusDir> [nRuns]")
+    val dir = args(0)
     val n = if (args.length > 1) args(1).toInt else 4
     val spark = SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")

@@ -10,7 +10,8 @@ object ProbeMain {
     val n = if (args.length > 2) args(2).toInt else 3
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

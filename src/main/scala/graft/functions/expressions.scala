@@ -115,11 +115,15 @@ object GraftFunctions {
     "arith_minhash_sig" -> unary("arith_minhash_sig", ArithMinhashSig(_, 8)) _,
     "fnv64" -> unary("fnv64", Fnv64) _)
 
-  /** Register SQL-callable names on a session (idempotent). */
+  /** Register SQL-callable names on a session (idempotent — names
+    * already present are left alone, so repeated calls across a bench
+    * run don't spam `SimpleFunctionRegistry ... replaced` WARNs). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     sqlFunctions.foreach { case (name, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+      val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(ident))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
 }

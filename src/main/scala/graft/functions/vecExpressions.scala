@@ -414,6 +414,43 @@ object VecBridge {
     * regex — the transform/element_at HOF formulation is interpreted
     * and measured ~20x slower on the n-gram stats query.
     */
+  /** Per-document term-frequency pairs: the text split on SINGLE
+    * SPACES (empty tokens kept — exactly `split(text, " ")` / DuckDB
+    * `string_split(text, ' ')` semantics, so oracles line up) and
+    * counted into first-seen order. One call per DOCUMENT replaces the
+    * explode-10M-tokens → (doc, term) shuffle-aggregate that dominated
+    * the bm25/tf-idf entries: the per-doc count never leaves the map
+    * side, and there is no token-stream shuffle at all.
+    */
+  def tokenTf(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val m = new java.util.LinkedHashMap[String, java.lang.Long]()
+    val n = s.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        val tok = s.substring(start, i)
+        m.put(tok, java.lang.Long.valueOf(m.getOrDefault(tok, 0L) + 1L))
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](m.size())
+    var j = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey),
+          e.getValue.longValue()))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def wordBigrams(text: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val s = text.toString
@@ -1112,6 +1149,25 @@ case class WordBigrams(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-document term-frequency pairs (see [[VecBridge.tokenTf]]). */
+case class TokenTfCounts(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringUnaryInput {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_tf"
+
+  override def nullSafeEval(input: Any): Any =
+    VecBridge.tokenTf(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecBridge.tokenTf($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenTfCounts =
+    copy(child = newChild)
+}
+
 /** Portable winnowing fingerprint (see [[VecBridge.portableFingerprint]]). */
 case class PortableFingerprintExpr(child: Expression, w: Int)
     extends UnaryExpression with org.apache.spark.sql.GraftStringUnaryInput {
@@ -1139,6 +1195,8 @@ object VecFunctions {
     GraftShim.column(ArithNgramFps(GraftShim.expression(c)))
   def token_ngram_fps(c: Column, n: Int): Column =
     GraftShim.column(TokenNgramFps(GraftShim.expression(c), n))
+  def token_tf(c: Column): Column =
+    GraftShim.column(TokenTfCounts(GraftShim.expression(c)))
   def portable_simhash60(c: Column): Column =
     GraftShim.column(PortableSimhash60(GraftShim.expression(c)))
   def portable_fingerprint(c: Column, w: Int = 8): Column =

@@ -382,6 +382,11 @@ object PipelineOps {
     * reproducibility across engines, re-runs and partitionings.
     * Overflow-safe by construction: w ≤ 2^20 and u < 2^30, so
     * w · 2^33 ≤ 2^53 — exact in every engine's BIGINT and in doubles.
+    * Fractional weight columns (double/float/positive-scale decimal —
+    * the classifier-score case) are detected from the input schema
+    * and scaled by 1e6 before the integer clamp, so real-valued
+    * weights in (0, 1) rank correctly instead of collapsing to
+    * all-ties uniform.
     *
     * Scale shape: one window per stratum over (weight, hash)-augmented
     * rows — identical to [[groupQuota]]'s adjudicated single-shuffle
@@ -391,11 +396,30 @@ object PipelineOps {
   def weightedSample(df: DataFrame, idCol: String, stratumCol: String,
       weightCol: Column, k: Int): DataFrame = {
     val u = sampleHash(col(idCol)) % lit(1000000007L)
+    // Fractional weight columns (the classifier-quality-score case:
+    // doubles in [0, 1)) are scaled to integers HERE — a bare
+    // cast("long") would floor them all to 0, clamp to 1, and
+    // silently degrade the sample to uniform (the exact all-ties
+    // hazard calibrateBySource's doc records). 1e6 preserves six
+    // significant digits and stays inside the 2^20 clamp; integer
+    // weight columns pass through unscaled. Resolved from the input
+    // schema at plan time — driver-only, no data touched.
+    val isFractional = {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+      df.select(weightCol.as("w")).schema.head.dataType match {
+        case DoubleType | FloatType => true
+        case d: DecimalType => d.scale > 0
+        case _ => false
+      }
+    }
+    val wScaled =
+      if (isFractional) (weightCol * lit(1000000L)).cast("long")
+      else weightCol.cast("long")
     // NULL weights degrade to the MINIMUM weight, not the maximum:
     // least()/greatest() skip nulls, so without the coalesce a
     // null-weighted row would clamp to 2^20 and dominate the sample —
     // the opposite of sane treatment for unscored rows
-    val w = greatest(least(coalesce(weightCol.cast("long"), lit(1L)),
+    val w = greatest(least(coalesce(wScaled, lit(1L)),
       lit(1L << 20)), lit(1L))
     val win = Window.partitionBy(stratumCol).orderBy(col("smpl_pri").desc,
       col(idCol))

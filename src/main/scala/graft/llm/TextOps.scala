@@ -275,38 +275,54 @@ object TextOps {
     * `tf * idf_x1e6` — all BIGINT arithmetic, no floats, deterministic
     * ties broken by term.
     *
-    * Scale shape: the term explode is a map that feeds exactly ONE
-    * (doc, term) hash-agg shuffle — AQE stage reuse collapses the
-    * vocab leg's copy of that subtree into a ReusedExchange at
-    * runtime (pinned by PlanShapeSpec on the final adaptive plan).
+    * Scale shape: the tf table comes from the per-document
+    * [[graft.functions.VecBridge.tokenTf]] kernel — each doc's
+    * (term, tf) pairs counted inside ONE codegen'd call, so there is
+    * no token-stream explode and no (doc, term) shuffle-aggregate at
+    * all (the r11 plan paid that aggregate twice: the tf and df_t
+    * branches are separate subtrees once column pruning specializes
+    * them, and a shared explicit exchange measured slower than the
+    * recompute because it shuffles the full string-keyed tf table).
     * The document-frequency leg is a vocabulary-sized aggregate
-    * joined back onto the tf table (AQE broadcasts it when small,
-    * shuffled join if a web-scale token tail outgrows broadcast), so
-    * everything after the tf aggregate moves only vocabulary- and
-    * doc-sized rows. The corpus size comes from the raw documents
-    * scan (a count, no explode) and joins in as a 1-row broadcast,
-    * never a driver-side collect; the final top-k is a per-doc window
-    * over the already tf-aggregated rows.
+    * (map-side partials over one-row-per-(doc, term) input) joined
+    * back onto the tf table — plan-time broadcast when the INPUT
+    * corpus estimate fits the session threshold (a sound upper bound
+    * on the vocab, see [[inputFitsBroadcast]]), AQE-decided when a
+    * web-scale token tail might outgrow it — so everything that
+    * shuffles is vocabulary- and doc-sized. The corpus size comes
+    * from the raw documents scan (a count, no explode) and joins in
+    * as a 1-row broadcast, never a driver-side collect; the final
+    * top-k is a per-doc window over the already tf-aggregated rows,
+    * exchange-free when the input is already doc-partitioned.
     */
+  /** True when `df`'s plan-time size estimate fits the session's
+    * broadcast threshold. Used to gate plan-time broadcast hints on
+    * frames DERIVED from `df` whose own stats Catalyst cannot estimate
+    * (aggregates over an explode default to huge/unknown): the derived
+    * vocabulary is bytes-bounded by the corpus text itself, so the
+    * input estimate is a sound upper bound. Above the threshold no
+    * hint is attached and AQE's runtime join selection decides — the
+    * safe direction for a web-scale token tail.
+    */
+  private def inputFitsBroadcast(df: DataFrame): Boolean = !df.isStreaming && {
+    val conf = df.sparkSession.sessionState.conf
+    conf.autoBroadcastJoinThreshold > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(conf.autoBroadcastJoinThreshold)
+  }
+
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df_t as a VOCABULARY-sized aggregate joined back, not a window:
-    // the window form sorts the whole tf table by term; the aggregate
-    // form moves only map-combined (term, count) partials — vocab
-    // rows, not tf rows. No broadcast hint: AQE sees the materialized
-    // vocab stage (tiny for real corpora → broadcast-hash) and falls
-    // back to a shuffled join only if the vocabulary genuinely
-    // outgrows broadcast (web-scale noisy-token tails). The tf
-    // subtree feeding both the join and the vocab agg shares ONE
-    // exchange via stage reuse.
-    val dfT = tf.groupBy("term")
-      .agg(sum(least(col("tf"), lit(1L))).as("df_t"))  // ≡ count; see bm25TopK
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.VecFunctions.token_tf(col(textCol))).as("kv"))
+      .select(col("doc_id"), col("kv.term").as("term"), col("kv.tf").as("tf"))
+    // one row per (doc, term) ⇒ df_t is a plain row count per term:
+    // map-side partials make this exchange vocabulary-sized
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val dfTB = if (inputFitsBroadcast(df)) broadcast(dfT) else dfT
     val nDocs = df.select(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(dfT, "term")
+      .join(dfTB, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score_x", col("tf") * expr("(n_docs * 1000000) div df_t"))
     scored
@@ -337,36 +353,51 @@ object TextOps {
     * oracle side) — at web-corpus scale idf_x·tf·22·t_tokens
     * overflows 63 bits long before the corpus reaches 100 TB.
     *
-    * Scale shape: identical to [[tfidfTopK]] — one explode, one
-    * (doc, term) tf shuffle, df_t as a vocabulary-sized aggregate
-    * joined back (AQE broadcast when the vocab is small, shuffled
-    * join when a web-scale token tail outgrows broadcast; the tf
-    * exchange feeding both sides is reused), and dl (Σtf per doc) as
-    * a window over the tf table, so the token stream is never
-    * exploded or shuffled a second time. Corpus totals come from the
-    * raw documents scan (count + Σ token counts, no explode) and
-    * join in as a 1-row broadcast, never a driver collect. The dl
-    * window is placed last so its hash(doc_id) exchange is the one
-    * the final top-k window reuses.
+    * Scale shape: identical to [[tfidfTopK]] — the per-document
+    * tokenTf kernel replaces the token explode + (doc, term)
+    * shuffle-aggregate, df_t is a vocabulary-sized aggregate joined
+    * back (AQE broadcast when the vocab is small, shuffled join when
+    * a web-scale token tail outgrows broadcast), and dl (doc length
+    * in split-on-space tokens) is counted arithmetically per row
+    * (spaces + 1), so there is no dl window and no second pass over
+    * the token stream. Corpus totals come from the raw documents
+    * scan (count + Σ token counts, no explode) and join in as a
+    * 1-row broadcast, never a driver collect.
     */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // sum(least(tf,1)) ≡ count (tf ≥ 1 by construction) — but unlike
-    // count(1) it REFERENCES tf, so column pruning cannot specialize
-    // this branch's copy of the tf aggregate to keys-only and the two
-    // tf subtrees stay canonically identical → ONE exchange, reused
-    // (with count(1) the optimizer strips tf below, the exchanges
-    // diverge, and the explode runs twice — verified in the plan).
-    val dfT = tf.groupBy("term")
-      .agg(sum(least(col("tf"), lit(1L))).as("df_t"))
+    // The tf table comes from the PER-DOCUMENT [[graft.functions
+    // .VecBridge.tokenTf]] kernel: each doc's (term, tf) pairs are
+    // counted inside one codegen'd call, so there is NO token-stream
+    // explode and NO (doc, term) shuffle-aggregate — the r11 plan
+    // exploded ~10M tokens and hash-aggregated them TWICE (the tf and
+    // df_t branches are separate subtrees; exchange reuse cannot
+    // deduplicate them once column pruning specializes the copies —
+    // measured in the r12 plan audit, and an explicit shared term
+    // exchange measured SLOWER than the double explode because it
+    // shuffles the full string-keyed tf table). Here the duplicated
+    // branch work is just the per-doc kernel, and dl (doc length in
+    // split-on-space tokens, empties included) is counted
+    // arithmetically as spaces+1 — no window, no second split.
+    val dl = (length(col(textCol)) -
+      length(translate(col(textCol), " ", "")) + 1).cast("long")
+    val tf = df.select(col(idCol).as("doc_id"), dl.as("dl"),
+        explode(graft.functions.VecFunctions.token_tf(col(textCol))).as("kv"))
+      .select(col("doc_id"), col("kv.term").as("term"),
+        col("kv.tf").as("tf"), col("dl"))
+    // one row per (doc, term) ⇒ df_t is a plain row count per term:
+    // map-side partials make this exchange vocabulary-sized
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val dfTB = if (inputFitsBroadcast(df)) broadcast(dfT) else dfT
+    // corpus totals are pure arithmetic over the raw scan (dl is
+    // spaces+1 — no split, no explode) and broadcast as one row; with
+    // both legs plan-time broadcast their build jobs run CONCURRENTLY
+    // (measured: riding the corpus on the vocab exchange serializes
+    // behind it and loses)
     val corpus = df.agg(count(lit(1)).as("n_docs"),
-      sum(size(split(col(textCol), " "))).cast("long").as("t_tokens"))
+      sum(dl).cast("long").as("t_tokens"))
     val scored = tf
-      .join(dfT, "term")
-      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
+      .join(dfTB, "term")
       .crossJoin(broadcast(corpus))
       .withColumn("idf_x", expr("(n_docs * 1000) div df_t"))
       .withColumn("score_x", expr(

@@ -71,12 +71,14 @@ object GraphOps {
     * badly; callers feeding a filtered edge frame should pass an
     * explicit `materializeAboveBytes` (0 forces the distributed
     * path), the same trust-the-estimate contract as the as-of
-    * broadcast gate. (2) The kernel result is a LAZY single-stage
-    * plan — every action over it re-runs the kernel (cheap by
-    * definition below the gate, but callers running many actions
-    * over the ranks should cache or checkpoint the returned frame;
-    * the materialized path returns an eager self-contained
-    * checkpoint by construction).
+    * broadcast gate — with [[Kernel.MaxKernelRows]] as the runtime
+    * backstop: a task fed vastly more rows than any in-gate estimate
+    * implies aborts with a clear message instead of grinding into a
+    * single-task OOM. (2) Both gate outcomes return the same eager
+    * contract: the kernel result is `localCheckpoint(eager = true)`d
+    * at call time (cheap by definition below the gate), so callers
+    * straddling the gate see one lifetime semantics — a
+    * self-contained frame, computed once.
     *
     * Above the gate, each superstep is eagerly `localCheckpoint`ed
     * (lineage truncated, plan stays one step deep) and the previous
@@ -149,7 +151,12 @@ object GraphOps {
     }
 
     if (iters == 0) finish(None)
-    else if (!materialize) inMemoryKernel(eCast, iters, scale, base)
+    else if (!materialize)
+      // eager checkpoint so BOTH gate outcomes return the same
+      // contract: a self-contained frame computed once at call time
+      // (the lazy kernel plan would re-run dedup + every superstep on
+      // each action) — cheap by definition below the gate
+      inMemoryKernel(eCast, iters, scale, base).localCheckpoint(eager = true)
     else {
       var c = firstContribs().localCheckpoint(eager = true)
       var it = 1
@@ -225,17 +232,35 @@ object GraphOps {
     * the cost bought out; at the 64 MiB gate ceiling they peak at a
     * few hundred MB in ONE task, the documented trade of the path.
     */
-  private object Kernel extends Serializable {
+  private[graft] object Kernel extends Serializable {
     final class G(
         val deg: java.util.HashMap[Option[Long], Long],
         val adj: scala.collection.mutable.ArrayBuffer[(Option[Long], Option[Long])],
         val nodes: java.util.HashSet[Option[Long]]) extends Serializable
-    def build(it: Iterator[(Option[Long], Option[Long])]): G = {
+    /** Hard runtime ceiling on rows streamed into the single task —
+      * defense-in-depth behind the plan-time size gate, which trusts
+      * Catalyst's estimate: a badly underestimated frame (e.g. a
+      * selective filter under default column stats) would otherwise
+      * ride the kernel path into a silent single-task OOM. 32M raw
+      * rows is ~8× the rows a 64 MiB edge estimate implies — far past
+      * it the estimate was wrong, so fail loudly with the fix.
+      */
+    val MaxKernelRows: Long = 32L << 20
+    def build(it: Iterator[(Option[Long], Option[Long])],
+        maxRows: Long = MaxKernelRows): G = {
       val seen = new java.util.HashSet[(Option[Long], Option[Long])](1 << 17)
       val deg = new java.util.HashMap[Option[Long], Long](1 << 15)
       val adj = new scala.collection.mutable.ArrayBuffer[(Option[Long], Option[Long])](1 << 17)
       val nodes = new java.util.HashSet[Option[Long]](1 << 15)
+      var n = 0L
       while (it.hasNext) {
+        n += 1
+        if (n > maxRows) throw new IllegalStateException(
+          s"in-memory graph kernel fed more than $maxRows edge rows — " +
+            "the plan-time size estimate that selected the single-task path " +
+            "was badly wrong (selective filter under default stats?); pass a " +
+            "lower materializeAboveBytes or materialize the input so Catalyst " +
+            "sees real statistics")
         val e = it.next()
         if (seen.add(e)) {
           nodes.add(e._1); nodes.add(e._2)
@@ -400,6 +425,9 @@ object GraphOps {
           g.nodes.forEach(x => out += ((x, ranks.get(x))))
           out.iterator
         }.toDF("id", "rank")
+        // eager checkpoint: same self-contained contract as the
+        // materialized path's output (see pageRank's kernel arm)
+        .localCheckpoint(eager = true)
     }
     val (eDeg, nodes0) = edgePrep(edges, srcCol, dstCol)
     val nodes = nodes0.localCheckpoint(eager = true)
@@ -492,6 +520,9 @@ object GraphOps {
           g.nodes.forEach(x => out += ((x, ranks.get(x), t.toLong)))
           out.iterator
         }.toDF("id", "rank", "t")
+        // eager checkpoint: same self-contained contract as the
+        // materialized path's output (see pageRank's kernel arm)
+        .localCheckpoint(eager = true)
     }
     val (eDeg, nodes0) = edgePrep(edges, srcCol, dstCol)
     val nodes = nodes0.localCheckpoint(eager = true)

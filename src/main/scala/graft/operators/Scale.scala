@@ -34,7 +34,9 @@ object Scale {
     * assignment, so it must not be applied directly downstream of a
     * shuffle — salt over the deterministic source, or
     * `sortWithinPartitions` on a deterministic key first to pin the
-    * ordinal.
+    * ordinal. [[saltedSum]] enforces this itself: when its input plan
+    * contains a shuffle-planning operator it injects the pin before
+    * salting (see `plansAShuffle`).
     */
   private[graft] def rowSalt(salts: Int): Column =
     pmod(monotonically_increasing_id(), lit(salts.toLong))
@@ -52,10 +54,41 @@ object Scale {
     * lever for when one key holds a disproportionate share of rows
     * (e.g. a spam contract emitting millions of traces).
     */
+  /** True when `df`'s optimized plan contains an operator that plans
+    * to a shuffle (join/aggregate/window/repartition/global sort/…)
+    * — the situation where a fetch-failure retry can replay a
+    * partition in a different row order and hand [[rowSalt]]
+    * inconsistent ordinals. Over-approximates (a partial-only
+    * aggregate also matches): the false-positive cost is one
+    * per-partition sort, the false-negative cost is silently wrong
+    * sums, so erring wide is the only safe direction.
+    */
+  private def plansAShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort | _: GlobalLimit |
+          _: RepartitionOperation | _: Distinct | _: Deduplicate => true
+      case _ => false
+    }
+  }
+
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
       resultName: String, salts: Int = 16): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    val salted = df.withColumn("_salt", rowSalt(salts))
+    // Retry-consistency guard (the [[rowSalt]] determinism contract,
+    // enforced instead of merely documented): when the input plan has
+    // a shuffle boundary beneath the salt, pin the per-partition row
+    // order with a sortWithinPartitions on every salt-relevant column
+    // — rows tying on (keys, value) are interchangeable for the
+    // partial sums, so the pinned assignment is deterministic up to
+    // rows the aggregate can't distinguish. Scan-rooted inputs (the
+    // common case, where replay order is already deterministic) skip
+    // the sort.
+    val pinned =
+      if (plansAShuffle(df))
+        df.sortWithinPartitions((keyCols :+ valueCol).map(col): _*)
+      else df
+    val salted = pinned.withColumn("_salt", rowSalt(salts))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_partial"))

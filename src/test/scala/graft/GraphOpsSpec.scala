@@ -263,4 +263,34 @@ class GraphOpsSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("kernel results are eager and self-contained: same lifetime " +
+      "contract on both sides of the gate") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    def selfContained(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collectFirst { case _: LogicalRDD => () }.nonEmpty
+    val pr = GraphOps.pageRank(edges, "src", "dst", iters = 2)
+    assert(!GraphOps.lastMaterialized, "tiny frame must take the kernel path")
+    assert(selfContained(pr),
+      "kernel pageRank must return an eager localCheckpoint, not a lazy plan")
+    assert(selfContained(GraphOps.pageRankDangling(edges, "src", "dst", iters = 2)))
+    assert(selfContained(GraphOps.pageRankConverge(edges, "src", "dst",
+      eps = 1L, maxIters = 3)))
+  }
+
+  test("kernel row-ceiling backstop: a task fed past maxRows aborts " +
+      "loudly instead of building an unbounded graph") {
+    val rows = (1 to 100).iterator
+      .map(i => (Option(i.toLong), Option(i.toLong + 1)))
+    val e = intercept[IllegalStateException] {
+      GraphOps.Kernel.build(rows, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("size estimate"))
+    // under the ceiling the same stream builds fine
+    val g = GraphOps.Kernel.build(
+      (1 to 9).iterator.map(i => (Option(i.toLong), Option(i.toLong + 1))))
+    assert(g.adj.size == 9)
+  }
+
 }

@@ -1405,4 +1405,34 @@ class LlmSpec extends SparkSpec {
     assert(chainMessages(ex).exists(_.contains("nearest_cells_q")),
       s"expected dimension-mismatch error, got: ${chainMessages(ex).mkString(" | ")}")
   }
+
+  test("weighted sample: fractional weights rank by weight, never " +
+      "collapse to the all-ties uniform sample") {
+    import graft.llm.PipelineOps
+    // doubles in (0,1) — the classifier-quality-score case; a bare
+    // cast("long") would floor all of them to 0 -> clamp to 1 -> ties
+    val df = spark.createDataFrame(Seq(
+        (1L, "s", 0.25), (2L, "s", 0.5), (3L, "s", 0.75)))
+      .toDF("doc_id", "stratum", "w")
+    val out = PipelineOps.weightedSample(df, "doc_id", "stratum", col("w"), 3)
+      .select("doc_id", "smpl_pri").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def pri(id: Long, w: Long): Long = {
+      val u = ((id & 2147483647L) * 2654435761L) % 1000000007L
+      (w * (1L << 33)) / (u + 1L)
+    }
+    // 1e6-scaled weights (0.25/0.5/0.75 are exact in binary)
+    assert(out(1L) == pri(1L, 250000L))
+    assert(out(2L) == pri(2L, 500000L))
+    assert(out(3L) == pri(3L, 750000L))
+    assert(out.values.toSeq.distinct.size == 3, "fractional weights must not tie")
+    // integer weights keep the unscaled contract (regression guard for
+    // the existing oracle entries)
+    val ints = spark.createDataFrame(Seq((1L, "s", 500L)))
+      .toDF("doc_id", "stratum", "w")
+    val one = PipelineOps.weightedSample(ints, "doc_id", "stratum", col("w"), 1)
+      .select("smpl_pri").collect().head.getLong(0)
+    assert(one == pri(1L, 500L))
+  }
+
 }

@@ -164,25 +164,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct"), s"simhash pair join went cartesian:\n$p2")
   }
 
-  test("bm25/tfidf: corpus explodes exactly once; stats ride the tf table") {
+  test("bm25/tfidf: no token-stream shuffle-aggregate — tf comes from the " +
+      "per-doc kernel; only vocab- and doc-sized rows shuffle") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     for (df <- Seq(
         graft.llm.TextOps.bm25TopK(docs, "doc_id", "text"),
         graft.llm.TextOps.tfidfTopK(docs, "doc_id", "text"))) {
-      // The vocab (df_t) aggregate re-derives tf, so the STATIC plan
-      // prints the explode subtree twice — but both copies feed
-      // canonically identical exchanges, and AQE stage reuse collapses
-      // the second into a ReusedExchange at runtime (sum(least(tf,1))
-      // instead of count(1) keeps the subtrees identical under column
-      // pruning; see TextOps scaladoc). Pin the invariant where it is
-      // real: execute, then check the FINAL adaptive plan.
       df.collect()
       val p = plan(df).split("== Initial Plan ==")(0)
       assert(p.contains("isFinalPlan=true"), s"expected executed adaptive plan:\n$p")
-      assert(count(p, "Generate ") == 1,
-        s"corpus must explode exactly once at runtime, found ${count(p, "Generate ")}:\n$p")
-      assert(p.contains("ReusedExchange"),
-        s"the vocab leg must reuse the tf exchange, not recompute it:\n$p")
+      // tf is produced by the per-document token_tf kernel — there
+      // must be NO (doc, term) hash-aggregate anywhere (the r11 shape
+      // aggregated the exploded token stream, twice)
+      assert(p.contains("token_tf"), s"tf must come from the kernel:\n$p")
+      assert(!p.matches("(?s).*HashAggregate\\(keys=\\[doc_id[^,\\]]*, term.*"),
+        s"token stream must never be shuffle-aggregated:\n$p")
+      // the kernel runs once per consumer branch (tf + df_t) — bounded
+      // per-doc work, NOT a token-stream recompute; anything beyond 2
+      // means a new consumer silently re-derives it
+      assert(count(p, "Generate ") <= 2,
+        s"unexpected extra tf derivations, found ${count(p, "Generate ")}:\n$p")
+      // shuffles: vocab aggregate + the final per-doc window (+1 AQE
+      // margin); the tf table itself must not add term-keyed shuffles
+      assert(count(p, "Exchange hashpartitioning") <= 3,
+        s"tf table should not shuffle:\n$p")
+      // exactly one window pass (top-k rank) — bm25's dl is arithmetic
+      // per-row now, not a second window
+      assert(count(p, "Window \\[") <= 1, s"unexpected extra window pass:\n$p")
     }
   }
 

@@ -190,4 +190,28 @@ class ShuffleVolumeSpec extends SparkSpec {
         f"(${shuffleRecords * 100.0 / inputRows}%.0f%%)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("saltedSum retry pin: a shuffle boundary beneath the salt " +
+      "injects sortWithinPartitions; a shuffle-free input skips it") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = (1 to 5000).map(i => (s"k${i % 7}", i.toLong)).toDF("key", "v")
+    def hasLocalSort(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.optimizedPlan.exists {
+        case s: logical.Sort => !s.global
+        case _ => false
+      }
+    // downstream of a repartition the per-partition replay order is
+    // not retry-stable -> the pin must appear, and results stay exact
+    val shuffled = df.repartition(8, col("key"))
+    val salted = Scale.saltedSum(shuffled, Seq("key"), "v", "total")
+    assert(hasLocalSort(salted), "expected the injected retry pin")
+    val direct = df.groupBy("key").agg(sum("v").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == direct)
+    // local/scan-rooted input: deterministic replay, no pin, no sort cost
+    assert(!hasLocalSort(Scale.saltedSum(df, Seq("key"), "v", "total")))
+  }
+
 }

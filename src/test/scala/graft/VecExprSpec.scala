@@ -214,6 +214,43 @@ class VecExprSpec extends SparkSpec {
       .filter(col("ns") =!= 1).isEmpty)
   }
 
+  test("token_tf == explode(split)+groupBy formulation, including empty-token " +
+      "edge cases") {
+    import spark.implicits._
+    val docs = (Seq(
+      "a b a c b a",
+      "",                      // split("") -> [""]: one empty token
+      "  leading double",      // empty tokens from leading/consecutive spaces
+      "trailing space ",
+      "héllo wörld héllo",
+      "x"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      (0 until 50).map(i => (100L + i,
+        (0 until 30).map(j => s"w${(i * 7 + j * 13) % 11}").mkString(" "))))
+      .toDF("doc_id", "text")
+    val kernel = docs.select(col("doc_id"),
+        explode(VecFunctions.token_tf(col("text"))).as("kv"))
+      .select(col("doc_id"), col("kv.term"), col("kv.tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val reference = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(kernel == reference)
+    // null text -> null array -> explode drops the row (split parity)
+    val withNull = Seq((1L, null: String), (2L, "a a")).toDF("doc_id", "text")
+    val k2 = withNull.select(col("doc_id"),
+        explode(VecFunctions.token_tf(col("text"))).as("kv"))
+      .collect().map(_.getLong(0)).toSet
+    assert(k2 == Set(2L))
+    // the arithmetic dl (spaces + 1) equals size(split) on every doc
+    val dlCheck = docs.select(
+      (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+        .as("dl_arith"),
+      size(split(col("text"), " ")).as("dl_split")).collect()
+    dlCheck.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
   test("SQL surface: registered vector functions callable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     emb.limit(50).createOrReplaceTempView("vexpr_emb")
