@@ -38,8 +38,12 @@ object ProbeMain {
       val fn = SparkEntry.queries(name)
       for (i <- 1 to n) {
         val t0 = System.nanoTime()
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val df = fn(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
         println(f"PROBE $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // SPARK_GRAFT_PROBE_PLAN=1: executed (adaptive-final) plan after run 1
+        if (i == 1 && sys.env.contains("SPARK_GRAFT_PROBE_PLAN"))
+          println(s"PLAN $name:\n${df.queryExecution.executedPlan}")
       }
     }
     spark.stop()

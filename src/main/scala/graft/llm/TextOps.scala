@@ -311,6 +311,49 @@ object TextOps {
         BigInt(conf.autoBroadcastJoinThreshold)
   }
 
+  /** Distributed inverted-index build — the search/dedup
+    * infrastructure half of a training-data pipeline (every
+    * suffix-array / substring-dedup / retrieval system starts here):
+    * per term, the document frequency `df_t`, collection frequency
+    * `cf_t` (Σ tf), and a BOUNDED posting prefix — the top
+    * `postingsCap` postings by (tf desc, doc_id asc) as a
+    * `doc:tf,doc:tf,…` CSV. The cap is what makes the output
+    * oracle-hashable AND scale-safe: a stopword's full posting list
+    * is corpus-sized, so emitting it whole would concentrate one
+    * unbounded string on one reducer; real index builds shard exactly
+    * this way (posting blocks). Full lists live where they belong —
+    * in the (doc, term, tf) table this derives from.
+    *
+    * Scale shape: the per-doc [[graft.functions.VecBridge.tokenTf]]
+    * kernel produces one (doc, term, tf) row per pair with no token
+    * explode; ONE shuffle by term feeds both the aggregates and the
+    * per-term top-k window (same exchange — the window and the agg
+    * cluster on the same key), which is THE canonical distributed
+    * index build: map → partition by term → per-term reduce.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      postingsCap: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.VecFunctions.token_tf(col(textCol))).as("kv"))
+      .select(col("doc_id"), col("kv.term").as("term"), col("kv.tf").as("tf"))
+    val w = Window.partitionBy("term")
+      .orderBy(col("tf").desc, col("doc_id").asc)
+    tf.withColumn("rnk", row_number().over(w))
+      .withColumn("df_t", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("cf_t", sum(col("tf")).over(Window.partitionBy("term")))
+      .filter(col("rnk") <= postingsCap)
+      .groupBy("term", "df_t", "cf_t")
+      .agg(concat_ws(",", sort_array(collect_list(
+        // zero-pad the rank so lexicographic array order == rank order
+        format_string("%03d|%s:%s", col("rnk"), col("doc_id"), col("tf")))))
+        .as("postings_ranked"))
+      .withColumn("postings",
+        regexp_replace(col("postings_ranked"), "\\d{3}\\|", ""))
+      .select(col("term"), col("df_t").cast("long").as("df_t"),
+        col("cf_t").cast("long").as("cf_t"), col("postings"))
+  }
+
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = df.select(col(idCol).as("doc_id"),

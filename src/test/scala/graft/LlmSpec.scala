@@ -1435,4 +1435,26 @@ class LlmSpec extends SparkSpec {
     assert(one == pri(1L, 500L))
   }
 
+
+  test("inverted index: df/cf cover the FULL posting list while the " +
+      "postings CSV is capped and rank-ordered") {
+    import graft.llm.TextOps
+    import spark.implicits._
+    // term "w" appears in 12 docs with tf = doc_id (so the top-3 cap
+    // must pick docs 12,11,10), term "solo" in one doc twice
+    val docs = ((1 to 12).map(i => (i.toLong, ("w " * i).trim)) :+
+      (99L, "solo solo")).toDF("doc_id", "text")
+    val idx = TextOps.invertedIndex(docs, "doc_id", "text", postingsCap = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(idx("w") == ((12L, 78L, "12:12,11:11,10:10")),
+      s"got ${idx("w")}")                       // df=12 docs, cf=1+..+12=78
+    assert(idx("solo") == ((1L, 2L, "99:2")))
+    // tf ties break by doc_id ascending
+    val tie = Seq((5L, "t t"), (2L, "t t"), (9L, "t t")).toDF("doc_id", "text")
+    val t = TextOps.invertedIndex(tie, "doc_id", "text", postingsCap = 2)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(t("t") == "2:2,5:2")
+  }
+
 }
