@@ -2940,6 +2940,67 @@ object Queries {
       |SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1
       |QUALIFY row_number() OVER (ORDER BY count(*) DESC, bigram) <= 100""".stripMargin
 
+  // Per-source top-5 bigrams (corpus-composition gauge), same kernel
+  // and derivation as q_llm_ngram_freq with a per-source window.
+  private val llmNgramBySource: Q = (s, dir) =>
+    graft.llm.PipelineOps.ngramTopKBySource(docsT(s, dir), "text", "source", 5)
+  private val llmNgramBySourceOracle =
+    """WITH tk AS (
+      |  SELECT source, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tk
+      |  FROM documents),
+      |bg AS (
+      |  SELECT source, unnest(CASE WHEN len(tk) >= 2
+      |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+      |    ELSE CAST([] AS VARCHAR[]) END) AS bigram
+      |  FROM tk),
+      |c AS (SELECT source, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2)
+      |SELECT source, bigram, cnt,
+      |       CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, bigram) AS INT) AS rnk
+      |FROM c QUALIFY rnk <= 5""".stripMargin
+
+  // Corpus snapshot diff: deterministic old/new corpus states derived
+  // in-plan (old drops doc_id%7=0, new drops doc_id%5=0 and rewrites
+  // doc_id%3=0), classified per id by one full-outer equi-join.
+  private val llmSnapshotDiff: Q = (s, dir) => {
+    val d = docsT(s, dir)
+    val oldSnap = d.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text"))
+    val newSnap = d.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")).as("text"))
+    graft.llm.PipelineOps.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+  }
+  private val llmSnapshotDiffOracle =
+    """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+      |n AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+      |      FROM documents WHERE doc_id % 5 <> 0)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.text = n.text THEN 'unchanged' ELSE 'changed' END AS status
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
+
+  // Source-overlap matrix via merged (union) MinHash signatures —
+  // doc signatures min-merge to one catalog-sized frame per source;
+  // the pair step is source², never doc-scaled. Arithmetic minhash,
+  // so the permille estimates hash-compare exactly.
+  private val llmSourceOverlap: Q = (s, dir) =>
+    graft.llm.DedupOps.sourceSimilarityMatrix(docsT(s, dir), "doc_id", "text", "source")
+  private val llmSourceOverlapOracle = {
+    val mins = (0 until 8).map(i => s"min(mh$i) AS mh$i").mkString(", ")
+    val matches = (0 until 8)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$minhashFpsCte,
+      |sig AS (SELECT doc_id,
+      |$minhashSigSelect
+      |FROM d),
+      |ss AS (SELECT dd.source, $mins
+      |       FROM sig JOIN documents dd USING (doc_id) GROUP BY 1)
+      |SELECT a.source AS src1, b.source AS src2,
+      |       CAST(($matches) * 125 AS BIGINT) AS est_permille
+      |FROM ss a JOIN ss b ON a.source < b.source""".stripMargin
+  }
+
   private val annCosineTopk: Q = (s, dir) => {
     val emb = embT(s, dir)
     graft.llm.SimilarityOps.bruteForceTopKPortable(
@@ -3771,6 +3832,9 @@ object Queries {
     "q_llm_group_quota" -> llmGroupQuota,
     "q_llm_weighted_sample" -> llmWeightedSample,
     "q_llm_ngram_freq" -> llmNgramFreq,
+    "q_llm_ngram_by_source" -> llmNgramBySource,
+    "q_llm_snapshot_diff" -> llmSnapshotDiff,
+    "q_llm_source_overlap" -> llmSourceOverlap,
     "q_llm_pii_counts" -> llmPiiCounts,
     "q_llm_pii_redact" -> llmPiiRedact,
     "q_llm_lm_coverage" -> llmLmCoverage,
@@ -3907,6 +3971,9 @@ object Queries {
     "q_llm_group_quota" -> llmGroupQuotaOracle,
     "q_llm_weighted_sample" -> llmWeightedSampleOracle,
     "q_llm_ngram_freq" -> llmNgramFreqOracle,
+    "q_llm_ngram_by_source" -> llmNgramBySourceOracle,
+    "q_llm_snapshot_diff" -> llmSnapshotDiffOracle,
+    "q_llm_source_overlap" -> llmSourceOverlapOracle,
     "q_llm_pii_counts" -> llmPiiCountsOracle,
     "q_llm_pii_redact" -> llmPiiRedactOracle,
     "q_llm_lm_coverage" -> llmLmCoverageOracle,

@@ -385,6 +385,44 @@ object DedupOps {
     * pairs share any band bucket. Same Σ|bucket|² cost shape as
     * [[minhashCandidates]], but deterministic across engines.
     */
+  /** Source-level corpus-overlap MATRIX via merged MinHash: a
+    * source's signature is the component-wise MIN over its documents'
+    * signatures — exactly the signature of the UNION of their shingle
+    * sets (min is associative/commutative, so the merge is one
+    * map-combined aggregate, the sketch-mergeability property that
+    * makes MinHash work on 100 TB: doc-level signatures reduce to a
+    * source-catalog-sized frame before anything pairs). The pair step
+    * is source² over that CATALOG-sized frame (10s–1000s of labels —
+    * a model-sized broadcast cross, never doc-scaled), estimating
+    * pairwise Jaccard of the source vocabularies in permille
+    * (matching components × 1000/nPerms) — the gauge that answers
+    * "which corpus slices overlap enough to cross-dedup first".
+    * Arithmetic (engine-portable) MinHash, so the ESTIMATES hash-
+    * compare exactly cross-engine.
+    */
+  def sourceSimilarityMatrix(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, nPerms: Int = 8): DataFrame = {
+    require(1000 % nPerms == 0, s"nPerms must divide 1000, got $nPerms")
+    val sig = graft.functions.VecFunctions.arith_minhash_sig(col(textCol), nPerms)
+    val perDoc = df.select(col(sourceCol).as("source"), sig.as("sig"))
+      .select(col("source") +:
+        (0 until nPerms).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+    val srcSig = perDoc.groupBy("source")
+      .agg(min(col("mh0")).as("mh0"),
+        (1 until nPerms).map(i => min(col(s"mh$i")).as(s"mh$i")): _*)
+    val a = srcSig.select(col("source").as("src1") +:
+      (0 until nPerms).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val b = srcSig.select(col("source").as("src2") +:
+      (0 until nPerms).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val matches = (0 until nPerms)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.crossJoin(broadcast(b))
+      .filter(col("src1") < col("src2"))
+      .select(col("src1"), col("src2"),
+        (matches * lit(1000 / nPerms)).cast("long").as("est_permille"))
+  }
+
   def minhashSignaturePairs(df: DataFrame, idCol: String, textCol: String,
       nPerms: Int = 8): DataFrame =
     bandPairs(minhashSignature(df, idCol, textCol, nPerms), nPerms)

