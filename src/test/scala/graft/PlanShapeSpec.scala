@@ -270,4 +270,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 2,
       s"commit must keep its single data shuffle (+ at most the gated semi-join):\n$p")
   }
+
+  test("bm25/tfidf vocab-broadcast gate: hinted and gate-off (shuffled) " +
+      "paths return identical results") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    def rows(df: DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val hinted = (rows(graft.llm.TextOps.bm25TopK(docs, "doc_id", "text")),
+      rows(graft.llm.TextOps.tfidfTopK(docs, "doc_id", "text")))
+    try {
+      // threshold -1: inputFitsBroadcast refuses the hint AND AQE
+      // cannot convert — the genuinely shuffled web-scale-vocab path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val off = (rows(graft.llm.TextOps.bm25TopK(docs, "doc_id", "text")),
+        rows(graft.llm.TextOps.tfidfTopK(docs, "doc_id", "text")))
+      assert(off._1 == hinted._1, "bm25 gate paths diverge")
+      assert(off._2 == hinted._2, "tfidf gate paths diverge")
+      assert(hinted._1.nonEmpty && hinted._2.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("j3 second-degree: the single-key membership join adds NO exchange " +
+      "beyond the staged caches") {
+    Queries.stageAll(spark, dir)
+    val df = SparkEntry.queries("q_j3_second_degree")(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the staged caches' own exchanges print as REPARTITION_BY_NUM
+    // (explicit repartition at staging); an exchange the QUERY itself
+    // required would print ENSURE_REQUIREMENTS — there must be none:
+    // join, distinct and aggregate all ride the cached hash(ok)
+    assert(!p.contains("ENSURE_REQUIREMENTS"),
+      s"j3 must ride the cached hash(ok) partitioning exchange-free:\n$p")
+  }
+
 }
