@@ -552,6 +552,50 @@ object Queries {
       |       s2.signup_id AS asof_signup_id, s2.signup_sec AS asof_signup_sec
       |FROM ev p ASOF LEFT JOIN states s2 ON p.sec >= s2.sec""".stripMargin
 
+  /** Time-sliced (key, tag, id, ts, event_time) replay dir for the
+    * streaming event entries — 3 data slices + 2 far-future state
+    * sentinels, staged ONCE per (corpus fingerprint, nSlices): the
+    * slices are a deterministic function of the corpus (floor
+    * decomposition in SCALE_STREAM_r12.md — each micro-batch costs
+    * ~0.5 s of store/commit machinery at the bench config, and in
+    * production the stream arrives from a topic with no slice-writing
+    * step to charge per run). Shared by q_asof_stream and the native
+    * stream-stream interval join entry.
+    */
+  private def asofSlicesDir(s: SparkSession, dir: String): String = {
+    val spark2 = s
+    import spark2.implicits._
+    val nSlices = 3
+    val watch = s"${System.getProperty("java.io.tmpdir")}/graft_asof_slices_v1_" +
+      graft.sources.SyntheticTraces.corpusKey(dir) + s"_n$nSlices"
+    if (!new java.io.File(s"$watch/_SUCCESS").isFile) {
+      graft.sources.Staging.stageOnce(watch) { tmp =>
+        val ev = events(s, dir).select(
+            col("user_id").as("key"),
+            when(col("event_type") === "signup", 0).otherwise(1).as("tag"),
+            col("event_id").as("id"), col("sec").as("ts"))
+          .groupBy("key", "tag", "ts").agg(max("id").as("id"))
+          .select(col("key"), col("tag"), col("id"), col("ts"),
+            col("ts").cast("timestamp").as("event_time"))
+        StreamRehearsal.stageSlices(ev, "ts", nSlices, s"$tmp/stage", tmp)
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(s"$tmp/stage"))
+        val mx = s.read.parquet(tmp).agg(max("ts")).head().getLong(0)
+        Seq((nSlices, -1L, mx + 1000000L), (nSlices + 1, -2L, mx + 2000000L))
+          .foreach { case (i, id, ts) =>
+            Seq((-1L, 0, id, ts)).toDF("key", "tag", "id", "ts")
+              .select(col("key"), col("tag"), col("id"), col("ts"),
+                col("ts").cast("timestamp").as("event_time"))
+              .withColumn("_slice", lit(i))
+              .write.partitionBy("_slice").mode("overwrite").parquet(s"$tmp/sent_$i")
+            StreamRehearsal.moveSlices(s"$tmp/sent_$i", tmp, 0)
+            org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(s"$tmp/sent_$i"))
+          }
+        new java.io.File(tmp, "_SUCCESS").createNewFile()
+      }
+    }
+    watch
+  }
+
   // As-of join, STREAMING form: TwsAsof driven as a real time-sliced
   // file stream (RocksDB state, per-key timers, watermark-gated probe
   // resolution) over the events corpus. Probe/state rows are deduped
@@ -574,43 +618,8 @@ object Queries {
     try {
       val spark2 = s
       import spark2.implicits._
-      // 3 data slices (floor decomposition, SCALE_STREAM_r12.md: each
-      // micro-batch costs ~0.5 s of pure store/commit machinery at
-      // this config; 3 still proves cross-batch state + mid-stream
-      // watermark advance + the two-sentinel close-out), staged ONCE
-      // per (corpus fingerprint, nSlices) like the flagship — the
-      // slices and sentinels are a deterministic function of the
-      // corpus, and in production the stream arrives from a topic
-      // with no slice-writing step to charge per run.
-      val nSlices = 3
       val work = graft.sources.Staging.sessionTempDir("graft_stream_asof")
-      val watch = s"${System.getProperty("java.io.tmpdir")}/graft_asof_slices_v1_" +
-        graft.sources.SyntheticTraces.corpusKey(dir) + s"_n$nSlices"
-      if (!new java.io.File(s"$watch/_SUCCESS").isFile) {
-        graft.sources.Staging.stageOnce(watch) { tmp =>
-          val ev = events(s, dir).select(
-              col("user_id").as("key"),
-              when(col("event_type") === "signup", 0).otherwise(1).as("tag"),
-              col("event_id").as("id"), col("sec").as("ts"))
-            .groupBy("key", "tag", "ts").agg(max("id").as("id"))
-            .select(col("key"), col("tag"), col("id"), col("ts"),
-              col("ts").cast("timestamp").as("event_time"))
-          StreamRehearsal.stageSlices(ev, "ts", nSlices, s"$tmp/stage", tmp)
-          org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(s"$tmp/stage"))
-          val mx = s.read.parquet(tmp).agg(max("ts")).head().getLong(0)
-          Seq((nSlices, -1L, mx + 1000000L), (nSlices + 1, -2L, mx + 2000000L))
-            .foreach { case (i, id, ts) =>
-              Seq((-1L, 0, id, ts)).toDF("key", "tag", "id", "ts")
-                .select(col("key"), col("tag"), col("id"), col("ts"),
-                  col("ts").cast("timestamp").as("event_time"))
-                .withColumn("_slice", lit(i))
-                .write.partitionBy("_slice").mode("overwrite").parquet(s"$tmp/sent_$i")
-              StreamRehearsal.moveSlices(s"$tmp/sent_$i", tmp, 0)
-              org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(s"$tmp/sent_$i"))
-            }
-          new java.io.File(tmp, "_SUCCESS").createNewFile()
-        }
-      }
+      val watch = asofSlicesDir(s, dir)
       val stream = s.readStream.schema(s.read.parquet(watch).schema)
         .option("maxFilesPerTrigger", 1).parquet(watch)
         .as[graft.streaming.AsofInput]
@@ -646,6 +655,90 @@ object Queries {
       |SELECT p.key, p.probe_id, p.probe_ts, s.state_id, s.state_ts
       |FROM probes p ASOF LEFT JOIN states s
       |  ON p.key = s.key AND p.probe_ts >= s.state_ts""".stripMargin
+
+  // NATIVE stream-stream interval join (Spark's built-in symmetric
+  // hash join with watermark-bounded state — no custom operator):
+  // probe events inner-join signup states of the same key whose time
+  // falls in [probe - 1h, probe], over the same time-sliced replay
+  // dir as q_asof_stream. Determinism does not depend on the
+  // watermark: inner-join rows emit the moment both sides have
+  // arrived, and the time-RANGE condition is what lets Spark evict
+  // state (a state row is dropped only once the global watermark
+  // proves no future probe can still reach back to it — with
+  // time-ordered slices every eligible probe has arrived by then, so
+  // the flushed output equals the batch join exactly). The range
+  // condition is also the 100 TB story: without it a stream-stream
+  // join holds both streams forever; with it state is bounded by one
+  // window of each side per key.
+  private val streamIntervalJoin: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val TrackKey = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevTrack = s.conf.getOption(TrackKey)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(TrackKey, "false")
+    // A stream-stream join keeps FOUR store instances per partition
+    // (left/right x keyToNumValues/keyWithIndexToValue) — partitions
+    // and batch count are both halved vs the flagship config, and the
+    // entry streams a DETERMINISTIC key subset (key % 8 = 0): this is
+    // an operator-coverage entry (native join == exact batch oracle),
+    // not a flagship-throughput one, and the subset preserves every
+    // semantic the oracle checks — cross-batch matching included
+    // (probes in batch 2+ hit states stored in batch 1)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val work = graft.sources.Staging.sessionTempDir("graft_stream_ssj")
+      val watch = asofSlicesDir(s, dir)
+      val stream = s.readStream.schema(s.read.parquet(watch).schema)
+        .option("maxFilesPerTrigger", 2).parquet(watch)
+      val sub = stream.filter(col("key") % 8 === 0)
+      val probes = sub.filter(col("tag") === 1)
+        .select(col("key"), col("id").as("probe_id"), col("ts").as("probe_ts"),
+          col("event_time").as("p_time"))
+        .withWatermark("p_time", "3600 seconds")
+      val states = sub.filter(col("tag") === 0)
+        .select(col("key").as("s_key"), col("id").as("state_id"),
+          col("ts").as("state_ts"), col("event_time").as("s_time"))
+        .withWatermark("s_time", "3600 seconds")
+      val joined = probes.join(states,
+        col("key") === col("s_key") &&
+          col("s_time") >= col("p_time") - expr("INTERVAL 3600 SECONDS") &&
+          col("s_time") <= col("p_time"))
+      val q = joined
+        .select(col("key"), col("probe_id"), col("probe_ts"),
+          col("state_id"), col("state_ts"))
+        .writeStream.format("parquet")
+        .option("path", s"$work/out").option("checkpointLocation", s"$work/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out").filter(col("key") >= 0)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevTrack match {
+        case Some(t) => s.conf.set(TrackKey, t)
+        case None => s.conf.unset(TrackKey)
+      }
+    }
+  }
+  private val streamIntervalJoinOracle =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |probes AS (
+      |  SELECT user_id AS key, sec AS probe_ts, max(event_id) AS probe_id
+      |  FROM ev WHERE event_type <> 'signup' AND user_id % 8 = 0 GROUP BY 1, 2),
+      |states AS (
+      |  SELECT user_id AS key, sec AS state_ts, max(event_id) AS state_id
+      |  FROM ev WHERE event_type = 'signup' AND user_id % 8 = 0 GROUP BY 1, 2)
+      |SELECT p.key, p.probe_id, p.probe_ts, s.state_id, s.state_ts
+      |FROM probes p JOIN states s ON p.key = s.key
+      |  AND s.state_ts BETWEEN p.probe_ts - 3600 AND p.probe_ts""".stripMargin
 
   // Bucketed point-in-interval join: overlapping per-order intervals
   // probed by per-lineitem points — the equi-join on time buckets
@@ -3751,6 +3844,7 @@ object Queries {
     "q_j6_closest" -> j6Closest,
     "q_asof_keyed" -> asofKeyed,
     "q_asof_stream" -> asofStream,
+    "q_stream_interval_join" -> streamIntervalJoin,
     "q_asof_global" -> asofGlobal,
     "q_range_join" -> rangeJoin,
     "q_layout_zorder" -> layoutZorder,
@@ -3886,6 +3980,7 @@ object Queries {
     "q_j6_closest" -> j6Oracle,
     "q_asof_keyed" -> asofKeyedOracle,
     "q_asof_stream" -> asofStreamOracle,
+    "q_stream_interval_join" -> streamIntervalJoinOracle,
     "q_asof_global" -> asofGlobalOracle,
     "q_range_join" -> rangeJoinOracle,
     "q_layout_zorder" -> layoutZorderOracle,

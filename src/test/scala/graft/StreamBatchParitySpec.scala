@@ -99,4 +99,33 @@ class StreamBatchParitySpec extends SparkSpec {
         "commit missing traces that arrived after the would-be-regressed timeout")
     } finally q.stop()
   }
+
+  test("native stream-stream interval join: flushed output == the batch " +
+      "interval join, exactly") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    Queries.stageAll(spark, dir)
+    val got = SparkEntry.queries("q_stream_interval_join")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    // independent batch recompute of the same subset + interval
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val base = ev
+      .withColumn("sec", Queries.eventSeconds(ev.schema("ts").dataType))
+      .filter(col("user_id") % 8 === 0)
+    val probes = base.filter(col("event_type") =!= "signup")
+      .groupBy(col("user_id").as("key"), col("sec").as("probe_ts"))
+      .agg(max("event_id").as("probe_id"))
+    val states = base.filter(col("event_type") === "signup")
+      .groupBy(col("user_id").as("s_key"), col("sec").as("state_ts"))
+      .agg(max("event_id").as("state_id"))
+    val batch = probes.join(states,
+        col("key") === col("s_key") &&
+          col("state_ts") >= col("probe_ts") - 3600 &&
+          col("state_ts") <= col("probe_ts"))
+      .select("key", "probe_id", "probe_ts", "state_id", "state_ts")
+      .collect().map(_.toSeq).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
 }
