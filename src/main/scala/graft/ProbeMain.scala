@@ -41,9 +41,14 @@ object ProbeMain {
         val df = fn(spark, dir)
         df.write.format("noop").mode("overwrite").save()
         println(f"PROBE $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        // SPARK_GRAFT_PROBE_PLAN=1: executed (adaptive-final) plan after run 1
-        if (i == 1 && sys.env.contains("SPARK_GRAFT_PROBE_PLAN"))
+        // SPARK_GRAFT_PROBE_PLAN=1: executed (adaptive-final) plan after
+        // run 1. The noop write above ran under its OWN QueryExecution,
+        // so df's plan is still unexecuted (isFinalPlan=false) — execute
+        // df's own plan first (unmeasured) so AQE finalizes it.
+        if (i == 1 && sys.env.contains("SPARK_GRAFT_PROBE_PLAN")) {
+          df.queryExecution.toRdd.foreach(_ => ())
           println(s"PLAN $name:\n${df.queryExecution.executedPlan}")
+        }
       }
     }
     spark.stop()

@@ -567,7 +567,7 @@ object Queries {
     import spark2.implicits._
     val nSlices = 3
     val watch = s"${System.getProperty("java.io.tmpdir")}/graft_asof_slices_v1_" +
-      graft.sources.SyntheticTraces.corpusKey(dir) + s"_n$nSlices"
+      graft.sources.SyntheticTraces.tableKey(dir, Seq("events")) + s"_n$nSlices"
     if (!new java.io.File(s"$watch/_SUCCESS").isFile) {
       graft.sources.Staging.stageOnce(watch) { tmp =>
         val ev = events(s, dir).select(
@@ -1774,7 +1774,7 @@ object Queries {
       // corpus fingerprint (deterministic function of the corpus —
       // same rationale as the flagship's sliced watch dir).
       val in = s"${System.getProperty("java.io.tmpdir")}/graft_nd_slices_v1_" +
-        graft.sources.SyntheticTraces.corpusKey(dir)
+        graft.sources.SyntheticTraces.tableKey(dir, Seq("documents"))
       if (!new java.io.File(s"$in/_SUCCESS").isFile)
         graft.sources.Staging.stageOnce(in) { tmp =>
           docsT(s, dir).select(col("doc_id"), col("text"))

@@ -412,8 +412,21 @@ object PipelineOps {
         case _ => false
       }
     }
+    // Fractional weights must lie in (0, 1] (the classifier-score
+    // contract — rank-normalize upstream, e.g. calibrateBySource's
+    // percent_rank, when scores mix magnitudes): a weight above 1
+    // would scale PAST the 2^20 clamp and tie with every other large
+    // weight — the silent all-ties collapse this scaling exists to
+    // prevent — so it fails loudly instead. NULL weights skip the
+    // guard and degrade to the minimum weight below.
     val wScaled =
-      if (isFractional) (weightCol * lit(1000000L)).cast("long")
+      if (isFractional)
+        when(weightCol.isNull || weightCol <= lit(1.0d),
+            (weightCol * lit(1000000L)).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("weightedSample: fractional weight above 1 ties at the " +
+              "clamp — rank-normalize to (0,1] upstream; got "),
+            weightCol.cast("string"))).cast("long"))
       else weightCol.cast("long")
     // NULL weights degrade to the MINIMUM weight, not the maximum:
     // least()/greatest() skip nulls, so without the coalesce a

@@ -333,6 +333,10 @@ object TextOps {
     */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
       postingsCap: Int = 8): DataFrame = {
+    // the rank prefix is %03d and stripped as \d{3}: a 4-digit rank
+    // would break both the lexicographic sort and the strip
+    require(postingsCap >= 1 && postingsCap <= 999,
+      s"postingsCap must be in [1, 999], got $postingsCap")
     import org.apache.spark.sql.expressions.Window
     val tf = df.select(col(idCol).as("doc_id"),
         explode(graft.functions.VecFunctions.token_tf(col(textCol))).as("kv"))

@@ -26,8 +26,16 @@ object SyntheticTraces {
     * same path invalidates every staged derivative (bronze, the
     * flagship's sliced stream replay).
     */
-  def corpusKey(sfDir: String): String = {
-    val fp = Seq("orders", "lineitem").map { t =>
+  def corpusKey(sfDir: String): String = tableKey(sfDir, Seq("orders", "lineitem"))
+
+  /** Staging-dir fingerprint over the NAMED source tables (length +
+    * mtime). Every staged derivative must key on the tables it is
+    * actually derived from — a dir derived from events.parquet but
+    * keyed on the orders/lineitem [[corpusKey]] would survive an
+    * events-only regeneration and silently serve stale replay input.
+    */
+  def tableKey(sfDir: String, tables: Seq[String]): String = {
+    val fp = tables.map { t =>
       val f = new java.io.File(s"$sfDir/$t.parquet")
       f.length() * 31L + f.lastModified()
     }.reduce(_ * 1000003L + _)

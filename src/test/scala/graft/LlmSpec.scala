@@ -1433,6 +1433,17 @@ class LlmSpec extends SparkSpec {
     val one = PipelineOps.weightedSample(ints, "doc_id", "stratum", col("w"), 1)
       .select("smpl_pri").collect().head.getLong(0)
     assert(one == pri(1L, 500L))
+    // a fractional weight ABOVE 1 would scale past the 2^20 clamp and
+    // tie with every other large weight — it must fail loudly, not
+    // silently collapse the sample to uniform
+    val mixed = spark.createDataFrame(Seq((1L, "s", 2.0), (2L, "s", 1500.0)))
+      .toDF("doc_id", "stratum", "w")
+    val ex = intercept[Exception] {
+      PipelineOps.weightedSample(mixed, "doc_id", "stratum", col("w"), 2)
+        .collect()
+    }
+    assert(chainMessages(ex).exists(_.contains("rank-normalize")),
+      s"expected the >1 fractional-weight guard, got: ${chainMessages(ex).mkString(" | ")}")
   }
 
 
