@@ -670,7 +670,32 @@ object Queries {
   // condition is also the 100 TB story: without it a stream-stream
   // join holds both streams forever; with it state is bounded by one
   // window of each side per key.
-  private val streamIntervalJoin: Q = (s, dir) => {
+  private val streamIntervalJoin: Q = (s, dir) =>
+    streamIntervalJoinImpl(s, dir, outer = false)
+
+  // LEFT OUTER variant — the semantically hard half of the native
+  // operator (what an enrichment pipeline runs when the state side
+  // may be absent): probes with NO signup in [probe - 1h, probe]
+  // emit null-padded. Emission timing: a matched row emits the
+  // moment both sides have arrived (same as inner), but a NULL row
+  // emits only when the operator can PROVE no match can still
+  // arrive — i.e. when the probe row is evicted because the global
+  // watermark passed the latest s_time that could reach it (p_time,
+  // from the range condition). Watermark updates are visible one
+  // batch later, so completeness needs (a) BOTH side watermarks to
+  // pass every real event time — the far-future sentinels therefore
+  // ride BOTH streams here (key < 0, filtered from output), not just
+  // the state side as in the inner entry where no eviction-triggered
+  // emission exists — and (b) a batch AFTER the advance for eviction
+  // to run in: sentinel 1 advances, sentinel 2's batch evicts. With
+  // time-ordered slices every state row a probe could match arrived
+  // before the watermark passed it, so the flushed output equals the
+  // batch LEFT JOIN exactly (oracled below, nulls included).
+  private val streamIntervalJoinOuter: Q = (s, dir) =>
+    streamIntervalJoinImpl(s, dir, outer = true)
+
+  private def streamIntervalJoinImpl(s: SparkSession, dir: String,
+      outer: Boolean): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val TrackKey = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
@@ -689,12 +714,17 @@ object Queries {
     // (probes in batch 2+ hit states stored in batch 1)
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val work = graft.sources.Staging.sessionTempDir("graft_stream_ssj")
+      val work = graft.sources.Staging.sessionTempDir(
+        if (outer) "graft_stream_ssj_outer" else "graft_stream_ssj")
       val watch = asofSlicesDir(s, dir)
       val stream = s.readStream.schema(s.read.parquet(watch).schema)
         .option("maxFilesPerTrigger", 2).parquet(watch)
-      val sub = stream.filter(col("key") % 8 === 0)
-      val probes = sub.filter(col("tag") === 1)
+      // outer: the sentinels (key < 0) must reach BOTH watermark nodes
+      // (see streamIntervalJoinOuter) — they carry tag 0, so they are
+      // injected into the probe filter too and dropped from the output
+      val sentinel = if (outer) col("key") < 0 else lit(false)
+      val sub = stream.filter(col("key") % 8 === 0 || sentinel)
+      val probes = sub.filter(col("tag") === 1 || sentinel)
         .select(col("key"), col("id").as("probe_id"), col("ts").as("probe_ts"),
           col("event_time").as("p_time"))
         .withWatermark("p_time", "3600 seconds")
@@ -705,7 +735,8 @@ object Queries {
       val joined = probes.join(states,
         col("key") === col("s_key") &&
           col("s_time") >= col("p_time") - expr("INTERVAL 3600 SECONDS") &&
-          col("s_time") <= col("p_time"))
+          col("s_time") <= col("p_time"),
+        if (outer) "leftOuter" else "inner")
       val q = joined
         .select(col("key"), col("probe_id"), col("probe_ts"),
           col("state_id"), col("state_ts"))
@@ -738,6 +769,19 @@ object Queries {
       |  FROM ev WHERE event_type = 'signup' AND user_id % 8 = 0 GROUP BY 1, 2)
       |SELECT p.key, p.probe_id, p.probe_ts, s.state_id, s.state_ts
       |FROM probes p JOIN states s ON p.key = s.key
+      |  AND s.state_ts BETWEEN p.probe_ts - 3600 AND p.probe_ts""".stripMargin
+  private val streamIntervalJoinOuterOracle =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |probes AS (
+      |  SELECT user_id AS key, sec AS probe_ts, max(event_id) AS probe_id
+      |  FROM ev WHERE event_type <> 'signup' AND user_id % 8 = 0 GROUP BY 1, 2),
+      |states AS (
+      |  SELECT user_id AS key, sec AS state_ts, max(event_id) AS state_id
+      |  FROM ev WHERE event_type = 'signup' AND user_id % 8 = 0 GROUP BY 1, 2)
+      |SELECT p.key, p.probe_id, p.probe_ts, s.state_id, s.state_ts
+      |FROM probes p LEFT JOIN states s ON p.key = s.key
       |  AND s.state_ts BETWEEN p.probe_ts - 3600 AND p.probe_ts""".stripMargin
 
   // Bucketed point-in-interval join: overlapping per-order intervals
@@ -3845,6 +3889,7 @@ object Queries {
     "q_asof_keyed" -> asofKeyed,
     "q_asof_stream" -> asofStream,
     "q_stream_interval_join" -> streamIntervalJoin,
+    "q_stream_interval_join_outer" -> streamIntervalJoinOuter,
     "q_asof_global" -> asofGlobal,
     "q_range_join" -> rangeJoin,
     "q_layout_zorder" -> layoutZorder,
@@ -3981,6 +4026,7 @@ object Queries {
     "q_asof_keyed" -> asofKeyedOracle,
     "q_asof_stream" -> asofStreamOracle,
     "q_stream_interval_join" -> streamIntervalJoinOracle,
+    "q_stream_interval_join_outer" -> streamIntervalJoinOuterOracle,
     "q_asof_global" -> asofGlobalOracle,
     "q_range_join" -> rangeJoinOracle,
     "q_layout_zorder" -> layoutZorderOracle,
