@@ -1535,6 +1535,82 @@ object Queries {
       |         AS is_current
       |FROM merged""".stripMargin
 
+  // SCD-2 CDC CHANGELOG (the audit trail of q_scd2_merge): the same
+  // midpoint-split base/changeset, but the changeset ALSO replays
+  // every open row at its own valid_from (a redelivered batch — the
+  // idempotence case), so all three actions appear: 'close' rows
+  // carry old valid_from + the new closing ts, 'insert' rows are the
+  // new interval chain, 'stale' rows are the replayed changes the
+  // gate dropped. Changeset-sized output — 'unchanged' base rows are
+  // deliberately absent (see Scd2.changelog). mergeApply's own output
+  // is untouched (Scd2Spec pins the refactor).
+  private val scd2Changelog: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("sec"), col("event_type"), col("event_id"))
+    val mid = ev.agg(expr("(min(sec) + max(sec)) DIV 2").as("mid"))
+    val evM = ev.crossJoin(broadcast(mid))
+    val baseEv = evM.filter(col("sec") <= col("mid"))
+      .select(col("user_id"), col("sec").as("valid_from"),
+        col("event_type"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("valid_from"), col("event_id"))
+    val base = baseEv.withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .localCheckpoint(true)
+    val open = base.filter(col("valid_to").isNull)
+    val delta = evM.filter(col("sec") > col("mid"))
+      .select(col("user_id"), col("sec").as("ts"),
+        col("event_type"), col("event_id"))
+      .unionByName(open.select(col("user_id"), col("valid_from").as("ts"),
+        col("event_type"), col("event_id")))
+      .localCheckpoint(true)
+    graft.operators.Scd2.changelog(base, delta, Seq("user_id"),
+      Seq("event_type", "event_id"), tieCols = Seq("event_id"))
+  }
+  private val scd2ChangelogOracle =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         event_type, event_id
+      |  FROM events),
+      |mm AS (SELECT (min(sec) + max(sec)) // 2 AS mid FROM ev),
+      |base AS (
+      |  SELECT user_id, sec AS valid_from, event_type, event_id,
+      |         lead(sec, 1) OVER (PARTITION BY user_id
+      |           ORDER BY sec, event_id) AS valid_to
+      |  FROM ev, mm WHERE sec <= mid),
+      |opn AS (SELECT * FROM base WHERE valid_to IS NULL),
+      |delta AS (
+      |  SELECT user_id, sec AS ts, event_type, event_id
+      |  FROM ev, mm WHERE sec > mid
+      |  UNION ALL
+      |  SELECT user_id, valid_from AS ts, event_type, event_id FROM opn),
+      |gated AS (
+      |  SELECT d.user_id, d.ts, d.event_type, d.event_id,
+      |         o.valid_from AS open_from
+      |  FROM delta d LEFT JOIN opn o ON d.user_id = o.user_id),
+      |eff AS (
+      |  SELECT user_id, ts, event_type, event_id FROM gated
+      |  WHERE open_from IS NULL OR ts > open_from),
+      |stale AS (
+      |  SELECT user_id, ts, event_type, event_id FROM gated
+      |  WHERE NOT (open_from IS NULL OR ts > open_from)),
+      |effiv AS (
+      |  SELECT user_id, ts AS valid_from, event_type, event_id,
+      |         lead(ts, 1) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS valid_to
+      |  FROM eff),
+      |fst AS (SELECT user_id, min(ts) AS first_ts FROM eff GROUP BY 1)
+      |SELECT o.user_id, 'close' AS action, o.valid_from,
+      |       o.event_type, o.event_id, f.first_ts AS valid_to
+      |FROM opn o JOIN fst f ON o.user_id = f.user_id
+      |UNION ALL
+      |SELECT user_id, 'insert' AS action, valid_from, event_type,
+      |       event_id, valid_to
+      |FROM effiv
+      |UNION ALL
+      |SELECT user_id, 'stale' AS action, ts AS valid_from, event_type,
+      |       event_id, CAST(NULL AS BIGINT) AS valid_to
+      |FROM stale""".stripMargin
+
   // SCD-2 POINT-IN-TIME READ (the consumer of the temporal table the
   // two entries above build): per user, probe the interval table AS OF
   // the user's own midpoint timestamp ((min+max) DIV 2 of their event
@@ -3912,6 +3988,7 @@ object Queries {
     "q_o_topk_per_group" -> oTopkPerGroup,
     "q_scd2_intervals" -> scd2Intervals,
     "q_scd2_merge" -> scd2Merge,
+    "q_scd2_changelog" -> scd2Changelog,
     "q_scd2_asof_read" -> scd2AsofRead,
     "q_d1_dedup_keep_last" -> d1KeepLast,
     "q_d2_dedup_keep_first" -> d2KeepFirst,
@@ -4049,6 +4126,7 @@ object Queries {
     "q_o_topk_per_group" -> oTopkPerGroupOracle,
     "q_scd2_intervals" -> scd2IntervalsOracle,
     "q_scd2_merge" -> scd2MergeOracle,
+    "q_scd2_changelog" -> scd2ChangelogOracle,
     "q_scd2_asof_read" -> scd2AsofReadOracle,
     "q_d1_dedup_keep_last" -> d1Oracle,
     "q_d2_dedup_keep_first" -> d2Oracle,

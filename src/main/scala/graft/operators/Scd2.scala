@@ -88,21 +88,28 @@ object Scd2 {
     }: _*)
   }
 
-  def mergeApply(base: DataFrame, delta: DataFrame, keyCols: Seq[String],
-      attrCols: Seq[String], fromCol: String = "valid_from",
-      toCol: String = "valid_to", tsCol: String = "ts",
-      tieCols: Seq[String] = Nil): DataFrame = {
-    require(keyCols.nonEmpty, "mergeApply needs at least one key column")
+  /** The shared merge core: base split into open/closed, the delta
+    * gated into effective (`eff`) vs stale (`stale` — at or before the
+    * open row's effective time, dropped for idempotence), the new
+    * per-key interval chain (`effIv`), and the per-touched-key first
+    * effective ts (`firstTs`, column `_graft_first_ts`).
+    */
+  private case class MergeParts(open: DataFrame, closed: DataFrame,
+      eff: DataFrame, stale: DataFrame, effIv: DataFrame, firstTs: DataFrame)
+
+  private def mergeParts(base: DataFrame, delta: DataFrame,
+      keyCols: Seq[String], attrCols: Seq[String], fromCol: String,
+      toCol: String, tsCol: String, tieCols: Seq[String]): MergeParts = {
     val k = keyCols.map(col)
-    val outCols = (keyCols ++ Seq(fromCol) ++ attrCols ++ Seq(toCol)).map(col)
     val open = base.filter(col(toCol).isNull)
     val closed = base.filter(col(toCol).isNotNull)
     // staleness gate: joins only the key-sized open-row metadata
     val openMeta = open.select((k :+ col(fromCol).as("_graft_open_from")): _*)
-    val eff = delta.join(openMeta, keyCols, "left")
-      .filter(col("_graft_open_from").isNull ||
-        col(tsCol) > col("_graft_open_from"))
-      .drop("_graft_open_from")
+    val gated = delta.join(openMeta, keyCols, "left")
+    val effCond = col("_graft_open_from").isNull ||
+      col(tsCol) > col("_graft_open_from")
+    val eff = gated.filter(effCond).drop("_graft_open_from")
+    val stale = gated.filter(!effCond).drop("_graft_open_from")
     // new interval chain per touched key (tie columns ride along for
     // the window order even when they are not output attributes).
     // tsCol is renamed to fromCol by the select below, so a tieCols
@@ -118,14 +125,71 @@ object Scd2 {
       .withColumn(toCol, lead(col(fromCol), 1).over(
         Window.partitionBy(k: _*)
           .orderBy((col(fromCol) +: orderTies.map(col)): _*)))
+    val firstTs = eff.groupBy(k: _*).agg(min(col(tsCol)).as("_graft_first_ts"))
+    MergeParts(open, closed, eff, stale, effIv, firstTs)
+  }
+
+  def mergeApply(base: DataFrame, delta: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], fromCol: String = "valid_from",
+      toCol: String = "valid_to", tsCol: String = "ts",
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "mergeApply needs at least one key column")
+    val outCols = (keyCols ++ Seq(fromCol) ++ attrCols ++ Seq(toCol)).map(col)
+    val p = mergeParts(base, delta, keyCols, attrCols, fromCol, toCol,
+      tsCol, tieCols)
     // close each touched open row at the key's first effective ts;
     // untouched open rows keep toCol NULL through the coalesce
-    val firstTs = eff.groupBy(k: _*).agg(min(col(tsCol)).as("_graft_first_ts"))
-    val openAdj = open.join(firstTs, keyCols, "left")
+    val openAdj = p.open.join(p.firstTs, keyCols, "left")
       .withColumn(toCol, coalesce(col("_graft_first_ts"), col(toCol)))
       .drop("_graft_first_ts")
-    closed.select(outCols: _*)
+    p.closed.select(outCols: _*)
       .unionByName(openAdj.select(outCols: _*))
-      .unionByName(effIv.select(outCols: _*))
+      .unionByName(p.effIv.select(outCols: _*))
+  }
+
+  /** CDC changelog for [[mergeApply]] — the audit trail a lakehouse
+    * MERGE produces, emitted as first-class rows instead of being
+    * discarded by the table rewrite. One row per CHANGE:
+    *
+    *   - `close`: a touched key's open row, with its original
+    *     `fromCol` and the NEW `toCol` it was closed at (the key's
+    *     first effective delta ts);
+    *   - `insert`: each new interval from the effective delta chain
+    *     (the same rows [[mergeApply]] appends);
+    *   - `stale`: delta rows the idempotence gate dropped (ts at or
+    *     before the open row's effective time) — `toCol` NULL.
+    *
+    * Deliberately NOT emitted: `unchanged` base rows. A changelog must
+    * be CHANGESET-sized — at 100 TB the unchanged dimension dwarfs
+    * every batch, and it is derivable as the complement. Output is
+    * bounded by |delta| + touched keys; the plan shares
+    * [[mergeApply]]'s shape (key-sized open-row metadata join, one
+    * keyed window, one key aggregate) with no base-table window, so
+    * running both per batch costs one extra changeset-sized pass.
+    * Composes with `PipelineOps.snapshotDiff`'s classification shape.
+    */
+  def changelog(base: DataFrame, delta: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], fromCol: String = "valid_from",
+      toCol: String = "valid_to", tsCol: String = "ts",
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "changelog needs at least one key column")
+    val k = keyCols.map(col)
+    val outCols = (keyCols ++ Seq("action", fromCol) ++ attrCols ++
+      Seq(toCol)).map(col)
+    val p = mergeParts(base, delta, keyCols, attrCols, fromCol, toCol,
+      tsCol, tieCols)
+    val toType = base.schema(toCol).dataType
+    // inner join: only keys with an effective change close their open row
+    val closes = p.open.join(p.firstTs, keyCols, "inner")
+      .withColumn(toCol, col("_graft_first_ts"))
+      .withColumn("action", lit("close"))
+    val inserts = p.effIv.withColumn("action", lit("insert"))
+    val stales = p.stale
+      .withColumn(fromCol, col(tsCol))
+      .withColumn(toCol, lit(null).cast(toType))
+      .withColumn("action", lit("stale"))
+    closes.select(outCols: _*)
+      .unionByName(inserts.select(outCols: _*))
+      .unionByName(stales.select(outCols: _*))
   }
 }

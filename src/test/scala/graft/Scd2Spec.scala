@@ -50,6 +50,32 @@ class Scd2Spec extends SparkSpec {
     assert(opens.forall(_ == 1L))
   }
 
+  test("changelog: close/insert/stale rows, changeset-sized, consistent " +
+      "with mergeApply") {
+    val log = Scd2.changelog(base, delta, Seq("k"), Seq("v"))
+    val got = log.select("k", "action", "valid_from", "v", "valid_to")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    assert(got == Set(
+      ("k1", "close", 20L, "b", Some(30L)),  // old from + NEW closing ts
+      ("k1", "insert", 30L, "c", Some(40L)),
+      ("k1", "insert", 40L, "d", None),
+      ("k2", "stale", 5L, "y", None),        // gate-dropped replay
+      ("k3", "insert", 15L, "n", None)
+    ))
+    // k4 (untouched) and closed history NEVER appear: changeset-sized
+    assert(!got.exists(_._1 == "k4"))
+    // insert + stale partition the delta exactly
+    assert(got.count(r => r._2 == "insert" || r._2 == "stale") ==
+      delta.count())
+    // the insert rows are precisely what mergeApply appended
+    val appended = rows(merged.select("k", "valid_from", "v", "valid_to")) --
+      rows(base.select("k", "valid_from", "v", "valid_to")) -
+      (("k1", 20L, "b", Some(30L)))  // the re-closed open row
+    assert(got.filter(_._2 == "insert").map(r => (r._1, r._3, r._4, r._5)) ==
+      appended)
+  }
+
   test("idempotence: re-applying the same batch is a no-op") {
     val once = merged
     val twice = Scd2.mergeApply(once, delta, Seq("k"), Seq("v"))
