@@ -2124,6 +2124,51 @@ object Queries {
       |       string_agg(doc_id || ':' || tf, ',' ORDER BY rnk) AS postings
       |FROM ranked WHERE rnk <= 8 GROUP BY 1, 2, 3""".stripMargin
 
+  // Serve tier for the inverted index — build→PERSIST→serve, the
+  // retrieval path's third persistence seam (after the quantizer
+  // models and the near-dup banded projection): the index (posting
+  // cap 64) is staged once per corpus fingerprint as parquet, then
+  // RELOADED and probed with a 3-term query; the correctness gate
+  // therefore hash-verifies the persisted index, not the in-memory
+  // one (parity pinned in ModelSeamSpec). AND answers are
+  // and_match=1 rows, OR answers the full set; ordering is df-based
+  // (rare terms dominate), exact integers.
+  private val llmIndexServe: Q = (s, dir) => {
+    val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("documents"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_invidx_v1_$key"
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) synchronized {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        graft.llm.TextOps.saveIndex(
+          graft.llm.TextOps.invertedIndex(
+            docsT(s, dir), "doc_id", "text", postingsCap = 64), tmp)
+      }
+    }
+    graft.llm.TextOps.indexServe(
+      graft.llm.TextOps.loadIndex(s, path), Seq("scan", "sort", "join"))
+  }
+  private val llmIndexServeOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+      |), ranked AS (
+      |  SELECT doc_id, term, tf,
+      |         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rnk,
+      |         count(*) OVER (PARTITION BY term) AS df_t
+      |  FROM tf WHERE term IN ('scan', 'sort', 'join')
+      |), hits AS (
+      |  SELECT * FROM ranked WHERE rnk <= 64
+      |), g AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |         CAST(sum(tf) AS BIGINT) AS sum_tf,
+      |         CAST(sum(tf * (1000000000 // df_t)) AS BIGINT) AS score_x
+      |  FROM hits GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_terms, sum_tf, score_x,
+      |       CAST(CASE WHEN n_terms = 3 THEN 1 ELSE 0 END AS INT) AS and_match,
+      |       CAST(row_number() OVER (ORDER BY score_x DESC, doc_id) AS BIGINT) AS rnk
+      |FROM g""".stripMargin
+
   // Per-doc top-3 TF-IDF terms, exact fixed-point idf (no floats).
   private val llmTfidf: Q = (s, dir) =>
     graft.llm.TextOps.tfidfTopK(docsT(s, dir), "doc_id", "text")
@@ -4019,6 +4064,7 @@ object Queries {
     "q_llm_dup_spans" -> llmDupSpans,
     "q_llm_dup_span_remove" -> llmDupSpanRemove,
     "q_llm_inverted_index" -> llmInvertedIndex,
+    "q_llm_index_serve" -> llmIndexServe,
     "q_llm_tfidf" -> llmTfidf,
     "q_llm_bm25" -> llmBm25,
     "q_llm_bloom_seen" -> llmBloomSeen,
@@ -4155,6 +4201,7 @@ object Queries {
     "q_llm_dup_spans" -> llmDupSpansOracle,
     "q_llm_dup_span_remove" -> llmDupSpanRemoveOracle,
     "q_llm_inverted_index" -> llmInvertedIndexOracle,
+    "q_llm_index_serve" -> llmIndexServeOracle,
     "q_llm_tfidf" -> llmTfidfOracle,
     "q_llm_bm25" -> llmBm25Oracle,
     "q_llm_bloom_seen" -> FnvOracleSql.bloomSeen,

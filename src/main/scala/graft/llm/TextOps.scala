@@ -358,6 +358,52 @@ object TextOps {
         col("cf_t").cast("long").as("cf_t"), col("postings"))
   }
 
+  /** Persist an [[invertedIndex]] frame — the bake-time write of the
+    * build→persist→serve retrieval path (same seam as
+    * `Quantizers.saveModel` and the incremental-dedup banded
+    * projection). At production scale the index is written
+    * term-bucketed so [[indexServe]]'s term filter prunes at the scan.
+    */
+  def saveIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").parquet(path)
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Serve a multi-term query from a (possibly reloaded) inverted
+    * index: per candidate document, the matched-term count (`n_terms`
+    * — `= terms.size` is the AND answer, `>= 1` the OR answer), total
+    * tf over matched terms, and a df-based relevance score
+    * (Σ tf · (10^9 div df_t) — rare terms dominate, exact integers),
+    * ranked by (score desc, doc_id).
+    *
+    * Candidates come from the index's BOUNDED posting prefixes, which
+    * is the serve-tier contract: everything after the term filter is
+    * bounded by |terms| × postingsCap rows, so the rank window's
+    * single-partition sort is a constant-size driver-adjacent step,
+    * not a data-scaled one. The term filter itself is an `IN` over the
+    * index scan — pushed to parquet row-group pruning, and at 100 TB
+    * the index is term-bucketed so the probe reads a handful of files.
+    */
+  def indexServe(index: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "indexServe needs at least one query term")
+    import org.apache.spark.sql.expressions.Window
+    val hits = index.filter(col("term").isin(terms: _*))
+      .select(col("term"), col("df_t"),
+        explode(split(col("postings"), ",")).as("p"))
+      .select(col("term"), col("df_t"),
+        split(col("p"), ":").getItem(0).cast("long").as("doc_id"),
+        split(col("p"), ":").getItem(1).cast("long").as("tf"))
+    hits.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(col("tf")).cast("long").as("sum_tf"),
+        sum(col("tf") * expr("1000000000L div df_t")).cast("long").as("score_x"))
+      .withColumn("and_match",
+        (col("n_terms") === lit(terms.size.toLong)).cast("int"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_x").desc, col("doc_id"))).cast("long"))
+  }
+
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = df.select(col(idCol).as("doc_id"),

@@ -115,6 +115,30 @@ class ModelSeamSpec extends SparkSpec {
     assert(appended == rebuilt)
   }
 
+  test("inverted index: persist -> reload -> serve == serve from the " +
+      "in-session frame; AND/OR semantics hold") {
+    import graft.llm.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idx = TextOps.invertedIndex(docs, "doc_id", "text", postingsCap = 64)
+    val path = graft.sources.Staging.sessionTempDir("graft_invidx_seam")
+    TextOps.saveIndex(idx, path)
+    val loaded = TextOps.loadIndex(spark, path)
+    val terms = Seq("scan", "sort", "join")
+    val direct = TextOps.indexServe(idx, terms)
+      .collect().map(_.toSeq).toSet
+    val served = TextOps.indexServe(loaded, terms)
+      .collect().map(_.toSeq).toSet
+    assert(direct == served)
+    assert(direct.nonEmpty)
+    // AND rows are exactly the n_terms == |terms| subset; every row
+    // matches at least one term (the OR set)
+    val rows = TextOps.indexServe(loaded, terms)
+      .select("n_terms", "and_match").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.forall { case (n, a) => (a == 1) == (n == terms.size) })
+    assert(rows.forall { case (n, _) => n >= 1 && n <= terms.size })
+  }
+
   test("model values survive the round-trip bit-exactly") {
     val cents = Quantizers.trainIvfCentroids(emb, "vec_id", "embedding", k = 4,
       iters = 1, trainSize = 64)
