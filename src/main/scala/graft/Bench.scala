@@ -86,10 +86,14 @@ object Bench {
         System.err.println(f"[bench] best-of-2 total: ${pass2.map(_._2).filter(_ >= 0).sum}%.1f s")
         pass2
       } else pass1
-    // The driver captures only a bounded tail of stdout: the r02 line
-    // (60 queries at nanosecond precision, ~2.9 KB) overflowed it and
-    // parsed as null. Keep the stdout line compact — headline queries
-    // at ms precision — and write the full per-query map to a file.
+    // The driver captures only a bounded ~2000-char tail of stdout and
+    // json-parses the final JSON-looking line: the r02 line (60 queries
+    // at nanosecond precision, ~2.9 KB) overflowed it and parsed as
+    // null, and the full 136-entry map at ms precision is ~3.4 KB — it
+    // CANNOT ride stdout. So the stdout line carries the headline
+    // queries first, then as many of the remaining entries (name
+    // order) as fit a 1750-byte budget; the complete map always lands
+    // in BENCH_FULL.json (committed per round as BENCH_FULL_r{N}.json).
     def fmt(v: Double): String = f"$v%.3f"
     val headline = Seq(
       "q_etl_transactions", "q_etl_contracts", "q_etl_blocks",
@@ -101,10 +105,22 @@ object Bench {
       "q_asof_keyed", "q_asof_global", "q_range_join",
       "q_llm_decontaminate", "q_llm_seq_pack", "q_llm_fingerprint_portable",
       "q_llm_pipeline_e2e", "q_llm_temp_mix", "q_llm_shard_plan",
-      "q_llm_stream_neardup", "q_asof_stream", "q_etl_stream_transactions")
+      "q_llm_stream_neardup", "q_asof_stream", "q_etl_stream_transactions",
+      "q_stream_interval_join", "q_stream_interval_join_outer",
+      "q_graph_pagerank", "q_a2_gas_tree", "q_llm_bm25",
+      "q_scd2_changelog", "q_llm_index_serve")
     val byName = results.toMap
-    val qs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + fmt(v)))
-      .mkString("{", ",", "}")
+    val stdoutNames = (headline.filter(byName.contains) ++
+      results.map(_._1).filterNot(headline.contains)).distinct
+    val qsBudget = new StringBuilder
+    var kept = 0
+    for (n <- stdoutNames; v <- byName.get(n)) {
+      val piece = (if (kept == 0) "" else ",") + "\"" + n + "\":" + fmt(v)
+      if (qsBudget.length + piece.length <= 1750) {
+        qsBudget.append(piece); kept += 1
+      }
+    }
+    val qs = "{" + qsBudget.result() + "}"
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

@@ -215,31 +215,34 @@ object StreamRehearsal {
       sessionParity(s"$work/fmgws_out", "fmgws")
     }
 
-    // ---- 3) streaming as-of join at 1M events
-    locally {
-      // unique (key, tag, ts) so equal-ts resolution ties cannot differ
-      // between the streaming operator and the batch window form
-      val asofIn = spark.read.parquet(s"$sfDir/events.parquet")
-        .select(col("user_id").as("key"),
-          when(col("event_type") === "signup", 0).otherwise(1).as("tag"),
-          col("event_id").as("id"),
-          Queries.eventSeconds(spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType)
-            .as("ts"))
-        .groupBy("key", "tag", "ts").agg(max("id").as("id"))
+    // ---- shared (key, tag, id, ts, event_time) sliced replay input:
+    // unique (key, tag, ts) so equal-ts resolution ties cannot differ
+    // between the streaming operator and the batch window form; used
+    // by the as-of join (3) and the stream-stream interval join (6)
+    val asofIn = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id").as("key"),
+        when(col("event_type") === "signup", 0).otherwise(1).as("tag"),
+        col("event_id").as("id"),
+        Queries.eventSeconds(spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType)
+          .as("ts"))
+      .groupBy("key", "tag", "ts").agg(max("id").as("id"))
+      .select(col("key"), col("tag"), col("id"), col("ts"),
+        col("ts").cast("timestamp").as("event_time"))
+    val asofWatch = s"$work/asof_in"
+    stageSlices(asofIn, "ts", nSlices, s"$work/asof_stage", asofWatch)
+    val amx = spark.read.parquet(asofWatch).agg(max("ts")).head().getLong(0)
+    Seq((nSlices, (-1L, 0, -1L, amx + 1000000L)),
+        (nSlices + 1, (-1L, 0, -2L, amx + 2000000L))).foreach { case (i, (k, tg, id, ts)) =>
+      Seq((k, tg, id, ts)).toDF("key", "tag", "id", "ts")
         .select(col("key"), col("tag"), col("id"), col("ts"),
           col("ts").cast("timestamp").as("event_time"))
-      val asofWatch = s"$work/asof_in"
-      stageSlices(asofIn, "ts", nSlices, s"$work/asof_stage", asofWatch)
-      val amx = spark.read.parquet(asofWatch).agg(max("ts")).head().getLong(0)
-      Seq((nSlices, (-1L, 0, -1L, amx + 1000000L)),
-          (nSlices + 1, (-1L, 0, -2L, amx + 2000000L))).foreach { case (i, (k, tg, id, ts)) =>
-        Seq((k, tg, id, ts)).toDF("key", "tag", "id", "ts")
-          .select(col("key"), col("tag"), col("id"), col("ts"),
-            col("ts").cast("timestamp").as("event_time"))
-          .withColumn("_slice", lit(i))
-          .write.partitionBy("_slice").mode("overwrite").parquet(s"$work/asent_$i")
-        moveSlices(s"$work/asent_$i", asofWatch, 0)
-      }
+        .withColumn("_slice", lit(i))
+        .write.partitionBy("_slice").mode("overwrite").parquet(s"$work/asent_$i")
+      moveSlices(s"$work/asent_$i", asofWatch, 0)
+    }
+
+    // ---- 3) streaming as-of join at 1M events
+    locally {
       val aSchema = spark.read.parquet(asofWatch).schema
       val aStream = spark.readStream.schema(aSchema)
         .option("maxFilesPerTrigger", 1).parquet(asofWatch)
@@ -324,6 +327,100 @@ object StreamRehearsal {
       val bPairs = graft.llm.DedupOps.minhashSignaturePairs(docs, "doc_id", "text")
         .select(col("id1"), col("id2"))
       assertParity("near-dup candidate pairs", sPairs, bPairs)
+    }
+
+    // ---- 6) NATIVE stream-stream interval join under sustained load:
+    // FULL key domain (the catalog entry streams a key%8 subset — this
+    // is the load twin), same 1h range condition. The claim under test
+    // is the 100 TB state bound: the time-RANGE condition lets the
+    // symmetric hash join EVICT — a probe row once the watermark
+    // passes p_time (no future state can reach back), a state row once
+    // it passes s_time + 3600 (no future probe can reach forward) — so
+    // state must hold ~one eviction horizon of each side, NOT the
+    // stream. Measured per batch below (numRowsTotal/MB of the join's
+    // four stores), next to the per-side MODELED retention computed
+    // from the staged slices and the PREVIOUS batch's watermark
+    // (eviction runs one batch behind the advance).
+    locally {
+      val schema = spark.read.parquet(asofWatch).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(asofWatch)
+      val probes = stream.filter(col("tag") === 1)
+        .select(col("key"), col("id").as("probe_id"), col("ts").as("probe_ts"),
+          col("event_time").as("p_time"))
+        .withWatermark("p_time", "3600 seconds")
+      val states = stream.filter(col("tag") === 0)
+        .select(col("key").as("s_key"), col("id").as("state_id"),
+          col("ts").as("state_ts"), col("event_time").as("s_time"))
+        .withWatermark("s_time", "3600 seconds")
+      val joined = probes.join(states,
+        col("key") === col("s_key") &&
+          col("s_time") >= col("p_time") - expr("INTERVAL 3600 SECONDS") &&
+          col("s_time") <= col("p_time"))
+        .select(col("key"), col("probe_id"), col("probe_ts"),
+          col("state_id"), col("state_ts"))
+      val (wall, bs) = drive(joined, s"$work/ssj_out", s"$work/ssj_ck")
+      // numInputRows double-counts here: the one file source feeds both
+      // join branches, so each staged row is reported twice
+      report("stream-stream interval join (symmetric hash, RocksDB)", wall, bs)
+
+      // Modeled per-side retention after batch b, from first
+      // principles: rows arrived by batch b (slice index from the file
+      // name) still above batch b's ACTIVE watermark W — probes with
+      // p_time >= W (a future state has s_time >= W, so p_time < W can
+      // never satisfy s_time <= p_time again), states with
+      // s_time >= W - 3600 (a future probe has p_time >= W, so
+      // s_time + 3600 < W is out of its reach-back). The measured
+      // numRowsTotal must track modeled probe + state — the per-side
+      // decomposition — and stay FLAT at the horizon instead of
+      // accumulating toward the stream size.
+      val staged = spark.read.parquet(asofWatch)
+        .withColumn("slice", regexp_extract(input_file_name(),
+          "slice_(\\d+)_", 1).cast("int"))
+        .select("slice", "tag", "ts").persist()
+      def wmSec(s0: String): Long =
+        if (s0 == "-") 0L else java.time.Instant.parse(s0).getEpochSecond
+      println("| batch | wm | modeled probe rows | modeled state rows | modeled total | measured |")
+      println("|---|---|---|---|---|---|")
+      val dataBatches = bs.filter(_.batchId < nSlices)
+      var flatRatios = List.empty[Double]
+      for (b <- dataBatches) {
+        val wm = wmSec(b.watermark)
+        val r = staged.filter(col("slice") <= b.batchId)
+          .agg(
+            sum(when(col("tag") === 1 && col("ts") >= wm, 1L).otherwise(0L)),
+            sum(when(col("tag") === 0 && col("ts") >= wm - 3600L, 1L).otherwise(0L)))
+          .head()
+        val (mp, ms) = (r.getLong(0), r.getLong(1))
+        if (mp + ms > 0) flatRatios ::= b.stateRows.toDouble / (mp + ms)
+        println(s"| ${b.batchId} | $wm | $mp | $ms | ${mp + ms} | ${b.stateRows} |")
+      }
+      val total = staged.count()
+      staged.unpersist()
+      val peak = bs.map(_.stateRows).max
+      println(f"interval-join state: peak $peak rows over $total input rows " +
+        f"(${100.0 * peak / total}%.1f%%), measured/modeled ratio " +
+        f"min ${flatRatios.min}%.2f max ${flatRatios.max}%.2f")
+      // no eviction would accumulate toward 100% of the stream; the
+      // horizon is ~one slice per side (+ the 3600 s reach-back)
+      require(peak <= total * 4 / nSlices,
+        s"interval-join state not bounded by the eviction horizon: $peak of $total")
+      // the measured total must actually BE the modeled per-side sum
+      // (boundary semantics allow a whisker, never a multiple)
+      require(flatRatios.max <= 1.1 && flatRatios.min >= 0.5,
+        s"measured state diverges from the per-side model: $flatRatios")
+
+      // parity: flushed stream output == the batch BETWEEN join
+      val bJoin = asofIn.filter(col("tag") === 1)
+        .select(col("key"), col("id").as("probe_id"), col("ts").as("probe_ts"))
+        .join(asofIn.filter(col("tag") === 0)
+            .select(col("key"), col("id").as("state_id"), col("ts").as("state_ts")),
+          Seq("key"))
+        .filter(col("state_ts") >= col("probe_ts") - 3600L &&
+          col("state_ts") <= col("probe_ts"))
+        .select("key", "probe_id", "probe_ts", "state_id", "state_ts")
+      val sJoin = spark.read.parquet(s"$work/ssj_out").filter(col("key") >= 0)
+      assertParity("interval join", sJoin, bJoin)
     }
 
     println("\nstream rehearsal complete")
