@@ -202,22 +202,23 @@ object GraphOps {
     import spark.implicits._
     eCast.as[(Option[Long], Option[Long])].coalesce(1).mapPartitions { it =>
       val g = Kernel.build(it)
-      var contrib = new java.util.HashMap[Option[Long], Long]()
+      var contrib = new Array[Long](g.nNodes)
       var t = 0
       while (t < iters) {
-        val next = new java.util.HashMap[Option[Long], Long]()
-        g.adj.foreach { case (s, d) =>
-          val r = if (t == 0) scale else base + contrib.getOrDefault(s, 0L)
-          next.merge(d, (r * 850L) / (1000L * g.deg.get(s)), _ + _)
+        val next = new Array[Long](g.nNodes)
+        var e = 0
+        while (e < g.nEdges) {
+          val s = g.adjSrc(e)
+          val r = if (t == 0) scale else base + contrib(s)
+          next(g.adjDst(e)) += (r * 850L) / (1000L * g.deg(s))
+          e += 1
         }
         contrib = next; t += 1
       }
-      val out = new scala.collection.mutable.ArrayBuffer[(Option[Long], Long)](g.nodes.size())
-      g.nodes.forEach { n =>
-        val c = if (n.isDefined) contrib.getOrDefault(n, 0L) else 0L
-        out += ((n, base + c))
+      (0 until g.nNodes).iterator.map { i =>
+        val c = if (i == g.nullIdx) 0L else contrib(i)
+        (g.idOf(i), base + c)
       }
-      out.iterator
     }.toDF("id", "rank")
   }
 
@@ -233,10 +234,25 @@ object GraphOps {
     * few hundred MB in ONE task, the documented trade of the path.
     */
   private[graft] object Kernel extends Serializable {
+    /** Id-compacted primitive graph: every distinct node (the SQL-null
+      * endpoint included, as [[nullIdx]]) gets a dense int index; the
+      * deduped defined-src adjacency and out-degrees are flat arrays.
+      * The r12 kernel kept `Option[Long]`-keyed HashMaps and tuple
+      * rows — per-edge boxing dominated the single task (measured
+      * ~0.9–1.25 s at sf0.1); the compact form runs the same
+      * dedup/degree/iterate contracts on primitive loads and stores.
+      */
     final class G(
-        val deg: java.util.HashMap[Option[Long], Long],
-        val adj: scala.collection.mutable.ArrayBuffer[(Option[Long], Option[Long])],
-        val nodes: java.util.HashSet[Option[Long]]) extends Serializable
+        val nNodes: Int,
+        val nullIdx: Int,            // index of the null node, or -1
+        val ids: Array[Long],        // idx -> id (meaningless at nullIdx)
+        val deg: Array[Long],        // idx -> deduped out-degree (0 = dangling)
+        val adjSrc: Array[Int],      // deduped edges with DEFINED src
+        val adjDst: Array[Int],
+        val nEdges: Int) extends Serializable {
+      def idOf(idx: Int): Option[Long] =
+        if (idx == nullIdx) None else Some(ids(idx))
+    }
     /** Hard runtime ceiling on rows streamed into the single task —
       * defense-in-depth behind the plan-time size gate, which trusts
       * Catalyst's estimate: a badly underestimated frame (e.g. a
@@ -246,12 +262,120 @@ object GraphOps {
       * it the estimate was wrong, so fail loudly with the fix.
       */
     val MaxKernelRows: Long = 32L << 20
+
+    /** Open-addressing long -> dense-int index map (linear probing,
+      * power-of-two capacity, `used` sideband so every long — 0 and
+      * Long.MinValue included — is a valid key). No deletion needed.
+      */
+    private final class LongIndex(initialCap: Int) {
+      private var cap = Integer.highestOneBit(math.max(initialCap, 16) * 2)
+      private var keys = new Array[Long](cap)
+      private var vals = new Array[Int](cap)
+      private var used = new Array[Boolean](cap)
+      private var n = 0
+      private def slot(k: Long, c: Int): Int = {
+        // splitmix-style scramble so sequential ids don't cluster
+        var h = k * -7046029254386353131L
+        h ^= (h >>> 32)
+        (h & (c - 1)).toInt
+      }
+      /** Return the value stored for `k`, or insert `v` and return it. */
+      def lookupOrInsert(k: Long, v: Int): Int = {
+        var i = slot(k, cap)
+        while (used(i)) {
+          if (keys(i) == k) return vals(i)
+          i = (i + 1) & (cap - 1)
+        }
+        keys(i) = k; vals(i) = v; used(i) = true
+        n += 1
+        if (n * 2 > cap) grow()
+        v
+      }
+      private def grow(): Unit = {
+        val (ok, ov, ou, oc) = (keys, vals, used, cap)
+        cap <<= 1
+        keys = new Array[Long](cap); vals = new Array[Int](cap)
+        used = new Array[Boolean](cap)
+        var i = 0
+        while (i < oc) {
+          if (ou(i)) {
+            var j = slot(ok(i), cap)
+            while (used(j)) j = (j + 1) & (cap - 1)
+            keys(j) = ok(i); vals(j) = ov(i); used(j) = true
+          }
+          i += 1
+        }
+      }
+    }
+
+    /** Open-addressing set of NON-NEGATIVE longs (EMPTY = -1) — holds
+      * the packed (srcIdx << 32 | dstIdx) dedup keys, which are
+      * non-negative by construction (dense indices < 2^31).
+      */
+    private final class PackedSet(initialCap: Int) {
+      private var cap = Integer.highestOneBit(math.max(initialCap, 16) * 2)
+      private var keys = {
+        val a = new Array[Long](cap); java.util.Arrays.fill(a, -1L); a
+      }
+      private var n = 0
+      private def slot(k: Long, c: Int): Int = {
+        var h = k * -7046029254386353131L
+        h ^= (h >>> 32)
+        (h & (c - 1)).toInt
+      }
+      def add(k: Long): Boolean = {
+        var i = slot(k, cap)
+        while (keys(i) != -1L) {
+          if (keys(i) == k) return false
+          i = (i + 1) & (cap - 1)
+        }
+        keys(i) = k; n += 1
+        if (n * 2 > cap) grow()
+        true
+      }
+      private def grow(): Unit = {
+        val (ok, oc) = (keys, cap)
+        cap <<= 1
+        keys = new Array[Long](cap)
+        java.util.Arrays.fill(keys, -1L)
+        var i = 0
+        while (i < oc) {
+          if (ok(i) != -1L) {
+            var j = slot(ok(i), cap)
+            while (keys(j) != -1L) j = (j + 1) & (cap - 1)
+            keys(j) = ok(i)
+          }
+          i += 1
+        }
+      }
+    }
+
     def build(it: Iterator[(Option[Long], Option[Long])],
         maxRows: Long = MaxKernelRows): G = {
-      val seen = new java.util.HashSet[(Option[Long], Option[Long])](1 << 17)
-      val deg = new java.util.HashMap[Option[Long], Long](1 << 15)
-      val adj = new scala.collection.mutable.ArrayBuffer[(Option[Long], Option[Long])](1 << 17)
-      val nodes = new java.util.HashSet[Option[Long]](1 << 15)
+      val index = new LongIndex(1 << 15)
+      var nullIdx = -1
+      var nextIdx = 0
+      var ids = new Array[Long](1 << 15)
+      def idxOf(o: Option[Long]): Int = o match {
+        case Some(v) =>
+          val i = index.lookupOrInsert(v, nextIdx)
+          if (i == nextIdx) {
+            if (i >= ids.length) ids = java.util.Arrays.copyOf(ids, ids.length << 1)
+            ids(i) = v
+            nextIdx += 1
+          }
+          i
+        case None =>
+          // the null node's dense slot lives outside the key map — no
+          // long key can ever alias it
+          if (nullIdx < 0) { nullIdx = nextIdx; nextIdx += 1 }
+          nullIdx
+      }
+      val seen = new PackedSet(1 << 17)
+      var adjSrc = new Array[Int](1 << 17)
+      var adjDst = new Array[Int](1 << 17)
+      var nEdges = 0
+      var degA = new Array[Long](1 << 15)
       var n = 0L
       while (it.hasNext) {
         n += 1
@@ -262,12 +386,25 @@ object GraphOps {
             "lower materializeAboveBytes or materialize the input so Catalyst " +
             "sees real statistics")
         val e = it.next()
-        if (seen.add(e)) {
-          nodes.add(e._1); nodes.add(e._2)
-          if (e._1.isDefined) { deg.merge(e._1, 1L, _ + _); adj += e }
+        val si = idxOf(e._1)
+        val di = idxOf(e._2)
+        if (seen.add((si.toLong << 32) | (di.toLong & 0xffffffffL))) {
+          if (e._1.isDefined) {
+            if (si >= degA.length)
+              degA = java.util.Arrays.copyOf(degA, math.max(degA.length << 1, si + 1))
+            degA(si) += 1L
+            if (nEdges >= adjSrc.length) {
+              adjSrc = java.util.Arrays.copyOf(adjSrc, adjSrc.length << 1)
+              adjDst = java.util.Arrays.copyOf(adjDst, adjDst.length << 1)
+            }
+            adjSrc(nEdges) = si; adjDst(nEdges) = di; nEdges += 1
+          }
         }
       }
-      new G(deg, adj, nodes)
+      val nNodes = nextIdx
+      val deg = if (degA.length >= nNodes) degA
+        else java.util.Arrays.copyOf(degA, nNodes)
+      new G(nNodes, nullIdx, ids, deg, adjSrc, adjDst, nEdges)
     }
   }
 
@@ -401,29 +538,36 @@ object GraphOps {
           col(dstCol).cast("long").as("dst"))
         .as[(Option[Long], Option[Long])].coalesce(1).mapPartitions { it =>
           val g = Kernel.build(it)
-          val n = g.nodes.size().toLong
-          val ranks = new java.util.HashMap[Option[Long], Long](1 << 15)
-          g.nodes.forEach(x => ranks.put(x, scale))
+          val n = g.nNodes.toLong
+          val ranks = new Array[Long](g.nNodes)
+          java.util.Arrays.fill(ranks, scale)
           var t = 0
           while (t < iters && n > 0) {
-            // dangling mass: nodes with no out-edge (None is always
-            // dangling — a null id never matches a src key)
+            // dangling mass: nodes with no out-edge (the null node is
+            // always dangling — it never holds a degree)
             var dMass = 0L
-            g.nodes.forEach(x => if (!g.deg.containsKey(x)) dMass += ranks.get(x))
-            val share = (dMass * 850L) / (1000L * n)
-            val contrib = new java.util.HashMap[Option[Long], Long]()
-            g.adj.foreach { case (s, d) =>
-              contrib.merge(d, (ranks.get(s) * 850L) / (1000L * g.deg.get(s)), _ + _)
+            var i = 0
+            while (i < g.nNodes) {
+              if (g.deg(i) == 0L) dMass += ranks(i)
+              i += 1
             }
-            g.nodes.forEach { x =>
-              val c = if (x.isDefined) contrib.getOrDefault(x, 0L) else 0L
-              ranks.put(x, base0 + c + share)
+            val share = (dMass * 850L) / (1000L * n)
+            val contrib = new Array[Long](g.nNodes)
+            var e = 0
+            while (e < g.nEdges) {
+              val s = g.adjSrc(e)
+              contrib(g.adjDst(e)) += (ranks(s) * 850L) / (1000L * g.deg(s))
+              e += 1
+            }
+            i = 0
+            while (i < g.nNodes) {
+              val c = if (i == g.nullIdx) 0L else contrib(i)
+              ranks(i) = base0 + c + share
+              i += 1
             }
             t += 1
           }
-          val out = new scala.collection.mutable.ArrayBuffer[(Option[Long], Long)](g.nodes.size())
-          g.nodes.forEach(x => out += ((x, ranks.get(x))))
-          out.iterator
+          (0 until g.nNodes).iterator.map(i => (g.idOf(i), ranks(i)))
         }.toDF("id", "rank")
         // eager checkpoint: same self-contained contract as the
         // materialized path's output (see pageRank's kernel arm)
@@ -497,28 +641,32 @@ object GraphOps {
           col(dstCol).cast("long").as("dst"))
         .as[(Option[Long], Option[Long])].coalesce(1).mapPartitions { it =>
           val g = Kernel.build(it)
-          val ranks = new java.util.HashMap[Option[Long], Long](1 << 15)
-          g.nodes.forEach(x => ranks.put(x, scale))
+          val ranks = new Array[Long](g.nNodes)
+          java.util.Arrays.fill(ranks, scale)
           var t = 0
-          var done = g.nodes.isEmpty
+          var done = g.nNodes == 0
           while (!done && t < maxIters) {
-            val contrib = new java.util.HashMap[Option[Long], Long]()
-            g.adj.foreach { case (s, d) =>
-              contrib.merge(d, (ranks.get(s) * 850L) / (1000L * g.deg.get(s)), _ + _)
+            val contrib = new Array[Long](g.nNodes)
+            var e = 0
+            while (e < g.nEdges) {
+              val s = g.adjSrc(e)
+              contrib(g.adjDst(e)) += (ranks(s) * 850L) / (1000L * g.deg(s))
+              e += 1
             }
             t += 1
             var md = 0L
-            g.nodes.forEach { x =>
-              val c = if (x.isDefined) contrib.getOrDefault(x, 0L) else 0L
+            var i = 0
+            while (i < g.nNodes) {
+              val c = if (i == g.nullIdx) 0L else contrib(i)
               val next = base0 + c
-              if (x.isDefined) md = math.max(md, math.abs(next - ranks.get(x)))
-              ranks.put(x, next)
+              if (i != g.nullIdx) md = math.max(md, math.abs(next - ranks(i)))
+              ranks(i) = next
+              i += 1
             }
             done = md <= eps
           }
-          val out = new scala.collection.mutable.ArrayBuffer[(Option[Long], Long, Long)](g.nodes.size())
-          g.nodes.forEach(x => out += ((x, ranks.get(x), t.toLong)))
-          out.iterator
+          val tl = t.toLong
+          (0 until g.nNodes).iterator.map(i => (g.idOf(i), ranks(i), tl))
         }.toDF("id", "rank", "t")
         // eager checkpoint: same self-contained contract as the
         // materialized path's output (see pageRank's kernel arm)

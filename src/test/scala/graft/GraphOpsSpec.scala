@@ -290,7 +290,40 @@ class GraphOpsSpec extends SparkSpec {
     // under the ceiling the same stream builds fine
     val g = GraphOps.Kernel.build(
       (1 to 9).iterator.map(i => (Option(i.toLong), Option(i.toLong + 1))))
-    assert(g.adj.size == 9)
+    assert(g.nEdges == 9)
+    assert(g.nNodes == 10)
+  }
+
+  test("compact kernel build: dedup with null equality, degree and " +
+      "node contracts match the boxed r12 form") {
+    // duplicate edges (incl. a duplicated null-dst pair), a null src
+    // (node only, no degree/adjacency), and a 0L id (hash-map edge case)
+    val rows = Seq(
+      (Option(1L), Option(2L)), (Option(1L), Option(2L)),  // dup
+      (Option(1L), None), (Option(1L), None),              // dup null dst
+      (None, Option(3L)),                                  // null src
+      (Option(0L), Option(1L)),                            // 0L id
+      (Option(2L), Option(2L))                             // self loop kept
+    )
+    val g = GraphOps.Kernel.build(rows.iterator)
+    // deduped defined-src edges: (1,2), (1,null), (0,1), (2,2)
+    assert(g.nEdges == 4)
+    // nodes: 1, 2, null, 3, 0
+    assert(g.nNodes == 5)
+    assert(g.nullIdx >= 0)
+    val degById = (0 until g.nNodes)
+      .map(i => g.idOf(i) -> g.deg(i)).toMap
+    assert(degById(Some(1L)) == 2L)  // (1,2) + (1,null)
+    assert(degById(Some(0L)) == 1L)
+    assert(degById(Some(2L)) == 1L)
+    assert(degById(None) == 0L)      // null src never holds a degree
+    assert(degById(Some(3L)) == 0L)  // dst-only node is dangling
+    // adjacency endpoints resolve back to the right ids
+    val adj = (0 until g.nEdges)
+      .map(e => (g.idOf(g.adjSrc(e)), g.idOf(g.adjDst(e)))).toSet
+    assert(adj == Set(
+      (Some(1L), Some(2L)), (Some(1L), None),
+      (Some(0L), Some(1L)), (Some(2L), Some(2L))))
   }
 
 }
