@@ -36,6 +36,10 @@ object StreamRehearsal {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/tmp/sf1")
     val nSlices = if (args.length > 1) args(1).toInt else 20
+    // optional scenario filter: comma-separated subset of
+    // 1..6 (e.g. "6" re-runs only the interval joins)
+    val only: Int => Boolean =
+      if (args.length > 2) args(2).split(',').map(_.toInt).toSet else (_ => true)
     val work = "/root/repo/tmp/stream_rehearsal"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -50,7 +54,7 @@ object StreamRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(work))
-    try run(spark, sfDir, nSlices, work)
+    try run(spark, sfDir, nSlices, work, only)
     finally spark.stop()
   }
 
@@ -150,12 +154,14 @@ object StreamRehearsal {
 
   // ---------------------------------------------------------------- scenarios
 
-  def run(spark: SparkSession, sfDir: String, nSlices: Int, work: String): Unit = {
+  def run(spark: SparkSession, sfDir: String, nSlices: Int, work: String,
+      only: Int => Boolean = _ => true): Unit = {
     import spark.implicits._
 
     // ---- corpus: normalized traces, staged once, shared by both sessionizers
     val norm = TraceEtl.normalize(graft.sources.SyntheticTraces.fromTpch(spark, sfDir))
       .filter(col("transaction_hash").isNotNull && col("block_timestamp").isNotNull)
+    if (only(1) || only(2)) locally {
     val traceWatch = s"$work/traces_in"
     stageSlices(norm.toDF(), "block_timestamp", nSlices, s"$work/traces_stage", traceWatch)
     val mx = spark.read.parquet(traceWatch).agg(max("block_timestamp")).head().getLong(0)
@@ -198,7 +204,7 @@ object StreamRehearsal {
     }
 
     // ---- 1) transformWithState sessionizer (RocksDB)
-    locally {
+    if (only(1)) locally {
       val (wall, bs) = drive(
         graft.streaming.TwsSessionizer.sessionCommit(traceStream, gapSeconds = 1L),
         s"$work/tws_out", s"$work/tws_ck")
@@ -207,12 +213,14 @@ object StreamRehearsal {
     }
 
     // ---- 2) classic flatMapGroupsWithState sessionizer
-    locally {
+    if (only(2)) locally {
       val (wall, bs) = drive(
         graft.streaming.StreamingEtl.sessionCommit(traceStream, gapSeconds = 1L),
         s"$work/fmgws_out", s"$work/fmgws_ck")
       report("StreamingEtl.sessionCommit (flatMapGroupsWithState)", wall, bs)
       sessionParity(s"$work/fmgws_out", "fmgws")
+    }
+
     }
 
     // ---- shared (key, tag, id, ts, event_time) sliced replay input:
@@ -229,6 +237,7 @@ object StreamRehearsal {
       .select(col("key"), col("tag"), col("id"), col("ts"),
         col("ts").cast("timestamp").as("event_time"))
     val asofWatch = s"$work/asof_in"
+    if (only(3) || only(6)) locally {
     stageSlices(asofIn, "ts", nSlices, s"$work/asof_stage", asofWatch)
     val amx = spark.read.parquet(asofWatch).agg(max("ts")).head().getLong(0)
     Seq((nSlices, (-1L, 0, -1L, amx + 1000000L)),
@@ -240,9 +249,10 @@ object StreamRehearsal {
         .write.partitionBy("_slice").mode("overwrite").parquet(s"$work/asent_$i")
       moveSlices(s"$work/asent_$i", asofWatch, 0)
     }
+    }
 
     // ---- 3) streaming as-of join at 1M events
-    locally {
+    if (only(3)) locally {
       val aSchema = spark.read.parquet(asofWatch).schema
       val aStream = spark.readStream.schema(aSchema)
         .option("maxFilesPerTrigger", 1).parquet(asofWatch)
@@ -267,7 +277,7 @@ object StreamRehearsal {
     }
 
     // ---- 4) streaming curation: high-duplicate document stream
-    locally {
+    if (only(4)) locally {
       // amplify the corpus into 20 arrival waves of exact duplicates
       // (every wave re-delivers every document): the dedup seen-set is
       // the only stateful piece, so this is its stress shape — state
@@ -300,7 +310,7 @@ object StreamRehearsal {
     }
 
     // ---- 5) cross-batch LSH near-dup: band-keyed state, bucket-bounded
-    locally {
+    if (only(5)) locally {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"))
       val nDocs = docs.count()
@@ -341,7 +351,7 @@ object StreamRehearsal {
     // four stores), next to the per-side MODELED retention computed
     // from the staged slices and the PREVIOUS batch's watermark
     // (eviction runs one batch behind the advance).
-    locally {
+    if (only(6)) locally {
       val schema = spark.read.parquet(asofWatch).schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(asofWatch)
@@ -421,6 +431,45 @@ object StreamRehearsal {
         .select("key", "probe_id", "probe_ts", "state_id", "state_ts")
       val sJoin = spark.read.parquet(s"$work/ssj_out").filter(col("key") >= 0)
       assertParity("interval join", sJoin, bJoin)
+
+      // ---- LEFT OUTER twin at the same volume: identical stores and
+      // condition-derived eviction thresholds; the delta under load is
+      // that eviction EMITS the unmatched probes (null-padded), so the
+      // output is probe-sized (~750k at sf1) and its completeness IS
+      // the eviction trajectory — every probe row must leave state
+      // exactly once, one batch after the watermark passes it. The
+      // sentinels ride BOTH streams here (see the catalog entry's
+      // emission-timing argument) so the final watermark clears every
+      // real probe.
+      val probesO = stream.filter(col("tag") === 1 || col("key") < 0)
+        .select(col("key"), col("id").as("probe_id"), col("ts").as("probe_ts"),
+          col("event_time").as("p_time"))
+        .withWatermark("p_time", "3600 seconds")
+      val joinedO = probesO.join(states,
+        col("key") === col("s_key") &&
+          col("s_time") >= col("p_time") - expr("INTERVAL 3600 SECONDS") &&
+          col("s_time") <= col("p_time"),
+        "leftOuter")
+        .select(col("key"), col("probe_id"), col("probe_ts"),
+          col("state_id"), col("state_ts"))
+      val (wallO, bsO) = drive(joinedO, s"$work/ssjo_out", s"$work/ssjo_ck")
+      report("stream-stream interval join LEFT OUTER (symmetric hash, RocksDB)",
+        wallO, bsO)
+      val peakO = bsO.map(_.stateRows).max
+      require(peakO <= total * 4 / nSlices,
+        s"outer interval-join state not bounded by the eviction horizon: $peakO of $total")
+      val bOuter = asofIn.filter(col("tag") === 1)
+        .select(col("key"), col("id").as("probe_id"), col("ts").as("probe_ts"))
+        .join(asofIn.filter(col("tag") === 0)
+            .select(col("key").as("s_key"), col("id").as("state_id"),
+              col("ts").as("state_ts")),
+          col("key") === col("s_key") &&
+            col("state_ts") >= col("probe_ts") - 3600L &&
+            col("state_ts") <= col("probe_ts"),
+          "left")
+        .select("key", "probe_id", "probe_ts", "state_id", "state_ts")
+      val sOuter = spark.read.parquet(s"$work/ssjo_out").filter(col("key") >= 0)
+      assertParity("interval join LEFT OUTER", sOuter, bOuter)
     }
 
     println("\nstream rehearsal complete")
