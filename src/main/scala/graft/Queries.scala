@@ -3138,6 +3138,77 @@ object Queries {
   // instances landing in the corpus-wide top-1000 list.
   private val llmLmCoverage: Q = (s, dir) =>
     graft.llm.PipelineOps.lmCoverage(docsT(s, dir), "doc_id", "text", 1000)
+  /** 16-step integer log2 chain (the SQL twin of
+    * `VecBridge.ilog2x16`) over a CTE `src` providing distinct
+    * positive BIGINT `x`: normalize to a Q15 mantissa, then 16
+    * square-and-carry steps; ends with CTE `lg(x, ilog)`. Generated
+    * programmatically like the z-order interleave and PageRank
+    * unrolls.
+    */
+  private def ilogChainSql(src: String): String = {
+    val sb = new StringBuilder
+    sb.append(s"lg0 AS (SELECT x, length(format('{:b}', x)) - 1 AS n FROM $src),\n")
+    sb.append("lgm AS (SELECT x, n, CASE WHEN n <= 15 THEN x << (15 - n) " +
+      "ELSE x >> (n - 15) END AS m, CAST(0 AS BIGINT) AS r FROM lg0),\n")
+    var prev = "lgm"
+    for (i <- 1 to 16) {
+      sb.append(s"q$i AS (SELECT x, n, (m * m) >> 15 AS q, r FROM $prev),\n")
+      sb.append(s"s$i AS (SELECT x, n, CASE WHEN q >= 65536 THEN q >> 1 ELSE q END AS m, " +
+        s"r * 2 + CASE WHEN q >= 65536 THEN 1 ELSE 0 END AS r FROM q$i),\n")
+      prev = s"s$i"
+    }
+    sb.append(s"lg AS (SELECT x, (n << 16) | r AS ilog FROM $prev)")
+    sb.toString
+  }
+
+  // CCNet-style bigram-LM perplexity filter: a Laplace-smoothed
+  // word-bigram model trained on the doc_id % 50 reference subset
+  // (the same split decontamination/DSIR use) scores every other
+  // document's total NLL and millibits-per-bigram in 16.16 fixed
+  // point — the integer-only ilog2x16 makes the scores, not just the
+  // ordering, hash-exact across engines (the oracle runs the SAME 16
+  // square-and-carry steps as unrolled CTEs over the distinct count
+  // values, which are vocabulary-sized).
+  private val llmPerplexity: Q = (s, dir) =>
+    graft.llm.PipelineOps.lmPerplexity(
+      docsT(s, dir), "doc_id", "text", col("doc_id") % 50 === 0)
+  private val llmPerplexityOracle =
+    s"""WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS tk
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+      |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+      |    ELSE CAST([] AS VARCHAR[]) END) AS bigram
+      |  FROM tk),
+      |ref AS (SELECT bigram FROM bg WHERE doc_id % 50 = 0),
+      |probe AS (SELECT doc_id, bigram FROM bg WHERE doc_id % 50 <> 0),
+      |c12 AS (SELECT bigram, count(*) AS c12 FROM ref GROUP BY 1),
+      |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, count(*) AS c1 FROM ref GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT string_split(bigram, ' ')[2]) AS v FROM ref),
+      |inst AS (
+      |  SELECT p.doc_id,
+      |    coalesce(c.c12, 0) + 1 AS xa,
+      |    coalesce(k.c1, 0) + (SELECT v FROM vv) AS xb
+      |  FROM probe p LEFT JOIN c12 c ON p.bigram = c.bigram
+      |  LEFT JOIN c1 k ON string_split(p.bigram, ' ')[1] = k.w1),
+      |xs AS (SELECT DISTINCT xa AS x FROM inst UNION SELECT DISTINCT xb AS x FROM inst),
+      |${ilogChainSql("xs")},
+      |scored AS (
+      |  SELECT i.doc_id, (la.ilog - lb.ilog) AS lp
+      |  FROM inst i JOIN lg la ON i.xa = la.x JOIN lg lb ON i.xb = lb.x),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |         CAST(sum(-lp) AS BIGINT) AS nll_x16
+      |  FROM scored GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(a.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(a.nll_x16, 0) AS nll_x16,
+      |  CAST(CASE WHEN coalesce(a.n_bigrams, 0) = 0 THEN 0
+      |       ELSE a.nll_x16 * 1000 // (a.n_bigrams * 65536) END AS BIGINT) AS bits_milli
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |WHERE d.doc_id % 50 <> 0""".stripMargin
+
   private val llmLmCoverageOracle =
     """WITH tk AS (
       |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tk
@@ -4100,6 +4171,7 @@ object Queries {
     "q_llm_pii_counts" -> llmPiiCounts,
     "q_llm_pii_redact" -> llmPiiRedact,
     "q_llm_lm_coverage" -> llmLmCoverage,
+    "q_llm_perplexity" -> llmPerplexity,
     "q_emb_int8_quant" -> embInt8Quant,
     "q_mm_bin_counts" -> mmBinCounts,
     "q_mm_frames" -> mmFrames,
@@ -4243,6 +4315,7 @@ object Queries {
     "q_llm_pii_counts" -> llmPiiCountsOracle,
     "q_llm_pii_redact" -> llmPiiRedactOracle,
     "q_llm_lm_coverage" -> llmLmCoverageOracle,
+    "q_llm_perplexity" -> llmPerplexityOracle,
     "q_emb_int8_quant" -> embInt8QuantOracle,
     "q_mm_bin_counts" -> mmBinCountsOracle,
     "q_mm_frames" -> mmFramesOracle,

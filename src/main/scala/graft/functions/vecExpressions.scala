@@ -63,6 +63,34 @@ object VecBridge {
     lo
   }
 
+  /** floor(2^16 · log2 x) on a TRUNCATED Q15 mantissa — an
+    * integer-only, engine-portable log2 in 16.16 fixed point: x is
+    * normalized to m ∈ [2^15, 2^16) by shifting (keeping the top 15
+    * mantissa bits — a DOCUMENTED quantization, like the ratio idf in
+    * bm25: the function's definition IS this algorithm, so any engine
+    * that implements the same 16 square-and-carry steps reproduces it
+    * bit-exactly, with no libm/rounding divergence), then 16
+    * fractional bits are extracted by the classic square-double
+    * recurrence (z←z²; carry the integer bit). Max intermediate is
+    * m² < 2^34 — plain 64-bit everywhere, DuckDB BIGINT included.
+    * Within ~4/2^16 of the exact log2 (mantissa truncation), monotone
+    * non-decreasing. x ≤ 0 returns 0 (callers add Laplace +1).
+    */
+  def ilog2x16(x: Long): Long = {
+    if (x <= 0L) return 0L
+    val n = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var m = if (n <= 15) x << (15 - n) else x >> (n - 15)
+    var r = 0L
+    var i = 0
+    while (i < 16) {
+      val q = (m * m) >> 15
+      if (q >= 65536L) { r = (r << 1) | 1L; m = q >> 1 }
+      else { r <<= 1; m = q }
+      i += 1
+    }
+    (n.toLong << 16) | r
+  }
+
   /** Integer dot product of two array<long> columns. */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -772,6 +800,28 @@ case class DotLong(left: Expression, right: Expression)
   * array<long>); 0 = no element ≤ key. Codegen'd binary search — the
   * probe-side kernel of the size-gated broadcast as-of join.
   */
+/** Fixed-point integer log2 (see [[VecBridge.ilog2x16]]). */
+case class ILog2X16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ilog2_x16"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects bigint, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    VecBridge.ilog2x16(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecBridge.ilog2x16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ILog2X16 =
+    copy(child = newChild)
+}
+
 case class FloorIndexLong(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -1211,6 +1261,8 @@ object VecFunctions {
     GraftShim.column(DotLong(GraftShim.expression(a), GraftShim.expression(b)))
   def floor_index_long(arr: Column, key: Column): Column =
     GraftShim.column(FloorIndexLong(GraftShim.expression(arr), GraftShim.expression(key)))
+  def ilog2_x16(c: Column): Column =
+    GraftShim.column(ILog2X16(GraftShim.expression(c)))
   def cosine_sim(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
   def portable_sign_bucket(q: Column, planes: Int, tbl: Int): Column =

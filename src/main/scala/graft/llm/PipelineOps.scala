@@ -513,6 +513,67 @@ object PipelineOps {
     * top-k list (tiny) broadcasts back over the corpus — no
     * corpus-sized shuffle.
     */
+  /** CCNet-style bigram-LM perplexity scoring (Wenzek et al. 2020
+    * train a KenLM on a reference corpus and keep the low-perplexity
+    * tail; this is that filter with the LM reduced to a
+    * Laplace-smoothed word-bigram model and the arithmetic made
+    * ENGINE-PORTABLE): a conditional model is trained on the
+    * `isRef` subset — bigram counts `c(w1 w2)`, context counts
+    * `c(w1 ·)`, continuation vocabulary V — and every non-reference
+    * document is scored by its total negative log-likelihood
+    *
+    *   nll_x16 = −Σ_bigrams [ ilog2x16(c12 + 1) − ilog2x16(c1 + V) ]
+    *
+    * in 16.16 fixed point via the integer-only
+    * [[graft.functions.VecBridge.ilog2x16]] (no libm, no doubles —
+    * both engines run the same 16 square-and-carry steps, so the
+    * scores hash-compare exactly), plus the per-bigram normalization
+    * `bits_milli = nll_x16·1000 DIV (n_bigrams·65536)` — millibits
+    * per bigram, the quantity a perplexity threshold cuts on
+    * (perplexity = 2^(bits)). Unseen bigrams smooth to 1/(c1+V);
+    * unseen contexts to 1/V.
+    *
+    * Scale shape: the model tables are VOCABULARY-bounded (bigram
+    * types / context types), never corpus-bounded — they join back to
+    * the exploded probe stream as plan-time broadcasts when the input
+    * estimate fits (same sound upper-bound gate as bm25's vocab leg)
+    * and as term-keyed shuffled joins on a web-scale tail otherwise;
+    * V is a 1-row broadcast. Scoring is then ONE doc-keyed aggregate;
+    * `explode_outer` keeps zero-bigram documents in that same pass
+    * (the lmCoverage trick — no restore join).
+    */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      isRef: Column): DataFrame = {
+    import graft.functions.VecFunctions.{word_bigrams, ilog2_x16}
+    val bg = docs.select(col(idCol), isRef.as("is_ref"),
+      explode_outer(word_bigrams(col(textCol))).as("bigram"))
+    // tokens are whitespace-split, so a bigram contains EXACTLY one
+    // space: substring_index is an unambiguous (w1, w2) split
+    val refBg = bg.filter(col("is_ref") && col("bigram").isNotNull)
+    val c12 = refBg.groupBy("bigram").agg(count(lit(1)).as("c12"))
+    val c1 = refBg
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val vocab = refBg
+      .agg(count_distinct(substring_index(col("bigram"), " ", -1)).as("v"))
+    val fits = TextOps.inputFitsBroadcast(docs)
+    val c12B = if (fits) broadcast(c12) else c12
+    val c1B = if (fits) broadcast(c1) else c1
+    val scored = bg.filter(!col("is_ref"))
+      .join(c12B, Seq("bigram"), "left")
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(c1B, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_x16", when(col("bigram").isNotNull,
+        ilog2_x16(coalesce(col("c12"), lit(0L)) + 1L) -
+          ilog2_x16(coalesce(col("c1"), lit(0L)) + col("v"))))
+    scored.groupBy(idCol)
+      .agg(count(col("bigram")).as("n_bigrams"),
+        coalesce(sum(-col("lp_x16")), lit(0L)).as("nll_x16"))
+      .withColumn("bits_milli", when(col("n_bigrams") === 0, 0L)
+        .otherwise(expr("nll_x16 * 1000 DIV (n_bigrams * 65536)")))
+  }
+
   def lmCoverage(df: DataFrame, idCol: String, textCol: String,
       k: Int = 1000): DataFrame = {
     val top = ngramTopK(df, textCol, k).select(col("bigram"))

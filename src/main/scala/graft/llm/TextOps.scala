@@ -304,7 +304,7 @@ object TextOps {
     * hint is attached and AQE's runtime join selection decides — the
     * safe direction for a web-scale token tail.
     */
-  private def inputFitsBroadcast(df: DataFrame): Boolean = !df.isStreaming && {
+  private[llm] def inputFitsBroadcast(df: DataFrame): Boolean = !df.isStreaming && {
     val conf = df.sparkSession.sessionState.conf
     conf.autoBroadcastJoinThreshold > 0 &&
       df.queryExecution.optimizedPlan.stats.sizeInBytes <=

@@ -307,4 +307,61 @@ class VecExprSpec extends SparkSpec {
       df.select(VecFunctions.portable_sign_bucket(col("strs"), 4, 0)).collect()
     }
   }
+
+  test("ilog2x16: exact on powers of two, within the documented " +
+      "truncation band elsewhere, monotone, codegen == bridge") {
+    import graft.functions.VecBridge
+    // powers of two carry no mantissa: exactly n << 16
+    for (k <- 0 to 62)
+      assert(VecBridge.ilog2x16(1L << k) == k.toLong << 16, s"2^$k")
+    // non-powers: floor(2^16 log2 x) minus at most a few ulps from the
+    // Q15 mantissa truncation (never above the exact value)
+    for (x <- Seq(3L, 5L, 7L, 100L, 12345L, 1000003L, (1L << 40) + 12345L)) {
+      val exact = math.floor(65536.0 * math.log(x.toDouble) / math.log(2.0)).toLong
+      val got = VecBridge.ilog2x16(x)
+      assert(got <= exact && got >= exact - 4, s"x=$x got=$got exact=$exact")
+    }
+    // monotone non-decreasing over a dense range
+    var prev = Long.MinValue
+    for (x <- 1L to 5000L) {
+      val v = VecBridge.ilog2x16(x)
+      assert(v >= prev, s"not monotone at $x")
+      prev = v
+    }
+    // non-positive inputs define to 0 (callers add Laplace +1)
+    assert(VecBridge.ilog2x16(0L) == 0L && VecBridge.ilog2x16(-5L) == 0L)
+    // the codegen'd expression evaluates the same function
+    val df = spark.range(1, 1000).select(col("id"),
+      VecFunctions.ilog2_x16(col("id")).as("lg"))
+    val rows = df.collect()
+    rows.foreach(r => assert(r.getLong(1) == VecBridge.ilog2x16(r.getLong(0))))
+  }
+
+  test("lmPerplexity: hand-checked tiny model — seen, unseen-bigram " +
+      "and unseen-context smoothing, empty docs kept") {
+    import graft.functions.VecBridge.ilog2x16
+    import graft.llm.PipelineOps
+    // ref doc 0: "a b a b a c" -> bigrams ab, ba, ab, ba, ac
+    //   c12: ab=2, ba=2, ac=1; c1: a=3, b=2; V = |{b, a, c}| = 3
+    val docs = spark.createDataFrame(Seq(
+        (0L, "a b a b a c"),
+        (1L, "a b x"),   // ab seen; bx: unseen bigram, seen context b
+        (2L, "z q"),     // zq: unseen context entirely
+        (3L, "solo")     // no bigrams at all
+      )).toDF("doc_id", "text")
+    val out = PipelineOps.lmPerplexity(docs, "doc_id", "text",
+        col("doc_id") === 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def lp(c12: Long, c1: Long): Long = ilog2x16(c12 + 1) - ilog2x16(c1 + 3)
+    // doc 1: ab (c12=2, c1(a)=3) + bx (c12=0, c1(b)=2)
+    val nll1 = -(lp(2, 3) + lp(0, 2))
+    assert(out(1L) == ((2L, nll1, nll1 * 1000 / (2 * 65536))))
+    // doc 2: zq (c12=0, c1(z)=0 -> denominator V alone)
+    val nll2 = -lp(0, 0)
+    assert(out(2L) == ((1L, nll2, nll2 * 1000 / 65536)))
+    // doc 3: no bigrams -> all-zero row still present
+    assert(out(3L) == ((0L, 0L, 0L)))
+    // the reference doc itself is not scored
+    assert(!out.contains(0L))
+  }
 }
