@@ -406,6 +406,67 @@ object GraphOps {
         else java.util.Arrays.copyOf(degA, nNodes)
       new G(nNodes, nullIdx, ids, deg, adjSrc, adjDst, nEdges)
     }
+
+    /** Id-compacted UNDIRECTED simple graph for the triangle kernel:
+      * null endpoints and self-loops dropped, edges canonicalized to
+      * (min id, max id) and deduped; `deg` is the undirected simple
+      * degree — exactly the frame [[degreeOriented]] builds.
+      */
+    final class U(val nNodes: Int, val ids: Array[Long],
+        val eu: Array[Int], val ev: Array[Int], val nEdges: Int,
+        val deg: Array[Long]) extends Serializable
+
+    def buildUndirected(it: Iterator[(Option[Long], Option[Long])],
+        maxRows: Long = MaxKernelRows): U = {
+      val index = new LongIndex(1 << 15)
+      var nextIdx = 0
+      var ids = new Array[Long](1 << 15)
+      def idxOf(v: Long): Int = {
+        val i = index.lookupOrInsert(v, nextIdx)
+        if (i == nextIdx) {
+          if (i >= ids.length) ids = java.util.Arrays.copyOf(ids, ids.length << 1)
+          ids(i) = v
+          nextIdx += 1
+        }
+        i
+      }
+      val seen = new PackedSet(1 << 17)
+      var eu = new Array[Int](1 << 17)
+      var ev = new Array[Int](1 << 17)
+      var nEdges = 0
+      var degA = new Array[Long](1 << 15)
+      var n = 0L
+      while (it.hasNext) {
+        n += 1
+        if (n > maxRows) throw new IllegalStateException(
+          s"in-memory graph kernel fed more than $maxRows edge rows — " +
+            "the plan-time size estimate that selected the single-task path " +
+            "was badly wrong; pass a lower materializeAboveBytes or " +
+            "materialize the input so Catalyst sees real statistics")
+        val e = it.next()
+        if (e._1.isDefined && e._2.isDefined && e._1.get != e._2.get) {
+          val u = math.min(e._1.get, e._2.get)
+          val v = math.max(e._1.get, e._2.get)
+          val ui = idxOf(u)
+          val vi = idxOf(v)
+          if (seen.add((ui.toLong << 32) | (vi.toLong & 0xffffffffL))) {
+            if (nEdges >= eu.length) {
+              eu = java.util.Arrays.copyOf(eu, eu.length << 1)
+              ev = java.util.Arrays.copyOf(ev, ev.length << 1)
+            }
+            eu(nEdges) = ui; ev(nEdges) = vi; nEdges += 1
+            val mx = math.max(ui, vi)
+            if (mx >= degA.length)
+              degA = java.util.Arrays.copyOf(degA, math.max(degA.length << 1, mx + 1))
+            degA(ui) += 1L; degA(vi) += 1L
+          }
+        }
+      }
+      val nNodes = nextIdx
+      val deg = if (degA.length >= nNodes) degA
+        else java.util.Arrays.copyOf(degA, nNodes)
+      new U(nNodes, ids, eu, ev, nEdges, deg)
+    }
   }
 
   /** Shared prep for the explicit-rank variants: ONE edge shuffle
@@ -448,7 +509,83 @@ object GraphOps {
     * quadratic in the corpus.
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
+      dstCol: String, materializeAboveBytes: Long = 64L << 20): DataFrame = {
+    val edgeBytes = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+    val materialize = edgeBytes > BigInt(materializeAboveBytes)
+    lastMaterialized = materialize
+    // Below the gate: the whole operator is ONE single-task kernel
+    // over the id-compacted undirected graph (same collapse-when-tiny
+    // pattern as the PageRank kernel, same 32M-row runtime backstop):
+    // degree-ordered orientation into CSR out-lists sorted by index,
+    // then per oriented edge (u,v) a sorted two-pointer intersection
+    // of N⁺(u) and N⁺(v) — each triangle a≺b≺c found exactly once at
+    // its (a,b) edge, crediting all three corners. Work is
+    // Σ_(u,v) (d⁺(u)+d⁺(v)) — the arboricity-bounded cost the
+    // distributed wedge join pays in shuffled form. Above the gate the
+    // distributed orientation + wedge-join plan below is unchanged.
+    if (!materialize) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return edges.select(col(srcCol).cast("long").as("ea"),
+          col(dstCol).cast("long").as("eb"))
+        .as[(Option[Long], Option[Long])].coalesce(1).mapPartitions { it =>
+          val g = Kernel.buildUndirected(it)
+          val n = g.nNodes
+          // orientation s→t when (deg, id) of s precedes t
+          def sFirst(a: Int, b: Int): Boolean =
+            g.deg(a) < g.deg(b) ||
+              (g.deg(a) == g.deg(b) && g.ids(a) < g.ids(b))
+          val outDeg = new Array[Int](n)
+          var e = 0
+          while (e < g.nEdges) {
+            val (u, v) = (g.eu(e), g.ev(e))
+            outDeg(if (sFirst(u, v)) u else v) += 1
+            e += 1
+          }
+          val off = new Array[Int](n + 1)
+          var i = 0
+          while (i < n) { off(i + 1) = off(i) + outDeg(i); i += 1 }
+          val adj = new Array[Int](g.nEdges)
+          val cursor = java.util.Arrays.copyOf(off, n)
+          e = 0
+          while (e < g.nEdges) {
+            val (u, v) = (g.eu(e), g.ev(e))
+            val s = if (sFirst(u, v)) u else v
+            val t = if (sFirst(u, v)) v else u
+            adj(cursor(s)) = t
+            cursor(s) += 1
+            e += 1
+          }
+          i = 0
+          while (i < n) {
+            java.util.Arrays.sort(adj, off(i), off(i + 1))
+            i += 1
+          }
+          val counts = new Array[Long](n)
+          // every triangle a≺b≺c has oriented edges a→b, a→c, b→c and
+          // is found ONCE: at edge (a,b), as c ∈ N⁺(a) ∩ N⁺(b)
+          var u = 0
+          while (u < n) {
+            var p = off(u)
+            while (p < off(u + 1)) {
+              val v = adj(p)
+              var x = off(u)
+              var y = off(v)
+              while (x < off(u + 1) && y < off(v + 1)) {
+                if (adj(x) < adj(y)) x += 1
+                else if (adj(x) > adj(y)) y += 1
+                else {
+                  counts(u) += 1L; counts(v) += 1L; counts(adj(x)) += 1L
+                  x += 1; y += 1
+                }
+              }
+              p += 1
+            }
+            u += 1
+          }
+          (0 until n).iterator.map(i => (g.ids(i), counts(i)))
+        }.toDF("id", "triangles")
+    }
     val (deg, oriented) = degreeOriented(edges, srcCol, dstCol)
     // wedge at apex s: unordered out-pair canonicalized by id; the
     // closing oriented edge between b and c is unique, so a semi-join

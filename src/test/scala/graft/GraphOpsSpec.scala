@@ -294,6 +294,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(g.nNodes == 10)
   }
 
+  test("triangleCounts: size gate — single-task kernel below, " +
+      "distributed wedge join above, identical counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val edges = Seq.fill(600)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .toDF("src", "dst")
+    val kernel = GraphOps.triangleCounts(edges, "src", "dst")
+    assert(!GraphOps.lastMaterialized, "tiny frame must take the kernel path")
+    val distributed = GraphOps.triangleCounts(edges, "src", "dst",
+      materializeAboveBytes = 0L)
+    assert(GraphOps.lastMaterialized)
+    val a = kernel.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = distributed.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+    assert(a.values.sum > 0, "random graph at this density must close triangles")
+  }
+
   test("compact kernel build: dedup with null equality, degree and " +
       "node contracts match the boxed r12 form") {
     // duplicate edges (incl. a duplicated null-dst pair), a null src
