@@ -22,7 +22,6 @@ object PlanAudit {
     "q_ann_cosine_topk" -> "labeled brute-force oracle tier (exact top-k baseline)",
     "q_ann_topk_dot" -> "labeled brute-force oracle tier (exact top-k baseline)",
     "q_emb_cluster_sample" -> "broadcast centroid array (model state)",
-    "q_scd2_merge" -> "broadcast midpoint scalar (1 row, in-plan corpus split)",
     "q_llm_perplexity" -> "broadcast continuation-vocabulary scalar (1 row)",
     "q_llm_source_overlap" -> "source-catalog-sized signature matrix (sources², never doc-scaled)")
 
