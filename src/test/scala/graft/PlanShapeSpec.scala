@@ -197,9 +197,12 @@ class PlanShapeSpec extends SparkSpec {
   test("triangles: the apex exchange is computed once and reused; the " +
       "closing semi-join broadcasts below the gate") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    // force the DISTRIBUTED path — this test pins ITS shape (the r13
+    // single-task kernel below the size gate has no exchanges at all;
+    // kernel == distributed is pinned in GraphOpsSpec)
     val df = graft.operators.GraphOps.triangleCounts(
       li.select(col("l_suppkey").as("src"), col("l_partkey").as("dst")),
-      "src", "dst")
+      "src", "dst", materializeAboveBytes = 0L)
     // the static plan prints the orientation subtree once per consumer
     // (wedge e1/e2 + closing); the invariant lives in the FINAL
     // adaptive plan, where stage reuse must collapse the copies
