@@ -3215,6 +3215,29 @@ object Queries {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |WHERE d.doc_id % 50 <> 0""".stripMargin
 
+  // The perplexity filter's SERVE tier — train→PERSIST→serve, the
+  // fourth persistence seam: the vocabulary-bounded (kind, key, cnt)
+  // model frame is staged once per corpus fingerprint via
+  // Quantizers.saveModel, RELOADED, and an arriving batch (the
+  // non-reference docs) is scored from it. Output — and therefore the
+  // oracle — is IDENTICAL to the fused q_llm_perplexity; what the
+  // gate verifies here is the persisted path (ModelSeamSpec pins
+  // persisted == in-memory).
+  private val llmPerplexityServed: Q = (s, dir) => {
+    val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("documents"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bigramlm_v1_$key"
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) synchronized {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        graft.llm.Quantizers.saveModel(
+          graft.llm.PipelineOps.trainBigramLm(
+            docsT(s, dir), "doc_id", "text", col("doc_id") % 50 === 0), tmp)
+      }
+    }
+    graft.llm.PipelineOps.lmPerplexityServe(
+      docsT(s, dir).filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      graft.llm.Quantizers.loadModel(s, path))
+  }
+
   private val llmLmCoverageOracle =
     """WITH tk AS (
       |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS tk
@@ -4179,6 +4202,7 @@ object Queries {
     "q_llm_pii_redact" -> llmPiiRedact,
     "q_llm_lm_coverage" -> llmLmCoverage,
     "q_llm_perplexity" -> llmPerplexity,
+    "q_llm_perplexity_served" -> llmPerplexityServed,
     "q_emb_int8_quant" -> embInt8Quant,
     "q_mm_bin_counts" -> mmBinCounts,
     "q_mm_frames" -> mmFrames,
@@ -4323,6 +4347,7 @@ object Queries {
     "q_llm_pii_redact" -> llmPiiRedactOracle,
     "q_llm_lm_coverage" -> llmLmCoverageOracle,
     "q_llm_perplexity" -> llmPerplexityOracle,
+    "q_llm_perplexity_served" -> llmPerplexityOracle,
     "q_emb_int8_quant" -> embInt8QuantOracle,
     "q_mm_bin_counts" -> mmBinCountsOracle,
     "q_mm_frames" -> mmFramesOracle,

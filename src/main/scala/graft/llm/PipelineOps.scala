@@ -544,7 +544,7 @@ object PipelineOps {
     */
   def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
       isRef: Column): DataFrame = {
-    import graft.functions.VecFunctions.{word_bigrams, ilog2_x16}
+    import graft.functions.VecFunctions.word_bigrams
     val bg = docs.select(col(idCol), isRef.as("is_ref"),
       explode_outer(word_bigrams(col(textCol))).as("bigram"))
     // tokens are whitespace-split, so a bigram contains EXACTLY one
@@ -556,10 +556,67 @@ object PipelineOps {
       .agg(count(lit(1)).as("c1"))
     val vocab = refBg
       .agg(count_distinct(substring_index(col("bigram"), " ", -1)).as("v"))
-    val fits = TextOps.inputFitsBroadcast(docs)
+    scoreBigramLm(bg.filter(!col("is_ref")), idCol, c12, c1, vocab,
+      gateOn = docs)
+  }
+
+  /** The bigram LM as ONE persistable model frame — `(kind, key,
+    * cnt)` rows for the bigram counts, context counts and the
+    * continuation-vocabulary size — the train-once half of the
+    * train→persist→serve seam (`Quantizers.saveModel` layout: the
+    * frame is vocabulary-bounded). [[lmPerplexityServe]] scores an
+    * arriving batch from it; [[lmPerplexity]] is the fused
+    * train+score form, and the two share [[scoreBigramLm]] so they
+    * cannot drift.
+    */
+  def trainBigramLm(docs: DataFrame, idCol: String, textCol: String,
+      isRef: Column): DataFrame = {
+    import graft.functions.VecFunctions.word_bigrams
+    val refBg = docs.filter(isRef)
+      .select(explode(word_bigrams(col(textCol))).as("bigram"))
+    refBg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .select(lit("bigram").as("kind"), col("bigram").as("key"), col("cnt"))
+      .unionByName(refBg
+        .groupBy(substring_index(col("bigram"), " ", 1).as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("ctx").as("kind"), col("key"), col("cnt")))
+      .unionByName(refBg
+        .agg(count_distinct(substring_index(col("bigram"), " ", -1)).as("cnt"))
+        .select(lit("vocab").as("kind"), lit("").as("key"), col("cnt")))
+  }
+
+  /** Score a document batch against a TRAINED (possibly reloaded)
+    * bigram LM — the serve half of the seam. Output identical to
+    * [[lmPerplexity]] over the same reference split.
+    */
+  def lmPerplexityServe(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    import graft.functions.VecFunctions.word_bigrams
+    val bg = docs.select(col(idCol),
+      explode_outer(word_bigrams(col(textCol))).as("bigram"))
+    val c12 = model.filter(col("kind") === "bigram")
+      .select(col("key").as("bigram"), col("cnt").as("c12"))
+    val c1 = model.filter(col("kind") === "ctx")
+      .select(col("key").as("w1"), col("cnt").as("c1"))
+    val vocab = model.filter(col("kind") === "vocab")
+      .select(col("cnt").as("v"))
+    scoreBigramLm(bg, idCol, c12, c1, vocab, gateOn = model)
+  }
+
+  /** Shared scoring core: per-bigram Laplace-smoothed conditional
+    * log-probs in 16.16 fixed point, one doc-keyed aggregate.
+    * `gateOn` sizes the plan-time broadcast of the model legs (the
+    * input corpus for the fused form — a sound upper bound — or the
+    * model frame itself for the serve form).
+    */
+  private def scoreBigramLm(probeBg: DataFrame, idCol: String,
+      c12: DataFrame, c1: DataFrame, vocab: DataFrame,
+      gateOn: DataFrame): DataFrame = {
+    import graft.functions.VecFunctions.ilog2_x16
+    val fits = TextOps.inputFitsBroadcast(gateOn)
     val c12B = if (fits) broadcast(c12) else c12
     val c1B = if (fits) broadcast(c1) else c1
-    val scored = bg.filter(!col("is_ref"))
+    val scored = probeBg
       .join(c12B, Seq("bigram"), "left")
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .join(c1B, Seq("w1"), "left")

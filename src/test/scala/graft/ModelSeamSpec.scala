@@ -139,6 +139,27 @@ class ModelSeamSpec extends SparkSpec {
     assert(rows.forall { case (n, _) => n >= 1 && n <= terms.size })
   }
 
+  test("bigram LM: train -> persist -> serve == the fused " +
+      "train+score form AND the in-memory served form") {
+    import graft.llm.PipelineOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isRef = col("doc_id") % 50 === 0
+    val model = PipelineOps.trainBigramLm(docs, "doc_id", "text", isRef)
+    val loaded = roundTrip(model, "bigramlm")
+    assert(loaded.schema.fieldNames.toSet == Set("kind", "key", "cnt"))
+    val probe = docs.filter(col("doc_id") % 50 =!= 0)
+    val fused = PipelineOps.lmPerplexity(docs, "doc_id", "text", isRef)
+      .collect().map(_.toSeq).toSet
+    val served = PipelineOps.lmPerplexityServe(probe, "doc_id", "text", model)
+      .collect().map(_.toSeq).toSet
+    val servedLoaded = PipelineOps
+      .lmPerplexityServe(probe, "doc_id", "text", loaded)
+      .collect().map(_.toSeq).toSet
+    assert(fused == served)
+    assert(served == servedLoaded)
+    assert(fused.nonEmpty)
+  }
+
   test("model values survive the round-trip bit-exactly") {
     val cents = Quantizers.trainIvfCentroids(emb, "vec_id", "embedding", k = 4,
       iters = 1, trainSize = 64)
