@@ -23,6 +23,10 @@ object PlanAudit {
     "q_ann_topk_dot" -> "labeled brute-force oracle tier (exact top-k baseline)",
     "q_emb_cluster_sample" -> "broadcast centroid array (model state)",
     "q_llm_perplexity" -> "broadcast continuation-vocabulary scalar (1 row)",
+    // seam twin: runs the SAME scoreBigramLm core as q_llm_perplexity
+    // (PipelineOps.scoreBigramLm's crossJoin(broadcast(vocab))), just
+    // fed from the persisted model — adjudication inherited verbatim
+    "q_llm_perplexity_served" -> "broadcast continuation-vocabulary scalar (1 row)",
     "q_llm_source_overlap" -> "source-catalog-sized signature matrix (sources², never doc-scaled)")
 
   def main(args: Array[String]): Unit = {
@@ -32,7 +36,11 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
     val dir = "/root/testdata/sf0.001"
+    var unexplained = 0
+    var errors = 0
+    var total = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      total += 1
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
         val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
@@ -43,12 +51,20 @@ object PlanAudit {
           if (!cartesian) ""
           else boundedCartesians.get(name) match {
             case Some(why) => s" CARTESIAN(bounded: $why)"
-            case None => " CARTESIAN(UNEXPLAINED)"
+            case None => { unexplained += 1; " CARTESIAN(UNEXPLAINED)" }
           }
         val flags = cartFlag + (if (smj > 0) s" SMJ=$smj" else "")
         println(f"AUDIT $name%-28s shuffles=$exchanges%-3d bcast=$bcast%-3d$flags")
-      } catch { case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage.take(60)}") }
+      } catch { case e: Throwable =>
+        errors += 1
+        println(s"AUDIT $name ERROR ${e.getMessage.take(60)}")
+      }
     }
     spark.stop()
+    // The repo invariant is 0 UNEXPLAINED over the whole catalog; a
+    // nonzero exit makes a missed adjudication (the r13 seam-twin
+    // regression) fail the audit run instead of hiding in the table.
+    println(s"AUDIT-SUMMARY total=$total unexplained=$unexplained errors=$errors")
+    if (unexplained > 0 || errors > 0) sys.exit(1)
   }
 }

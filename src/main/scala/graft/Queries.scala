@@ -991,7 +991,7 @@ object Queries {
     val fp = java.lang.Long.toHexString(src.length() * 31L + src.lastModified())
     val key = dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" + fp
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_compact_$key"
-    if (!new java.io.File(s"$root/src/_SUCCESS").isFile) synchronized {
+    if (!new java.io.File(s"$root/src/_SUCCESS").isFile) {
       graft.sources.Staging.stageOnce(s"$root/src") { tmp =>
         t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
@@ -1486,7 +1486,7 @@ object Queries {
   private def scd2Staged(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("events"))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_scd2_v1_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) synchronized {
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         val ev = events(s, dir)
           .select(col("user_id"), col("sec"), col("event_type"), col("event_id"))
@@ -1767,7 +1767,7 @@ object Queries {
     val fp = java.lang.Long.toHexString(src.length() * 31L + src.lastModified())
     val key = dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" + fp
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_trees_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) synchronized {
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         val li = t(s, dir, "lineitem")
         val child = struct(
@@ -2142,7 +2142,7 @@ object Queries {
   private val llmIndexServe: Q = (s, dir) => {
     val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("documents"))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_invidx_v1_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) synchronized {
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         graft.llm.TextOps.saveIndex(
           graft.llm.TextOps.invertedIndex(
@@ -2522,7 +2522,7 @@ object Queries {
     val fp = java.lang.Long.toHexString(src.length() * 31L + src.lastModified())
     val key = dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" + fp
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_neardup_bands_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) synchronized {
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         graft.llm.DedupOps.bandedProjection(
             d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
@@ -3226,7 +3226,7 @@ object Queries {
   private val llmPerplexityServed: Q = (s, dir) => {
     val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("documents"))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_bigramlm_v1_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) synchronized {
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         graft.llm.Quantizers.saveModel(
           graft.llm.PipelineOps.trainBigramLm(

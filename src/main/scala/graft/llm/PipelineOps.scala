@@ -416,16 +416,18 @@ object PipelineOps {
     // contract — rank-normalize upstream, e.g. calibrateBySource's
     // percent_rank, when scores mix magnitudes): a weight above 1
     // would scale PAST the 2^20 clamp and tie with every other large
-    // weight — the silent all-ties collapse this scaling exists to
-    // prevent — so it fails loudly instead. NULL weights skip the
-    // guard and degrade to the minimum weight below.
+    // weight, and a weight <= 0 floors to <=0 and ties at the MINIMUM
+    // clamp — both are the silent all-ties collapse this scaling
+    // exists to prevent — so either end fails loudly. NULL weights
+    // skip the guard and degrade to the minimum weight below.
     val wScaled =
       if (isFractional)
-        when(weightCol.isNull || weightCol <= lit(1.0d),
+        when(weightCol.isNull, lit(null).cast("long"))
+          .when(weightCol > lit(0.0d) && weightCol <= lit(1.0d),
             (weightCol * lit(1000000L)).cast("long"))
           .otherwise(raise_error(concat(
-            lit("weightedSample: fractional weight above 1 ties at the " +
-              "clamp — rank-normalize to (0,1] upstream; got "),
+            lit("weightedSample: fractional weight outside (0,1] ties " +
+              "at a clamp — rank-normalize to (0,1] upstream; got "),
             weightCol.cast("string"))).cast("long"))
       else weightCol.cast("long")
     // NULL weights degrade to the MINIMUM weight, not the maximum:

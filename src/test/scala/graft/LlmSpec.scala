@@ -1444,6 +1444,25 @@ class LlmSpec extends SparkSpec {
     }
     assert(chainMessages(ex).exists(_.contains("rank-normalize")),
       s"expected the >1 fractional-weight guard, got: ${chainMessages(ex).mkString(" | ")}")
+    // a fractional weight <= 0 floors to <= 0 and ties at the MINIMUM
+    // clamp — the same silent collapse at the other end of (0,1]
+    val nonPos = spark.createDataFrame(Seq((1L, "s", 0.0), (2L, "s", -0.5)))
+      .toDF("doc_id", "stratum", "w")
+    val ex2 = intercept[Exception] {
+      PipelineOps.weightedSample(nonPos, "doc_id", "stratum", col("w"), 2)
+        .collect()
+    }
+    assert(chainMessages(ex2).exists(_.contains("rank-normalize")),
+      s"expected the <=0 fractional-weight guard, got: ${chainMessages(ex2).mkString(" | ")}")
+    // NULL fractional weights still skip the guard and degrade to the
+    // minimum weight (the unscored-row contract)
+    val withNull = spark.createDataFrame(Seq(
+        (1L, "s", Some(0.5)), (2L, "s", Option.empty[Double])))
+      .toDF("doc_id", "stratum", "w")
+    val nOut = PipelineOps.weightedSample(withNull, "doc_id", "stratum", col("w"), 2)
+      .select("doc_id", "smpl_pri").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nOut(2L) == pri(2L, 1L), "null weight must clamp to the minimum")
   }
 
 
