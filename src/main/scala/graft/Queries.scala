@@ -1617,6 +1617,187 @@ object Queries {
       |       event_id, CAST(NULL AS BIGINT) AS valid_to
       |FROM stale""".stripMargin
 
+  // SCD-2 STREAMING CDC DRIVER (the lakehouse MERGE loop the
+  // changelog exists for): the midpoint-split changeset is time-sliced
+  // into 3 sequential micro-batches plus a REDELIVERY of slice 1
+  // (stream-level idempotence — every redelivered row must gate out as
+  // 'stale'), and driven through foreachBatch where batch N's merged
+  // temporal table is batch N+1's base. Output = the concatenated
+  // per-batch changelog (close/insert/stale tagged with the batch
+  // index) plus the FINAL temporal table (action='final'), so one
+  // oracle pins BOTH the audit trail and the end state of the
+  // sequential application. The DuckDB oracle unrolls the same 4
+  // merges as CTE generations (base0 -> base4) — generated
+  // programmatically below, the PageRank-CTE pattern.
+  //
+  // Scale shape: each micro-batch costs two changeset-sized passes
+  // (changelog + mergeApply share mergeParts' plan: key-sized
+  // open-row metadata join, one keyed window, one key aggregate —
+  // the big base side streams through with NO window), and the
+  // "state" between batches is the temporal table itself, persisted
+  // as parquet exactly as a production dimension would be (Delta/
+  // Iceberg MERGE target). Growth per batch is bounded by the
+  // changeset: |base_{N+1}| = |base_N| + |effective delta rows|.
+  /** Staged stream inputs — base0 plus the 4 ordered slice files
+    * (3 time-thirds of the changeset + slice 1 redelivered as slice
+    * 3), keyed on the events fingerprint: deterministic demo-INPUT
+    * construction, same rationale as asofSlicesDir/scd2Staged (a
+    * production stream arrives from a topic with no slice-writing
+    * step to charge per run).
+    */
+  private def scd2StreamStaged(s: SparkSession, dir: String): (String, String) = {
+    val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("events"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_scd2_stream_v1_$key"
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        val (base, delta) = scd2Staged(s, dir)
+        base.write.parquet(s"$tmp/base0")
+        val bb = delta.agg(min("ts").as("dmin"),
+          expr("(max(ts) - min(ts)) DIV 3").as("w"))
+        val sliced = delta.crossJoin(broadcast(bb))
+          .withColumn("_slice",
+            when(col("ts") <= col("dmin") + col("w"), 0)
+              .when(col("ts") <= col("dmin") + col("w") * 2, 1)
+              .otherwise(2).cast("int"))
+          .select(col("user_id"), col("ts"), col("event_type"),
+            col("event_id"), col("_slice"))
+        val redelivered = sliced.filter(col("_slice") === 1)
+          .withColumn("_slice", lit(3))
+        val all = sliced.unionByName(redelivered)
+        val counts = all.groupBy("_slice").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        require((0 to 3).forall(counts.getOrElse(_, 0L) > 0L),
+          s"scd2StreamStaged: every slice must be non-empty (batch " +
+            s"numbering would drift from the oracle's); got $counts")
+        all.repartition(4, col("_slice"))
+          .write.partitionBy("_slice").parquet(s"$tmp/stage")
+        StreamRehearsal.moveSlices(s"$tmp/stage", s"$tmp/slices", 0)
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(s"$tmp/stage"))
+        new java.io.File(tmp, "_SUCCESS").createNewFile()
+      }
+    }
+    (s"$path/base0", s"$path/slices")
+  }
+
+  private val scd2StreamMerge: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // changeset-sized batches
+    try {
+      val (basePath0, watch) = scd2StreamStaged(s, dir)
+      val work = graft.sources.Staging.sessionTempDir("graft_scd2_stream")
+      val schema = s.read.parquet(watch).schema
+      var basePath = basePath0
+      var idx = 0
+      val outCols = Seq("batch", "action", "user_id", "valid_from",
+        "event_type", "event_id", "valid_to")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val base = s.read.parquet(basePath)
+            val delta = b.select("user_id", "ts", "event_type", "event_id")
+            graft.operators.Scd2.changelog(base, delta, Seq("user_id"),
+                Seq("event_type", "event_id"), tieCols = Seq("event_id"))
+              .withColumn("batch", lit(idx))
+              .select(outCols.map(col): _*)
+              .write.mode("append").parquet(s"$work/log")
+            val next = s"$work/base_${idx + 1}"
+            graft.operators.Scd2.mergeApply(base, delta, Seq("user_id"),
+                Seq("event_type", "event_id"), tieCols = Seq("event_id"))
+              .write.parquet(next)
+            basePath = next
+            idx += 1
+          }
+        }
+        .option("checkpointLocation", s"$work/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val fin = s.read.parquet(basePath)
+        .withColumn("batch", lit(idx)).withColumn("action", lit("final"))
+      s.read.parquet(s"$work/log").select(outCols.map(col): _*)
+        .unionByName(fin.select(outCols.map(col): _*))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+  /** The oracle unrolls the 4 sequential merges as CTE generations:
+    * base{i+1} is the close-then-insert merge of base{i} with slice
+    * s{i} (slice 3 IS slice 1 — the redelivery), log{i} the changelog
+    * of that application. Same integer-DIV slice boundaries as the
+    * staged stream.
+    */
+  private val scd2StreamMergeOracle: String = {
+    val head =
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |         event_type, event_id
+        |  FROM events),
+        |mm AS (SELECT (min(sec) + max(sec)) // 2 AS mid FROM ev),
+        |base0 AS (
+        |  SELECT user_id, sec AS valid_from, event_type, event_id,
+        |         lead(sec, 1) OVER (PARTITION BY user_id
+        |           ORDER BY sec, event_id) AS valid_to
+        |  FROM ev, mm WHERE sec <= mid),
+        |d AS (
+        |  SELECT user_id, sec AS ts, event_type, event_id
+        |  FROM ev, mm WHERE sec > mid),
+        |bb AS (SELECT min(ts) AS dmin, (max(ts) - min(ts)) // 3 AS w FROM d),
+        |s0 AS (SELECT d.* FROM d, bb WHERE ts <= dmin + w),
+        |s1 AS (SELECT d.* FROM d, bb WHERE ts > dmin + w AND ts <= dmin + 2*w),
+        |s2 AS (SELECT d.* FROM d, bb WHERE ts > dmin + 2*w)""".stripMargin
+    val slices = Seq("s0", "s1", "s2", "s1")
+    val gens = slices.zipWithIndex.map { case (sl, i) =>
+      s"""opn$i AS (SELECT * FROM base$i WHERE valid_to IS NULL),
+         |cls$i AS (SELECT * FROM base$i WHERE valid_to IS NOT NULL),
+         |gated$i AS (
+         |  SELECT d.user_id, d.ts, d.event_type, d.event_id,
+         |         o.valid_from AS open_from
+         |  FROM $sl d LEFT JOIN opn$i o ON d.user_id = o.user_id),
+         |eff$i AS (
+         |  SELECT user_id, ts, event_type, event_id FROM gated$i
+         |  WHERE open_from IS NULL OR ts > open_from),
+         |stale$i AS (
+         |  SELECT user_id, ts, event_type, event_id FROM gated$i
+         |  WHERE NOT (open_from IS NULL OR ts > open_from)),
+         |effiv$i AS (
+         |  SELECT user_id, ts AS valid_from, event_type, event_id,
+         |         lead(ts, 1) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS valid_to
+         |  FROM eff$i),
+         |fst$i AS (SELECT user_id, min(ts) AS first_ts FROM eff$i GROUP BY 1),
+         |log$i AS (
+         |  SELECT CAST($i AS INT) AS batch, 'close' AS action, o.user_id,
+         |         o.valid_from, o.event_type, o.event_id,
+         |         f.first_ts AS valid_to
+         |  FROM opn$i o JOIN fst$i f ON o.user_id = f.user_id
+         |  UNION ALL
+         |  SELECT CAST($i AS INT), 'insert', user_id, valid_from,
+         |         event_type, event_id, valid_to
+         |  FROM effiv$i
+         |  UNION ALL
+         |  SELECT CAST($i AS INT), 'stale', user_id, ts, event_type,
+         |         event_id, CAST(NULL AS BIGINT)
+         |  FROM stale$i),
+         |base${i + 1} AS (
+         |  SELECT user_id, valid_from, event_type, event_id, valid_to
+         |  FROM cls$i
+         |  UNION ALL
+         |  SELECT o.user_id, o.valid_from, o.event_type, o.event_id,
+         |         coalesce(f.first_ts, o.valid_to) AS valid_to
+         |  FROM opn$i o LEFT JOIN fst$i f ON o.user_id = f.user_id
+         |  UNION ALL
+         |  SELECT user_id, valid_from, event_type, event_id, valid_to
+         |  FROM effiv$i)""".stripMargin
+    }
+    val logs = slices.indices.map(i =>
+      s"SELECT batch, action, user_id, valid_from, event_type, event_id,\n" +
+        s"       valid_to\nFROM log$i").mkString("\nUNION ALL\n")
+    val fin =
+      s"""SELECT CAST(${slices.size} AS INT) AS batch, 'final' AS action,
+         |       user_id, valid_from, event_type, event_id, valid_to
+         |FROM base${slices.size}""".stripMargin
+    (head +: gens).mkString(",\n") + "\n" + logs + "\nUNION ALL\n" + fin
+  }
+
   // SCD-2 POINT-IN-TIME READ (the consumer of the temporal table the
   // two entries above build): per user, probe the interval table AS OF
   // the user's own midpoint timestamp ((min+max) DIV 2 of their event
@@ -4135,6 +4316,7 @@ object Queries {
     "q_scd2_intervals" -> scd2Intervals,
     "q_scd2_merge" -> scd2Merge,
     "q_scd2_changelog" -> scd2Changelog,
+    "q_scd2_stream_merge" -> scd2StreamMerge,
     "q_scd2_asof_read" -> scd2AsofRead,
     "q_d1_dedup_keep_last" -> d1KeepLast,
     "q_d2_dedup_keep_first" -> d2KeepFirst,
@@ -4276,6 +4458,7 @@ object Queries {
     "q_scd2_intervals" -> scd2IntervalsOracle,
     "q_scd2_merge" -> scd2MergeOracle,
     "q_scd2_changelog" -> scd2ChangelogOracle,
+    "q_scd2_stream_merge" -> scd2StreamMergeOracle,
     "q_scd2_asof_read" -> scd2AsofReadOracle,
     "q_d1_dedup_keep_last" -> d1Oracle,
     "q_d2_dedup_keep_first" -> d2Oracle,

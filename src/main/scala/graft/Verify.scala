@@ -25,7 +25,13 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] stageAll failed: ${e.getMessage}")
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated allowlist for fast local iteration on a
+    // single entry (the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

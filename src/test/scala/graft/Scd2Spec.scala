@@ -162,4 +162,87 @@ class Scd2Spec extends SparkSpec {
     // first version (inserted at 15) -> null
     assert(got == Map("k1" -> "c", "k2" -> "x", "k3" -> null), got.toString)
   }
+
+  // ----------------------------------------------------------------
+  // Changelog REPLAY property: the contract a downstream CDC consumer
+  // relies on — applying the emitted changelog to the base reproduces
+  // mergeApply's table exactly, including across a two-batch stream
+  // where batch 1's merged table is batch 2's base (the
+  // q_scd2_stream_merge loop). Randomized with key/ts/tie collisions
+  // so equal-ts ordering, staleness gating, and new-key chains are
+  // all exercised (the RandomDiffSpec pattern).
+  // ----------------------------------------------------------------
+
+  /** The consumer-side replay: set each 'close' action's NEW valid_to
+    * on the matching (key, valid_from) row, append the 'insert' rows,
+    * ignore 'stale'. Base rows are unique per (k, valid_from) by
+    * construction (the generator dedupes), so the close join is exact.
+    */
+  private def applyChangelog(b: DataFrame, log: DataFrame): DataFrame = {
+    val closes = log.filter(col("action") === "close")
+      .select(col("k"), col("valid_from"), col("valid_to").as("_new_to"))
+    val inserts = log.filter(col("action") === "insert").drop("action")
+    // only the OPEN row takes the close — a zero-length closed row
+    // (equal-ts ties) can share (k, valid_from) with the open row and
+    // must stay untouched, exactly as mergeApply leaves it
+    b.join(closes, Seq("k", "valid_from"), "left")
+      .withColumn("valid_to",
+        when(col("valid_to").isNull, col("_new_to"))
+          .otherwise(col("valid_to")))
+      .drop("_new_to")
+      .unionByName(inserts.select(b.columns.map(col).toIndexedSeq: _*))
+  }
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.selectExpr(cols.toIndexedSeq: _*).collect()
+      .map(_.toString).toSeq.sorted
+  }
+
+  test("replay property: apply(changelog) == mergeApply on randomized " +
+      "collision-heavy inputs, single batch and two-batch sequence") {
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(seed)
+      def randRows(n: Int, tsLo: Int, tsHi: Int, idBase: Long) =
+        (0 until n).map { i =>
+          ("k" + rnd.nextInt(8), (tsLo + rnd.nextInt(tsHi - tsLo)).toLong,
+            "v" + rnd.nextInt(4), idBase + i)
+        }
+      // base: a VALID temporal table — dedupe (k, ts) keep max id,
+      // then chain per key (lead); ~half the keys get history depth
+      val b0 = randRows(40, 0, 30, 0L)
+        .toDF("k", "valid_from", "v", "id")
+        .groupBy("k", "valid_from")
+        .agg(max(struct(col("id"), col("v"))).as("m"))
+        .select(col("k"), col("valid_from"), col("m.v").as("v"),
+          col("m.id").as("id"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("k").orderBy("valid_from")))
+      // deltas overlap the base's ts range (stale rows), collide on
+      // (k, ts) with distinct tie ids (equal-ts ordering), and run
+      // past it (new chains); some keys are absent from base
+      val d1 = randRows(40, 15, 45, 1000L).toDF("k", "ts", "v", "id")
+      val d2 = randRows(40, 25, 60, 2000L).toDF("k", "ts", "v", "id")
+      val attrs = Seq("v", "id")
+      val m1 = Scd2.mergeApply(b0, d1, Seq("k"), attrs, tieCols = Seq("id"))
+      val log1 = Scd2.changelog(b0, d1, Seq("k"), attrs, tieCols = Seq("id"))
+      assert(canon(applyChangelog(b0, log1)) == canon(m1),
+        s"seed=$seed single-batch replay diverged")
+      // two-batch sequence: m1 is batch 2's base (the streaming loop);
+      // localCheckpoint m1 so both consumers read the same frame once
+      val m1c = m1.localCheckpoint()
+      val m2 = Scd2.mergeApply(m1c, d2, Seq("k"), attrs, tieCols = Seq("id"))
+      val log2 = Scd2.changelog(m1c, d2, Seq("k"), attrs, tieCols = Seq("id"))
+      assert(canon(applyChangelog(applyChangelog(b0, log1), log2)) ==
+        canon(m2), s"seed=$seed two-batch replay diverged")
+      // stale rows never affect the replay: dropping them is a no-op
+      // by construction (replay ignores them), but they must also
+      // partition the delta with the inserts
+      val acts = log1.groupBy("action").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(acts.getOrElse("insert", 0L) + acts.getOrElse("stale", 0L) ==
+        d1.count(), s"seed=$seed insert+stale must partition the delta")
+    }
+  }
 }
