@@ -3686,6 +3686,81 @@ object Queries {
       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) AS INT) AS rank
       |FROM scored
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) <= 5""".stripMargin
+  // FILTERED ANN (predicate + vector top-k — the production vector-
+  // search shape): SimilarityOps.filteredTopK with label % 4 <> 0 as
+  // the attribute predicate, pushed below the cell scan, and the
+  // measured-scalar gate choosing exact-brute vs IVF. The ORACLE
+  // replicates the gate decision itself (count CTE guarding each
+  // branch), so the correctness harness validates the BRUTE branch at
+  // sf0.001/sf0.01 (350 qualifying rows <= 1000) and the IVF branch
+  // at sf0.1 (1387 > 1000) — the flip is exercised by the gate, not
+  // just a spec. IVF centroids come from the FILTERED set (hash
+  // order), mirrored in the cent CTE.
+  private val annFilteredTopk: Q = (s, dir) => {
+    val emb = embT(s, dir)
+    graft.llm.SimilarityOps.filteredTopK(
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5,
+        predicate = col("label") % 4 =!= 0,
+        score = graft.llm.SimilarityOps.quantizedCosineX1e6,
+        bruteGateRows = 1000L)
+      .select(col("query_id"), col("neighbor_id"),
+        col("score").as("score_x1e6"), col("rank"))
+  }
+  private val annFilteredTopkOracle = {
+    val quant =
+      "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+    s"""WITH fe AS (
+      |  SELECT vec_id AS id, $quant AS q
+      |  FROM embeddings WHERE label % 4 <> 0),
+      |n AS (SELECT id, q,
+      |        CAST(list_sum(list_transform(q, v -> v*v)) AS BIGINT) AS nq
+      |      FROM fe),
+      |cnt AS (SELECT count(*) AS c FROM n),
+      |qe AS (
+      |  SELECT vec_id AS id, $quant AS q
+      |  FROM embeddings WHERE vec_id < 20),
+      |qn AS (SELECT id, q,
+      |        CAST(list_sum(list_transform(q, v -> v*v)) AS BIGINT) AS nq
+      |      FROM qe),
+      |bruter AS (
+      |  SELECT query_id, neighbor_id, score_x1e6,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_x1e6 DESC, neighbor_id) AS rnk
+      |  FROM (
+      |    SELECT p.id AS query_id, a.id AS neighbor_id,
+      |      ${qcosSql("p.q", "p.nq", "a.q", "a.nq")} AS score_x1e6
+      |    FROM qn p, n a WHERE p.id <> a.id)),
+      |cent AS (SELECT id AS cell, q AS cq, nq AS cnq FROM n
+      |         ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id
+      |         LIMIT 16),
+      |assigned AS (
+      |  SELECT neighbor_id, q, nq, cell FROM (
+      |    SELECT v.id AS neighbor_id, v.q AS q, v.nq AS nq, c.cell AS cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+      |    FROM n v, cent c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, q, nq, cell FROM (
+      |    SELECT v.id AS query_id, v.q AS q, v.nq AS nq, c.cell AS cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+      |    FROM qn v, cent c) WHERE rn <= 4),
+      |ivfr AS (
+      |  SELECT query_id, neighbor_id, score_x1e6,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_x1e6 DESC, neighbor_id) AS rnk
+      |  FROM (
+      |    SELECT p.query_id, a.neighbor_id,
+      |      ${qcosSql("p.q", "p.nq", "a.q", "a.nq")} AS score_x1e6
+      |    FROM probes p JOIN assigned a ON p.cell = a.cell
+      |    WHERE p.query_id <> a.neighbor_id))
+      |SELECT query_id, neighbor_id, score_x1e6, CAST(rnk AS INT) AS rank
+      |FROM bruter WHERE rnk <= 5 AND (SELECT c FROM cnt) <= 1000
+      |UNION ALL
+      |SELECT query_id, neighbor_id, score_x1e6, CAST(rnk AS INT) AS rank
+      |FROM ivfr WHERE rnk <= 5 AND (SELECT c FROM cnt) > 1000""".stripMargin
+  }
+
   // PQ top-k — the compression tier of the ANN ladder. Codes, ADC
   // tables and distances are exact integer math over the quantized
   // vectors, so the oracle mirrors everything: the dist CTE (per
@@ -4403,6 +4478,7 @@ object Queries {
     "q_ann_cosine_topk" -> annCosineTopk,
     "q_ann_lsh_topk" -> annLshTopk,
     "q_ann_ivf_topk" -> annIvfTopk,
+    "q_ann_filtered_topk" -> annFilteredTopk,
     "q_ann_pq_topk" -> annPqTopk,
     "q_ann_ivfpq_topk" -> annIvfPqTopk,
     "q_ann_ivfpq_rerank" -> annIvfPqRerank,
@@ -4543,6 +4619,7 @@ object Queries {
     "q_ann_cosine_topk" -> annCosineTopkOracle,
     "q_ann_lsh_topk" -> annLshTopkOracle,
     "q_ann_ivf_topk" -> annIvfTopkOracle,
+    "q_ann_filtered_topk" -> annFilteredTopkOracle,
     "q_ann_pq_topk" -> annPqTopkOracle,
     "q_ann_ivfpq_topk" -> annIvfPqTopkOracle,
     "q_ann_ivfpq_rerank" -> annIvfPqRerankOracle,

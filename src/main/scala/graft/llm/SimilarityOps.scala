@@ -353,6 +353,56 @@ object SimilarityOps {
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Filtered ANN — attribute predicate + vector top-k, the shape
+    * production vector search almost always takes ("top-k among rows
+    * WHERE source = X AND ts > T"). The predicate is applied BELOW
+    * everything: `corpus.filter(predicate)` first, so Catalyst pushes
+    * it into the parquet scan and cell assignment / scoring / ranking
+    * only ever touch qualifying vectors. (Post-filtering an
+    * unfiltered top-k is WRONG, not just slow — it underfills k
+    * whenever fewer than k of a query's raw neighbors qualify.)
+    *
+    * Size-gated plan choice (the PageRank-gate pattern, but on a
+    * measured scalar: CBO-less Catalyst keeps Filter stats at the
+    * scan estimate, so a stats gate cannot see selectivity — one
+    * map-combined count over the predicate-pushed, id-pruned scan
+    * decides):
+    *
+    *  - `|filtered| <= bruteGateRows`: the filter is selective enough
+    *    that EXACT brute force over the filtered set wins — an IVF
+    *    probe over a tiny qualifying set scans most of it anyway
+    *    (nprobe/nlist of it) and pays the recall loss for nothing;
+    *  - above the gate: IVF probe over the filtered corpus, with
+    *    centroids drawn from (or trained on and passed in for) the
+    *    FILTERED set so cells track the qualifying distribution.
+    *
+    * Both paths emit the same (query_id, neighbor_id, score, rank)
+    * schema, and with `nprobe = nlist` the IVF path degenerates to
+    * the exact brute-force answer (every query probes every cell) —
+    * the differential the gate-flip spec pins.
+    *
+    * Scale shape: the gate count is one scalar aggregate riding the
+    * same pushed-predicate scan the chosen path re-reads; at 100 TB
+    * the brute branch only ever fires when the predicate leaves a
+    * broadcast-sized qualifying set (bruteGateRows caps the cross
+    * join's small side), and the IVF branch inherits ivfTopK's
+    * bounded shape (one folded-centroid broadcast, map-only
+    * assignment, one bucket join).
+    */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, predicate: Column, nlist: Int = 16,
+      nprobe: Int = 4, score: (Column, Column) => Column = cosine,
+      centroids: Option[DataFrame] = None,
+      bruteGateRows: Long = 100000L): DataFrame = {
+    val filtered = corpus.filter(predicate)
+    val nFiltered = filtered.select(col(idCol)).count()
+    if (nFiltered <= bruteGateRows)
+      bruteForceTopK(filtered, queries, idCol, embCol, k, score)
+    else
+      ivfTopK(filtered, queries, idCol, embCol, k, nlist, nprobe, score,
+        centroids)
+  }
+
   /** Cluster-balanced diversity sample: assign every vector to its
     * nearest IVF cell (same quantized-cosine assignment kernel and
     * centroid seam as [[ivfTopK]] — pass trained centroids when

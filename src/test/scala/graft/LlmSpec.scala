@@ -786,6 +786,40 @@ class LlmSpec extends SparkSpec {
     info(s"LSH ANN recall@5 = $recall")
   }
 
+  test("filteredTopK gate flip: exact brute force below the gate, IVF " +
+      "above it, and full-probe IVF degenerates to the exact answer") {
+    val S = SimilarityOps
+    val queries = emb.filter(col("vec_id") < 10)
+    val pred = col("label") % 3 =!= 0
+    val filtered = emb.filter(pred)
+    def canon(df: DataFrame): Seq[String] =
+      df.select("query_id", "neighbor_id", "score", "rank")
+        .collect().map(_.toString).toSeq.sorted
+    val brute = canon(S.bruteForceTopK(filtered, queries, "vec_id",
+      "embedding", 5, S.quantizedCosineX1e6))
+    // gate above |filtered|: the brute path, byte-equal to calling the
+    // exact operator on the pre-filtered corpus
+    val high = canon(S.filteredTopK(emb, queries, "vec_id", "embedding", 5,
+      pred, score = S.quantizedCosineX1e6, bruteGateRows = 1000000L))
+    assert(high == brute, "above-gate path must be the exact filtered answer")
+    // gate 0: the IVF path, byte-equal to ivfTopK over the filtered set
+    val ivfDirect = canon(S.ivfTopK(filtered, queries, "vec_id", "embedding",
+      5, nlist = 8, nprobe = 2, score = S.quantizedCosineX1e6))
+    val low = canon(S.filteredTopK(emb, queries, "vec_id", "embedding", 5,
+      pred, nlist = 8, nprobe = 2, score = S.quantizedCosineX1e6,
+      bruteGateRows = 0L))
+    assert(low == ivfDirect, "below-gate path must be the IVF probe")
+    assert(low != brute,
+      "nprobe=2 IVF must differ from exact brute force here — otherwise " +
+        "the flip is unobservable and this differential proves nothing")
+    // nprobe = nlist: every query probes every cell, so the candidate
+    // set is the whole filtered corpus and IVF == exact
+    val full = canon(S.filteredTopK(emb, queries, "vec_id", "embedding", 5,
+      pred, nlist = 8, nprobe = 8, score = S.quantizedCosineX1e6,
+      bruteGateRows = 0L))
+    assert(full == brute, "full-probe IVF must equal exact brute force")
+  }
+
   test("quantized dot matches a local reference computation") {
     import spark.implicits._
     val rows = emb.filter(col("vec_id") < 3)
