@@ -160,6 +160,100 @@ class ModelSeamSpec extends SparkSpec {
     assert(fused.nonEmpty)
   }
 
+  // ----------------------------------------------------------------
+  // The SHARED persistence-seam contract (documented once in
+  // COVERAGE.md "Persistence-seam contract") — parameterized over all
+  // four seams so a fifth seam added to this table inherits the
+  // assertions and cannot re-introduce the r12 stale-staging hazard:
+  //   1. staging dirs are keyed on SyntheticTraces.tableKey over the
+  //      tables the artifact DERIVES FROM (fingerprint = length+mtime;
+  //      regeneration invalidates);
+  //   2. publication is atomic (Staging.stageOnce: build under a
+  //      process-unique sibling, rename, _SUCCESS marks completeness);
+  //   3. a published dir is never rebuilt — stageOnce must NOT invoke
+  //      the writer again;
+  //   4. reload is bit-exact: serving frames read back from the dir
+  //      equal the in-session frames.
+  // ----------------------------------------------------------------
+
+  private case class Seam(name: String,
+      build: () => DataFrame,
+      save: (DataFrame, String) => Unit,
+      load: String => DataFrame)
+
+  test("persistence-seam contract: fingerprint key, atomic publish, " +
+      "no-rebuild idempotence, bit-exact reload — all four seams") {
+    import graft.llm.{DedupOps, PipelineOps, TextOps}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def withSuccess(w: String => Unit): String => Unit = { tmp =>
+      w(tmp)
+      // saveModel/parquet committers leave _SUCCESS; assert rather
+      // than trust, since stageOnce's completeness test depends on it
+      assert(new java.io.File(tmp, "_SUCCESS").isFile,
+        "seam writer must leave a _SUCCESS marker")
+    }
+    val seams = Seq(
+      Seam("quantizer_centroids",
+        () => Quantizers.trainIvfCentroids(emb, "vec_id", "embedding",
+          k = 4, iters = 1, trainSize = 64),
+        (m, p) => Quantizers.saveModel(m, p),
+        p => Quantizers.loadModel(spark, p)),
+      Seam("banded_projection",
+        () => graft.llm.DedupOps.bandedProjection(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+        (m, p) => { m.write.parquet(p); () },
+        p => spark.read.parquet(p)),
+      Seam("inverted_index",
+        () => TextOps.invertedIndex(docs, "doc_id", "text", postingsCap = 8),
+        (m, p) => TextOps.saveIndex(m, p),
+        p => TextOps.loadIndex(spark, p)),
+      Seam("bigram_lm",
+        () => PipelineOps.trainBigramLm(docs, "doc_id", "text",
+          col("doc_id") % 50 === 0),
+        (m, p) => Quantizers.saveModel(m, p),
+        p => Quantizers.loadModel(spark, p)))
+    assert(seams.size == 4) // the contract covers every shipped seam
+    val work = graft.sources.Staging.sessionTempDir("graft_seam_contract")
+    val key = graft.sources.SyntheticTraces.tableKey(
+      "/root/testdata/sf0.001", Seq("documents"))
+    def canon(df: DataFrame): Seq[String] =
+      df.selectExpr(df.columns.sorted.toIndexedSeq: _*)
+        .collect().map(_.toString).toSeq.sorted
+    for (seam <- seams) {
+      val frame = seam.build().localCheckpoint()
+      val dir = s"$work/${seam.name}_v1_$key"
+      graft.sources.Staging.stageOnce(dir)(
+        withSuccess(tmp => seam.save(frame, tmp)))
+      assert(new java.io.File(s"$dir/_SUCCESS").isFile,
+        s"${seam.name}: published dir must carry _SUCCESS")
+      // contract 3: the writer must never run against a published dir
+      graft.sources.Staging.stageOnce(dir)(_ =>
+        fail(s"${seam.name}: restage ran despite a published _SUCCESS"))
+      // contract 4: bit-exact reload
+      assert(canon(seam.load(dir)) == canon(frame),
+        s"${seam.name}: reload diverged from the in-session frame")
+    }
+    // contract 1: the fingerprint key moves when the source table does
+    // (length change AND mtime-only change both invalidate)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_seam_src")
+    val srcFile = new java.io.File(srcDir.toFile, "documents.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      srcFile.toPath)
+    val k1 = graft.sources.SyntheticTraces.tableKey(
+      srcDir.toString, Seq("documents"))
+    assert(srcFile.setLastModified(srcFile.lastModified() + 60000L))
+    val k2 = graft.sources.SyntheticTraces.tableKey(
+      srcDir.toString, Seq("documents"))
+    assert(k1 != k2, "mtime-only regeneration must change the staging key")
+    java.nio.file.Files.write(srcFile.toPath, Array[Byte](0),
+      java.nio.file.StandardOpenOption.APPEND)
+    val k3 = graft.sources.SyntheticTraces.tableKey(
+      srcDir.toString, Seq("documents"))
+    assert(k2 != k3, "content-length change must change the staging key")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(srcDir.toFile)
+  }
+
   test("model values survive the round-trip bit-exactly") {
     val cents = Quantizers.trainIvfCentroids(emb, "vec_id", "embedding", k = 4,
       iters = 1, trainSize = 64)
