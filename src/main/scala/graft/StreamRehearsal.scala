@@ -37,7 +37,8 @@ object StreamRehearsal {
     val sfDir = args.headOption.getOrElse("/root/repo/tmp/sf1")
     val nSlices = if (args.length > 1) args(1).toInt else 20
     // optional scenario filter: comma-separated subset of
-    // 1..6 (e.g. "6" re-runs only the interval joins)
+    // 1..7 (e.g. "6" re-runs only the interval joins, "7" the SCD-2
+    // CDC merge loop)
     val only: Int => Boolean =
       if (args.length > 2) args(2).split(',').map(_.toInt).toSet else (_ => true)
     val work = "/root/repo/tmp/stream_rehearsal"
@@ -470,6 +471,139 @@ object StreamRehearsal {
         .select("key", "probe_id", "probe_ts", "state_id", "state_ts")
       val sOuter = spark.read.parquet(s"$work/ssjo_out").filter(col("key") >= 0)
       assertParity("interval join LEFT OUTER", sOuter, bOuter)
+    }
+
+    // ---- scenario 7: SCD-2 streaming CDC merge loop at sf1 --------
+    // q_scd2_stream_merge's shape at volume: the 500k-row changeset
+    // half in 8 sequential micro-batches + a REDELIVERY of slice 3,
+    // foreachBatch merging into a parquet-persisted temporal table
+    // (batch N's merge is batch N+1's base — the lakehouse MERGE
+    // loop). "State" here is the table itself; the rehearsal measures
+    // its growth per batch and requires it equal the changelog's
+    // insert count exactly (growth bounded by the changeset, never
+    // the table), requires the redelivered batch to be a pure-stale
+    // no-op, and checks stream-vs-batch parity of the concatenated
+    // changelog + final table against an eager sequential replay of
+    // the same slice files.
+    if (only(7)) locally {
+      import graft.operators.Scd2
+      val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+      val ev = evRaw.select(col("user_id"),
+        Queries.eventSeconds(evRaw.schema("ts").dataType).as("sec"),
+        col("event_type"), col("event_id"))
+      val mid = ev.agg(expr("(min(sec) + max(sec)) DIV 2").as("mid"))
+      val evM = ev.crossJoin(broadcast(mid))
+      val w0 = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+      evM.filter(col("sec") <= col("mid"))
+        .select(col("user_id"), col("sec").as("valid_from"),
+          col("event_type"), col("event_id"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w0))
+        .write.mode("overwrite").parquet(s"$work/scd2_base_0")
+      val delta = evM.filter(col("sec") > col("mid"))
+        .select(col("user_id"), col("sec").as("ts"),
+          col("event_type"), col("event_id"))
+      val cdcSlices = 8
+      val watch = s"$work/scd2_in"
+      stageSlices(delta, "ts", cdcSlices, s"$work/scd2_stage", watch)
+      // redeliver slice 3 as slice 8: stream idempotence under load
+      val redSrc = new java.io.File(watch).listFiles()
+        .filter(_.getName.startsWith(f"slice_${3}%04d")).minBy(_.getName)
+      val redDst = new java.io.File(watch, f"slice_$cdcSlices%04d_0.parquet")
+      java.nio.file.Files.copy(redSrc.toPath, redDst.toPath)
+      redDst.setLastModified(1700000000000L + cdcSlices * 60000L)
+
+      val keyCols = Seq("user_id")
+      val attrs = Seq("event_type", "event_id")
+      val logCols = Seq("batch", "action", "user_id", "valid_from",
+        "event_type", "event_id", "valid_to")
+      var basePath = s"$work/scd2_base_0"
+      var idx = 0
+      val schema = spark.read.parquet(watch).schema
+      val t0 = System.nanoTime()
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val base = spark.read.parquet(basePath)
+            val d = b.select("user_id", "ts", "event_type", "event_id")
+            Scd2.changelog(base, d, keyCols, attrs, tieCols = Seq("event_id"))
+              .withColumn("batch", lit(idx)).select(logCols.map(col): _*)
+              .write.mode("append").parquet(s"$work/scd2_log")
+            Scd2.mergeApply(base, d, keyCols, attrs, tieCols = Seq("event_id"))
+              .write.parquet(s"$work/scd2_base_${idx + 1}")
+            basePath = s"$work/scd2_base_${idx + 1}"
+            idx += 1
+          }
+        }
+        .option("checkpointLocation", s"$work/scd2_ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val nBatches = idx
+
+      val log = spark.read.parquet(s"$work/scd2_log").persist()
+      val acts = log.groupBy("batch", "action").count().collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val touched = log.filter(col("action") =!= "stale")
+        .groupBy("batch").agg(countDistinct("user_id").as("k")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val baseCounts = (0 to nBatches)
+        .map(i => spark.read.parquet(s"$work/scd2_base_$i").count())
+      println(f"\nSCD-2 CDC merge loop (sf1, $nBatches batches incl. " +
+        f"redelivery): $wall%.1f s wall")
+      println("| batch | closes | inserts | stales | touched keys | table rows after | growth |")
+      println("|---|---|---|---|---|---|---|")
+      for (i <- 0 until nBatches) {
+        val (c, ins, st) = (acts.getOrElse((i, "close"), 0L),
+          acts.getOrElse((i, "insert"), 0L), acts.getOrElse((i, "stale"), 0L))
+        val growth = baseCounts(i + 1) - baseCounts(i)
+        println(s"| $i | $c | $ins | $st | ${touched.getOrElse(i, 0L)} | " +
+          s"${baseCounts(i + 1)} | +$growth |")
+        // the temporal table grows by EXACTLY the effective changeset —
+        // never by the table (the 100 TB property: per-batch cost and
+        // growth are changeset-bounded)
+        require(growth == ins,
+          s"batch $i: table growth $growth != changelog inserts $ins")
+        // a touched key closes at most one open row
+        require(c <= touched.getOrElse(i, 0L),
+          s"batch $i: more closes ($c) than touched keys")
+      }
+      // the redelivered batch is a pure-stale no-op
+      val lastIns = acts.getOrElse((nBatches - 1, "insert"), 0L)
+      val lastStale = acts.getOrElse((nBatches - 1, "stale"), 0L)
+      val redRows = spark.read.parquet(redDst.toString).count()
+      require(lastIns == 0L && lastStale == redRows,
+        s"redelivered batch must be all-stale: inserts=$lastIns " +
+          s"stales=$lastStale redelivered=$redRows")
+      require(baseCounts(nBatches) == baseCounts(nBatches - 1),
+        "redelivered batch must not grow the table")
+
+      // parity: stream output (concatenated changelog + final table)
+      // == an eager sequential replay of the same ordered slice files
+      val sliceFiles = new java.io.File(watch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      var bBase = spark.read.parquet(s"$work/scd2_base_0")
+      var bLogs = List.empty[DataFrame]
+      for ((f, i) <- sliceFiles.zipWithIndex) {
+        val d = spark.read.parquet(f.toString)
+          .select("user_id", "ts", "event_type", "event_id")
+        bLogs :+= Scd2.changelog(bBase, d, keyCols, attrs,
+          tieCols = Seq("event_id"))
+          .withColumn("batch", lit(i)).select(logCols.map(col): _*)
+        bBase = Scd2.mergeApply(bBase, d, keyCols, attrs,
+          tieCols = Seq("event_id")).localCheckpoint()
+      }
+      val finCols = (df: DataFrame, b: Int) => df
+        .withColumn("batch", lit(b)).withColumn("action", lit("final"))
+        .select(logCols.map(col): _*)
+      val streamOut = log.select(logCols.map(col): _*)
+        .unionByName(finCols(spark.read.parquet(s"$work/scd2_base_$nBatches"),
+          nBatches))
+      val batchOut = bLogs.reduce(_ unionByName _)
+        .unionByName(finCols(bBase, sliceFiles.length))
+      assertParity("scd2 cdc changelog + final table", streamOut, batchOut)
+      log.unpersist()
     }
 
     println("\nstream rehearsal complete")
