@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate rehearsal for [[graft.llm.SimilarityOps.filteredTopK]]: a
+  * SELECTIVITY SWEEP over one scaled embeddings corpus, measuring — at
+  * each predicate selectivity — the wall time of BOTH plan branches
+  * (exact brute force over the filtered set vs IVF over the filtered
+  * corpus) and the IVF branch's recall against the exact answer, so
+  * the brute-gate default is a measured crossover, not a guess.
+  *
+  *   runMain graft.AnnFilterLab <embDir> [runs]
+  *
+  * Timing protocol: noop-format writes (never count() — Catalyst
+  * collapses plans under it), `runs` repetitions per cell with run 1
+  * discarded as cold; the filtered-set count (the gate's own scalar)
+  * is timed separately since both branches pay it.
+  */
+object AnnFilterLab {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: runMain graft.AnnFilterLab <corpusDir> [runs]")
+    val dir = args(0)
+    val runs = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val S = graft.llm.SimilarityOps
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 50)
+    val total = emb.count()
+    def noop(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timed(mk: => DataFrame): Seq[Double] = (1 to runs).map(_ => noop(mk))
+    def fmt(ts: Seq[Double]): String =
+      ts.map(t => f"$t%.2f").mkString("/")
+    // selectivity ladder: sub-gate, ~10%, ~75% of the corpus
+    val preds = Seq(
+      ("~0.5%", col("label") === 0 && col("vec_id") % 20 === 0),
+      ("~10%", col("label") === 0),
+      ("~75%", col("label") % 4 =!= 0))
+    println(s"corpus $dir: $total vectors, ${queries.count()} queries, " +
+      s"$runs runs/cell (run 1 cold)")
+    println("| selectivity | filtered rows | gate count s | brute s | ivf s (nlist=64,nprobe=8) | ivf recall@10 |")
+    println("|---|---|---|---|---|---|")
+    for ((name, p) <- preds) {
+      val filtered = emb.filter(p)
+      val tc0 = System.nanoTime()
+      val n = filtered.select("vec_id").count()
+      val gateSec = (System.nanoTime() - tc0) / 1e9
+      val bruteT = timed(S.bruteForceTopK(filtered, queries, "vec_id",
+        "embedding", 10, S.quantizedCosineX1e6))
+      val ivfT = timed(S.ivfTopK(filtered, queries, "vec_id", "embedding",
+        10, nlist = 64, nprobe = 8, score = S.quantizedCosineX1e6))
+      val truth = S.bruteForceTopK(filtered, queries, "vec_id", "embedding",
+          10, S.quantizedCosineX1e6)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = S.ivfTopK(filtered, queries, "vec_id", "embedding", 10,
+          nlist = 64, nprobe = 8, score = S.quantizedCosineX1e6)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = truth.count(approx.contains).toDouble / math.max(truth.size, 1)
+      println(f"| $name | $n | $gateSec%.2f | ${fmt(bruteT)} | ${fmt(ivfT)} | $recall%.3f |")
+    }
+    spark.stop()
+  }
+}

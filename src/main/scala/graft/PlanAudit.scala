@@ -20,6 +20,10 @@ object PlanAudit {
     "q_ann_ivfpq_residual" -> "broadcast centroid/codebook arrays",
     "q_ann_pq_topk" -> "broadcast codebook array (model state)",
     "q_ann_cosine_topk" -> "labeled brute-force oracle tier (exact top-k baseline)",
+    // below the measured-scalar gate the filtered entry IS the exact
+    // brute tier; the gate caps the cross join's small side at
+    // bruteGateRows (above it the plan is the IVF bucket join)
+    "q_ann_filtered_topk" -> "brute tier below the gate (filtered side capped at bruteGateRows)",
     "q_ann_topk_dot" -> "labeled brute-force oracle tier (exact top-k baseline)",
     "q_emb_cluster_sample" -> "broadcast centroid array (model state)",
     "q_llm_perplexity" -> "broadcast continuation-vocabulary scalar (1 row)",

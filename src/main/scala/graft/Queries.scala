@@ -4142,6 +4142,7 @@ object Queries {
     embT(s, dir).count()
     events(s, dir).count()
     scd2Staged(s, dir)
+    scd2StreamStaged(s, dir)
   }
 
   /** Drop ALL shared per-corpus caches (commit + diagnostic frames).
