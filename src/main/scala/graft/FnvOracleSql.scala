@@ -69,7 +69,7 @@ object FnvOracleSql {
   /** splitmix64 staged as six CTEs over `src`'s column `z0`, keeping
     * key columns `ks`; the result lands in `<prefix>f.h`.
     */
-  private def mix64Ctes(prefix: String, src: String, ks: Seq[String]): String = {
+  private[graft] def mix64Ctes(prefix: String, src: String, ks: Seq[String]): String = {
     val k = ks.mkString(", ")
     s"""${prefix}a AS (SELECT $k, (z0 + 11400714819323198485::HUGEINT) & $Mask AS z1 FROM $src),
        |${prefix}b AS (SELECT $k, xor(z1, z1 >> 30) AS x1 FROM ${prefix}a),

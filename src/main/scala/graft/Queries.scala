@@ -2380,6 +2380,106 @@ object Queries {
       |SELECT doc_id, term, tf, CAST(score_x AS BIGINT) AS score_x, CAST(rnk AS INT) AS rnk
       |FROM ranked WHERE rnk <= 3""".stripMargin
 
+  // KMV DISTINCT SKETCH (k-minimum values, k=128): distinct USERS per
+  // event_type (the documents corpus has a 31-word vocabulary — too
+  // small to exercise a sketch; the events user domain is 15/150/1500
+  // per type across SFs, so sf0.001 exercises the exact-passthrough
+  // branch and sf0.01/0.1 the full-sketch estimator, the same
+  // cross-SF branch coverage as the filtered-ANN gate) plus a
+  // __merged__ row whose sketch is the MERGE of the per-group
+  // sketches (k smallest of their union, computed from
+  // the sketch rows — never by rescanning tokens: the composability a
+  // 100 TB per-shard catalog relies on). Engine-exact end to end —
+  // 63-bit FNV hashes, window rank, integer-division estimate — unlike
+  // the HLL++ gauge (q_o_approx_distinct), whose sketch is partition-
+  // order-dependent and only tolerance-checked. The exact distinct
+  // count rides along as the verification twin. Both formula branches
+  // (sketch-full estimate vs small-group exact passthrough) are
+  // exercised across SFs wherever a source has < k distinct tokens.
+  private val sketchKmvDistinct: Q = (s, dir) =>
+    graft.llm.SketchOps.kmvDistinct(
+      events(s, dir).select(col("event_type"),
+        col("user_id").cast("string").as("term")),
+      "event_type", "term")
+  private val sketchKmvDistinctOracle = {
+    s"""WITH st AS (
+      |  SELECT event_type AS source, CAST(user_id AS VARCHAR) AS term
+      |  FROM events),
+      |dt AS (SELECT DISTINCT source, term FROM st),
+      |z AS (SELECT source, (${FnvOracleSql.fnvStrPublic("term")}) AS z0 FROM dt),
+      |${FnvOracleSql.mix64Ctes("q", "z", Seq("source"))},
+      |hh AS (SELECT DISTINCT source,
+      |         CAST(h & 9223372036854775807::HUGEINT AS BIGINT) AS h
+      |       FROM qf),
+      |rn AS (
+      |  SELECT source, h,
+      |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n_exact
+      |  FROM hh),
+      |kmin AS (SELECT * FROM rn WHERE rn <= 128),
+      |per AS (
+      |  SELECT source, n_exact, max(h) AS kth_min_hash,
+      |         CAST(count(*) AS BIGINT) AS k_used
+      |  FROM kmin GROUP BY 1, 2),
+      |mk AS (SELECT h FROM (SELECT DISTINCT h FROM kmin) ORDER BY h LIMIT 128),
+      |mh AS (SELECT max(h) AS kth_min_hash, CAST(count(*) AS BIGINT) AS k_used
+      |       FROM mk),
+      |me AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+      |       FROM (SELECT DISTINCT h FROM hh)),
+      |unioned AS (
+      |  SELECT source, n_exact, kth_min_hash, k_used FROM per
+      |  UNION ALL
+      |  SELECT '__merged__', me.n_exact, mh.kth_min_hash, mh.k_used
+      |  FROM me, mh)
+      |SELECT source, n_exact, kth_min_hash, k_used,
+      |  CAST(CASE WHEN k_used < 128 THEN n_exact
+      |       ELSE (9223372036854775807 // kth_min_hash) * 127 END AS BIGINT)
+      |    AS kmv_est
+      |FROM unioned""".stripMargin
+  }
+
+  // COUNT-MIN HEAVY HITTERS (depth 4 × width 1024): integer counter
+  // sketch over the events user-id stream (1500 users over 1024
+  // buckets at sf0.1 — real collisions, so the estimate genuinely
+  // overshoots; the only shuffle is counter-sized — the key stream
+  // map-combines onto ≤ 4096 keys), point-queried for the exact
+  // top-20 heaviest users. cms_est >= exact_tf
+  // always (CMS never underestimates); the exact aggregate is the
+  // demo's verification twin — production feeds candidates from the
+  // stream or a sample, never the full vocabulary aggregate. Hash row
+  // i = FNV-1a64 of the ASCII digit of i prefixed to the term,
+  // mirrored literally in the oracle's four counter CTEs.
+  private val sketchCmsHeavy: Q = (s, dir) =>
+    graft.llm.SketchOps.cmsHeavyHitters(
+      events(s, dir).select(col("user_id").cast("string").as("term")),
+      "term")
+  private val sketchCmsHeavyOracle = {
+    def hb(i: Int) =
+      s"CAST((${FnvOracleSql.fnvStrPublic(s"('$i' || term)")}) & " +
+        s"9223372036854775807::HUGEINT AS BIGINT) % 1024"
+    val counters = (0 until 4).map(i =>
+      s"""c$i AS (
+         |  SELECT ${hb(i)} AS bucket, CAST(sum(tf) AS BIGINT) AS cnt
+         |  FROM tf0 GROUP BY 1)""".stripMargin).mkString(",\n")
+    s"""WITH st AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS term FROM events),
+      |tf0 AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+      |        FROM st GROUP BY 1),
+      |$counters,
+      |top AS (
+      |  SELECT term, tf AS exact_tf,
+      |    ${hb(0)} AS b0, ${hb(1)} AS b1, ${hb(2)} AS b2, ${hb(3)} AS b3
+      |  FROM tf0
+      |  QUALIFY row_number() OVER (ORDER BY tf DESC, term) <= 20)
+      |SELECT t.term, t.exact_tf,
+      |       least(x0.cnt, x1.cnt, x2.cnt, x3.cnt) AS cms_est
+      |FROM top t
+      |JOIN c0 x0 ON x0.bucket = t.b0
+      |JOIN c1 x1 ON x1.bucket = t.b1
+      |JOIN c2 x2 ON x2.bucket = t.b2
+      |JOIN c3 x3 ON x3.bucket = t.b3""".stripMargin
+  }
+
   // Bloom seen-set: even-doc_id half builds the filter over winnowing
   // fingerprints, odd half probes. Deterministic false positives
   // included — the oracle reproduces the exact bit positions.
@@ -4427,6 +4527,8 @@ object Queries {
     "q_llm_tfidf" -> llmTfidf,
     "q_llm_bm25" -> llmBm25,
     "q_llm_bloom_seen" -> llmBloomSeen,
+    "q_sketch_kmv_distinct" -> sketchKmvDistinct,
+    "q_sketch_cms_heavy" -> sketchCmsHeavy,
     "q_llm_token_budget_mix" -> llmTokenBudgetMix,
     "q_llm_temp_mix" -> llmTempMix,
     "q_llm_shard_plan" -> llmShardPlan,
@@ -4568,6 +4670,8 @@ object Queries {
     "q_llm_tfidf" -> llmTfidfOracle,
     "q_llm_bm25" -> llmBm25Oracle,
     "q_llm_bloom_seen" -> FnvOracleSql.bloomSeen,
+    "q_sketch_kmv_distinct" -> sketchKmvDistinctOracle,
+    "q_sketch_cms_heavy" -> sketchCmsHeavyOracle,
     "q_llm_token_budget_mix" -> llmTokenBudgetMixOracle,
     "q_llm_temp_mix" -> llmTempMixOracle,
     "q_llm_shard_plan" -> llmShardPlanOracle,

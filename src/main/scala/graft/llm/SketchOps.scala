@@ -1,0 +1,148 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable, engine-exact cardinality / frequency sketches — the
+  * fixed-size summaries a 100 TB corpus catalog maintains where exact
+  * per-key aggregation is unaffordable or unmergeable across shards.
+  * Both operate on a generic KEY STREAM (one string key per row — a
+  * user id, a token from an exploded text column, a URL host...):
+  *
+  *  - [[kmvDistinct]]: k-minimum-values distinct estimator
+  *    (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07 — the unbiased
+  *    (k−1)/h_k form). Unlike Spark's HLL++ `approx_count_distinct`
+  *    (whose sketch is partition-order-dependent — the catalog's
+  *    q_o_approx_distinct gauge is only tolerance-checked), KMV over
+  *    a deterministic 63-bit FNV hash is bit-reproducible across
+  *    engines AND mergeable by construction: the k smallest of a
+  *    union of per-shard k-min sets is the k smallest of the union.
+  *  - [[cmsHeavyHitters]]: Count-Min sketch (Cormode & Muthukrishnan
+  *    2005) — depth×width integer counters, point query = min over
+  *    the depth rows, NEVER an underestimate. Counters merge by
+  *    cellwise addition, and the build's only shuffle is
+  *    counter-sized (map-side combine onto ≤ depth·width keys), so a
+  *    web-scale key stream reduces to a constant-size frame.
+  *
+  * Both use the portable FNV-1a64 kernel ([[graft.functions.TextHash]])
+  * masked to the non-negative 63-bit domain, so every hash, rank and
+  * estimate hash-compares against the DuckDB oracle (FnvOracleSql's
+  * ASCII-corpus constraint applies — digits, as in a stringified id
+  * column, always satisfy it).
+  */
+object SketchOps {
+
+  private val Max63 = Long.MaxValue // 2^63 - 1: the hash domain bound
+
+  /** Low-bit hash (CMS bucket masks): plain FNV — its low bits are
+    * well mixed (the classifier's `fnv & 4095` bucketing precedent).
+    */
+  private def h63(c: Column) =
+    graft.functions.LlmFunctions.fnv64(c).bitwiseAND(lit(Max63))
+
+  /** Order-statistic hash (KMV's kth-min): FNV finalized with
+    * splitmix64. Raw FNV-1a of SHORT SEQUENTIAL keys is measurably
+    * non-uniform in its high bits — a u0..u799 key set estimated 378
+    * distinct of 800 true (53% low, 4+ standard errors) before the
+    * finalizer and 819 after — so anything that reads the hash as a
+    * uniform [0, 2^63) draw must mix first.
+    */
+  private def mixed63(c: Column) =
+    graft.functions.LlmFunctions.mix64(
+      graft.functions.LlmFunctions.fnv64(c)).bitwiseAND(lit(Max63))
+
+  /** Per-`groupCol` distinct-`termCol` estimate via a k-minimum-values
+    * sketch, plus one `__merged__` row whose sketch is the MERGE of
+    * the per-group sketches (k smallest of their union — computed
+    * from the group-level k-min rows, never by rescanning the stream:
+    * the property that makes per-shard sketches composable at 100 TB).
+    *
+    * Output per group: `n_exact` (the exact distinct-hash count — the
+    * verification twin this demo carries; production keeps only the
+    * sketch), `kth_min_hash`, `k_used` (min(k, n_exact) — a sketch
+    * holding everything IS the exact answer), and `kmv_est` =
+    * `(2^63−1 DIV h_k)·(k−1)` when the sketch is full, else
+    * `n_exact`. Integer-division-first keeps every step in BIGINT for
+    * both engines (the ±k/h_k rounding this costs is far inside the
+    * estimator's own O(D/√k) error).
+    *
+    * Scale shape: ONE shuffle on the group key (distinct + window
+    * rank + windowed exact count all cluster on it); the merge tier
+    * consumes groups×k rows.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, termCol: String,
+      k: Int = 128): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    val hashed = df
+      .select(col(groupCol).as("source"), mixed63(col(termCol)).as("h"))
+      .distinct()
+    val byH = Window.partitionBy("source").orderBy("h")
+    val whole = Window.partitionBy("source")
+    val kmin = hashed
+      .withColumn("rn", row_number().over(byH))
+      .withColumn("n_exact", count(lit(1)).over(whole))
+      .filter(col("rn") <= k)
+    val perGroup = kmin.groupBy("source", "n_exact")
+      .agg(max("h").as("kth_min_hash"), count(lit(1)).as("k_used"))
+    // merge tier: k smallest of the union of per-group k-min sets —
+    // sketch-sized input, exact-equal to sketching the whole stream
+    val mergedK = kmin.select("h").distinct()
+      .orderBy("h").limit(k)
+      .agg(max("h").as("kth_min_hash"), count(lit(1)).as("k_used"))
+    val mergedExact = hashed.select("h").distinct()
+      .agg(count(lit(1)).as("n_exact"))
+    val merged = mergedExact.crossJoin(broadcast(mergedK))
+      .select(lit("__merged__").as("source"), col("n_exact"),
+        col("kth_min_hash"), col("k_used"))
+    perGroup.select(col("source"), col("n_exact"), col("kth_min_hash"),
+        col("k_used"))
+      .unionByName(merged)
+      .withColumn("kmv_est",
+        when(col("k_used") < k, col("n_exact"))
+          .otherwise(expr(s"($Max63 DIV kth_min_hash) * ${k - 1}")))
+  }
+
+  /** Count-Min heavy hitters: build a `depth`×`width` integer counter
+    * sketch over the key stream (each row contributes `weightCol`,
+    * default 1), then report — for the exact top-`topK` keys (the
+    * verification twin; production feeds candidates from the stream
+    * itself or a sample, never the full key-domain aggregate) — the
+    * exact total next to the sketch's point estimate (min over the
+    * depth rows). CMS guarantees `cms_est >= exact_tf` always, with
+    * overshoot bounded by the colliding mass per row.
+    *
+    * Hash row i uses the FNV-1a64 of the key prefixed with the ASCII
+    * digit of i — depth independent functions from one portable
+    * kernel, mirrored literally in the oracle.
+    *
+    * Scale shape: the build's shuffle is counter-sized (groupBy
+    * (row, bucket) with map-side combine onto ≤ depth·width keys —
+    * the key stream never shuffles); the candidate probe joins
+    * topK·depth rows against the tiny counter frame.
+    */
+  def cmsHeavyHitters(df: DataFrame, termCol: String, depth: Int = 4,
+      width: Int = 1024, topK: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 10, s"depth must be in [1,10], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val tf = df.select(col(termCol).as("term"), lit(1L).as("tf"))
+    def buckets(term: Column) =
+      array((0 until depth).map(i =>
+        h63(concat(lit(i.toString), term)) % lit(width.toLong)): _*)
+    val counters = tf
+      .select(col("tf"), posexplode(buckets(col("term"))).as(Seq("i", "bucket")))
+      .groupBy("i", "bucket").agg(sum("tf").as("cnt"))
+    // exact top-K (candidate + verification twin). The limit is
+    // materialized eagerly: a projection between orderBy().limit()
+    // and its consumer would degrade TakeOrderedAndProject into a
+    // full sort, and the posexplode probe below is such a projection.
+    val top = tf.groupBy("term").agg(sum("tf").as("exact_tf"))
+      .orderBy(col("exact_tf").desc, col("term").asc).limit(topK)
+      .localCheckpoint()
+    top.select(col("term"), col("exact_tf"),
+        posexplode(buckets(col("term"))).as(Seq("i", "bucket")))
+      .join(counters, Seq("i", "bucket"))
+      .groupBy("term", "exact_tf")
+      .agg(min("cnt").as("cms_est"))
+  }
+}

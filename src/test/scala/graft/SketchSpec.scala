@@ -1,0 +1,88 @@
+package graft
+
+import graft.llm.SketchOps
+
+/** Local-reference differentials for the mergeable sketches: the
+  * whole pipeline (hash, rank/bucket, estimate, merge) recomputed
+  * driver-side from graft.functions.TextHash.fnv1a64 and compared
+  * value-for-value, on randomized key streams with real collisions.
+  */
+class MergeableSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def h63(s: String): Long =
+    graft.functions.TextHash.fnv1a64(s) & Long.MaxValue
+
+  // KMV's order-statistic hash carries the splitmix64 finalizer (see
+  // SketchOps.mixed63 — raw FNV high bits are biased on short keys)
+  private def mixed63(s: String): Long =
+    graft.functions.TextHash.mix64(graft.functions.TextHash.fnv1a64(s)) &
+      Long.MaxValue
+
+  test("kmvDistinct == local reference (hash, rank, estimate), " +
+      "merge row == sketching the union, exact passthrough below k") {
+    val k = 64
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 3000).map(_ =>
+      ("g" + rnd.nextInt(3), "u" + rnd.nextInt(800))) ++
+      // one small group: < k distinct keys -> exact-passthrough branch
+      (0 until 40).map(i => ("tiny", "t" + (i % 20)))
+    val out = SketchOps.kmvDistinct(rows.toDF("g", "term"), "g", "term", k)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def ref(hs: Set[Long]): (Long, Long, Long, Long) = {
+      val kmin = hs.toSeq.sorted.take(k)
+      val hk = kmin.last
+      val kUsed = kmin.size.toLong
+      val est = if (kUsed < k) hs.size.toLong
+        else (Long.MaxValue / hk) * (k - 1)
+      (hs.size.toLong, hk, kUsed, est)
+    }
+    val byG = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => mixed63(r._2)).toSet }
+    for ((g, hs) <- byG)
+      assert(out(g) == ref(hs), s"group $g diverged from the reference")
+    assert(out("tiny")._4 == out("tiny")._1,
+      "below-k sketch must pass the exact count through")
+    assert(out("tiny")._3 < k)
+    // merge row: the k smallest of the union — identical to having
+    // sketched the whole stream as one group
+    val all = byG.values.reduce(_ ++ _)
+    assert(out("__merged__") == ref(all), "merged row != sketch of the union")
+    // estimator sanity at n >> k: inside 4 standard errors (~1/sqrt k)
+    val (nEx, _, _, est) = out("__merged__")
+    assert(math.abs(est - nEx).toDouble / nEx <= 4.0 / math.sqrt(k),
+      s"estimate $est too far from $nEx")
+  }
+
+  test("cmsHeavyHitters == local reference; never underestimates; " +
+      "collisions genuinely overshoot") {
+    val depth = 4; val width = 64; val topK = 10
+    val rnd = new scala.util.Random(11)
+    // skewed stream: u0 planted heavy over a 300-key tail (width 64
+    // forces real collisions)
+    val rows = (0 until 5000).map(_ =>
+      "u" + (if (rnd.nextInt(5) == 0) 0 else rnd.nextInt(300)))
+    val out = SketchOps.cmsHeavyHitters(rows.toDF("term"), "term",
+        depth, width, topK)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val counters = Array.fill(depth, width)(0L)
+    for ((t, c) <- exact; i <- 0 until depth)
+      counters(i)((h63(i.toString + t) % width).toInt) += c
+    val top = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(topK)
+    assert(out.keySet == top.map(_._1).toSet,
+      "top-k candidate set != exact reference")
+    for ((t, c) <- top) {
+      val est = (0 until depth)
+        .map(i => counters(i)((h63(i.toString + t) % width).toInt)).min
+      assert(out(t) == (c, est), s"key $t diverged from the reference")
+      assert(est >= c, s"CMS underestimated $t")
+    }
+    assert(out.contains("u0") && out("u0")._1 == exact("u0"),
+      "planted heavy hitter missing")
+    assert(top.exists { case (t, c) => out(t)._2 > c },
+      "no collision overshoot — the test domain is too narrow to prove anything")
+  }
+}
