@@ -31,7 +31,8 @@ object PlanAudit {
     // (PipelineOps.scoreBigramLm's crossJoin(broadcast(vocab))), just
     // fed from the persisted model — adjudication inherited verbatim
     "q_llm_perplexity_served" -> "broadcast continuation-vocabulary scalar (1 row)",
-    "q_llm_source_overlap" -> "source-catalog-sized signature matrix (sources², never doc-scaled)")
+    "q_llm_source_overlap" -> "source-catalog-sized signature matrix (sources², never doc-scaled)",
+    "q_sketch_kmv_distinct" -> "broadcast of two 1-row sketch/exact scalar frames (merge tier)")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
