@@ -74,7 +74,11 @@ object SketchOps {
   def kmvDistinct(df: DataFrame, groupCol: String, termCol: String,
       k: Int = 128): DataFrame = {
     require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
-    val hashed = df
+    // NULL keys are dropped, not hashed: a null hash would sort FIRST
+    // in Spark's ascending window but LAST in DuckDB's — the one spot
+    // where the engines' defaults disagree — and a null key has no
+    // meaningful cardinality contribution anyway
+    val hashed = df.filter(col(termCol).isNotNull)
       .select(col(groupCol).as("source"), mixed63(col(termCol)).as("h"))
       .distinct()
     val byH = Window.partitionBy("source").orderBy("h")
@@ -125,7 +129,9 @@ object SketchOps {
       width: Int = 1024, topK: Int = 20): DataFrame = {
     require(depth >= 1 && depth <= 10, s"depth must be in [1,10], got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
-    val tf = df.select(col(termCol).as("term"), lit(1L).as("tf"))
+    // null keys dropped (same contract as kmvDistinct)
+    val tf = df.filter(col(termCol).isNotNull)
+      .select(col(termCol).as("term"), lit(1L).as("tf"))
     def buckets(term: Column) =
       array((0 until depth).map(i =>
         h63(concat(lit(i.toString), term)) % lit(width.toLong)): _*)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.llm.SketchOps
+import org.apache.spark.sql.functions._
 
 /** Local-reference differentials for the mergeable sketches: the
   * whole pipeline (hash, rank/bucket, estimate, merge) recomputed
@@ -84,5 +85,18 @@ class MergeableSketchSpec extends SparkSpec {
       "planted heavy hitter missing")
     assert(top.exists { case (t, c) => out(t)._2 > c },
       "no collision overshoot — the test domain is too narrow to prove anything")
+  }
+
+  test("null keys are dropped by both sketches (a null hash would sort " +
+      "first in Spark's window but last in DuckDB's)") {
+    val df = Seq(Some("a"), Some("b"), None, Some("a"), None)
+      .toDF("term").withColumn("g", lit("g"))
+    val kmv = SketchOps.kmvDistinct(df, "g", "term", 8)
+      .filter(col("source") === "g").collect().head
+    assert(kmv.getLong(kmv.fieldIndex("n_exact")) == 2L)
+    val cms = SketchOps.cmsHeavyHitters(df, "term", 2, 16, 10).collect()
+    assert(cms.map(_.getString(0)).toSet == Set("a", "b"))
+    assert(cms.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 2L, "b" -> 1L))
   }
 }
