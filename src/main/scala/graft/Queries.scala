@@ -2449,6 +2449,99 @@ object Queries {
   // stream or a sample, never the full vocabulary aggregate. Hash row
   // i = FNV-1a64 of the ASCII digit of i prefixed to the term,
   // mirrored literally in the oracle's four counter CTEs.
+  // KMV SKETCH AS A STREAM: the events corpus replayed as 3 time-
+  // sliced micro-batches; each batch's k-min sketch (SketchOps.kmvKmin
+  // — the SAME core as the batch entry) is merged into the carried
+  // state with kmvMerge (k smallest of the union), so the state
+  // between batches is EXACTLY the sketch — ≤ k rows per group, the
+  // bounded-state property that lets a stream maintain running
+  // cardinality forever. The ORACLE is the whole-corpus sketch
+  // (no n_exact column: the stream never held the full distinct set),
+  // so sketch mergeability across micro-batches — merge(sketch(A),
+  // sketch(B)) == sketch(A ∪ B) — is itself the hash-compared
+  // surface.
+  private def kmvSlicesStaged(s: SparkSession, dir: String): String = {
+    val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("events"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_kmv_slices_v1_$key"
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        val ev = events(s, dir).select(col("event_type"),
+          col("user_id").cast("string").as("term"), col("sec").as("ts"))
+        StreamRehearsal.stageSlices(ev, "ts", 3, s"$tmp/stage", tmp)
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(s"$tmp/stage"))
+        new java.io.File(tmp, "_SUCCESS").createNewFile()
+      }
+    }
+    path
+  }
+  private val sketchKmvStream: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // sketch-sized state
+    try {
+      val k = 128
+      val watch = kmvSlicesStaged(s, dir)
+      val work = graft.sources.Staging.sessionTempDir("graft_kmv_stream")
+      var statePath: Option[String] = None
+      var idx = 0
+      val schema = s.read.parquet(watch).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val bk = graft.llm.SketchOps.kmvKmin(b, "event_type", "term", k)
+            val merged = statePath match {
+              case None => bk
+              case Some(p) =>
+                graft.llm.SketchOps.kmvMerge(s.read.parquet(p), bk, k)
+            }
+            val next = s"$work/state_${idx + 1}"
+            merged.write.parquet(next)
+            statePath = Some(next)
+            idx += 1
+          }
+        }
+        .option("checkpointLocation", s"$work/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.llm.SketchOps.kmvEstimate(
+        s.read.parquet(statePath.getOrElse(
+          sys.error("kmv stream produced no batches"))), k)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+  private val sketchKmvStreamOracle = {
+    s"""WITH st AS (
+      |  SELECT event_type AS source, CAST(user_id AS VARCHAR) AS term
+      |  FROM events),
+      |dt AS (SELECT DISTINCT source, term FROM st),
+      |z AS (SELECT source, (${FnvOracleSql.fnvStrPublic("term")}) AS z0 FROM dt),
+      |${FnvOracleSql.mix64Ctes("q", "z", Seq("source"))},
+      |hh AS (SELECT DISTINCT source,
+      |         CAST(h & 9223372036854775807::HUGEINT AS BIGINT) AS h
+      |       FROM qf),
+      |rn AS (
+      |  SELECT source, h,
+      |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |  FROM hh),
+      |kmin AS (SELECT source, h FROM rn WHERE rn <= 128),
+      |per AS (
+      |  SELECT source, max(h) AS kth_min_hash,
+      |         CAST(count(*) AS BIGINT) AS k_used
+      |  FROM kmin GROUP BY 1),
+      |mk AS (SELECT h FROM (SELECT DISTINCT h FROM kmin) ORDER BY h LIMIT 128),
+      |mh AS (SELECT max(h) AS kth_min_hash, CAST(count(*) AS BIGINT) AS k_used
+      |       FROM mk),
+      |unioned AS (
+      |  SELECT source, kth_min_hash, k_used FROM per
+      |  UNION ALL
+      |  SELECT '__merged__', kth_min_hash, k_used FROM mh)
+      |SELECT source, kth_min_hash, k_used,
+      |  CAST(CASE WHEN k_used < 128 THEN k_used
+      |       ELSE (9223372036854775807 // kth_min_hash) * 127 END AS BIGINT)
+      |    AS kmv_est
+      |FROM unioned""".stripMargin
+  }
+
   private val sketchCmsHeavy: Q = (s, dir) =>
     graft.llm.SketchOps.cmsHeavyHitters(
       events(s, dir).select(col("user_id").cast("string").as("term")),
@@ -4528,6 +4621,7 @@ object Queries {
     "q_llm_bm25" -> llmBm25,
     "q_llm_bloom_seen" -> llmBloomSeen,
     "q_sketch_kmv_distinct" -> sketchKmvDistinct,
+    "q_sketch_kmv_stream" -> sketchKmvStream,
     "q_sketch_cms_heavy" -> sketchCmsHeavy,
     "q_llm_token_budget_mix" -> llmTokenBudgetMix,
     "q_llm_temp_mix" -> llmTempMix,
@@ -4671,6 +4765,7 @@ object Queries {
     "q_llm_bm25" -> llmBm25Oracle,
     "q_llm_bloom_seen" -> FnvOracleSql.bloomSeen,
     "q_sketch_kmv_distinct" -> sketchKmvDistinctOracle,
+    "q_sketch_kmv_stream" -> sketchKmvStreamOracle,
     "q_sketch_cms_heavy" -> sketchCmsHeavyOracle,
     "q_llm_token_budget_mix" -> llmTokenBudgetMixOracle,
     "q_llm_temp_mix" -> llmTempMixOracle,

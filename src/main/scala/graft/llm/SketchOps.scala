@@ -71,40 +71,70 @@ object SketchOps {
     * rank + windowed exact count all cluster on it); the merge tier
     * consumes groups×k rows.
     */
+  /** The (source, h) distinct-hash frame both tiers build on. NULL
+    * keys are dropped, not hashed: a null hash would sort FIRST in
+    * Spark's ascending window but LAST in DuckDB's — the one spot
+    * where the engines' defaults disagree — and a null key has no
+    * meaningful cardinality contribution anyway.
+    */
+  private def hashFrame(df: DataFrame, groupCol: String,
+      termCol: String): DataFrame =
+    df.filter(col(termCol).isNotNull)
+      .select(col(groupCol).as("source"), mixed63(col(termCol)).as("h"))
+      .distinct()
+
+  private def kminOfHashed(hashed: DataFrame, k: Int): DataFrame =
+    hashed.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("h")))
+      .filter(col("rn") <= k).drop("rn")
+
+  /** Per-group k-minimum-hash SKETCH frame — ≤ k rows per group, the
+    * bounded state a stream carries between batches. */
+  def kmvKmin(df: DataFrame, groupCol: String, termCol: String,
+      k: Int): DataFrame =
+    kminOfHashed(hashFrame(df, groupCol, termCol), k)
+
+  /** Merge two k-min sketch frames: the k smallest of the union — the
+    * lossless, order-insensitive composition that makes per-shard /
+    * per-micro-batch sketches sum to the whole-stream sketch. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    kminOfHashed(a.unionByName(b).distinct(), k)
+
+  /** Finalize a k-min sketch frame into per-group estimate rows plus
+    * the `__merged__` row (sketching the union of the groups, built
+    * from the sketch rows alone — never a rescan). A sketch with
+    * `k_used < k` holds EVERY distinct hash, so its exact count IS
+    * `k_used` and the estimate passes it through.
+    */
+  def kmvEstimate(kmin: DataFrame, k: Int): DataFrame = {
+    val perGroup = kmin.groupBy("source")
+      .agg(max("h").as("kth_min_hash"), count(lit(1)).as("k_used"))
+    val merged = kmin.select("h").distinct()
+      .orderBy("h").limit(k)
+      .agg(max("h").as("kth_min_hash"), count(lit(1)).as("k_used"))
+      .select(lit("__merged__").as("source"), col("kth_min_hash"),
+        col("k_used"))
+    perGroup.select(col("source"), col("kth_min_hash"), col("k_used"))
+      .unionByName(merged)
+      .withColumn("kmv_est",
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr(s"($Max63 DIV kth_min_hash) * ${k - 1}")))
+  }
+
   def kmvDistinct(df: DataFrame, groupCol: String, termCol: String,
       k: Int = 128): DataFrame = {
     require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
-    // NULL keys are dropped, not hashed: a null hash would sort FIRST
-    // in Spark's ascending window but LAST in DuckDB's — the one spot
-    // where the engines' defaults disagree — and a null key has no
-    // meaningful cardinality contribution anyway
-    val hashed = df.filter(col(termCol).isNotNull)
-      .select(col(groupCol).as("source"), mixed63(col(termCol)).as("h"))
-      .distinct()
-    val byH = Window.partitionBy("source").orderBy("h")
-    val whole = Window.partitionBy("source")
-    val kmin = hashed
-      .withColumn("rn", row_number().over(byH))
-      .withColumn("n_exact", count(lit(1)).over(whole))
-      .filter(col("rn") <= k)
-    val perGroup = kmin.groupBy("source", "n_exact")
-      .agg(max("h").as("kth_min_hash"), count(lit(1)).as("k_used"))
-    // merge tier: k smallest of the union of per-group k-min sets —
-    // sketch-sized input, exact-equal to sketching the whole stream
-    val mergedK = kmin.select("h").distinct()
-      .orderBy("h").limit(k)
-      .agg(max("h").as("kth_min_hash"), count(lit(1)).as("k_used"))
-    val mergedExact = hashed.select("h").distinct()
-      .agg(count(lit(1)).as("n_exact"))
-    val merged = mergedExact.crossJoin(broadcast(mergedK))
-      .select(lit("__merged__").as("source"), col("n_exact"),
-        col("kth_min_hash"), col("k_used"))
-    perGroup.select(col("source"), col("n_exact"), col("kth_min_hash"),
-        col("k_used"))
-      .unionByName(merged)
-      .withColumn("kmv_est",
-        when(col("k_used") < k, col("n_exact"))
-          .otherwise(expr(s"($Max63 DIV kth_min_hash) * ${k - 1}")))
+    val hashed = hashFrame(df, groupCol, termCol)
+    // exact distinct counts — the verification twin the demo carries
+    // next to the estimate (production keeps only the sketch)
+    val exact = hashed.groupBy("source").agg(count(lit(1)).as("n_exact"))
+      .unionByName(hashed.select("h").distinct()
+        .agg(count(lit(1)).as("n_exact"))
+        .select(lit("__merged__").as("source"), col("n_exact")))
+    kmvEstimate(kminOfHashed(hashed, k), k)
+      .join(exact, Seq("source"))
+      .select(col("source"), col("n_exact"), col("kth_min_hash"),
+        col("k_used"), col("kmv_est"))
   }
 
   /** Count-Min heavy hitters: build a `depth`×`width` integer counter

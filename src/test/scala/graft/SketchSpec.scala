@@ -87,6 +87,29 @@ class MergeableSketchSpec extends SparkSpec {
       "no collision overshoot — the test domain is too narrow to prove anything")
   }
 
+  test("kmv sketch merge: folding per-batch sketches == sketching the " +
+      "whole stream, regardless of split or fold order") {
+    val k = 32
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 2000).map(_ =>
+      ("g" + rnd.nextInt(2), "u" + rnd.nextInt(500)))
+    val parts = rows.grouped(700).map(_.toDF("g", "term")).toSeq
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val whole = SketchOps.kmvEstimate(
+      SketchOps.kmvKmin(rows.toDF("g", "term"), "g", "term", k), k)
+    val folded = SketchOps.kmvEstimate(
+      parts.map(p => SketchOps.kmvKmin(p, "g", "term", k))
+        .reduce((a, b) => SketchOps.kmvMerge(a, b, k).localCheckpoint()), k)
+    assert(canon(folded) == canon(whole),
+      "batch-folded sketch diverged from the whole-stream sketch")
+    val foldedRev = SketchOps.kmvEstimate(
+      parts.reverse.map(p => SketchOps.kmvKmin(p, "g", "term", k))
+        .reduce((a, b) => SketchOps.kmvMerge(a, b, k).localCheckpoint()), k)
+    assert(canon(foldedRev) == canon(whole),
+      "merge must be order-insensitive")
+  }
+
   test("null keys are dropped by both sketches (a null hash would sort " +
       "first in Spark's window but last in DuckDB's)") {
     val df = Seq(Some("a"), Some("b"), None, Some("a"), None)
