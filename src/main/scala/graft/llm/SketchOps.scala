@@ -124,7 +124,13 @@ object SketchOps {
   def kmvDistinct(df: DataFrame, groupCol: String, termCol: String,
       k: Int = 128): DataFrame = {
     require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
-    val hashed = hashFrame(df, groupCol, termCol)
+    // materialized once: three consumers (sketch rank, per-group
+    // exact, merged exact) would each re-plan the distinct — column
+    // pruning specializes textually-identical subtrees, so exchange
+    // reuse never deduplicates them. The frame is cardinality-sized
+    // (distinct (group, hash)), the same scale as the exact
+    // verification twin this demo form inherently carries.
+    val hashed = hashFrame(df, groupCol, termCol).localCheckpoint()
     // exact distinct counts — the verification twin the demo carries
     // next to the estimate (production keeps only the sketch)
     val exact = hashed.groupBy("source").agg(count(lit(1)).as("n_exact"))
