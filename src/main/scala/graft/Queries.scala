@@ -1732,38 +1732,38 @@ object Queries {
         |         event_type, event_id
         |  FROM events),
         |mm AS (SELECT (min(sec) + max(sec)) // 2 AS mid FROM ev),
-        |base0 AS (
+        |base0 AS MATERIALIZED (
         |  SELECT user_id, sec AS valid_from, event_type, event_id,
         |         lead(sec, 1) OVER (PARTITION BY user_id
         |           ORDER BY sec, event_id) AS valid_to
         |  FROM ev, mm WHERE sec <= mid),
-        |d AS (
+        |d AS MATERIALIZED (
         |  SELECT user_id, sec AS ts, event_type, event_id
         |  FROM ev, mm WHERE sec > mid),
         |bb AS (SELECT min(ts) AS dmin, (max(ts) - min(ts)) // 3 AS w FROM d),
-        |s0 AS (SELECT d.* FROM d, bb WHERE ts <= dmin + w),
-        |s1 AS (SELECT d.* FROM d, bb WHERE ts > dmin + w AND ts <= dmin + 2*w),
-        |s2 AS (SELECT d.* FROM d, bb WHERE ts > dmin + 2*w)""".stripMargin
+        |s0 AS MATERIALIZED (SELECT d.* FROM d, bb WHERE ts <= dmin + w),
+        |s1 AS MATERIALIZED (SELECT d.* FROM d, bb WHERE ts > dmin + w AND ts <= dmin + 2*w),
+        |s2 AS MATERIALIZED (SELECT d.* FROM d, bb WHERE ts > dmin + 2*w)""".stripMargin
     val slices = Seq("s0", "s1", "s2", "s1")
     val gens = slices.zipWithIndex.map { case (sl, i) =>
-      s"""opn$i AS (SELECT * FROM base$i WHERE valid_to IS NULL),
+      s"""opn$i AS MATERIALIZED (SELECT * FROM base$i WHERE valid_to IS NULL),
          |cls$i AS (SELECT * FROM base$i WHERE valid_to IS NOT NULL),
-         |gated$i AS (
+         |gated$i AS MATERIALIZED (
          |  SELECT d.user_id, d.ts, d.event_type, d.event_id,
          |         o.valid_from AS open_from
          |  FROM $sl d LEFT JOIN opn$i o ON d.user_id = o.user_id),
-         |eff$i AS (
+         |eff$i AS MATERIALIZED (
          |  SELECT user_id, ts, event_type, event_id FROM gated$i
          |  WHERE open_from IS NULL OR ts > open_from),
          |stale$i AS (
          |  SELECT user_id, ts, event_type, event_id FROM gated$i
          |  WHERE NOT (open_from IS NULL OR ts > open_from)),
-         |effiv$i AS (
+         |effiv$i AS MATERIALIZED (
          |  SELECT user_id, ts AS valid_from, event_type, event_id,
          |         lead(ts, 1) OVER (PARTITION BY user_id
          |           ORDER BY ts, event_id) AS valid_to
          |  FROM eff$i),
-         |fst$i AS (SELECT user_id, min(ts) AS first_ts FROM eff$i GROUP BY 1),
+         |fst$i AS MATERIALIZED (SELECT user_id, min(ts) AS first_ts FROM eff$i GROUP BY 1),
          |log$i AS (
          |  SELECT CAST($i AS INT) AS batch, 'close' AS action, o.user_id,
          |         o.valid_from, o.event_type, o.event_id,
@@ -1777,7 +1777,7 @@ object Queries {
          |  SELECT CAST($i AS INT), 'stale', user_id, ts, event_type,
          |         event_id, CAST(NULL AS BIGINT)
          |  FROM stale$i),
-         |base${i + 1} AS (
+         |base${i + 1} AS MATERIALIZED (
          |  SELECT user_id, valid_from, event_type, event_id, valid_to
          |  FROM cls$i
          |  UNION ALL
