@@ -2542,6 +2542,56 @@ object Queries {
       |FROM unioned""".stripMargin
   }
 
+  // CMS AS A STREAM (the frequency twin of q_sketch_kmv_stream, same
+  // replay dir): each micro-batch's counter frame (SketchOps.
+  // cmsCounters — the SAME core as the batch entry) merges into the
+  // carried state by CELLWISE ADDITION (cmsMerge), so the between-
+  // batch state is the fixed ≤ depth·width counter frame at any
+  // stream volume. The final probe reads the merged counters; the
+  // exact top-20 candidates come from the batch side as the
+  // verification twin. Output — and therefore the oracle — is
+  // IDENTICAL to q_sketch_cms_heavy: counter mergeability across
+  // micro-batches is the hash-compared surface.
+  private val sketchCmsStream: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // counter-sized state
+    try {
+      val (depth, width, topK) = (4, 1024, 20)
+      val watch = kmvSlicesStaged(s, dir)
+      val work = graft.sources.Staging.sessionTempDir("graft_cms_stream")
+      var statePath: Option[String] = None
+      var idx = 0
+      val schema = s.read.parquet(watch).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val bc = graft.llm.SketchOps.cmsCounters(b, "term", depth, width)
+            val merged = statePath match {
+              case None => bc
+              case Some(p) =>
+                graft.llm.SketchOps.cmsMerge(s.read.parquet(p), bc)
+            }
+            val next = s"$work/state_${idx + 1}"
+            merged.write.parquet(next)
+            statePath = Some(next)
+            idx += 1
+          }
+        }
+        .option("checkpointLocation", s"$work/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val candidates = graft.llm.SketchOps.cmsTopCandidates(
+        events(s, dir).select(col("user_id").cast("string").as("term")),
+        "term", topK)
+      graft.llm.SketchOps.cmsProbe(
+        s.read.parquet(statePath.getOrElse(
+          sys.error("cms stream produced no batches"))),
+        candidates, depth, width)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   private val sketchCmsHeavy: Q = (s, dir) =>
     graft.llm.SketchOps.cmsHeavyHitters(
       events(s, dir).select(col("user_id").cast("string").as("term")),
@@ -4623,6 +4673,7 @@ object Queries {
     "q_sketch_kmv_distinct" -> sketchKmvDistinct,
     "q_sketch_kmv_stream" -> sketchKmvStream,
     "q_sketch_cms_heavy" -> sketchCmsHeavy,
+    "q_sketch_cms_stream" -> sketchCmsStream,
     "q_llm_token_budget_mix" -> llmTokenBudgetMix,
     "q_llm_temp_mix" -> llmTempMix,
     "q_llm_shard_plan" -> llmShardPlan,
@@ -4767,6 +4818,7 @@ object Queries {
     "q_sketch_kmv_distinct" -> sketchKmvDistinctOracle,
     "q_sketch_kmv_stream" -> sketchKmvStreamOracle,
     "q_sketch_cms_heavy" -> sketchCmsHeavyOracle,
+    "q_sketch_cms_stream" -> sketchCmsHeavyOracle,
     "q_llm_token_budget_mix" -> llmTokenBudgetMixOracle,
     "q_llm_temp_mix" -> llmTempMixOracle,
     "q_llm_shard_plan" -> llmShardPlanOracle,

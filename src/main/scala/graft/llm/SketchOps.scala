@@ -161,30 +161,55 @@ object SketchOps {
     * the key stream never shuffles); the candidate probe joins
     * topK·depth rows against the tiny counter frame.
     */
+  private def cmsBuckets(term: Column, depth: Int, width: Int) =
+    array((0 until depth).map(i =>
+      h63(concat(lit(i.toString), term)) % lit(width.toLong)): _*)
+
+  /** The (i, bucket, cnt) counter frame — ≤ depth·width rows, the
+    * fixed-size state a stream carries between batches. Null keys
+    * dropped (same contract as kmvDistinct). */
+  def cmsCounters(df: DataFrame, termCol: String, depth: Int,
+      width: Int): DataFrame =
+    df.filter(col(termCol).isNotNull)
+      .select(posexplode(cmsBuckets(col(termCol), depth, width))
+        .as(Seq("i", "bucket")))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Merge two counter frames: cellwise addition — the composition
+    * that makes per-shard / per-micro-batch counters sum to the
+    * whole-stream sketch. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("i", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Point-query `candidates` (term, exact_tf) against a counter
+    * frame: estimate = min over the depth rows. */
+  def cmsProbe(counters: DataFrame, candidates: DataFrame, depth: Int,
+      width: Int): DataFrame =
+    candidates.select(col("term"), col("exact_tf"),
+        posexplode(cmsBuckets(col("term"), depth, width))
+          .as(Seq("i", "bucket")))
+      .join(counters, Seq("i", "bucket"))
+      .groupBy("term", "exact_tf")
+      .agg(min("cnt").as("cms_est"))
+
+  /** Exact top-K keys with their totals — the candidate set and the
+    * demo's verification twin. Materialized eagerly: a projection
+    * between orderBy().limit() and its consumer would degrade
+    * TakeOrderedAndProject into a full sort, and the posexplode probe
+    * is such a projection. */
+  def cmsTopCandidates(df: DataFrame, termCol: String,
+      topK: Int): DataFrame =
+    df.filter(col(termCol).isNotNull)
+      .select(col(termCol).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("exact_tf"))
+      .orderBy(col("exact_tf").desc, col("term").asc).limit(topK)
+      .localCheckpoint()
+
   def cmsHeavyHitters(df: DataFrame, termCol: String, depth: Int = 4,
       width: Int = 1024, topK: Int = 20): DataFrame = {
     require(depth >= 1 && depth <= 10, s"depth must be in [1,10], got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
-    // null keys dropped (same contract as kmvDistinct)
-    val tf = df.filter(col(termCol).isNotNull)
-      .select(col(termCol).as("term"), lit(1L).as("tf"))
-    def buckets(term: Column) =
-      array((0 until depth).map(i =>
-        h63(concat(lit(i.toString), term)) % lit(width.toLong)): _*)
-    val counters = tf
-      .select(col("tf"), posexplode(buckets(col("term"))).as(Seq("i", "bucket")))
-      .groupBy("i", "bucket").agg(sum("tf").as("cnt"))
-    // exact top-K (candidate + verification twin). The limit is
-    // materialized eagerly: a projection between orderBy().limit()
-    // and its consumer would degrade TakeOrderedAndProject into a
-    // full sort, and the posexplode probe below is such a projection.
-    val top = tf.groupBy("term").agg(sum("tf").as("exact_tf"))
-      .orderBy(col("exact_tf").desc, col("term").asc).limit(topK)
-      .localCheckpoint()
-    top.select(col("term"), col("exact_tf"),
-        posexplode(buckets(col("term"))).as(Seq("i", "bucket")))
-      .join(counters, Seq("i", "bucket"))
-      .groupBy("term", "exact_tf")
-      .agg(min("cnt").as("cms_est"))
+    cmsProbe(cmsCounters(df, termCol, depth, width),
+      cmsTopCandidates(df, termCol, topK), depth, width)
   }
 }

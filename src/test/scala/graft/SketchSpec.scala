@@ -110,6 +110,26 @@ class MergeableSketchSpec extends SparkSpec {
       "merge must be order-insensitive")
   }
 
+  test("cms counter merge: folding per-batch counter frames == counting " +
+      "the whole stream, cellwise, regardless of split") {
+    val (depth, width) = (3, 32)
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 3000).map(_ => "u" + rnd.nextInt(200))
+    val parts = rows.grouped(1100).map(_.toDF("term")).toSeq
+    val cands = SketchOps.cmsTopCandidates(rows.toDF("term"), "term", 8)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val whole = SketchOps.cmsProbe(
+      SketchOps.cmsCounters(rows.toDF("term"), "term", depth, width),
+      cands, depth, width)
+    val folded = SketchOps.cmsProbe(
+      parts.map(p => SketchOps.cmsCounters(p, "term", depth, width))
+        .reduce((a, b) => SketchOps.cmsMerge(a, b).localCheckpoint()),
+      cands, depth, width)
+    assert(canon(folded) == canon(whole),
+      "batch-folded counters diverged from the whole-stream counters")
+  }
+
   test("null keys are dropped by both sketches (a null hash would sort " +
       "first in Spark's window but last in DuckDB's)") {
     val df = Seq(Some("a"), Some("b"), None, Some("a"), None)
