@@ -2623,6 +2623,63 @@ object Queries {
       |JOIN c3 x3 ON x3.bucket = t.b3""".stripMargin
   }
 
+  // QUANTILE SKETCH (bottom-k-by-hash uniform row sample, k=128):
+  // per-event_type q50/q90 of the integer-quantized value column,
+  // estimated from the k rows with the smallest splitmix-finalized
+  // key hash — a deterministic uniform sample that merges exactly
+  // like KMV (bottom-k of a union of bottom-k sets). Completes the
+  // mergeable-summary family: cardinality (KMV), frequency (CMS),
+  // quantiles (this). The exact quantiles over the full group ride
+  // along as the verification twin; every arithmetic step (hash,
+  // rank, lower-interpolation index (n-1)·q DIV 100) is integer and
+  // mirrored in the oracle, so estimates hash-compare, not just
+  // tolerance-check (contrast q_o_approx_quantiles' Greenwald-Khanna
+  // gauge, which is partition-order-dependent).
+  private val sketchQuantile: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .filter(col("value").isNotNull) // collect_list drops nulls, list() keeps them
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 1000).cast("long").as("v"))
+    val est = graft.llm.SketchOps.quantileEstimate(
+      graft.llm.SketchOps.quantileSample(ev, "event_type", "event_id",
+        col("v"), 128), Seq(50, 90))
+    val exact = ev.groupBy(col("event_type").as("source"))
+      .agg(sort_array(collect_list(col("v"))).as("ev2"))
+      .select(col("source"), size(col("ev2")).cast("long").as("exact_n"),
+        expr("element_at(ev2, CAST((CAST(size(ev2) AS BIGINT) - 1) * 50 DIV 100 AS INT) + 1)")
+          .as("q50_exact"),
+        expr("element_at(ev2, CAST((CAST(size(ev2) AS BIGINT) - 1) * 90 DIV 100 AS INT) + 1)")
+          .as("q90_exact"))
+    est.join(exact, "source")
+  }
+  private val sketchQuantileOracle = {
+    s"""WITH st AS (
+      |  SELECT event_type AS source, CAST(event_id AS VARCHAR) AS term,
+      |         CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |z AS (SELECT source, v, (${FnvOracleSql.fnvStrPublic("term")}) AS z0
+      |      FROM st),
+      |${FnvOracleSql.mix64Ctes("q", "z", Seq("source", "v"))},
+      |hh AS (SELECT source, v,
+      |         CAST(h & 9223372036854775807::HUGEINT AS BIGINT) AS h
+      |       FROM qf),
+      |rn AS (
+      |  SELECT source, v,
+      |         row_number() OVER (PARTITION BY source ORDER BY h, v) AS rn
+      |  FROM hh),
+      |samp AS (SELECT source, v FROM rn WHERE rn <= 128),
+      |sk AS (SELECT source, list_sort(list(v)) AS sv FROM samp GROUP BY 1),
+      |ex AS (SELECT source, list_sort(list(v)) AS ev2 FROM st GROUP BY 1)
+      |SELECT s.source,
+      |  CAST(len(sv) AS BIGINT) AS sample_n,
+      |  sv[(len(sv) - 1) * 50 // 100 + 1] AS q50_est,
+      |  sv[(len(sv) - 1) * 90 // 100 + 1] AS q90_est,
+      |  CAST(len(ev2) AS BIGINT) AS exact_n,
+      |  ev2[(len(ev2) - 1) * 50 // 100 + 1] AS q50_exact,
+      |  ev2[(len(ev2) - 1) * 90 // 100 + 1] AS q90_exact
+      |FROM sk s JOIN ex e ON s.source = e.source""".stripMargin
+  }
+
   // Bloom seen-set: even-doc_id half builds the filter over winnowing
   // fingerprints, odd half probes. Deterministic false positives
   // included — the oracle reproduces the exact bit positions.
@@ -4674,6 +4731,7 @@ object Queries {
     "q_sketch_kmv_stream" -> sketchKmvStream,
     "q_sketch_cms_heavy" -> sketchCmsHeavy,
     "q_sketch_cms_stream" -> sketchCmsStream,
+    "q_sketch_quantile" -> sketchQuantile,
     "q_llm_token_budget_mix" -> llmTokenBudgetMix,
     "q_llm_temp_mix" -> llmTempMix,
     "q_llm_shard_plan" -> llmShardPlan,
@@ -4819,6 +4877,7 @@ object Queries {
     "q_sketch_kmv_stream" -> sketchKmvStreamOracle,
     "q_sketch_cms_heavy" -> sketchCmsHeavyOracle,
     "q_sketch_cms_stream" -> sketchCmsHeavyOracle,
+    "q_sketch_quantile" -> sketchQuantileOracle,
     "q_llm_token_budget_mix" -> llmTokenBudgetMixOracle,
     "q_llm_temp_mix" -> llmTempMixOracle,
     "q_llm_shard_plan" -> llmShardPlanOracle,

@@ -161,6 +161,58 @@ object SketchOps {
     * the key stream never shuffles); the candidate probe joins
     * topK·depth rows against the tiny counter frame.
     */
+  // ------------------------------------------------------------------
+  // Quantile sketch: bottom-k-by-hash uniform row sample. The k rows
+  // with the smallest mixed63(key) per group are a deterministic
+  // uniform sample (the hash order is independent of the values), so
+  // any order statistic of the sample estimates the group's — and the
+  // sample merges EXACTLY like KMV: the bottom-k of a union of
+  // per-shard bottom-k sets is the bottom-k of the union. Cardinality
+  // (KMV), frequency (CMS), quantiles (this) — one mergeable,
+  // engine-exact summary per question a 100 TB catalog asks.
+  // ------------------------------------------------------------------
+
+  /** The (source, h, v) bottom-k sample frame — ≤ k rows per group,
+    * the bounded state a stream or shard carries. `keyCol` is cast to
+    * string and hashed with the splitmix-finalized FNV (order
+    * statistics need the mixed high bits — see [[kmvDistinct]]); ties
+    * on h break by v so the frame is a set. Null keys dropped (the
+    * kmvDistinct contract). */
+  def quantileSample(df: DataFrame, groupCol: String, keyCol: String,
+      valueCol: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    val hashed = df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).as("source"),
+        mixed63(col(keyCol).cast("string")).as("h"),
+        valueCol.cast("long").as("v"))
+    hashed.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("h", "v")))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Merge two bottom-k sample frames: the k smallest (h, v) of the
+    * union per group. */
+  def quantileMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.unionByName(b).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("h", "v")))
+      .filter(col("rn") <= k).drop("rn")
+
+  /** Per-group quantile estimates from a sample frame: for each q in
+    * `quantiles` (percent), the value at 1-based index
+    * `(n-1)·q DIV 100 + 1` of the sorted sample values — the exact
+    * lower-interpolation order statistic, integer arithmetic only. */
+  def quantileEstimate(sample: DataFrame,
+      quantiles: Seq[Int]): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 100))
+    val agg = sample.groupBy("source")
+      .agg(sort_array(collect_list(col("v"))).as("sv"))
+    val qCols = quantiles.map(q => expr(
+      s"element_at(sv, CAST((CAST(size(sv) AS BIGINT) - 1) * $q DIV 100 AS INT) + 1)")
+      .as(s"q${q}_est"))
+    agg.select((col("source") +: size(col("sv")).cast("long").as("sample_n")
+      +: qCols): _*)
+  }
   private def cmsBuckets(term: Column, depth: Int, width: Int) =
     array((0 until depth).map(i =>
       h63(concat(lit(i.toString), term)) % lit(width.toLong)): _*)

@@ -130,6 +130,55 @@ class MergeableSketchSpec extends SparkSpec {
       "batch-folded counters diverged from the whole-stream counters")
   }
 
+  test("quantile sketch == local reference; fold of per-batch samples == " +
+      "whole; estimates land in the binomial rank band") {
+    val k = 128
+    val rnd = new scala.util.Random(19)
+    // heavy-tailed values (exponential-ish) over unique keys, 2 groups
+    val rows = (0 until 12000).map { i =>
+      ("g" + (i % 2), "k" + i,
+        math.floor(-40000.0 * math.log(1.0 - rnd.nextDouble())).toLong)
+    }
+    val df = rows.toDF("g", "key", "v")
+    val out = SketchOps.quantileEstimate(
+        SketchOps.quantileSample(df, "g", "key", col("v"), k), Seq(50, 90))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // driver-side reference: bottom-k by mixed hash, same index math
+    def refQ(vs: Seq[Long], q: Int): Long =
+      vs.sorted.apply(((vs.size - 1).toLong * q / 100).toInt)
+    for (g <- Seq("g0", "g1")) {
+      val grp = rows.filter(_._1 == g)
+      val samp = grp.map { case (_, key, v) => (mixed63(key), v) }
+        .sorted.take(k).map(_._2)
+      val (n, e50, e90) = out(g)
+      assert(n == k)
+      assert(e50 == refQ(samp, 50) && e90 == refQ(samp, 90),
+        s"$g diverged from the reference sample quantiles")
+      // accuracy: the estimate's TRUE rank within q ± 4.5 binomial σ
+      val all = grp.map(_._3).sorted
+      def rankOf(v: Long): Double =
+        100.0 * all.count(_ <= v) / all.size
+      for ((q, est) <- Seq(50 -> e50, 90 -> e90)) {
+        val sigma = math.sqrt(q * (100.0 - q) / k)
+        assert(math.abs(rankOf(est) - q) <= 4.5 * sigma,
+          s"$g q$q estimate at rank ${rankOf(est)} — outside the band")
+      }
+    }
+    // fold property: merging per-batch samples == sampling the whole
+    def canon(x: org.apache.spark.sql.DataFrame): Seq[String] =
+      x.collect().map(_.toString).toSeq.sorted
+    val parts = rows.grouped(5000).map(_.toDF("g", "key", "v")).toSeq
+    val folded = SketchOps.quantileEstimate(
+      parts.map(p => SketchOps.quantileSample(p, "g", "key", col("v"), k))
+        .reduce((a, b) => SketchOps.quantileMerge(a, b, k).localCheckpoint()),
+      Seq(50, 90))
+    val whole = SketchOps.quantileEstimate(
+      SketchOps.quantileSample(df, "g", "key", col("v"), k), Seq(50, 90))
+    assert(canon(folded) == canon(whole),
+      "batch-folded sample diverged from the whole-stream sample")
+  }
+
   test("null keys are dropped by both sketches (a null hash would sort " +
       "first in Spark's window but last in DuckDB's)") {
     val df = Seq(Some("a"), Some("b"), None, Some("a"), None)
