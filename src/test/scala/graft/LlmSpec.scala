@@ -820,6 +820,13 @@ class LlmSpec extends SparkSpec {
     assert(full == brute, "full-probe IVF must equal exact brute force")
   }
 
+  test("filteredTopK: a predicate matching nothing returns empty (the " +
+      "gate count is 0, the brute path over the empty set)") {
+    val out = SimilarityOps.filteredTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", 3, col("label") > 1000)
+    assert(out.isEmpty)
+  }
+
   test("quantized dot matches a local reference computation") {
     import spark.implicits._
     val rows = emb.filter(col("vec_id") < 3)

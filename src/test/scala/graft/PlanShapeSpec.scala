@@ -294,6 +294,27 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("filtered ANN: a scan-pushable attribute predicate reaches the " +
+      "parquet scan's PushedFilters on both gate branches — the operator " +
+      "never blocks pushdown behind its own plan") {
+    import graft.llm.SimilarityOps
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    // a Parquet-pushable comparison (the catalog entry's `% 4` form
+    // is inherently not source-pushable — it still evaluates
+    // scan-adjacent, but PushedFilters can only carry raw-column
+    // comparisons, so the pin uses one)
+    val pred = col("label") > 3
+    val brute = plan(SimilarityOps.filteredTopK(emb, queries, "vec_id",
+      "embedding", 3, pred, bruteGateRows = 1000000L))
+    val ivf = plan(SimilarityOps.filteredTopK(emb, queries, "vec_id",
+      "embedding", 3, pred, nlist = 4, nprobe = 2, bruteGateRows = 0L))
+    for ((p, name) <- Seq(brute -> "brute", ivf -> "ivf"))
+      assert(p.contains("GreaterThan(label,3)"),
+        s"$name branch: label predicate not pushed to the scan:\n${p.take(2000)}")
+  }
+
   test("j3 second-degree: the single-key membership join adds NO exchange " +
       "beyond the staged caches") {
     Queries.stageAll(spark, dir)

@@ -179,6 +179,25 @@ class MergeableSketchSpec extends SparkSpec {
       "batch-folded sample diverged from the whole-stream sample")
   }
 
+  test("degenerate inputs: empty streams and singleton groups neither " +
+      "crash nor fabricate rows") {
+    val empty = Seq.empty[(String, String)].toDF("g", "term")
+    // KMV on empty: per-group tier empty; the merged row degrades to
+    // an empty sketch (k_used 0 -> estimate 0)
+    val kmv = SketchOps.kmvDistinct(empty, "g", "term", 8).collect()
+    assert(kmv.length == 1 && kmv.head.getString(0) == "__merged__" &&
+      kmv.head.getLong(kmv.head.fieldIndex("kmv_est")) == 0L)
+    // CMS on empty: no counters, no candidates, no output
+    assert(SketchOps.cmsHeavyHitters(empty, "term", 2, 8, 5).isEmpty)
+    // quantile of a singleton group: every q is the one value
+    val one = Seq(("g", "k1", 42L)).toDF("g", "key", "v")
+    val q = SketchOps.quantileEstimate(
+      SketchOps.quantileSample(one, "g", "key", col("v"), 8), Seq(0, 50, 100))
+      .collect().head
+    assert((1 to 3).map(i => q.getLong(i + 1)).forall(_ == 42L) &&
+      q.getLong(1) == 1L)
+  }
+
   test("null keys are dropped by both sketches (a null hash would sort " +
       "first in Spark's window but last in DuckDB's)") {
     val df = Seq(Some("a"), Some("b"), None, Some("a"), None)
