@@ -2433,7 +2433,7 @@ object Queries {
       |  FROM me, mh)
       |SELECT source, n_exact, kth_min_hash, k_used,
       |  CAST(CASE WHEN k_used < 128 THEN n_exact
-      |       ELSE (9223372036854775807 // kth_min_hash) * 127 END AS BIGINT)
+      |       ELSE (9223372036854775807 // greatest(kth_min_hash, 1)) * 127 END AS BIGINT)
       |    AS kmv_est
       |FROM unioned""".stripMargin
   }
@@ -2537,7 +2537,7 @@ object Queries {
       |  SELECT '__merged__', kth_min_hash, k_used FROM mh)
       |SELECT source, kth_min_hash, k_used,
       |  CAST(CASE WHEN k_used < 128 THEN k_used
-      |       ELSE (9223372036854775807 // kth_min_hash) * 127 END AS BIGINT)
+      |       ELSE (9223372036854775807 // greatest(kth_min_hash, 1)) * 127 END AS BIGINT)
       |    AS kmv_est
       |FROM unioned""".stripMargin
   }
@@ -2660,7 +2660,7 @@ object Queries {
       |z AS (SELECT source, v, (${FnvOracleSql.fnvStrPublic("term")}) AS z0
       |      FROM st),
       |${FnvOracleSql.mix64Ctes("q", "z", Seq("source", "v"))},
-      |hh AS (SELECT source, v,
+      |hh AS (SELECT DISTINCT source, v,
       |         CAST(h & 9223372036854775807::HUGEINT AS BIGINT) AS h
       |       FROM qf),
       |rn AS (

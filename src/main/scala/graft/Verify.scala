@@ -29,6 +29,17 @@ object Verify {
     // single entry (the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // fail fast on a misspelled entry name: a silently-empty filter
+    // would exit 0 having written nothing, letting a subsequent
+    // check.py pass against STALE outDir parquet from a prior build
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[verify] SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+      spark.stop()
+      sys.exit(2)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

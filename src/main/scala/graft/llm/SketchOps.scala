@@ -118,7 +118,11 @@ object SketchOps {
       .unionByName(merged)
       .withColumn("kmv_est",
         when(col("k_used") < k, col("k_used"))
-          .otherwise(expr(s"($Max63 DIV kth_min_hash) * ${k - 1}")))
+          // greatest(·, 1): if h_k were exactly 0 (probability
+          // ~k·2^-63) Spark's DIV yields NULL while DuckDB's //
+          // raises — the guard (mirrored in the oracle) pins both
+          // engines to the same degenerate answer
+          .otherwise(expr(s"($Max63 DIV greatest(kth_min_hash, 1)) * ${k - 1}")))
   }
 
   def kmvDistinct(df: DataFrame, groupCol: String, termCol: String,
@@ -181,10 +185,15 @@ object SketchOps {
   def quantileSample(df: DataFrame, groupCol: String, keyCol: String,
       valueCol: Column, k: Int): DataFrame = {
     require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    // deduped so the sample frame is a SET — the same contract
+    // quantileMerge's distinct() enforces; without this, duplicate
+    // (group, key, value) input rows would make
+    // merge(sample(A), sample(B)) != sample(A ∪ B)
     val hashed = df.filter(col(keyCol).isNotNull)
       .select(col(groupCol).as("source"),
         mixed63(col(keyCol).cast("string")).as("h"),
         valueCol.cast("long").as("v"))
+      .distinct()
     hashed.withColumn("rn", row_number().over(
         Window.partitionBy("source").orderBy("h", "v")))
       .filter(col("rn") <= k).drop("rn")
@@ -234,15 +243,18 @@ object SketchOps {
     a.unionByName(b).groupBy("i", "bucket").agg(sum("cnt").as("cnt"))
 
   /** Point-query `candidates` (term, exact_tf) against a counter
-    * frame: estimate = min over the depth rows. */
+    * frame: estimate = min over the depth rows. LEFT join + coalesce:
+    * a probe key whose (i, bucket) cell holds no counter row has a
+    * zero counter — the correct CMS point estimate for a never-seen
+    * key is 0, not a silently-dropped candidate. */
   def cmsProbe(counters: DataFrame, candidates: DataFrame, depth: Int,
       width: Int): DataFrame =
     candidates.select(col("term"), col("exact_tf"),
         posexplode(cmsBuckets(col("term"), depth, width))
           .as(Seq("i", "bucket")))
-      .join(counters, Seq("i", "bucket"))
+      .join(counters, Seq("i", "bucket"), "left")
       .groupBy("term", "exact_tf")
-      .agg(min("cnt").as("cms_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
   /** Exact top-K keys with their totals — the candidate set and the
     * demo's verification twin. Materialized eagerly: a projection

@@ -198,6 +198,52 @@ class MergeableSketchSpec extends SparkSpec {
       q.getLong(1) == 1L)
   }
 
+  test("quantile sample frames are SETS: duplicate (group, key, value) " +
+      "input rows leave merge(sample(A), sample(B)) == sample(A ∪ B)") {
+    // k small enough that the sample boundary is contested, with
+    // heavy duplication on both sides of the split — the regime the
+    // pre-fix asymmetry (merge deduped, sample didn't) broke in
+    val k = 8
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 400).map { _ =>
+      val i = rnd.nextInt(30) // 30 distinct keys, ~13x duplication
+      ("g" + (i % 2), "k" + i, (i * 7).toLong)
+    }
+    val df = rows.toDF("g", "key", "v")
+    val parts = Seq(df.filter(col("v") % 3 === 0),
+      df.filter(col("v") % 3 =!= 0))
+    val folded = parts
+      .map(p => SketchOps.quantileSample(p, "g", "key", col("v"), k))
+      .reduce((a, b) => SketchOps.quantileMerge(a, b, k))
+      .orderBy("source", "h", "v").collect().toSeq
+    val whole = SketchOps.quantileSample(df, "g", "key", col("v"), k)
+      .orderBy("source", "h", "v").collect().toSeq
+    assert(folded == whole,
+      "fold over duplicated input != whole-stream sample")
+    // and the frame really is a set: no (source, h, v) appears twice
+    assert(whole.distinct.size == whole.size)
+  }
+
+  test("cmsProbe on a never-counted key returns the zero estimate " +
+      "instead of dropping the candidate") {
+    val (depth, width) = (2, 16)
+    val counters = SketchOps.cmsCounters(
+      Seq("a", "a", "b").toDF("term"), "term", depth, width)
+    val candidates = Seq(("a", 2L), ("ghost", 0L))
+      .toDF("term", "exact_tf")
+    val out = SketchOps.cmsProbe(counters, candidates, depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set("a", "ghost"),
+      "probe must return every candidate")
+    assert(out("a") >= 2L, "CMS never underestimates")
+    // ghost hashed into cells that MAY collide with a/b's — the
+    // estimate is the min over its depth cells, treating empty cells
+    // as 0; with depth 2 over width 16 and only 2 counted keys, at
+    // least one of ghost's cells is overwhelmingly likely empty, but
+    // the hard guarantee is only non-negativity + no drop
+    assert(out("ghost") >= 0L)
+  }
+
   test("null keys are dropped by both sketches (a null hash would sort " +
       "first in Spark's window but last in DuckDB's)") {
     val df = Seq(Some("a"), Some("b"), None, Some("a"), None)
