@@ -4795,6 +4795,19 @@ object Queries {
     "q_mm_features" -> mmFeatures,
   )
 
+  /** The catalog entries that run as REAL micro-batched streams
+    * (foreachBatch / transformWithState loops over time-sliced
+    * replays) rather than one-shot batch plans. This is the source of
+    * truth DocCountSpec checks README/COVERAGE streaming-count claims
+    * against — extend it when a new streaming entry lands, or the
+    * gate stays green while the docs drift. */
+  val streamingEntries: Seq[String] = Seq(
+    "q_llm_stream_neardup", "q_asof_stream", "q_etl_stream_transactions",
+    "q_stream_interval_join", "q_stream_interval_join_outer",
+    "q_scd2_stream_merge", "q_sketch_kmv_stream", "q_sketch_cms_stream")
+  require(streamingEntries.forall(all.contains),
+    "streamingEntries must all be catalog entries")
+
   val oracles: Map[String, String] = Map(
     "q_g1_sessionize" -> g1Oracle,
     "q_g1_session_window" -> g1SessionWindowOracle,
