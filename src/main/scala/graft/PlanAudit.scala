@@ -32,7 +32,10 @@ object PlanAudit {
     // fed from the persisted model — adjudication inherited verbatim
     "q_llm_perplexity_served" -> "broadcast continuation-vocabulary scalar (1 row)",
     "q_llm_source_overlap" -> "source-catalog-sized signature matrix (sources², never doc-scaled)",
-    "q_sketch_kmv_distinct" -> "broadcast of two 1-row sketch/exact scalar frames (merge tier)")
+    "q_sketch_kmv_distinct" -> "broadcast of two 1-row sketch/exact scalar frames (merge tier)",
+    // the pair frame is sources × sources over the group CATALOG
+    // (distinct event_types), never the key stream — groups²·k rows
+    "q_sketch_kmv_intersect" -> "source-pair frame (groups², catalog-sized) joined to sketch rows (≤ k/group)")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()

@@ -2680,6 +2680,94 @@ object Queries {
       |FROM sk s JOIN ex e ON s.source = e.source""".stripMargin
   }
 
+  // KMV SET OPERATIONS (Beyer et al. SIGMOD'07): for every pair of
+  // event_types, estimate how many distinct USERS the two types SHARE
+  // (and each side's exclusive count) from the k-min sketches ALONE —
+  // the union sketch of a pair is the k smallest of the two k-min
+  // sets, ρ = the fraction of it present in both sides, and
+  // |A∩B| ≈ ρ·est(|A∪B|). This upgrades q_llm_source_overlap's
+  // Jaccard-shaped answer to actual shared-cardinality numbers — the
+  // question a dedup or decontamination budget asks. The exact
+  // pairwise union/intersection counts ride along as the verification
+  // twin; every step (hash, rank, membership flags, DIV-first
+  // integer estimate) is mirrored in the oracle, so the estimates
+  // hash-compare. Across SFs both estimator branches run: sf0.001's
+  // 15-user domain exercises the exact passthrough (k_used < k),
+  // sf0.01/0.1 the full-sketch ρ-scaled form.
+  private val sketchKmvIntersect: Q = (s, dir) =>
+    graft.llm.SketchOps.kmvSetOpsWithExact(
+      events(s, dir).select(col("event_type"),
+        col("user_id").cast("string").as("term")),
+      "event_type", "term")
+  private val sketchKmvIntersectOracle = {
+    s"""WITH st AS (
+      |  SELECT event_type AS source, CAST(user_id AS VARCHAR) AS term
+      |  FROM events),
+      |dt AS (SELECT DISTINCT source, term FROM st),
+      |z AS (SELECT source, (${FnvOracleSql.fnvStrPublic("term")}) AS z0 FROM dt),
+      |${FnvOracleSql.mix64Ctes("q", "z", Seq("source"))},
+      |hh AS MATERIALIZED (SELECT DISTINCT source,
+      |         CAST(h & 9223372036854775807::HUGEINT AS BIGINT) AS h
+      |       FROM qf),
+      |rn AS (
+      |  SELECT source, h,
+      |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |  FROM hh),
+      |kmin AS MATERIALIZED (SELECT source, h FROM rn WHERE rn <= 128),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.source AS src_a, b.source AS src_b
+      |  FROM (SELECT DISTINCT source FROM hh) a,
+      |       (SELECT DISTINCT source FROM hh) b
+      |  WHERE a.source < b.source),
+      |ph AS (
+      |  SELECT p.src_a, p.src_b, k.h,
+      |         max(CASE WHEN k.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+      |         max(CASE WHEN k.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+      |  FROM pairs p JOIN kmin k
+      |    ON k.source = p.src_a OR k.source = p.src_b
+      |  GROUP BY 1, 2, 3),
+      |us AS (
+      |  SELECT * FROM (
+      |    SELECT src_a, src_b, h, in_a, in_b,
+      |           row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+      |    FROM ph) WHERE rn <= 128),
+      |agg AS (
+      |  SELECT src_a, src_b,
+      |         CAST(count(*) AS BIGINT) AS k_used,
+      |         max(h) AS kth_min_hash,
+      |         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS inter_cnt,
+      |         CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_only_cnt,
+      |         CAST(sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_only_cnt
+      |  FROM us GROUP BY 1, 2),
+      |est AS (
+      |  SELECT *,
+      |    CAST(CASE WHEN k_used < 128 THEN k_used
+      |         ELSE (9223372036854775807 // greatest(kth_min_hash, 1)) * 127 END
+      |      AS BIGINT) AS union_est
+      |  FROM agg),
+      |tex AS (
+      |  SELECT p.src_a, p.src_b, x.h,
+      |         max(CASE WHEN x.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+      |         max(CASE WHEN x.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+      |  FROM pairs p JOIN hh x
+      |    ON x.source = p.src_a OR x.source = p.src_b
+      |  GROUP BY 1, 2, 3),
+      |ex AS (
+      |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS exact_union,
+      |         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+      |  FROM tex GROUP BY 1, 2)
+      |SELECT e.src_a, e.src_b, e.k_used, e.kth_min_hash, e.inter_cnt,
+      |  e.a_only_cnt, e.b_only_cnt, e.union_est,
+      |  CAST(CASE WHEN e.k_used < 128 THEN e.inter_cnt
+      |       ELSE (e.union_est // 128) * e.inter_cnt END AS BIGINT) AS inter_est,
+      |  CAST(CASE WHEN e.k_used < 128 THEN e.a_only_cnt
+      |       ELSE (e.union_est // 128) * e.a_only_cnt END AS BIGINT) AS diff_a_est,
+      |  CAST(CASE WHEN e.k_used < 128 THEN e.b_only_cnt
+      |       ELSE (e.union_est // 128) * e.b_only_cnt END AS BIGINT) AS diff_b_est,
+      |  x.exact_union, x.exact_inter
+      |FROM est e JOIN ex x ON e.src_a = x.src_a AND e.src_b = x.src_b""".stripMargin
+  }
+
   // Bloom seen-set: even-doc_id half builds the filter over winnowing
   // fingerprints, odd half probes. Deterministic false positives
   // included — the oracle reproduces the exact bit positions.
@@ -4728,6 +4816,7 @@ object Queries {
     "q_llm_bm25" -> llmBm25,
     "q_llm_bloom_seen" -> llmBloomSeen,
     "q_sketch_kmv_distinct" -> sketchKmvDistinct,
+    "q_sketch_kmv_intersect" -> sketchKmvIntersect,
     "q_sketch_kmv_stream" -> sketchKmvStream,
     "q_sketch_cms_heavy" -> sketchCmsHeavy,
     "q_sketch_cms_stream" -> sketchCmsStream,
@@ -4887,6 +4976,7 @@ object Queries {
     "q_llm_bm25" -> llmBm25Oracle,
     "q_llm_bloom_seen" -> FnvOracleSql.bloomSeen,
     "q_sketch_kmv_distinct" -> sketchKmvDistinctOracle,
+    "q_sketch_kmv_intersect" -> sketchKmvIntersectOracle,
     "q_sketch_kmv_stream" -> sketchKmvStreamOracle,
     "q_sketch_cms_heavy" -> sketchCmsHeavyOracle,
     "q_sketch_cms_stream" -> sketchCmsHeavyOracle,

@@ -147,6 +147,108 @@ object SketchOps {
         col("k_used"), col("kmv_est"))
   }
 
+  /** Pairwise SET-OPERATION estimates from per-group k-min sketches
+    * (the K-min synopsis estimator of Beyer et al., SIGMOD'07): for
+    * every unordered source pair (src_a < src_b), build the pair's
+    * UNION sketch L = k smallest of L_a ∪ L_b FROM THE SKETCH ROWS
+    * ALONE (never a rescan of the key stream), then estimate
+    *
+    *  - `union_est`  = the usual (k−1)/h_k over L,
+    *  - `inter_est`  = |{h ∈ L : h ∈ L_a ∧ h ∈ L_b}| · union_est / k
+    *    — "how many distinct users do A and B SHARE", the question a
+    *    dedup or decontamination budget actually asks (the Jaccard
+    *    matrix of q_llm_source_overlap answers it only in similarity
+    *    form),
+    *  - `diff_a_est` / `diff_b_est` from the one-sided counts.
+    *
+    * SOUND because the kth smallest of L_a ∪ L_b is ≤ min(h_k(a),
+    * h_k(b)) (each side alone contributes k values below its own
+    * h_k), so every h ∈ L that belongs to A ∩ B necessarily appears
+    * in BOTH k-min sets — membership is never truncated away. When
+    * the union sketch is NOT full (k_used < k) both inputs are
+    * complete hash sets and every estimate passes through EXACT —
+    * the same passthrough contract as [[kmvEstimate]].
+    *
+    * Integer arithmetic: `(union_est DIV k) · cnt` (division first —
+    * cnt ≤ k keeps the product far from overflow even when a tiny
+    * h_k inflates union_est; the ≤ k·k absolute error this costs is
+    * noise against the estimator's own O(|A∪B|/√k)), mirrored
+    * literally in the oracle.
+    *
+    * Scale shape: the input is the SKETCH frame (≤ k rows/group), so
+    * the pair explosion is groups²·k — catalog-sized, never
+    * data-sized; one window + one aggregate per pair, all clustered
+    * on the pair key.
+    */
+  def kmvSetOps(kmin: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    val sources = kmin.select("source").distinct()
+    // groups × groups pair frame — bounded by the source-catalog size
+    val pairs = sources.toDF("src_a")
+      .crossJoin(sources.toDF("src_b"))
+      .filter(col("src_a") < col("src_b"))
+    val tagged = pairs
+      .withColumn("side_src", explode(array(col("src_a"), col("src_b"))))
+      .join(kmin.withColumnRenamed("source", "side_src"), Seq("side_src"))
+    val perHash = tagged.groupBy("src_a", "src_b", "h").agg(
+      max(when(col("side_src") === col("src_a"), 1).otherwise(0)).as("in_a"),
+      max(when(col("side_src") === col("src_b"), 1).otherwise(0)).as("in_b"))
+    val unionSketch = perHash.withColumn("rn", row_number().over(
+        Window.partitionBy("src_a", "src_b").orderBy("h")))
+      .filter(col("rn") <= k)
+    unionSketch.groupBy("src_a", "src_b").agg(
+        count(lit(1)).as("k_used"),
+        max("h").as("kth_min_hash"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("inter_cnt"),
+        sum(when(col("in_a") === 1 && col("in_b") === 0, 1L)
+          .otherwise(0L)).as("a_only_cnt"),
+        sum(when(col("in_a") === 0 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("b_only_cnt"))
+      .withColumn("union_est",
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr(s"($Max63 DIV greatest(kth_min_hash, 1)) * ${k - 1}")))
+      .withColumn("inter_est",
+        when(col("k_used") < k, col("inter_cnt"))
+          .otherwise(expr(s"(union_est DIV $k) * inter_cnt")))
+      .withColumn("diff_a_est",
+        when(col("k_used") < k, col("a_only_cnt"))
+          .otherwise(expr(s"(union_est DIV $k) * a_only_cnt")))
+      .withColumn("diff_b_est",
+        when(col("k_used") < k, col("b_only_cnt"))
+          .otherwise(expr(s"(union_est DIV $k) * b_only_cnt")))
+  }
+
+  /** [[kmvSetOps]] over a raw key stream, with the EXACT pairwise
+    * union/intersection distinct counts joined on as the demo's
+    * verification twin (production keeps only the sketches — the
+    * exact tier rescans the distinct-hash frame per pair). */
+  def kmvSetOpsWithExact(df: DataFrame, groupCol: String,
+      termCol: String, k: Int = 128): DataFrame = {
+    val hashed = hashFrame(df, groupCol, termCol).localCheckpoint()
+    val est = kmvSetOps(kminOfHashed(hashed, k), k)
+    val sources = hashed.select("source").distinct()
+    val pairs = sources.toDF("src_a")
+      .crossJoin(sources.toDF("src_b"))
+      .filter(col("src_a") < col("src_b"))
+    val exact = pairs
+      .withColumn("side_src", explode(array(col("src_a"), col("src_b"))))
+      .join(hashed.withColumnRenamed("source", "side_src"), Seq("side_src"))
+      .groupBy("src_a", "src_b", "h").agg(
+        max(when(col("side_src") === col("src_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("side_src") === col("src_b"), 1).otherwise(0)).as("in_b"))
+      .groupBy("src_a", "src_b").agg(
+        count(lit(1)).as("exact_union"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("exact_inter"))
+    est.join(exact, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("k_used"),
+        col("kth_min_hash"), col("inter_cnt"), col("a_only_cnt"),
+        col("b_only_cnt"), col("union_est"), col("inter_est"),
+        col("diff_a_est"), col("diff_b_est"), col("exact_union"),
+        col("exact_inter"))
+  }
+
   /** Count-Min heavy hitters: build a `depth`×`width` integer counter
     * sketch over the key stream (each row contributes `weightCol`,
     * default 1), then report — for the exact top-`topK` keys (the

@@ -198,6 +198,68 @@ class MergeableSketchSpec extends SparkSpec {
       q.getLong(1) == 1L)
   }
 
+  test("kmvSetOps == local reference (pairwise union sketch, ρ-scaled " +
+      "intersection/difference), exact passthrough below k, soundness " +
+      "bound holds") {
+    val k = 32
+    val rnd = new scala.util.Random(13)
+    // engineered overlap: s0/s1 share half their key range, s2 is
+    // disjoint from both; plus two tiny sources below k with a known
+    // 5-key intersection (exact-passthrough branch)
+    val rows = (0 until 4000).map { _ =>
+      rnd.nextInt(3) match {
+        case 0 => ("s0", "u" + rnd.nextInt(300))
+        case 1 => ("s1", "u" + (150 + rnd.nextInt(300)))
+        case _ => ("s2", "u" + (5000 + rnd.nextInt(300)))
+      }
+    } ++ (0 until 30).map(i => ("tinyA", "t" + (i % 10))) ++
+      (0 until 30).map(i => ("tinyB", "t" + (i % 10 + 5)))
+    val out = SketchOps.kmvSetOpsWithExact(
+        rows.toDF("g", "term"), "g", "term", k)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (2 until 13).map(i => r.getLong(i)).toVector).toMap
+
+    val sets: Map[String, Set[Long]] = rows.groupBy(_._1)
+      .map { case (g, rs) => g -> rs.map(r => mixed63(r._2)).toSet }
+    def ref(a: Set[Long], b: Set[Long]): Vector[Long] = {
+      val la = a.toSeq.sorted.take(k)
+      val lb = b.toSeq.sorted.take(k)
+      val union = (la.toSet ++ lb.toSet).toSeq.sorted.take(k)
+      val kUsed = union.size.toLong
+      val hk = union.last
+      val inter = union.count(h => la.contains(h) && lb.contains(h)).toLong
+      val aOnly = union.count(h => la.contains(h) && !lb.contains(h)).toLong
+      val bOnly = union.count(h => !la.contains(h) && lb.contains(h)).toLong
+      val uEst = if (kUsed < k) kUsed
+        else (Long.MaxValue / math.max(hk, 1L)) * (k - 1)
+      def scale(c: Long) = if (kUsed < k) c else (uEst / k) * c
+      Vector(kUsed, hk, inter, aOnly, bOnly, uEst,
+        scale(inter), scale(aOnly), scale(bOnly),
+        (a ++ b).size.toLong, a.intersect(b).size.toLong)
+    }
+    val srcs = sets.keys.toSeq.sorted
+    for (Seq(a, b) <- srcs.combinations(2)) {
+      assert(out((a, b)) == ref(sets(a), sets(b)),
+        s"pair ($a,$b) diverged from the reference")
+    }
+    // exact passthrough: tiny pair's estimates ARE the exact answers
+    val tiny = out(("tinyA", "tinyB"))
+    assert(tiny(6) == 5L && tiny(10) == 5L,
+      "below-k pair must pass the exact 5-key intersection through")
+    assert(tiny(5) == 15L && tiny(9) == 15L)
+    // estimator sanity on the engineered-overlap full-sketch pair:
+    // within 5 binomial sigma of the truth (ρ has sd √(ρ(1-ρ)/k))
+    val s01 = out(("s0", "s1"))
+    val exactInter = s01(10).toDouble
+    val exactUnion = s01(9).toDouble
+    val rho = exactInter / exactUnion
+    val sigma = math.sqrt(rho * (1 - rho) / k) * s01(5) // scaled by union_est
+    assert(math.abs(s01(6) - exactInter) <=
+      5 * sigma + math.abs(s01(5) - exactUnion) * rho + k,
+      s"intersection estimate ${s01(6)} too far from $exactInter")
+  }
+
   test("quantile sample frames are SETS: duplicate (group, key, value) " +
       "input rows leave merge(sample(A), sample(B)) == sample(A ∪ B)") {
     // k small enough that the sample boundary is contested, with
