@@ -35,7 +35,11 @@ object PlanAudit {
     "q_sketch_kmv_distinct" -> "broadcast of two 1-row sketch/exact scalar frames (merge tier)",
     // the pair frame is sources × sources over the group CATALOG
     // (distinct event_types), never the key stream — groups²·k rows
-    "q_sketch_kmv_intersect" -> "source-pair frame (groups², catalog-sized) joined to sketch rows (≤ k/group)")
+    "q_sketch_kmv_intersect" -> "source-pair frame (groups², catalog-sized) joined to sketch rows (≤ k/group)",
+    // same shape as q_ann_ivf_topk: the folded-centroid single row is
+    // BNL-broadcast to the probe side (the loaded index's assignments
+    // join is a plain equi-join on cell)
+    "q_ann_index_serve" -> "broadcast centroid array (model state, loaded from the persisted index)")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()

@@ -4024,6 +4024,36 @@ object Queries {
       .select(col("query_id"), col("neighbor_id"),
         col("score").as("score_x1e6"), col("rank"))
   }
+  // PERSISTED IVF INDEX SERVE — the FIFTH persistence seam: the IVF
+  // index (centroids + per-cell assignment lists, the artifact every
+  // production vector store builds once and probes many times) is
+  // staged per embeddings fingerprint through the shared seam
+  // contract (tableKey + stageOnce: atomic publish, _SUCCESS, never
+  // rebuilt) and the entry serves from the LOADED index — the
+  // assignment pass never re-runs at query time. Oracle is identical
+  // to q_ann_ivf_topk's: "the persisted index serves bit-identically
+  // to the in-session build+serve" is the hash-compared surface.
+  private def ivfIndexStaged(s: SparkSession, dir: String): String = {
+    val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("embeddings"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_v1_$key"
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        graft.llm.SimilarityOps.saveIvfIndex(
+          graft.llm.SimilarityOps.buildIvfIndex(
+            embT(s, dir), "vec_id", "embedding"), tmp)
+      }
+    }
+    path
+  }
+  private val annIndexServe: Q = (s, dir) => {
+    val ix = graft.llm.SimilarityOps.loadIvfIndex(s, ivfIndexStaged(s, dir))
+    graft.llm.SimilarityOps.ivfServeTopK(ix,
+        embT(s, dir).filter(col("vec_id") < 20), "vec_id", "embedding", 5,
+        score = graft.llm.SimilarityOps.quantizedCosineX1e6)
+      .select(col("query_id"), col("neighbor_id"),
+        col("score").as("score_x1e6"), col("rank"))
+  }
+
   // Cluster-balanced diversity sample: nearest-cell assignment (same
   // kernel + hash-order centroids as q_ann_ivf_topk), at most 5 kept
   // per cell in multiplicative-hash order.
@@ -4531,6 +4561,7 @@ object Queries {
     events(s, dir).count()
     scd2Staged(s, dir)
     scd2StreamStaged(s, dir)
+    ivfIndexStaged(s, dir)
   }
 
   /** Drop ALL shared per-corpus caches (commit + diagnostic frames).
@@ -4873,6 +4904,7 @@ object Queries {
     "q_ann_cosine_topk" -> annCosineTopk,
     "q_ann_lsh_topk" -> annLshTopk,
     "q_ann_ivf_topk" -> annIvfTopk,
+    "q_ann_index_serve" -> annIndexServe,
     "q_ann_filtered_topk" -> annFilteredTopk,
     "q_ann_pq_topk" -> annPqTopk,
     "q_ann_ivfpq_topk" -> annIvfPqTopk,
@@ -5033,6 +5065,7 @@ object Queries {
     "q_ann_cosine_topk" -> annCosineTopkOracle,
     "q_ann_lsh_topk" -> annLshTopkOracle,
     "q_ann_ivf_topk" -> annIvfTopkOracle,
+    "q_ann_index_serve" -> annIvfTopkOracle,
     "q_ann_filtered_topk" -> annFilteredTopkOracle,
     "q_ann_pq_topk" -> annPqTopkOracle,
     "q_ann_ivfpq_topk" -> annIvfPqTopkOracle,

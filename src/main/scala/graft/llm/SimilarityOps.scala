@@ -301,8 +301,50 @@ object SimilarityOps {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       score: (Column, Column) => Column = cosine,
-      centroids: Option[DataFrame] = None): DataFrame = {
-    val sc = score
+      centroids: Option[DataFrame] = None): DataFrame =
+    ivfServeTopK(buildIvfIndex(corpus, idCol, embCol, nlist, centroids),
+      queries, idCol, embCol, k, nprobe, score)
+
+  /** A built IVF index — the train-once / serve-many artifact every
+    * production vector store persists: `centroids` (cell, centroid)
+    * is model-sized (nlist·d floats); `assignments` (neighbor_id,
+    * emb, cell) is the corpus partitioned into cells, corpus-sized
+    * multi-part parquet on disk. Serving from a loaded index skips
+    * the assignment pass entirely — the probe-side work is all that
+    * remains, which is what makes build-once/probe-many the right
+    * shape at 100 TB (re-assigning the corpus per query batch would
+    * re-scan everything). */
+  case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
+
+  private def quant1000(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** All nlist centroids folded into one array row; BNL-joining this
+    * single row broadcasts it to every partition without exploding
+    * either side ×nlist. The agg consumes orderBy+limit DIRECTLY so
+    * default centroid selection keeps planning as
+    * TakeOrderedAndProject (a projection in between gets pushed
+    * through the limit and degrades it to a full global sort);
+    * quantization + norming then run once, on the single aggregated
+    * row, before broadcast. */
+  private def centArrOf(cents: DataFrame): DataFrame = {
+    val V = graft.functions.VecFunctions
+    cents
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("raw"))
+      .select(transform(col("raw"), c => {
+        val cq = quant1000(c("centroid"))
+        struct(c("cell").cast("long").as("cell"), cq.as("cq"),
+          V.dot_long(cq, cq).as("cnq"))
+      }).as("cents"))
+  }
+
+  /** Build the IVF index: pick/accept centroids, then the map-only
+    * assignment pass (each corpus vector → nearest centroid; one
+    * codegen'd kernel call per row, no corpus×nlist explode, no
+    * shuffle). */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, embCol: String,
+      nlist: Int = 16, centroids: Option[DataFrame] = None): IvfIndex = {
+    val V = graft.functions.VecFunctions
     val cents = centroids.getOrElse {
       // hash order, id tie-break: reproducible across runs, engines,
       // and partitionings (unlike limit() on an unordered frame); the
@@ -312,46 +354,61 @@ object SimilarityOps {
           % lit(1000000007L), col("cell"))
         .limit(nlist)
     }
-    val V = graft.functions.VecFunctions
-    def quant(c: Column) =
-      transform(c, x => floor(x.cast("double") * 1000).cast("long"))
-    // all nlist centroids folded into one array row; BNL-joining this
-    // single row broadcasts it to every partition without exploding
-    // either side ×nlist. The agg consumes orderBy+limit DIRECTLY so
-    // centroid selection keeps planning as TakeOrderedAndProject (a
-    // projection in between gets pushed through the limit and degrades
-    // it to a full global sort); quantization + norming then run once,
-    // on the single aggregated row, before broadcast.
-    val centArr = cents
-      .agg(collect_list(struct(col("cell"), col("centroid"))).as("raw"))
-      .select(transform(col("raw"), c => {
-        val cq = quant(c("centroid"))
-        struct(c("cell").cast("long").as("cell"), cq.as("cq"),
-          V.dot_long(cq, cq).as("cnq"))
-      }).as("cents"))
-    // assignment pass: each corpus vector -> nearest centroid (one
-    // kernel call per row; no corpus×nlist explode, no Window shuffle)
-    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
-      .crossJoin(broadcast(centArr))
-      .select(col("neighbor_id"), col("c_emb"),
-        element_at(V.nearest_cells_q(quant(col("c_emb")), col("cents"), 1), 1)
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
+      .crossJoin(broadcast(centArrOf(cents)))
+      .select(col("neighbor_id"), col("emb"),
+        element_at(V.nearest_cells_q(quant1000(col("emb")), col("cents"), 1), 1)
           .as("cell"))
+    IvfIndex(cents, assigned)
+  }
+
+  /** Serve top-k from a (possibly loaded-from-disk) IVF index: each
+    * query probes its `nprobe` nearest cells and exact-ranks only
+    * those cells' members. Identical results to [[ivfTopK]] — the
+    * batch entry IS build + serve — so a persisted index serves
+    * bit-identically to an in-session one. */
+  def ivfServeTopK(index: IvfIndex, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nprobe: Int = 4,
+      score: (Column, Column) => Column = cosine): DataFrame = {
+    val V = graft.functions.VecFunctions
+    val centArr = centArrOf(index.centroids)
     // probe pass: each query -> its nprobe nearest cells
     val probes = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
       .crossJoin(broadcast(centArr))
       .select(col("query_id"), col("q_emb"),
-        explode(V.nearest_cells_q(quant(col("q_emb")), col("cents"), nprobe))
+        explode(V.nearest_cells_q(quant1000(col("q_emb")), col("cents"), nprobe))
           .as("cell"))
     // probe side is queries × nprobe — usually the small side, but
     // gated: a large probe frame falls back to a shuffle join
-    val cands = graft.operators.Hints.maybeBroadcast(probes).join(assigned, Seq("cell"))
+    val cands = graft.operators.Hints.maybeBroadcast(probes)
+      .join(index.assignments, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        sc(col("q_emb"), col("c_emb")).as("score"))
+        score(col("q_emb"), col("emb")).as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Persist an IVF index under `path` — `centroids/` through the
+    * model seam's single-part layout, `assign/` as plain multi-part
+    * parquet (corpus-derived state), plus a top-level `_SUCCESS` once
+    * BOTH halves are complete (the marker `Staging.stageOnce`
+    * publication keys on). */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    Quantizers.saveModel(index.centroids, s"$path/centroids")
+    index.assignments.write.mode("overwrite").parquet(s"$path/assign")
+    new java.io.File(path, "_SUCCESS").createNewFile()
+    ()
+  }
+
+  /** Load an index persisted by [[saveIvfIndex]]. Float arrays
+    * round-trip parquet bit-exactly, so serving from the loaded index
+    * equals serving from the in-session one (ModelSeamSpec). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndex =
+    IvfIndex(Quantizers.loadModel(spark, s"$path/centroids"),
+      spark.read.parquet(s"$path/assign"))
 
   /** Filtered ANN — attribute predicate + vector top-k, the shape
     * production vector search almost always takes ("top-k among rows

@@ -40,6 +40,27 @@ class ModelSeamSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  test("IVF INDEX: serving from the persisted two-part index == " +
+      "in-session build+serve == ivfTopK") {
+    val ix = SimilarityOps.buildIvfIndex(emb, "vec_id", "embedding",
+      nlist = 8)
+    val path = graft.sources.Staging.sessionTempDir("graft_ivf_index")
+    SimilarityOps.saveIvfIndex(ix, path)
+    val loaded = SimilarityOps.loadIvfIndex(spark, path)
+    def serve(i: SimilarityOps.IvfIndex) =
+      SimilarityOps.ivfServeTopK(i, queries, "vec_id", "embedding",
+        k = 5, nprobe = 3).collect().map(_.toSeq).toSet
+    val direct = SimilarityOps.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 3).collect().map(_.toSeq).toSet
+    assert(serve(ix) == direct, "in-session serve != ivfTopK")
+    assert(serve(loaded) == direct, "persisted-index serve != ivfTopK")
+    assert(direct.nonEmpty)
+    // the two-part layout is what landed on disk
+    assert(new java.io.File(s"$path/centroids/_SUCCESS").isFile)
+    assert(new java.io.File(s"$path/assign/_SUCCESS").isFile)
+    assert(new java.io.File(s"$path/_SUCCESS").isFile)
+  }
+
   test("PQ codebook: save -> load -> serve == serve from the in-session frame") {
     val cb = Quantizers.trainPqCodebook(emb, "vec_id", "embedding", m = 4,
       ksub = 8, iters = 2, trainSize = 256)
@@ -163,8 +184,9 @@ class ModelSeamSpec extends SparkSpec {
   // ----------------------------------------------------------------
   // The SHARED persistence-seam contract (documented once in
   // COVERAGE.md "Persistence-seam contract") — parameterized over all
-  // four seams so a fifth seam added to this table inherits the
-  // assertions and cannot re-introduce the r12 stale-staging hazard:
+  // five seams (the r15 IVF index proved the claim: a new seam added
+  // to this table inherits the assertions) so a sixth cannot
+  // re-introduce the r12 stale-staging hazard:
   //   1. staging dirs are keyed on SyntheticTraces.tableKey over the
   //      tables the artifact DERIVES FROM (fingerprint = length+mtime;
   //      regeneration invalidates);
@@ -182,7 +204,7 @@ class ModelSeamSpec extends SparkSpec {
       load: String => DataFrame)
 
   test("persistence-seam contract: fingerprint key, atomic publish, " +
-      "no-rebuild idempotence, bit-exact reload — all four seams") {
+      "no-rebuild idempotence, bit-exact reload — all five seams") {
     import graft.llm.{DedupOps, PipelineOps, TextOps}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def withSuccess(w: String => Unit): String => Unit = { tmp =>
@@ -211,8 +233,28 @@ class ModelSeamSpec extends SparkSpec {
         () => PipelineOps.trainBigramLm(docs, "doc_id", "text",
           col("doc_id") % 50 === 0),
         (m, p) => Quantizers.saveModel(m, p),
-        p => Quantizers.loadModel(spark, p)))
-    assert(seams.size == 4) // the contract covers every shipped seam
+        p => Quantizers.loadModel(spark, p)),
+      // the fifth seam (r15): the Seam frame is the index's canonical
+      // single-frame view (assignments ⋈ centroids on cell); save/load
+      // round it through the REAL two-part layout (centroids/ via the
+      // model seam's single-part parquet, assign/ multi-part, one
+      // top-level _SUCCESS once both halves are complete) — so the
+      // composite artifact inherits the same four assertions
+      Seam("ivf_index",
+        () => {
+          val ix = graft.llm.SimilarityOps.buildIvfIndex(
+            emb, "vec_id", "embedding", nlist = 4)
+          ix.assignments.join(ix.centroids, Seq("cell"))
+        },
+        (m, p) => graft.llm.SimilarityOps.saveIvfIndex(
+          graft.llm.SimilarityOps.IvfIndex(
+            m.select(col("cell"), col("centroid")).distinct(),
+            m.select(col("neighbor_id"), col("emb"), col("cell"))), p),
+        p => {
+          val ix = graft.llm.SimilarityOps.loadIvfIndex(spark, p)
+          ix.assignments.join(ix.centroids, Seq("cell"))
+        }))
+    assert(seams.size == 5) // the contract covers every shipped seam
     val work = graft.sources.Staging.sessionTempDir("graft_seam_contract")
     val key = graft.sources.SyntheticTraces.tableKey(
       "/root/testdata/sf0.001", Seq("documents"))
