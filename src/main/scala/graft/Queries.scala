@@ -2768,6 +2768,159 @@ object Queries {
       |FROM est e JOIN ex x ON e.src_a = x.src_a AND e.src_b = x.src_b""".stripMargin
   }
 
+  // ONE-PASS TABLE PROFILER — the capstone composing the mergeable
+  // sketch family the way a 100 TB catalog service uses it: ONE scan
+  // of events (PlanShapeSpec pins zero file scans in the final plan —
+  // everything derives from the checkpointed stacked projection)
+  // profiles user_id / event_type / value(×1000) at once. Per column:
+  // row + null counts, exact distinct (twin), the KMV estimate off
+  // the SHARED splitmix term hash, CMS point estimates for the exact
+  // top-3 values (one counter frame for all columns, colname prefixed
+  // into the key — multi-tenant sketch-service shape), and for
+  // numeric columns both the bottom-k row-sample quantile estimate
+  // (all columns draw the SAME row sample — row_h hashed once per
+  // input row, before the stack) and the exact histogram order
+  // statistic. Every estimate integer, mirrored in the oracle,
+  // hash-compared.
+  private val profileTableQ: Q = (s, dir) => {
+    val qv = floor(col("value") * 1000).cast("long")
+    graft.llm.SketchOps.profileTable(events(s, dir), col("event_id"),
+      Seq(
+        ("user_id", col("user_id"), Some(col("user_id"))),
+        ("event_type", col("event_type"), None),
+        ("value", qv, Some(qv))))
+  }
+  private val profileTableOracle = {
+    def hb(i: Int, e: String) =
+      s"CAST((${FnvOracleSql.fnvStrPublic(s"('$i' || $e)")}) & " +
+        s"9223372036854775807::HUGEINT AS BIGINT) % 1024"
+    val counters = (0 until 4).map(i =>
+      s"""c$i AS (
+         |  SELECT ${hb(i, "pterm")} AS bucket,
+         |         CAST(sum(cnt) AS BIGINT) AS ccnt
+         |  FROM pt GROUP BY 1)""".stripMargin).mkString(",\n")
+    val probeJoins = (0 until 4).map(i =>
+      s"LEFT JOIN c$i x$i ON x$i.bucket = t.b$i").mkString("\n")
+    val probeLeast = (0 until 4).map(i => s"coalesce(x$i.ccnt, 0)")
+      .mkString("least(", ", ", ")")
+    val topBuckets = (0 until 4).map(i => s"${hb(i, "pterm")} AS b$i")
+      .mkString(", ")
+    s"""WITH base AS (
+      |  SELECT CAST(event_id AS VARCHAR) AS rk,
+      |         CAST(user_id AS VARCHAR) AS s_user,
+      |         CAST(user_id AS BIGINT) AS v_user,
+      |         event_type AS s_type,
+      |         CASE WHEN value IS NULL THEN NULL
+      |              ELSE CAST(floor(value * 1000) AS BIGINT) END AS v_value
+      |  FROM events),
+      |rz AS (SELECT rk, s_user, v_user, s_type, v_value,
+      |         (${FnvOracleSql.fnvStrPublic("rk")}) AS z0 FROM base),
+      |${FnvOracleSql.mix64Ctes("r", "rz",
+            Seq("s_user", "v_user", "s_type", "v_value"))},
+      |rh AS MATERIALIZED (SELECT s_user, v_user, s_type, v_value,
+      |        CAST(h & 9223372036854775807::HUGEINT AS BIGINT) AS row_h
+      |      FROM rf),
+      |tall AS MATERIALIZED (
+      |  SELECT row_h, 'user_id' AS colname, s_user AS term, v_user AS v,
+      |         TRUE AS is_num FROM rh
+      |  UNION ALL
+      |  SELECT row_h, 'event_type', s_type, NULL, FALSE FROM rh
+      |  UNION ALL
+      |  SELECT row_h, 'value', CAST(v_value AS VARCHAR), v_value, TRUE
+      |  FROM rh),
+      |hist AS MATERIALIZED (
+      |  SELECT colname, term, v, is_num, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tall GROUP BY 1, 2, 3, 4),
+      |stats AS (
+      |  SELECT colname, CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN term IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+      |      AS null_cnt,
+      |    CAST(count(CASE WHEN term IS NOT NULL THEN 1 END) AS BIGINT)
+      |      AS n_distinct
+      |  FROM hist GROUP BY 1),
+      |dterm AS (SELECT DISTINCT colname, term FROM hist
+      |          WHERE term IS NOT NULL),
+      |tz AS (SELECT colname, term,
+      |         (${FnvOracleSql.fnvStrPublic("term")}) AS z0 FROM dterm),
+      |${FnvOracleSql.mix64Ctes("t", "tz", Seq("colname", "term"))},
+      |th AS (SELECT DISTINCT colname,
+      |         CAST(h & 9223372036854775807::HUGEINT AS BIGINT) AS h
+      |       FROM tf),
+      |krn AS (
+      |  SELECT colname, h,
+      |         row_number() OVER (PARTITION BY colname ORDER BY h) AS rn
+      |  FROM th),
+      |kmv AS (
+      |  SELECT colname, max(h) AS kth_min_hash,
+      |         CAST(count(*) AS BIGINT) AS k_used
+      |  FROM krn WHERE rn <= 128 GROUP BY 1),
+      |kmve AS (
+      |  SELECT colname, kth_min_hash, k_used,
+      |    CAST(CASE WHEN k_used < 128 THEN k_used
+      |         ELSE (9223372036854775807 // greatest(kth_min_hash, 1)) * 127
+      |         END AS BIGINT) AS kmv_est
+      |  FROM kmv),
+      |pt AS MATERIALIZED (
+      |  SELECT colname, term, cnt, colname || '|' || term AS pterm
+      |  FROM hist WHERE term IS NOT NULL),
+      |$counters,
+      |topv AS (
+      |  SELECT colname, term, cnt, rnk, $topBuckets
+      |  FROM (SELECT colname, term, cnt, pterm,
+      |          row_number() OVER (PARTITION BY colname
+      |            ORDER BY cnt DESC, term ASC) AS rnk
+      |        FROM pt)
+      |  WHERE rnk <= 3),
+      |probed AS (
+      |  SELECT t.colname, t.term, t.cnt, t.rnk, $probeLeast AS cms_est
+      |  FROM topv t
+      |$probeJoins),
+      |topagg AS (
+      |  SELECT colname,
+      |    string_agg(term, ',' ORDER BY rnk) AS top_terms,
+      |    string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY rnk) AS top_exact,
+      |    string_agg(CAST(cms_est AS VARCHAR), ',' ORDER BY rnk) AS top_cms
+      |  FROM probed GROUP BY 1),
+      |qs AS (SELECT DISTINCT colname, row_h, v FROM tall
+      |       WHERE is_num AND v IS NOT NULL),
+      |qrn AS (
+      |  SELECT colname, v,
+      |         row_number() OVER (PARTITION BY colname ORDER BY row_h, v)
+      |           AS rn
+      |  FROM qs),
+      |qsamp AS (SELECT colname, list_sort(list(v)) AS sv
+      |          FROM qrn WHERE rn <= 128 GROUP BY 1),
+      |qest AS (
+      |  SELECT colname, CAST(len(sv) AS BIGINT) AS sample_n,
+      |    sv[(len(sv) - 1) * 50 // 100 + 1] AS q50_est,
+      |    sv[(len(sv) - 1) * 90 // 100 + 1] AS q90_est
+      |  FROM qsamp),
+      |vh AS (SELECT colname, v, CAST(sum(cnt) AS BIGINT) AS vcnt
+      |       FROM hist WHERE v IS NOT NULL GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT colname, v,
+      |    CAST(sum(vcnt) OVER (PARTITION BY colname ORDER BY v) AS BIGINT)
+      |      AS cum,
+      |    CAST(sum(vcnt) OVER (PARTITION BY colname) AS BIGINT) AS n
+      |  FROM vh),
+      |qx AS (
+      |  SELECT colname,
+      |    min(CASE WHEN cum >= (n - 1) * 50 // 100 + 1 THEN v END)
+      |      AS q50_exact,
+      |    min(CASE WHEN cum >= (n - 1) * 90 // 100 + 1 THEN v END)
+      |      AS q90_exact
+      |  FROM cum GROUP BY 1)
+      |SELECT s.colname, s.n_rows, s.null_cnt, s.n_distinct,
+      |  k.kth_min_hash, k.k_used, k.kmv_est,
+      |  t.top_terms, t.top_exact, t.top_cms,
+      |  q.sample_n, q.q50_est, q.q90_est, x.q50_exact, x.q90_exact
+      |FROM stats s
+      |LEFT JOIN kmve k USING (colname)
+      |LEFT JOIN topagg t USING (colname)
+      |LEFT JOIN qest q USING (colname)
+      |LEFT JOIN qx x USING (colname)""".stripMargin
+  }
+
   // Bloom seen-set: even-doc_id half builds the filter over winnowing
   // fingerprints, odd half probes. Deterministic false positives
   // included — the oracle reproduces the exact bit positions.
@@ -4852,6 +5005,7 @@ object Queries {
     "q_sketch_cms_heavy" -> sketchCmsHeavy,
     "q_sketch_cms_stream" -> sketchCmsStream,
     "q_sketch_quantile" -> sketchQuantile,
+    "q_profile_table" -> profileTableQ,
     "q_llm_token_budget_mix" -> llmTokenBudgetMix,
     "q_llm_temp_mix" -> llmTempMix,
     "q_llm_shard_plan" -> llmShardPlan,
@@ -5013,6 +5167,7 @@ object Queries {
     "q_sketch_cms_heavy" -> sketchCmsHeavyOracle,
     "q_sketch_cms_stream" -> sketchCmsHeavyOracle,
     "q_sketch_quantile" -> sketchQuantileOracle,
+    "q_profile_table" -> profileTableOracle,
     "q_llm_token_budget_mix" -> llmTokenBudgetMixOracle,
     "q_llm_temp_mix" -> llmTempMixOracle,
     "q_llm_shard_plan" -> llmShardPlanOracle,

@@ -324,6 +324,139 @@ object SketchOps {
     agg.select((col("source") +: size(col("sv")).cast("long").as("sample_n")
       +: qCols): _*)
   }
+  // ------------------------------------------------------------------
+  // One-pass table profiler: the capstone composing the mergeable
+  // family the way a 100 TB catalog service would — ONE scan of the
+  // table feeds, per profiled column: row/null counts, exact distinct
+  // (the demo twin), the KMV distinct estimate, CMS point estimates
+  // for the exact top values, and quantiles (bottom-k row-sample
+  // estimate + the exact histogram order statistic) for numeric
+  // columns.
+  // ------------------------------------------------------------------
+
+  /** Profile `columns` of `df` in ONE data pass.
+    *
+    * `columns` = (name, stringForm, Some(numericForm) for numeric
+    * cols); `rowKey` is a unique row id (the quantile sample's hash
+    * key). The scan is paid exactly once: the stacked projection
+    * (row_h, colname, term, h, v) is localCheckpoint'd and every
+    * consumer reads the checkpoint — PlanShapeSpec pins that the
+    * final plan contains NO file scan. Hashes are computed once and
+    * SHARED: `h` (the splitmix-finalized term hash) serves both the
+    * per-column KMV sketch and the exact-distinct twin; `row_h` (the
+    * row-key hash) is computed once per INPUT row before the stack,
+    * so all numeric columns draw the SAME uniform row sample. The
+    * second checkpoint (`hist`, the exact per-value histogram) is
+    * cardinality-sized and feeds stats / KMV / CMS / top-k / exact
+    * quantiles without recomputing the reduction per consumer.
+    *
+    * Scale shape: one wide scan, one explode (×|columns|), one
+    * map-side-combinable reduction to the per-value histogram; the
+    * sketch tiers then work on cardinality-sized or k-sized frames.
+    * At 100 TB the checkpointed projection is the profiler's working
+    * set — narrow (4 columns) and columnar, the same staging a
+    * production profiler writes before fan-out.
+    */
+  def profileTable(df: DataFrame, rowKey: Column,
+      columns: Seq[(String, Column, Option[Column])], k: Int = 128,
+      depth: Int = 4, width: Int = 1024, topK: Int = 3): DataFrame = {
+    require(columns.nonEmpty)
+    val stacked = columns.map { case (name, s, numOpt) =>
+      struct(lit(name).as("colname"), s.cast("string").as("term"),
+        numOpt.map(_.cast("long")).getOrElse(lit(null).cast("long")).as("v"),
+        lit(numOpt.isDefined).as("is_num"))
+    }
+    val tall = df
+      .select(mixed63(rowKey.cast("string")).as("row_h"),
+        explode(array(stacked: _*)).as("c"))
+      .select(col("row_h"), col("c.colname").as("colname"),
+        col("c.term").as("term"), col("c.v").as("v"),
+        col("c.is_num").as("is_num"))
+      .withColumn("h", when(col("term").isNotNull, mixed63(col("term"))))
+      .localCheckpoint() // THE one pass over the source
+    // exact per-value histogram — cardinality-sized, the reduction
+    // every non-sample consumer shares
+    val hist = tall.groupBy("colname", "term", "h", "v", "is_num")
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val nn = hist.filter(col("term").isNotNull)
+
+    val stats = hist.groupBy("colname").agg(
+      sum("cnt").as("n_rows"),
+      sum(when(col("term").isNull, col("cnt")).otherwise(0L)).as("null_cnt"),
+      count(when(col("term").isNotNull, 1)).as("n_distinct"))
+
+    // KMV tier: the histogram's h values are already the distinct
+    // (colname, h) stream the sketch ranks (no per-column rebuild)
+    val kmv = kmvEstimate(kminOfHashed(
+        nn.select(col("colname").as("source"), col("h")).distinct(), k), k)
+      .filter(col("source") =!= "__merged__")
+      .select(col("source").as("colname"), col("kth_min_hash"),
+        col("k_used"), col("kmv_est"))
+
+    // CMS tier: one counter frame for ALL columns — the colname is
+    // prefixed into the hashed key, so columns share the depth×width
+    // counter space exactly as multi-tenant sketch services do; the
+    // build is weighted by the histogram counts (cellwise identical
+    // to counting the raw stream)
+    val pterm = concat(col("colname"), lit("|"), col("term"))
+    val counters = nn
+      .select(col("cnt"),
+        posexplode(cmsBuckets(pterm, depth, width)).as(Seq("i", "bucket")))
+      .groupBy("i", "bucket").agg(sum("cnt").as("ccnt"))
+    val top = nn.withColumn("rnk", row_number().over(
+        Window.partitionBy("colname")
+          .orderBy(col("cnt").desc, col("term").asc)))
+      .filter(col("rnk") <= topK)
+    val probed = top
+      .select(col("colname"), col("term"), col("cnt"), col("rnk"),
+        posexplode(cmsBuckets(pterm, depth, width)).as(Seq("i", "bucket")))
+      .join(counters, Seq("i", "bucket"), "left")
+      .groupBy("colname", "term", "cnt", "rnk")
+      .agg(min(coalesce(col("ccnt"), lit(0L))).as("cms_est"))
+    def orderedCsv(value: Column) = concat_ws(",",
+      transform(array_sort(collect_list(struct(col("rnk"),
+        value.cast("string").as("s")))), x => x("s")))
+    val topAgg = probed.groupBy("colname").agg(
+      orderedCsv(col("term")).as("top_terms"),
+      orderedCsv(col("cnt")).as("top_exact"),
+      orderedCsv(col("cms_est")).as("top_cms"))
+
+    // quantile tier (numeric columns): bottom-k rows by the SHARED
+    // row-key hash → sample estimate; exact order statistic from the
+    // histogram's cumulative counts as the twin
+    val samp = tall.filter(col("is_num") && col("v").isNotNull)
+      .select(col("colname").as("source"), col("row_h").as("h"), col("v"))
+      .distinct()
+    val qest = quantileEstimate(
+        samp.withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("h", "v")))
+          .filter(col("rn") <= k).drop("rn"),
+        Seq(50, 90))
+      .select(col("source").as("colname"), col("sample_n"),
+        col("q50_est"), col("q90_est"))
+    val vh = nn.filter(col("v").isNotNull)
+      .groupBy("colname", "v").agg(sum("cnt").as("vcnt"))
+    val cum = vh
+      .withColumn("cum", sum("vcnt").over(
+        Window.partitionBy("colname").orderBy("v")))
+      .withColumn("n", sum("vcnt").over(Window.partitionBy("colname")))
+    val qexact = cum.groupBy("colname").agg(
+      min(when(col("cum") >= expr("(n - 1) * 50 DIV 100 + 1"), col("v")))
+        .as("q50_exact"),
+      min(when(col("cum") >= expr("(n - 1) * 90 DIV 100 + 1"), col("v")))
+        .as("q90_exact"))
+
+    stats.join(kmv, Seq("colname"), "left")
+      .join(topAgg, Seq("colname"), "left")
+      .join(qest, Seq("colname"), "left")
+      .join(qexact, Seq("colname"), "left")
+      .select(col("colname"), col("n_rows"), col("null_cnt"),
+        col("n_distinct"), col("kth_min_hash"), col("k_used"),
+        col("kmv_est"), col("top_terms"), col("top_exact"),
+        col("top_cms"), col("sample_n"), col("q50_est"), col("q90_est"),
+        col("q50_exact"), col("q90_exact"))
+  }
+
   private def cmsBuckets(term: Column, depth: Int, width: Int) =
     array((0 until depth).map(i =>
       h63(concat(lit(i.toString), term)) % lit(width.toLong)): _*)

@@ -315,6 +315,25 @@ class PlanShapeSpec extends SparkSpec {
         s"$name branch: label predicate not pushed to the scan:\n${p.take(2000)}")
   }
 
+  test("table profiler is ONE data pass: the source is scanned only " +
+      "into the checkpointed projection, never by the consumers") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val qv = floor(col("value") * 1000).cast("long")
+    val prof = graft.llm.SketchOps.profileTable(ev, col("event_id"),
+      Seq(("user_id", col("user_id"), Some(col("user_id"))),
+        ("event_type", col("event_type"), None),
+        ("value", qv, Some(qv))))
+    // building the profile localCheckpoints the stacked projection —
+    // the ONE scan; the assembled plan must read only checkpoints
+    val p = plan(prof)
+    assert(count(p, "Scan parquet") == 0 && count(p, "FileScan") == 0,
+      s"profiler consumers must not rescan the source:\n${p.take(2000)}")
+    assert(p.contains("Scan ExistingRDD"),
+      "profiler consumers must read the checkpointed projection")
+    // and the output is one row per profiled column
+    assert(prof.count() == 3L)
+  }
+
   test("j3 second-degree: the single-key membership join adds NO exchange " +
       "beyond the staged caches") {
     Queries.stageAll(spark, dir)
