@@ -2933,6 +2933,78 @@ object Queries {
       "doc_id", "fp")
   }
 
+  // BPE MERGE-RULE TRAINING (Sennrich et al. 2016) — the learned half
+  // of the tokenizer story (q_llm_bpe_tokens segments with a fixed
+  // regex): 8 generations of highest-frequency-adjacent-pair merging
+  // over the corpus word-type table, argmax tie-broken (count desc,
+  // left, right), merges applied greedily left-to-right via the
+  // per-symbol-delimited <s1><s2> encoding (both engines' replace is
+  // a single non-overlapping scan, so '<a><a><a><a>' -> '<aa><aa>'
+  // identically). Output = the merge table with the corpus-weighted
+  // compression curve + the top-10 words' segmentations under the
+  // learned rules. The ORACLE reproduces all 8 generations as
+  // unrolled MATERIALIZED CTE generations (the PageRank/SCD-2-stream
+  // oracle pattern) — pair counts, argmax, replace, curve, all
+  // hash-compared.
+  private val llmBpeTrain: Q = (s, dir) =>
+    graft.llm.TextOps.bpeTrain(docsT(s, dir), "text", gens = 8,
+      topWords = 10)
+  private val llmBpeTrainOracle = {
+    val gens = 8
+    def genCtes(g: Int): String = {
+      val prev = if (g == 1) "enc0" else s"enc${g - 1}"
+      s"""syms$g AS (
+        |  SELECT w, wcnt, string_split(trim(enc, '<>'), '><') AS syms
+        |  FROM $prev),
+        |pairs$g AS (
+        |  SELECT a, b, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
+        |    SELECT wcnt, syms[i] AS a, syms[i + 1] AS b
+        |    FROM (SELECT wcnt, syms,
+        |            unnest(generate_series(1, len(syms) - 1)) AS i
+        |          FROM syms$g))
+        |  GROUP BY 1, 2),
+        |win$g AS MATERIALIZED (
+        |  SELECT CAST($g AS INT) AS gen, a, b, cnt
+        |  FROM pairs$g ORDER BY cnt DESC, a, b LIMIT 1),
+        |enc$g AS MATERIALIZED (
+        |  SELECT e.w, e.wcnt,
+        |    coalesce(replace(e.enc, '<' || x.a || '><' || x.b || '>',
+        |                     '<' || x.a || x.b || '>'), e.enc) AS enc
+        |  FROM $prev e LEFT JOIN win$g x ON TRUE),
+        |nsym$g AS (
+        |  SELECT CAST(sum(wcnt * len(string_split(trim(enc, '<>'), '><')))
+        |           AS BIGINT) AS n_syms
+        |  FROM enc$g)""".stripMargin
+    }
+    val mergeRows = (1 to gens).map(g =>
+      s"""SELECT 'merge' AS kind, gen, a, b, cnt AS pair_cnt,
+        |  (SELECT n_syms FROM nsym$g) AS n_syms,
+        |  CAST(NULL AS VARCHAR) AS word, CAST(NULL AS VARCHAR) AS enc
+        |FROM win$g""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+      |  SELECT unnest(string_split_regex(text, '\\s+')) AS w
+      |  FROM documents),
+      |words AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS wcnt FROM toks
+      |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2
+      |  GROUP BY 1),
+      |enc0 AS MATERIALIZED (
+      |  SELECT w, wcnt,
+      |    '<' || array_to_string(regexp_extract_all(w, '.'), '><') || '>'
+      |      AS enc
+      |  FROM words),
+      |${(1 to gens).map(genCtes).mkString(",\n")}
+      |$mergeRows
+      |UNION ALL
+      |SELECT 'seg', CAST($gens AS INT), CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |  w, enc
+      |FROM (SELECT w, enc,
+      |        row_number() OVER (ORDER BY wcnt DESC, w) AS rn
+      |      FROM enc$gens)
+      |WHERE rn <= 10""".stripMargin
+  }
+
   // Per-doc top-3 BM25 terms, exact fixed-point (k1=1.2, b=0.75
   // cleared to integers; ratio idf; HUGEINT numerator).
   private val llmBm25: Q = (s, dir) =>
@@ -5013,6 +5085,7 @@ object Queries {
     "q_llm_token_stats" -> llmTokenStats,
     "q_llm_quality" -> llmQuality,
     "q_llm_bpe_tokens" -> llmBpeTokens,
+    "q_llm_bpe_train" -> llmBpeTrain,
     "q_llm_langid" -> llmLangId,
     "q_llm_jaccard_pairs" -> llmJaccardPairs,
     "q_llm_minhash_pairs" -> llmMinhashPairs,
@@ -5175,6 +5248,7 @@ object Queries {
     "q_llm_token_stats" -> llmTokenStatsOracle,
     "q_llm_quality" -> llmQualityOracle,
     "q_llm_bpe_tokens" -> llmBpeTokensOracle,
+    "q_llm_bpe_train" -> llmBpeTrainOracle,
     "q_llm_langid" -> llmLangIdOracle,
     "q_llm_jaccard_pairs" -> llmJaccardOracle,
     "q_llm_minhash_sig" -> llmMinhashSigOracle,

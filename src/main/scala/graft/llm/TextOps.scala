@@ -22,6 +22,97 @@ object TextOps {
       (length(col(textCol)) - length(replace(col(textCol), lit(" "), lit("")))).as("n_spaces"))
   }
 
+  /** BPE merge-rule TRAINING (Sennrich et al. 2016): learn `gens`
+    * merge rules from the corpus by iterative
+    * highest-frequency-adjacent-pair merging over the word-TYPE
+    * table — the missing half of the tokenizer story next to
+    * [[bpeishTokens]]' fixed segmentation regex.
+    *
+    * Word types are whitespace tokens matching `^[a-z]+$` of length
+    * ≥ 2 with their corpus frequencies; a word's segmentation is
+    * encoded as `<s1><s2>…<sN>` (per-symbol delimiters are NOT
+    * shared between adjacent symbols, so the literal replace of
+    * `<a><b>` → `<ab>` applies merges greedily left-to-right,
+    * non-overlapping, identically in Spark and DuckDB — both engines'
+    * `replace` is a single left-to-right scan). Pair counting weights
+    * every adjacent POSITION by the word's frequency (the classic
+    * zip(word, word[1:]) Counter form, overlaps included); the argmax
+    * is tie-broken (count desc, left asc, right asc) so training is
+    * deterministic. No end-of-word marker — merges are learned
+    * within words (deliberate simplification, recorded here).
+    *
+    * Output: one 'merge' row per generation (gen, the learned pair,
+    * its count, and the corpus-weighted total symbol count AFTER the
+    * merge — the compression curve) plus 'seg' rows giving the
+    * `topWords` most frequent words' final segmentations under the
+    * learned rules. Stops early if no pair remains.
+    *
+    * Scale shape: the per-generation state is the word-TYPE table
+    * (vocabulary-sized, checkpointed between generations — exactly
+    * the PageRank iterate pattern); the corpus is scanned ONCE to
+    * build it. Driver-side collects are the 1-row argmax, a scalar,
+    * and the `topWords` seg rows — bounded model state, the
+    * quantizer-training precedent. The DuckDB oracle reproduces all
+    * `gens` generations as unrolled MATERIALIZED CTEs.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, gens: Int = 8,
+      topWords: Int = 10): DataFrame = {
+    require(gens >= 1 && gens <= 32)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    val symsOf = split(regexp_replace(col("enc"), "^<|>$", ""), "><")
+    var enc = words.select(col("w"), col("wcnt"),
+        concat(lit("<"), concat_ws("><", split(col("w"), "")), lit(">"))
+          .as("enc"))
+      .localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var g = 1
+    var done = false
+    while (g <= gens && !done) {
+      val winner = enc
+        .select(col("wcnt"), col("enc"), symsOf.as("syms"))
+        .select(col("wcnt"), col("syms"),
+          posexplode(col("syms")).as(Seq("pos", "a")))
+        // try_: the last symbol has no successor (ANSI element_at throws)
+        .withColumn("b", try_element_at(col("syms"), col("pos") + 2))
+        .filter(col("b").isNotNull)
+        .groupBy("a", "b").agg(sum("wcnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (winner.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (winner.head.getString(0),
+          winner.head.getString(1), winner.head.getLong(2))
+        enc = enc.withColumn("enc",
+            expr(s"replace(enc, '<$a><$b>', '<$a$b>')"))
+          .localCheckpoint()
+        val nSyms = enc
+          .select(sum(col("wcnt") * size(symsOf)).as("n")).head.getLong(0)
+        merges += ((g, a, b, cnt, nSyms))
+        g += 1
+      }
+    }
+    val segRows = enc.orderBy(col("wcnt").desc, col("w").asc)
+      .limit(topWords).select(col("w"), col("enc")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val mergeDf = merges.toSeq.toDF("gen", "a", "b", "pair_cnt", "n_syms")
+      .select(lit("merge").as("kind"), col("gen"), col("a"), col("b"),
+        col("pair_cnt"), col("n_syms"),
+        lit(null).cast("string").as("word"),
+        lit(null).cast("string").as("enc"))
+    val segDf = segRows.toDF("word", "enc")
+      .select(lit("seg").as("kind"), lit(gens).as("gen"),
+        lit(null).cast("string").as("a"), lit(null).cast("string").as("b"),
+        lit(null).cast("long").as("pair_cnt"),
+        lit(null).cast("long").as("n_syms"), col("word"), col("enc"))
+    mergeDf.unionByName(segDf)
+  }
+
   /** BPE-ish subword segmentation via regex: alphanumeric runs are
     * one token each, every other non-space character is its own token
     * (the usual pre-tokenization regex shape of GPT-2-family BPE,

@@ -1591,4 +1591,73 @@ class LlmSpec extends SparkSpec {
     assert(est2(("s1", "s2")) >= 500L)
   }
 
+  test("bpeTrain == driver-side reference trainer (pair counts, argmax " +
+      "tie-break, greedy non-overlapping merges, compression curve)") {
+    import graft.llm.TextOps
+    import spark.implicits._
+    // overlap-heavy corpus: runs of the same char exercise the
+    // greedy left-to-right non-overlap semantics ("aaaa" -> "aa aa"),
+    // ties exercise the (count, a, b) ordering
+    val docs = Seq(
+      "aaaa aab the the the quick quick brown fox fox fox",
+      "the quick brown aaaa aab banana bandana the quick",
+      "fox banana bandana aab aaaa the THE Ignored123 x"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val gens = 6
+    val out = TextOps.bpeTrain(docs, "text", gens, topWords = 5).collect()
+
+    // reference trainer over symbol LISTS (no string encoding at all —
+    // a genuinely independent formulation)
+    var words: Map[List[String], Long] = docs.collect()
+      .flatMap(_.getString(1).split("\\s+"))
+      .filter(w => w.matches("^[a-z]+$") && w.length >= 2)
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toList -> ws.length.toLong }
+    def mergeOne(s: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toList
+    }
+    val refMerges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    for (g <- 1 to gens) {
+      val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, cnt) <- words; i <- 0 until syms.length - 1)
+        pairCnt((syms(i), syms(i + 1))) =
+          pairCnt.getOrElse((syms(i), syms(i + 1)), 0L) + cnt
+      if (pairCnt.nonEmpty) {
+        val ((a, b), c) = pairCnt.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        words = words.groupBy { case (syms, _) => mergeOne(syms, a, b) }
+          .map { case (k, vs) => k -> vs.values.sum }
+        val nSyms = words.map { case (s, c) => s.length * c }.sum
+        refMerges += ((g, a, b, c, nSyms))
+      }
+    }
+    val gotMerges = out.filter(_.getString(0) == "merge")
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(gotMerges == refMerges.toSeq,
+      s"merge table diverged:\n got $gotMerges\n ref $refMerges")
+    // seg rows: decode the final encodings and compare to the
+    // reference's final symbol lists for the top words
+    val refEnc = words.map { case (syms, c) =>
+      syms.mkString -> syms }
+    val segs = out.filter(_.getString(0) == "seg")
+      .map(r => r.getString(6) ->
+        r.getString(7).stripPrefix("<").stripSuffix(">")
+          .split("><").toList).toMap
+    assert(segs.size == 5)
+    for ((w, syms) <- segs)
+      assert(refEnc(w) == syms, s"word $w segmented as $syms, ref ${refEnc(w)}")
+    // the compression curve is monotone non-increasing
+    val curve = gotMerges.map(_._5)
+    assert(curve.zip(curve.tail).forall { case (x, y) => y <= x })
+  }
+
 }
