@@ -1070,6 +1070,56 @@ object Queries {
       |       o.o_custkey, o.o_orderstatus
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
 
+  // SKEW-GATED join (Scale.skewGatedJoin): the salted operator made
+  // self-gating — one measured map-combined hot-key-share probe over
+  // the big side picks plain vs salted (the filtered-ANN
+  // measured-scalar pattern: CBO-less Catalyst has no per-key
+  // frequency stats, and AQE's skew split only fires AFTER a first
+  // shuffle exists). The entry drives BOTH regimes through the gate:
+  // lineitem as-is (hottest orderkey ≪ 20% → plain branch) and a
+  // planted 90%-hot mapping of the same join (→ salted ×16), each
+  // reduced to regime-level aggregates. Results are branch-invariant,
+  // so one plain-SQL oracle pins both; ScaleSpec pins that the plan
+  // really flips.
+  private val scaleGatedJoin: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"), floor(col("l_quantity")).cast("long").as("qty"))
+    val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    def hot(c: Column) = when(c % 10 =!= 0, lit(1L)).otherwise(c)
+    val hotLi = li.withColumn("l_orderkey", hot(col("l_orderkey")))
+    // dedup per mapped key so the planted join stays 1:N (min = the
+    // deterministic representative, mirrored in the oracle)
+    val hotOrd = ord.withColumn("o_orderkey", hot(col("o_orderkey")))
+      .groupBy("o_orderkey").agg(min("o_custkey").as("o_custkey"))
+    def agg(j: DataFrame, regime: String) =
+      j.agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+          sum("o_custkey").as("sum_cust"))
+        .select(lit(regime).as("regime"), col("n_rows"), col("sum_qty"),
+          col("sum_cust"))
+    agg(graft.operators.Scale.skewGatedJoin(li, ord, "l_orderkey",
+        "o_orderkey", salts = 16), "uniform")
+      .unionByName(agg(graft.operators.Scale.skewGatedJoin(hotLi, hotOrd,
+        "l_orderkey", "o_orderkey", salts = 16), "hot"))
+  }
+  private val scaleGatedJoinOracle =
+    """WITH li AS (SELECT l_orderkey,
+      |              CAST(floor(l_quantity) AS BIGINT) AS qty
+      |            FROM lineitem),
+      |hli AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1
+      |               ELSE l_orderkey END AS k, qty FROM li),
+      |hord AS (SELECT CASE WHEN o_orderkey % 10 <> 0 THEN 1
+      |                ELSE o_orderkey END AS k,
+      |                min(o_custkey) AS o_custkey
+      |         FROM orders GROUP BY 1)
+      |SELECT 'uniform' AS regime, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(l.qty) AS BIGINT) AS sum_qty,
+      |       CAST(sum(o.o_custkey) AS BIGINT) AS sum_cust
+      |FROM li l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |UNION ALL
+      |SELECT 'hot', CAST(count(*) AS BIGINT),
+      |       CAST(sum(l.qty) AS BIGINT), CAST(sum(o.o_custkey) AS BIGINT)
+      |FROM hli l JOIN hord o ON l.k = o.k""".stripMargin
+
   // Fixed-iteration integer PageRank over the supplier→part edge set:
   // value propagation as iterated join-aggregate supersteps, in exact
   // fixed-point arithmetic so the oracle (the same three supersteps
@@ -5022,6 +5072,7 @@ object Queries {
     "q_layout_compact_exec" -> layoutCompactExec,
     "q_scale_salted_agg" -> scaleSaltedAgg,
     "q_scale_salted_join" -> scaleSaltedJoin,
+    "q_scale_gated_join" -> scaleGatedJoin,
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_pagerank_dangling" -> graphPagerankDangling,
     "q_graph_pagerank_converge" -> graphPagerankConverge,
@@ -5187,6 +5238,7 @@ object Queries {
     "q_layout_compact_exec" -> layoutCompactExecOracle,
     "q_scale_salted_agg" -> scaleSaltedAggOracle,
     "q_scale_salted_join" -> scaleSaltedJoinOracle,
+    "q_scale_gated_join" -> scaleGatedJoinOracle,
     "q_graph_pagerank" -> graphPagerankOracle,
     "q_graph_pagerank_dangling" -> graphPagerankDanglingOracle,
     "q_graph_pagerank_converge" -> graphPagerankConvergeOracle,

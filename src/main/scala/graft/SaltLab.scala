@@ -69,6 +69,18 @@ object SaltLab {
     println(s"SKEWED salted (x32):  ${fmt(
       graft.operators.Scale.saltedJoin(hotLi, hotOrd, "l_orderkey",
         "o_orderkey", salts = 32).select(cols.map(col): _*))}")
+    // the r15 self-gating operator: pays one hotKeyShare probe, then
+    // matches plain on the unskewed corpus and salted at planted skew
+    val (uMx, uN) = graft.operators.Scale.hotKeyShare(li, "l_orderkey")
+    val (hMx, hN) = graft.operators.Scale.hotKeyShare(hotLi, "l_orderkey")
+    println(f"gate probe: uniform hot-share $uMx/$uN (${
+      100.0 * uMx / uN}%.2f%%), planted $hMx/$hN (${100.0 * hMx / hN}%.1f%%)")
+    println(s"GATED unskewed:       ${fmt(
+      graft.operators.Scale.skewGatedJoin(li, ord, "l_orderkey",
+        "o_orderkey", salts = 32).select(cols.map(col): _*))}")
+    println(s"GATED planted skew:   ${fmt(
+      graft.operators.Scale.skewGatedJoin(hotLi, hotOrd, "l_orderkey",
+        "o_orderkey", salts = 32).select(cols.map(col): _*))}")
     spark.stop()
   }
 }

@@ -124,6 +124,45 @@ object Scale {
       .drop("_salt")
   }
 
+  /** The skew gate's measurement: (hottest key's row count, total
+    * rows) of `df[key]` in ONE map-combined aggregate. Skew-safe by
+    * construction — partial aggregation collapses the hot key to one
+    * partial PER PARTITION before the shuffle, so the probe's shuffle
+    * is ≤ |distinct keys|·|partitions| rows no matter how hot the
+    * key; the scan is pruned to the key column.
+    */
+  def hotKeyShare(df: DataFrame, key: String): (Long, Long) = {
+    val st = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .agg(max("cnt").as("mx"), sum("cnt").as("n")).head()
+    if (st.isNullAt(0)) (0L, 0L) else (st.getLong(0), st.getLong(1))
+  }
+
+  /** Skew-GATED join — [[saltedJoin]] made self-gating, so callers
+    * don't pay the salted plan's deliberate premium (small side
+    * ×salts, wider shuffle key; SaltLab measured 2-5× on unskewed
+    * corpora) blind: one measured [[hotKeyShare]] probe over the big
+    * side decides. If the hottest key owns ≥ hotNum/hotDen of the
+    * rows (default 1/5), the salted plan's skew immunity wins (SaltLab:
+    * 2.7-3× at a planted 90%-hot key with AQE skew handling and
+    * broadcast off); below it the plain equi-join is strictly better.
+    * A measured count, not a stats gate — the same reasoning as the
+    * filtered-ANN gate: CBO-less Catalyst has no per-key frequency
+    * statistics to consult, and AQE's skew split only helps AFTER a
+    * first shuffle has produced stats. Both branches return identical
+    * results (ScaleSpec pins the flip differentially), so the gate is
+    * a pure plan choice.
+    */
+  def skewGatedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, salts: Int = 16, hotNum: Long = 1,
+      hotDen: Long = 5): DataFrame = {
+    require(hotNum > 0 && hotDen > 0)
+    val (mx, n) = hotKeyShare(big, bigKey)
+    if (n > 0 && mx * hotDen >= n * hotNum)
+      saltedJoin(big, small, bigKey, smallKey, salts)
+    else
+      big.join(small, big(bigKey) === small(smallKey))
+  }
+
   /** Bronze writer: partitions raw traces by (chain_id, block day) so
     * incremental jobs and per-chain backfills prune at the directory
     * level — at 100 TB a day-of-one-chain query touches its slice

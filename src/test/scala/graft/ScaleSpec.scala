@@ -35,6 +35,41 @@ class ScaleSpec extends SparkSpec {
     assert(salted.size == 20000 + 1999) // hot rows matched exactly once
   }
 
+  test("skew-gated join: the gate flips on the measured hot-key share; " +
+      "BOTH branches are hash-identical to the plain join") {
+    import spark.implicits._
+    val small = (0 to 99).map(i => (i.toLong, s"dim$i")).toDF("dk", "name")
+    // uniform: 100 keys × 60 rows — hottest share 1% << 20%
+    val uniform = (1 to 6000).map(i => ((i % 100).toLong, i.toLong))
+      .toDF("k", "v")
+    // planted: 90% of rows on key 1
+    val hot = ((1 to 5400).map(i => (1L, i.toLong)) ++
+      (1 to 600).map(i => (2L + i % 98, i.toLong))).toDF("k", "v")
+    // the measured gate decides exactly as hotKeyShare reads
+    val (uMx, uN) = Scale.hotKeyShare(uniform, "k")
+    val (hMx, hN) = Scale.hotKeyShare(hot, "k")
+    assert(uMx * 5 < uN, s"uniform corpus must gate to plain ($uMx/$uN)")
+    assert(hMx * 5 >= hN, s"planted corpus must gate to salted ($hMx/$hN)")
+    for ((df, name) <- Seq(uniform -> "uniform", hot -> "hot")) {
+      val plain = df.join(small, df("k") === small("dk"))
+        .select("k", "v", "name").collect().map(_.toSeq).toSet
+      val gated = Scale.skewGatedJoin(df, small, "k", "dk", salts = 8)
+        .select("k", "v", "name").collect().map(_.toSeq).toSet
+      assert(gated == plain, s"$name: gated result != plain join")
+      assert(gated.nonEmpty)
+    }
+    // and the plan really flips: the salted branch replicates the
+    // small side (explode over the salt sequence), the plain one
+    // doesn't
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      Scale.skewGatedJoin(df, small, "k", "dk", salts = 8)
+        .queryExecution.executedPlan.toString
+    assert(!planOf(uniform).contains("_salt"),
+      "uniform corpus must take the plain branch")
+    assert(planOf(hot).contains("_salt"),
+      "planted skew must take the salted branch")
+  }
+
   test("planted duplicate-row hot key: salts actually spread identical rows") {
     import spark.implicits._
     // 10k BYTE-IDENTICAL rows on one hot key — the degenerate case a
