@@ -37,8 +37,8 @@ object StreamRehearsal {
     val sfDir = args.headOption.getOrElse("/root/repo/tmp/sf1")
     val nSlices = if (args.length > 1) args(1).toInt else 20
     // optional scenario filter: comma-separated subset of
-    // 1..7 (e.g. "6" re-runs only the interval joins, "7" the SCD-2
-    // CDC merge loop)
+    // 1..8 (e.g. "6" re-runs only the interval joins, "7" the SCD-2
+    // CDC merge loop, "8" the mergeable sketch streams)
     val only: Int => Boolean =
       if (args.length > 2) args(2).split(',').map(_.toInt).toSet else (_ => true)
     val work = "/root/repo/tmp/stream_rehearsal"
@@ -604,6 +604,113 @@ object StreamRehearsal {
         .unionByName(finCols(bBase, sliceFiles.length))
       assertParity("scd2 cdc changelog + final table", streamOut, batchOut)
       log.unpersist()
+    }
+
+    // ---- scenario 8: mergeable sketch streams at sf1 --------------
+    // q_sketch_kmv_stream / q_sketch_cms_stream at volume: the events
+    // corpus replayed as micro-batches through the SAME cores as the
+    // catalog entries (kmvKmin/kmvMerge, cmsCounters/cmsMerge). The
+    // between-batch state IS the sketch, so the rehearsal measures the
+    // persisted state table at EVERY batch and requires:
+    //  - KMV: state set-equal to the whole-PREFIX sketch (mergeability
+    //    measured at volume, not assumed) and rows ≤ k·|groups|;
+    //  - CMS: state cellwise-equal to the whole-prefix counter frame
+    //    and rows ≤ depth·width;
+    //  - final estimates == the whole-corpus batch twins (the catalog
+    //    oracle's surface).
+    if (only(8)) locally {
+      import graft.llm.SketchOps
+      val (k, depth, width, topK) = (128, 4, 1024, 20)
+      val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+      val ev = evRaw.select(col("event_type"),
+        col("user_id").cast("string").as("term"),
+        Queries.eventSeconds(evRaw.schema("ts").dataType).as("ts"))
+      val slices = 10
+      val watch = s"$work/sketch_in"
+      stageSlices(ev, "ts", slices, s"$work/sketch_stage", watch)
+      val sliceFiles = new java.io.File(watch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      var kmvPath: Option[String] = None
+      var cmsPath: Option[String] = None
+      var idx = 0
+      val schema = spark.read.parquet(watch).schema
+      val t0 = System.nanoTime()
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val bk = SketchOps.kmvKmin(b, "event_type", "term", k)
+            val mergedK = kmvPath match {
+              case None => bk
+              case Some(p) => SketchOps.kmvMerge(spark.read.parquet(p), bk, k)
+            }
+            mergedK.write.parquet(s"$work/sketch_kmv_${idx + 1}")
+            kmvPath = Some(s"$work/sketch_kmv_${idx + 1}")
+            val bc = SketchOps.cmsCounters(b, "term", depth, width)
+            val mergedC = cmsPath match {
+              case None => bc
+              case Some(p) => SketchOps.cmsMerge(spark.read.parquet(p), bc)
+            }
+            mergedC.write.parquet(s"$work/sketch_cms_${idx + 1}")
+            cmsPath = Some(s"$work/sketch_cms_${idx + 1}")
+            idx += 1
+          }
+        }
+        .option("checkpointLocation", s"$work/sketch_ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val nBatches = idx
+      require(nBatches == sliceFiles.length,
+        s"expected ${sliceFiles.length} batches, got $nBatches")
+      // set equality via union-distinct (both frames are duplicate-free
+      // by construction: (source, h) / (i, bucket) keys)
+      def setEqual(a: DataFrame, b: DataFrame): Boolean = {
+        val n = a.count()
+        b.count() == n && a.unionByName(b).distinct().count() == n
+      }
+      println(f"\nmergeable sketch streams (sf1, $nBatches batches): " +
+        f"$wall%.1f s wall")
+      println("| batch | batch rows | kmv state rows | k·groups bound | " +
+        "kmv prefix parity | cms cells | depth·width bound | cms prefix parity |")
+      println("|---|---|---|---|---|---|---|---|")
+      for (i <- 1 to nBatches) {
+        val prefix = sliceFiles.take(i)
+          .map(f => spark.read.parquet(f.toString))
+          .reduce(_ unionByName _)
+        val state = spark.read.parquet(s"$work/sketch_kmv_$i")
+        val stateRows = state.count()
+        val groups = prefix.select("event_type").distinct().count()
+        val kParity = setEqual(state,
+          SketchOps.kmvKmin(prefix, "event_type", "term", k))
+        val cstate = spark.read.parquet(s"$work/sketch_cms_$i")
+        val cRows = cstate.count()
+        val cParity = setEqual(cstate,
+          SketchOps.cmsCounters(prefix, "term", depth, width))
+        val bRows = spark.read.parquet(sliceFiles(i - 1).toString).count()
+        println(s"| ${i - 1} | $bRows | $stateRows | ${k * groups} | " +
+          s"${if (kParity) "MATCH" else "MISMATCH"} | $cRows | " +
+          s"${depth * width} | ${if (cParity) "MATCH" else "MISMATCH"} |")
+        require(stateRows <= k * groups,
+          s"batch ${i - 1}: kmv state $stateRows > bound ${k * groups}")
+        require(kParity, s"batch ${i - 1}: kmv state != whole-prefix sketch")
+        require(cRows <= depth * width,
+          s"batch ${i - 1}: cms state $cRows > bound ${depth * width}")
+        require(cParity, s"batch ${i - 1}: cms state != whole-prefix counters")
+      }
+      // final outputs == the whole-corpus batch twins (the catalog
+      // entries' oracle surface)
+      assertParity("kmv stream estimate",
+        SketchOps.kmvEstimate(spark.read.parquet(kmvPath.get), k),
+        SketchOps.kmvEstimate(
+          SketchOps.kmvKmin(ev, "event_type", "term", k), k))
+      val candidates = SketchOps.cmsTopCandidates(
+        ev.select(col("term")), "term", topK)
+      assertParity("cms stream probe",
+        SketchOps.cmsProbe(spark.read.parquet(cmsPath.get), candidates,
+          depth, width),
+        SketchOps.cmsHeavyHitters(ev.select(col("term")), "term",
+          depth, width, topK))
     }
 
     println("\nstream rehearsal complete")
