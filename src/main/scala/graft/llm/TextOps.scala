@@ -68,14 +68,19 @@ object TextOps {
     var enc = words.select(col("w"), col("wcnt"),
         concat(lit("<"), concat_ws("><", split(col("w"), "")), lit(">"))
           .as("enc"))
-      .localCheckpoint()
+      // vocabulary-sized iterate: single partition keeps each
+      // generation's two shuffles at one task instead of 32
+      .coalesce(1).localCheckpoint()
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
-    var g = 1
-    var done = false
-    while (g <= gens && !done) {
-      val winner = enc
-        .select(col("wcnt"), col("enc"), symsOf.as("syms"))
+    // ONE driver action per generation (the loop is job-floor-bound):
+    // the current encoding's weighted symbol total — which IS n_syms
+    // AFTER the previous merge, backfilled — crossed with the 1-row
+    // argmax, collected together.
+    def stepStats(e: DataFrame): Option[(Long, String, String, Long)] = {
+      val nFrame = e.select(sum(col("wcnt") * size(symsOf)).as("n"))
+      val winFrame = e
+        .select(col("wcnt"), symsOf.as("syms"))
         .select(col("wcnt"), col("syms"),
           posexplode(col("syms")).as(Seq("pos", "a")))
         // try_: the last symbol has no successor (ANSI element_at throws)
@@ -83,19 +88,34 @@ object TextOps {
         .filter(col("b").isNotNull)
         .groupBy("a", "b").agg(sum("wcnt").as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (winner.isEmpty) done = true
-      else {
-        val (a, b, cnt) = (winner.head.getString(0),
-          winner.head.getString(1), winner.head.getLong(2))
-        enc = enc.withColumn("enc",
-            expr(s"replace(enc, '<$a><$b>', '<$a$b>')"))
-          .localCheckpoint()
-        val nSyms = enc
-          .select(sum(col("wcnt") * size(symsOf)).as("n")).head.getLong(0)
-        merges += ((g, a, b, cnt, nSyms))
-        g += 1
+        .limit(1)
+      nFrame.crossJoin(winFrame).collect().headOption
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+    }
+    var g = 1
+    var done = false
+    while (g <= gens && !done) {
+      stepStats(enc) match {
+        case None => done = true
+        case Some((nBefore, a, b, cnt)) =>
+          if (g >= 2) {
+            val (pg, pa, pb, pc, _) = merges(g - 2)
+            merges(g - 2) = (pg, pa, pb, pc, nBefore)
+          }
+          enc = enc.withColumn("enc",
+              expr(s"replace(enc, '<$a><$b>', '<$a$b>')"))
+            .coalesce(1).localCheckpoint()
+          merges += ((g, a, b, cnt, -1L))
+          g += 1
       }
+    }
+    // the final generation's post-merge total needs one last action
+    if (merges.nonEmpty) {
+      val n = enc.select(sum(col("wcnt") * size(symsOf)).as("n"))
+        .head.getLong(0)
+      val (lg, la, lb, lc, _) = merges.last
+      merges(merges.length - 1) = (lg, la, lb, lc, n)
     }
     val segRows = enc.orderBy(col("wcnt").desc, col("w").asc)
       .limit(topWords).select(col("w"), col("enc")).collect()
