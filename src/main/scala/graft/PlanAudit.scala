@@ -39,7 +39,8 @@ object PlanAudit {
     // same shape as q_ann_ivf_topk: the folded-centroid single row is
     // BNL-broadcast to the probe side (the loaded index's assignments
     // join is a plain equi-join on cell)
-    "q_ann_index_serve" -> "broadcast centroid array (model state, loaded from the persisted index)")
+    "q_ann_index_serve" -> "broadcast centroid array (model state, loaded from the persisted index)",
+    "q_ann_filtered_serve" -> "broadcast centroid array (model state, loaded from the persisted index)")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()

@@ -4310,12 +4310,15 @@ object Queries {
   // to the in-session build+serve" is the hash-compared surface.
   private def ivfIndexStaged(s: SparkSession, dir: String): String = {
     val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("embeddings"))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_v1_$key"
+    // _v2: assignment lists carry the label attribute so filtered
+    // serves can push predicates into the persisted scan (the seam
+    // contract's layout-change rule: bump the version literal)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_v2_$key"
     if (!new java.io.File(s"$path/_SUCCESS").isFile) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         graft.llm.SimilarityOps.saveIvfIndex(
-          graft.llm.SimilarityOps.buildIvfIndex(
-            embT(s, dir), "vec_id", "embedding"), tmp)
+          graft.llm.SimilarityOps.buildIvfIndexWithAttrs(
+            embT(s, dir), "vec_id", "embedding", Seq("label")), tmp)
       }
     }
     path
@@ -4328,6 +4331,60 @@ object Queries {
       .select(col("query_id"), col("neighbor_id"),
         col("score").as("score_x1e6"), col("rank"))
   }
+
+  // FILTERED SERVE FROM THE PREBUILT INDEX — the other half of the
+  // filtered-ANN story: q_ann_filtered_topk ADAPTS the index to the
+  // predicate per query batch; this serves predicate + top-k against
+  // the index built ONCE over the full corpus (what a deployed store
+  // does between rebuilds). The predicate lands on the persisted
+  // assignment lists (label is carried in the _v2 index layout, so
+  // the filter is a pushable parquet predicate); only the probed
+  // cells' qualifying members are scored. nprobe = 8 (double the
+  // unfiltered default) — the standard deployment mitigation for the
+  // inherent cells-laid-out-unfiltered recall tradeoff, which the
+  // scaladoc and spec document rather than hide.
+  private val annFilteredServe: Q = (s, dir) => {
+    val ix = graft.llm.SimilarityOps.loadIvfIndex(s, ivfIndexStaged(s, dir))
+    graft.llm.SimilarityOps.ivfServeFilteredTopK(ix,
+        embT(s, dir).filter(col("vec_id") < 20), "vec_id", "embedding", 5,
+        predicate = col("label") % 4 =!= 0, nprobe = 8,
+        score = graft.llm.SimilarityOps.quantizedCosineX1e6)
+      .select(col("query_id"), col("neighbor_id"),
+        col("score").as("score_x1e6"), col("rank"))
+  }
+  private val annFilteredServeOracle =
+    s"""WITH e AS (
+      |  SELECT vec_id AS id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT id, label, q,
+      |        CAST(list_sum(list_transform(q, v -> v*v)) AS BIGINT) AS nq
+      |      FROM e),
+      |cent AS (SELECT id AS cell, q AS cq, nq AS cnq FROM n
+      |         ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id
+      |         LIMIT 16),
+      |assigned AS (
+      |  SELECT neighbor_id, label, q, nq, cell FROM (
+      |    SELECT v.id AS neighbor_id, v.label AS label, v.q AS q,
+      |      v.nq AS nq, c.cell AS cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+      |    FROM n v, cent c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, q, nq, cell FROM (
+      |    SELECT v.id AS query_id, v.q AS q, v.nq AS nq, c.cell AS cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+      |    FROM n v, cent c WHERE v.id < 20) WHERE rn <= 8),
+      |scored AS (
+      |  SELECT p.query_id, a.neighbor_id,
+      |    ${qcosSql("p.q", "p.nq", "a.q", "a.nq")} AS score_x1e6
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell
+      |  WHERE p.query_id <> a.neighbor_id AND a.label % 4 <> 0)
+      |SELECT query_id, neighbor_id, score_x1e6,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) AS INT) AS rank
+      |FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) <= 5""".stripMargin
 
   // Cluster-balanced diversity sample: nearest-cell assignment (same
   // kernel + hash-order centroids as q_ann_ivf_topk), at most 5 kept
@@ -5183,6 +5240,7 @@ object Queries {
     "q_ann_lsh_topk" -> annLshTopk,
     "q_ann_ivf_topk" -> annIvfTopk,
     "q_ann_index_serve" -> annIndexServe,
+    "q_ann_filtered_serve" -> annFilteredServe,
     "q_ann_filtered_topk" -> annFilteredTopk,
     "q_ann_pq_topk" -> annPqTopk,
     "q_ann_ivfpq_topk" -> annIvfPqTopk,
@@ -5347,6 +5405,7 @@ object Queries {
     "q_ann_lsh_topk" -> annLshTopkOracle,
     "q_ann_ivf_topk" -> annIvfTopkOracle,
     "q_ann_index_serve" -> annIvfTopkOracle,
+    "q_ann_filtered_serve" -> annFilteredServeOracle,
     "q_ann_filtered_topk" -> annFilteredTopkOracle,
     "q_ann_pq_topk" -> annPqTopkOracle,
     "q_ann_ivfpq_topk" -> annIvfPqTopkOracle,

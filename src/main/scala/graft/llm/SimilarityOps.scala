@@ -410,6 +410,48 @@ object SimilarityOps {
     IvfIndex(Quantizers.loadModel(spark, s"$path/centroids"),
       spark.read.parquet(s"$path/assign"))
 
+  /** Filtered serve from a PREBUILT index — the other half of the
+    * filtered-ANN story. [[filteredTopK]] ADAPTS the index to the
+    * predicate (centroids from the filtered distribution, built per
+    * query batch); this serves `predicate + top-k` against an index
+    * built ONCE over the full corpus, which is what a deployed vector
+    * store does between rebuilds: the predicate lands on the
+    * persisted assignment lists (a pushable parquet filter when the
+    * index was built with the attribute columns carried via
+    * `attrCols`), and only the probed cells' QUALIFYING members are
+    * scored.
+    *
+    * The recall tradeoff is inherent and documented rather than
+    * hidden: cells were laid out for the unfiltered distribution, so
+    * a selective predicate can underfill k within nprobe cells —
+    * deployments raise `nprobe` for filtered queries (the entry uses
+    * nprobe = nlist/2, double the unfiltered default), or rebuild
+    * with [[filteredTopK]]'s adaptive path when a filter becomes
+    * hot. With `nprobe = nlist` this degenerates to exact brute force
+    * over the qualifying set (the differential the spec pins).
+    */
+  def ivfServeFilteredTopK(index: IvfIndex, queries: DataFrame,
+      idCol: String, embCol: String, k: Int, predicate: Column,
+      nprobe: Int = 8,
+      score: (Column, Column) => Column = cosine): DataFrame =
+    ivfServeTopK(index.copy(assignments = index.assignments.filter(predicate)),
+      queries, idCol, embCol, k, nprobe, score)
+
+  /** [[buildIvfIndex]] carrying attribute columns into the assignment
+    * lists, so filtered serves can push their predicates into the
+    * persisted parquet scan. */
+  def buildIvfIndexWithAttrs(corpus: DataFrame, idCol: String,
+      embCol: String, attrCols: Seq[String], nlist: Int = 16,
+      centroids: Option[DataFrame] = None): IvfIndex = {
+    val base = buildIvfIndex(corpus, idCol, embCol, nlist, centroids)
+    if (attrCols.isEmpty) base
+    else {
+      val attrs = corpus.select(
+        (col(idCol).as("neighbor_id") +: attrCols.map(col)): _*)
+      base.copy(assignments = base.assignments.join(attrs, "neighbor_id"))
+    }
+  }
+
   /** Filtered ANN — attribute predicate + vector top-k, the shape
     * production vector search almost always takes ("top-k among rows
     * WHERE source = X AND ts > T"). The predicate is applied BELOW

@@ -61,6 +61,28 @@ class ModelSeamSpec extends SparkSpec {
     assert(new java.io.File(s"$path/_SUCCESS").isFile)
   }
 
+  test("filtered serve from the prebuilt index: persisted == in-session; " +
+      "nprobe = nlist degenerates to exact brute over the qualifying set") {
+    val ix = SimilarityOps.buildIvfIndexWithAttrs(emb, "vec_id",
+      "embedding", Seq("label"), nlist = 8)
+    val path = graft.sources.Staging.sessionTempDir("graft_ivf_fserve")
+    SimilarityOps.saveIvfIndex(ix, path)
+    val loaded = SimilarityOps.loadIvfIndex(spark, path)
+    val pred = col("label") % 3 =!= 0
+    val sc = SimilarityOps.quantizedCosineX1e6 _
+    def serve(i: SimilarityOps.IvfIndex, np: Int) =
+      SimilarityOps.ivfServeFilteredTopK(i, queries, "vec_id",
+        "embedding", 5, pred, np, sc).collect().map(_.toSeq).toSet
+    assert(serve(loaded, 3) == serve(ix, 3),
+      "persisted filtered serve != in-session")
+    assert(serve(loaded, 3).nonEmpty)
+    // probing every cell = exact brute force over the qualifying set
+    val brute = SimilarityOps.bruteForceTopK(emb.filter(pred), queries,
+      "vec_id", "embedding", 5, sc).collect().map(_.toSeq).toSet
+    assert(serve(loaded, 8) == brute,
+      "full-probe filtered serve must equal filtered brute force")
+  }
+
   test("PQ codebook: save -> load -> serve == serve from the in-session frame") {
     val cb = Quantizers.trainPqCodebook(emb, "vec_id", "embedding", m = 4,
       ksub = 8, iters = 2, trainSize = 256)
