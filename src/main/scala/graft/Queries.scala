@@ -2818,6 +2818,52 @@ object Queries {
       |FROM est e JOIN ex x ON e.src_a = x.src_a AND e.src_b = x.src_b""".stripMargin
   }
 
+  // CMS JOIN-SIZE ESTIMATE (Cormode & Muthukrishnan 2005 §4.2): "how
+  // big is lineitem ⋈ orders on orderkey?" answered from two 4×1024
+  // counter sketches — min over hash rows of the bucketwise inner
+  // product, NEVER an underestimate, collision overshoot real at
+  // sf0.1 (150k keys over 1024 buckets). The cost-based-planner
+  // question a 100 TB engine asks before committing to a join plan,
+  // answered from two constant-size summaries without scanning
+  // either table at decision time; the exact join cardinality rides
+  // along as the verification twin. Integer end to end, mirrored in
+  // the oracle's per-row counter CTEs.
+  private val sketchCmsJoinSize: Q = (s, dir) => {
+    val (depth, width) = (4, 1024)
+    val la = t(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("term"))
+    val ob = t(s, dir, "orders")
+      .select(col("o_orderkey").cast("string").as("term"))
+    val est = graft.llm.SketchOps.cmsJoinSize(
+      graft.llm.SketchOps.cmsCounters(la, "term", depth, width),
+      graft.llm.SketchOps.cmsCounters(ob, "term", depth, width), depth)
+    val exact = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("exact_join_size"))
+    est.crossJoin(exact)
+  }
+  private val sketchCmsJoinSizeOracle = {
+    def hb(i: Int) =
+      s"CAST((${FnvOracleSql.fnvStrPublic(s"('$i' || term)")}) & " +
+        s"9223372036854775807::HUGEINT AS BIGINT) % 1024"
+    val counters = (0 until 4).flatMap(i => Seq(
+      s"""a$i AS (SELECT ${hb(i)} AS bucket,
+         |  CAST(count(*) AS BIGINT) AS cnt FROM la GROUP BY 1)""".stripMargin,
+      s"""b$i AS (SELECT ${hb(i)} AS bucket,
+         |  CAST(count(*) AS BIGINT) AS cnt FROM ob GROUP BY 1)""".stripMargin))
+      .mkString(",\n")
+    val ips = (0 until 4).map(i =>
+      s"coalesce((SELECT CAST(sum(a.cnt * b.cnt) AS BIGINT) " +
+        s"FROM a$i a JOIN b$i b USING (bucket)), 0)").mkString(", ")
+    s"""WITH la AS (SELECT CAST(l_orderkey AS VARCHAR) AS term FROM lineitem),
+      |ob AS (SELECT CAST(o_orderkey AS VARCHAR) AS term FROM orders),
+      |$counters
+      |SELECT least($ips) AS join_size_est,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |   JOIN orders o ON l.l_orderkey = o.o_orderkey) AS exact_join_size""".stripMargin
+  }
+
   // ONE-PASS TABLE PROFILER — the capstone composing the mergeable
   // sketch family the way a 100 TB catalog service uses it: ONE scan
   // of events (PlanShapeSpec pins zero file scans in the final plan —
@@ -5183,6 +5229,7 @@ object Queries {
     "q_sketch_kmv_intersect" -> sketchKmvIntersect,
     "q_sketch_kmv_stream" -> sketchKmvStream,
     "q_sketch_cms_heavy" -> sketchCmsHeavy,
+    "q_sketch_cms_join_size" -> sketchCmsJoinSize,
     "q_sketch_cms_stream" -> sketchCmsStream,
     "q_sketch_quantile" -> sketchQuantile,
     "q_profile_table" -> profileTableQ,
@@ -5348,6 +5395,7 @@ object Queries {
     "q_sketch_kmv_intersect" -> sketchKmvIntersectOracle,
     "q_sketch_kmv_stream" -> sketchKmvStreamOracle,
     "q_sketch_cms_heavy" -> sketchCmsHeavyOracle,
+    "q_sketch_cms_join_size" -> sketchCmsJoinSizeOracle,
     "q_sketch_cms_stream" -> sketchCmsHeavyOracle,
     "q_sketch_quantile" -> sketchQuantileOracle,
     "q_profile_table" -> profileTableOracle,

@@ -500,6 +500,30 @@ object SketchOps {
       .groupBy("term", "exact_tf")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
+  /** JOIN-SIZE estimate from two counter frames built with the SAME
+    * depth×width and hash functions (the inner-product estimator of
+    * Cormode & Muthukrishnan 2005 §4.2): for each hash row i the
+    * bucketwise inner product Σ_b cA(i,b)·cB(i,b) equals the true
+    * join size Σ_k fA(k)·fB(k) PLUS non-negative collision mass, so
+    * `min` over the depth rows NEVER underestimates — the question a
+    * cost-based planner asks ("how big is A ⋈ B on this key?")
+    * answered from two constant-size summaries without touching
+    * either table. A row with no shared cells means a zero inner
+    * product, so a missing row pins the estimate to 0.
+    *
+    * Scale shape: the input frames are ≤ depth·width rows each; the
+    * estimate is one tiny join + two aggregates over counter-sized
+    * data — independent of both tables' sizes by construction.
+    */
+  def cmsJoinSize(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    val ip = a.withColumnRenamed("cnt", "ca")
+      .join(b.withColumnRenamed("cnt", "cb"), Seq("i", "bucket"))
+      .groupBy("i").agg(sum(expr("ca * cb")).as("ip"))
+    ip.agg(min("ip").as("min_ip"), count(lit(1)).as("rows"))
+      .select(when(col("rows") < depth, lit(0L)).otherwise(col("min_ip"))
+        .as("join_size_est"))
+  }
+
   /** Exact top-K keys with their totals — the candidate set and the
     * demo's verification twin. Materialized eagerly: a projection
     * between orderBy().limit() and its consumer would degrade

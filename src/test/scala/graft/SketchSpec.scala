@@ -286,6 +286,45 @@ class MergeableSketchSpec extends SparkSpec {
     assert(whole.distinct.size == whole.size)
   }
 
+  test("cmsJoinSize == local reference inner-product estimator; " +
+      "NEVER underestimates the true join size; collisions overshoot") {
+    val (depth, width) = (3, 32) // small width -> real collision mass
+    val rnd = new scala.util.Random(29)
+    // zipf-ish multiplicities on overlapping key ranges
+    val aKeys = (0 until 3000).map(_ => "k" + (rnd.nextInt(80) * rnd.nextInt(3)))
+    val bKeys = (0 until 2000).map(_ => "k" + (40 + rnd.nextInt(80)))
+    val est = SketchOps.cmsJoinSize(
+        SketchOps.cmsCounters(aKeys.toDF("term"), "term", depth, width),
+        SketchOps.cmsCounters(bKeys.toDF("term"), "term", depth, width),
+        depth)
+      .head.getLong(0)
+    // reference: counters + min-of-inner-products recomputed driver-side
+    def counters(keys: Seq[String]): Map[(Int, Long), Long] =
+      keys.flatMap(t => (0 until depth).map(i =>
+        (i, h63(i.toString + t) % width))).groupBy(identity)
+        .map { case (c, xs) => c -> xs.length.toLong }
+    val (ca, cb) = (counters(aKeys), counters(bKeys))
+    val refEst = (0 until depth).map { i =>
+      (0L until width).map(b =>
+        ca.getOrElse((i, b), 0L) * cb.getOrElse((i, b), 0L)).sum
+    }.min
+    assert(est == refEst, s"estimate $est != reference $refEst")
+    // true join size = sum over keys of fA(k)*fB(k)
+    val fa = aKeys.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val fb = bKeys.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val exact = fa.map { case (k, c) => c * fb.getOrElse(k, 0L) }.sum
+    assert(est >= exact, "CMS join-size must never underestimate")
+    assert(est > exact, "at 120 keys over 32 buckets collisions MUST " +
+      "overshoot, or the property isn't exercised")
+    // disjoint key sets: overshoot only (and zero when nothing collides
+    // across a wide sketch)
+    val dis = SketchOps.cmsJoinSize(
+        SketchOps.cmsCounters(Seq("x1", "x2").toDF("term"), "term", 3, 4096),
+        SketchOps.cmsCounters(Seq("y1", "y2").toDF("term"), "term", 3, 4096),
+        3).head.getLong(0)
+    assert(dis >= 0L && dis <= 4L)
+  }
+
   test("cmsProbe on a never-counted key returns the zero estimate " +
       "instead of dropping the candidate") {
     val (depth, width) = (2, 16)
