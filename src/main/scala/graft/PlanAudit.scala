@@ -40,7 +40,10 @@ object PlanAudit {
     // BNL-broadcast to the probe side (the loaded index's assignments
     // join is a plain equi-join on cell)
     "q_ann_index_serve" -> "broadcast centroid array (model state, loaded from the persisted index)",
-    "q_ann_filtered_serve" -> "broadcast centroid array (model state, loaded from the persisted index)")
+    "q_ann_filtered_serve" -> "broadcast centroid array (model state, loaded from the persisted index)",
+    // the estimate scalar (1 row) crossed with the exact-twin scalar
+    // (1 row) — two aggregates, never data-scaled
+    "q_sketch_cms_join_size" -> "1-row estimate × 1-row exact-twin scalar")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
