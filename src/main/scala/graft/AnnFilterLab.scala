@@ -76,9 +76,11 @@ object AnnFilterLab {
     println("\nprebuilt-index filtered serve (nlist=64, nprobe=8 = 1/8 of cells):")
     println("| selectivity | serve s | recall@10 vs exact filtered | underfilled queries (<10 rows) |")
     println("|---|---|---|---|")
-    val ix = S.buildIvfIndexWithAttrs(emb, "vec_id", "embedding",
+    val ixRaw = S.buildIvfIndexWithAttrs(emb, "vec_id", "embedding",
       Seq("label"), nlist = 64)
-    ix.assignments.localCheckpoint() // stand-in for the persisted artifact
+    // materialized stand-in for the persisted artifact — serve timings
+    // must pay probe-side work only, not the build
+    val ix = ixRaw.copy(assignments = ixRaw.assignments.localCheckpoint())
     // the serve-side predicate lands on the ASSIGNMENT frame, whose id
     // column is neighbor_id (the corpus-side preds above use vec_id)
     val servePreds = Seq(
@@ -98,7 +100,10 @@ object AnnFilterLab {
         .map(r => (r.getLong(0), r.getLong(1)))
       val recall = truth.count(served.toSet.contains).toDouble /
         math.max(truth.size, 1)
-      val perQ = served.groupBy(_._1).count { case (_, rs) => rs.length < 10 }
+      // count from the query side: a query with ZERO served rows never
+      // appears in the result at all
+      val full = served.groupBy(_._1).count { case (_, rs) => rs.length >= 10 }
+      val perQ = queries.count() - full
       println(f"| $name | ${fmt(serveT)} | $recall%.3f | $perQ |")
     }
     spark.stop()

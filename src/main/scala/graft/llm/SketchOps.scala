@@ -180,20 +180,29 @@ object SketchOps {
     * data-sized; one window + one aggregate per pair, all clustered
     * on the pair key.
     */
-  def kmvSetOps(kmin: DataFrame, k: Int): DataFrame = {
-    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
-    val sources = kmin.select("source").distinct()
-    // groups × groups pair frame — bounded by the source-catalog size
-    val pairs = sources.toDF("src_a")
+  /** Per unordered source pair (src_a < src_b), every hash present in
+    * either side's (source, h) frame with its membership flags — the
+    * construction BOTH the sketch tier and the exact twin rank or
+    * count over (shared so a pairing/tie-rule fix cannot make the
+    * estimate and its verification twin silently diverge). The pair
+    * frame is groups × groups — source-catalog-sized, never
+    * key-stream-sized. */
+  private def pairMembership(hashes: DataFrame): DataFrame = {
+    val sources = hashes.select("source").distinct()
+    sources.toDF("src_a")
       .crossJoin(sources.toDF("src_b"))
       .filter(col("src_a") < col("src_b"))
-    val tagged = pairs
       .withColumn("side_src", explode(array(col("src_a"), col("src_b"))))
-      .join(kmin.withColumnRenamed("source", "side_src"), Seq("side_src"))
-    val perHash = tagged.groupBy("src_a", "src_b", "h").agg(
-      max(when(col("side_src") === col("src_a"), 1).otherwise(0)).as("in_a"),
-      max(when(col("side_src") === col("src_b"), 1).otherwise(0)).as("in_b"))
-    val unionSketch = perHash.withColumn("rn", row_number().over(
+      .join(hashes.withColumnRenamed("source", "side_src"), Seq("side_src"))
+      .groupBy("src_a", "src_b", "h").agg(
+        max(when(col("side_src") === col("src_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("side_src") === col("src_b"), 1).otherwise(0)).as("in_b"))
+  }
+
+  def kmvSetOps(kmin: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    val unionSketch = pairMembership(kmin)
+      .withColumn("rn", row_number().over(
         Window.partitionBy("src_a", "src_b").orderBy("h")))
       .filter(col("rn") <= k)
     unionSketch.groupBy("src_a", "src_b").agg(
@@ -227,16 +236,7 @@ object SketchOps {
       termCol: String, k: Int = 128): DataFrame = {
     val hashed = hashFrame(df, groupCol, termCol).localCheckpoint()
     val est = kmvSetOps(kminOfHashed(hashed, k), k)
-    val sources = hashed.select("source").distinct()
-    val pairs = sources.toDF("src_a")
-      .crossJoin(sources.toDF("src_b"))
-      .filter(col("src_a") < col("src_b"))
-    val exact = pairs
-      .withColumn("side_src", explode(array(col("src_a"), col("src_b"))))
-      .join(hashed.withColumnRenamed("source", "side_src"), Seq("side_src"))
-      .groupBy("src_a", "src_b", "h").agg(
-        max(when(col("side_src") === col("src_a"), 1).otherwise(0)).as("in_a"),
-        max(when(col("side_src") === col("src_b"), 1).otherwise(0)).as("in_b"))
+    val exact = pairMembership(hashed)
       .groupBy("src_a", "src_b").agg(
         count(lit(1)).as("exact_union"),
         sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)

@@ -132,7 +132,12 @@ object Scale {
     * key; the scan is pruned to the key column.
     */
   def hotKeyShare(df: DataFrame, key: String): (Long, Long) = {
-    val st = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    // NULL keys are excluded: an inner equi-join null-filters them
+    // before the shuffle (Catalyst inserts IsNotNull on join keys), so
+    // a null-heavy big side causes no reducer skew and must not trip
+    // the gate into paying the salted premium
+    val st = df.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("cnt"))
       .agg(max("cnt").as("mx"), sum("cnt").as("n")).head()
     if (st.isNullAt(0)) (0L, 0L) else (st.getLong(0), st.getLong(1))
   }

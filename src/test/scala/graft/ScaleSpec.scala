@@ -68,6 +68,17 @@ class ScaleSpec extends SparkSpec {
       "uniform corpus must take the plain branch")
     assert(planOf(hot).contains("_salt"),
       "planted skew must take the salted branch")
+    // NULL keys never reach the join shuffle (Catalyst null-filters
+    // inner-join keys), so a null-heavy big side must NOT trip the
+    // gate: 40% nulls + uniform non-null keys -> plain branch
+    val nullHeavy = ((1 to 2400).map(i => (Some((i % 100).toLong), i.toLong))
+      ++ (1 to 1600).map(i => (Option.empty[Long], i.toLong)))
+      .toDF("k", "v")
+    val (nMx, nN) = Scale.hotKeyShare(nullHeavy, "k")
+    assert(nN == 2400L && nMx == 24L,
+      s"null keys must be excluded from the probe ($nMx/$nN)")
+    assert(!planOf(nullHeavy).contains("_salt"),
+      "null-heavy but otherwise uniform corpus must take the plain branch")
   }
 
   test("planted duplicate-row hot key: salts actually spread identical rows") {
