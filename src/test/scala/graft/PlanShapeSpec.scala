@@ -315,6 +315,25 @@ class PlanShapeSpec extends SparkSpec {
         s"$name branch: label predicate not pushed to the scan:\n${p.take(2000)}")
   }
 
+  test("skew-gate probe map-combines: the hot key collapses to one " +
+      "partial per partition BEFORE the shuffle") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val probe = li.filter(col("l_orderkey").isNotNull)
+      .groupBy(col("l_orderkey"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+      .agg(max("cnt").as("mx"), sum("cnt").as("n"))
+    val p = plan(probe)
+    val firstExchange = p.indexOf("Exchange")
+    val firstPartial = p.indexOf("partial_count")
+    assert(firstPartial >= 0 && firstExchange >= 0 &&
+      firstPartial > firstExchange,
+      // executedPlan prints top-down: the FINAL agg comes first, the
+      // partial agg (below the exchange) after it — so the partial
+      // must appear AFTER the exchange in the string, meaning it sits
+      // BELOW it in the tree
+      s"probe must partial-aggregate below its exchange:\n${p.take(1500)}")
+  }
+
   test("table profiler is ONE data pass: the source is scanned only " +
       "into the checkpointed projection, never by the consumers") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
