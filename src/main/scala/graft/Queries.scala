@@ -2853,8 +2853,11 @@ object Queries {
       s"""b$i AS (SELECT ${hb(i)} AS bucket,
          |  CAST(count(*) AS BIGINT) AS cnt FROM ob GROUP BY 1)""".stripMargin))
       .mkString(",\n")
+    // HUGEINT headroom on the inner product — mirrors the engine's
+    // DECIMAL(38,0) widening (bucketwise products overflow BIGINT at
+    // the table sizes the estimator targets)
     val ips = (0 until 4).map(i =>
-      s"coalesce((SELECT CAST(sum(a.cnt * b.cnt) AS BIGINT) " +
+      s"coalesce((SELECT CAST(sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS BIGINT) " +
         s"FROM a$i a JOIN b$i b USING (bucket)), 0)").mkString(", ")
     s"""WITH la AS (SELECT CAST(l_orderkey AS VARCHAR) AS term FROM lineitem),
       |ob AS (SELECT CAST(o_orderkey AS VARCHAR) AS term FROM orders),
@@ -2931,7 +2934,7 @@ object Queries {
       |  SELECT colname, CAST(sum(cnt) AS BIGINT) AS n_rows,
       |    CAST(sum(CASE WHEN term IS NULL THEN cnt ELSE 0 END) AS BIGINT)
       |      AS null_cnt,
-      |    CAST(count(CASE WHEN term IS NOT NULL THEN 1 END) AS BIGINT)
+      |    CAST(count(DISTINCT term) AS BIGINT)
       |      AS n_distinct
       |  FROM hist GROUP BY 1),
       |dterm AS (SELECT DISTINCT colname, term FROM hist

@@ -398,8 +398,14 @@ object SimilarityOps {
   def saveIvfIndex(index: IvfIndex, path: String): Unit = {
     Quantizers.saveModel(index.centroids, s"$path/centroids")
     index.assignments.write.mode("overwrite").parquet(s"$path/assign")
-    new java.io.File(path, "_SUCCESS").createNewFile()
-    ()
+    // the marker goes through the Hadoop FileSystem API (as the parquet
+    // writers above do) — a java.io.File touch is a silent no-op on any
+    // non-local path, and a forever-missing marker would make stageOnce
+    // rebuild the index on every call
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(
+      index.centroids.sparkSession.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
   }
 
   /** Load an index persisted by [[saveIvfIndex]]. Float arrays

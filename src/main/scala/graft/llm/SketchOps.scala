@@ -389,10 +389,15 @@ object SketchOps {
       .agg(count(lit(1)).as("cnt")).localCheckpoint()
     val nn = hist.filter(col("term").isNotNull)
 
+    // n_distinct counts distinct TERMS (count(distinct) skips nulls in
+    // both engines) — not hist rows: the API allows a numericForm that
+    // is not functionally dependent on stringForm, in which case one
+    // term spans several (term, v) hist rows and a row count would
+    // overcount relative to the KMV tier's own (colname, h) domain
     val stats = hist.groupBy("colname").agg(
       sum("cnt").as("n_rows"),
       sum(when(col("term").isNull, col("cnt")).otherwise(0L)).as("null_cnt"),
-      count(when(col("term").isNotNull, 1)).as("n_distinct"))
+      countDistinct(col("term")).as("n_distinct"))
 
     // KMV tier: the histogram's h values are already the distinct
     // (colname, h) stream the sketch ranks (no per-column rebuild)
@@ -516,11 +521,21 @@ object SketchOps {
     * data — independent of both tables' sizes by construction.
     */
   def cmsJoinSize(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    // inner product in DECIMAL(38,0): two ~1e9-count tables make
+    // bucketwise products ~1e18 and their sum crosses Long.MaxValue at
+    // exactly the scales this estimator targets — under non-ANSI Spark
+    // a Long sum would wrap SILENTLY and break the never-underestimates
+    // guarantee. Decimal headroom (the oracle mirrors it with HUGEINT)
+    // keeps the estimate exact to 38 digits; the final cast back to
+    // BIGINT is safe whenever the true join size itself fits a Long.
     val ip = a.withColumnRenamed("cnt", "ca")
       .join(b.withColumnRenamed("cnt", "cb"), Seq("i", "bucket"))
-      .groupBy("i").agg(sum(expr("ca * cb")).as("ip"))
+      .groupBy("i").agg(
+        sum(col("ca").cast("decimal(19,0)") * col("cb").cast("decimal(19,0)"))
+          .as("ip"))
     ip.agg(min("ip").as("min_ip"), count(lit(1)).as("rows"))
-      .select(when(col("rows") < depth, lit(0L)).otherwise(col("min_ip"))
+      .select(when(col("rows") < depth, lit(0L))
+        .otherwise(col("min_ip").cast("long"))
         .as("join_size_est"))
   }
 

@@ -27,7 +27,10 @@ import scala.jdk.CollectionConverters._
   */
 class DocCountSpec extends AnyFunSuite {
 
-  private val docs = Seq("README.md", "COVERAGE.md")
+  // SURVEY.md carries no count claims today, but its §2.12 prose is
+  // exactly where the next "catalog N" sentence gets written (VERDICT
+  // r15 watch item) — guard it before that happens
+  private val docs = Seq("README.md", "COVERAGE.md", "SURVEY.md")
   private val catalogN = SparkEntry.queries.size
   private val streamingN = Queries.streamingEntries.size
 
