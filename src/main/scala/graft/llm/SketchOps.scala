@@ -369,6 +369,18 @@ object SketchOps {
   def profileTable(df: DataFrame, rowKey: Column,
       columns: Seq[(String, Column, Option[Column])], k: Int = 128,
       depth: Int = 4, width: Int = 1024, topK: Int = 3): DataFrame = {
+    val (tall, hist) = profileFrames(df, rowKey, columns)
+    profileFromFrames(tall, hist, k, depth, width, topK)
+  }
+
+  /** The profiler's two checkpointed working frames — `tall` (the ONE
+    * pass over the source: stacked (row_h, colname, term, h, v)) and
+    * `hist` (the cardinality-sized per-value histogram). Shared by
+    * [[profileTable]] and [[tableStats]] so the stats artifact pays
+    * the same single scan the profile does. */
+  private[graft] def profileFrames(df: DataFrame, rowKey: Column,
+      columns: Seq[(String, Column, Option[Column])])
+      : (DataFrame, DataFrame) = {
     require(columns.nonEmpty)
     val stacked = columns.map { case (name, s, numOpt) =>
       struct(lit(name).as("colname"), s.cast("string").as("term"),
@@ -387,6 +399,11 @@ object SketchOps {
     // every non-sample consumer shares
     val hist = tall.groupBy("colname", "term", "h", "v", "is_num")
       .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    (tall, hist)
+  }
+
+  private def profileFromFrames(tall: DataFrame, hist: DataFrame,
+      k: Int, depth: Int, width: Int, topK: Int): DataFrame = {
     val nn = hist.filter(col("term").isNotNull)
 
     // n_distinct counts distinct TERMS (count(distinct) skips nulls in
@@ -470,6 +487,23 @@ object SketchOps {
         col("top_cms"), col("sample_n"), col("q50_est"), col("q90_est"),
         col("q50_exact"), col("q90_exact"))
   }
+
+  /** Per-column RAW-term CMS counter frames (colname, i, bucket, cnt)
+    * from a profiler histogram. UNLIKE the profile's own internal
+    * counter frame (which prefixes the colname into the hashed key so
+    * all columns can share one depth×width space), these hash the raw
+    * term — so two TABLES' counter frames for a join column are
+    * hash-compatible and [[cmsJoinSize]] can estimate their join
+    * cardinality from the persisted artifacts alone. ≤ cols·depth·width
+    * rows: constant-size, the join-planning half of the stats artifact.
+    */
+  private[graft] def rawColumnCounters(hist: DataFrame, depth: Int,
+      width: Int): DataFrame =
+    hist.filter(col("term").isNotNull)
+      .select(col("colname"), col("cnt"),
+        posexplode(cmsBuckets(col("term"), depth, width))
+          .as(Seq("i", "bucket")))
+      .groupBy("colname", "i", "bucket").agg(sum("cnt").as("cnt"))
 
   private def cmsBuckets(term: Column, depth: Int, width: Int) =
     array((0 until depth).map(i =>
