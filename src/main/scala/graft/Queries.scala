@@ -1120,6 +1120,195 @@ object Queries {
       |       CAST(sum(l.qty) AS BIGINT), CAST(sum(o.o_custkey) AS BIGINT)
       |FROM hli l JOIN hord o ON l.k = o.k""".stripMargin
 
+  // TABLE-STATS ARTIFACTS — the SIXTH persistence seam, and the
+  // consumer the sketch family was built for (VERDICT r15 next-round
+  // #1): per-table planning stats (exact row/null/distinct counts +
+  // the hottest key, the KMV cardinality sketch, raw-term CMS counter
+  // frames) profiled ONCE per corpus fingerprint in the profiler's
+  // single pass and PERSISTED; the stats-gated join below reads THESE
+  // at plan time — a catalog lookup — instead of live-scanning its
+  // inputs the way skewGatedJoin's hotKeyShare probe must (the "one
+  // remaining 100 TB honesty gap": correct, but a full key-column
+  // scan per gate decision; StatsGateLab measures the drop). Staged
+  // through the shared seam contract (tableKey fingerprint +
+  // stageOnce: atomic publish, _SUCCESS, never rebuilt). The planted
+  // 90%-hot demo tables get their OWN artifacts — a planner profiles
+  // the table it will actually join.
+  private def statsHot(c: Column) = when(c % 10 =!= 0, lit(1L)).otherwise(c)
+  private def statsArtifactStaged(s: SparkSession, dir: String): String = {
+    val key = graft.sources.SyntheticTraces.tableKey(dir,
+      Seq("lineitem", "orders", "supplier", "nation"))
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_table_stats_v1_$key"
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        val S = graft.llm.SketchOps
+        def one(name: String, df: DataFrame, rowKey: Column,
+            keyCol: String): Unit =
+          S.saveTableStats(
+            S.tableStats(df, rowKey, Seq((keyCol, col(keyCol), None))),
+            s"$tmp/$name")
+        one("lineitem", t(s, dir, "lineitem"),
+          concat_ws("|", col("l_orderkey"), col("l_linenumber")),
+          "l_orderkey")
+        one("orders", t(s, dir, "orders"), col("o_orderkey"), "o_orderkey")
+        one("supplier", t(s, dir, "supplier"), col("s_suppkey"),
+          "s_nationkey")
+        one("nation", t(s, dir, "nation"), col("n_nationkey"), "n_nationkey")
+        one("hot_lineitem",
+          t(s, dir, "lineitem")
+            .withColumn("l_orderkey", statsHot(col("l_orderkey"))),
+          concat_ws("|", col("l_orderkey"), col("l_linenumber")),
+          "l_orderkey")
+        one("hot_orders",
+          t(s, dir, "orders")
+            .withColumn("o_orderkey", statsHot(col("o_orderkey")))
+            .groupBy("o_orderkey").agg(min("o_custkey").as("o_custkey")),
+          col("o_orderkey"), "o_orderkey")
+        // top-level completeness marker once all six artifacts landed
+        // (stageOnce's publication test keys on it)
+        val marker = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+        val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.create(marker, true).close()
+      }
+    }
+    path
+  }
+
+  // THE ARTIFACT CONTENT, oracled through the seam: the entry loads
+  // the PERSISTED lineitem stats (never rebuilds — stageOnce) and the
+  // oracle recomputes every field from the raw table: exact
+  // counts, the hottest key under the (cnt DESC, term ASC) tie rule,
+  // the CMS row-max frequency bound (min over hash rows of that
+  // row's max bucket), and the KMV tier (shared splitmix hash,
+  // DIV-first estimate). Hash-green here means the persisted planning
+  // stats are bit-correct — the foundation the gate decisions rest on.
+  private val scaleStatsArtifact: Q = (s, dir) => {
+    graft.llm.SketchOps.loadTableStats(s,
+      s"${statsArtifactStaged(s, dir)}/lineitem").cols
+  }
+  private val scaleStatsArtifactOracle = {
+    def hb(i: Int) =
+      s"CAST((${FnvOracleSql.fnvStrPublic(s"('$i' || term)")}) & " +
+        s"9223372036854775807::HUGEINT AS BIGINT) % 1024"
+    val counters = (0 until 4).map(i =>
+      s"""c$i AS (SELECT ${hb(i)} AS bucket,
+         |  CAST(count(*) AS BIGINT) AS cnt FROM terms GROUP BY 1)""".stripMargin)
+      .mkString(",\n")
+    val rowmaxes = (0 until 4).map(i =>
+      s"(SELECT max(cnt) FROM c$i)").mkString("least(", ", ", ")")
+    s"""WITH terms AS (
+      |  SELECT CAST(l_orderkey AS VARCHAR) AS term FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS null_cnt,
+      |    CAST(count(DISTINCT CAST(l_orderkey AS VARCHAR)) AS BIGINT)
+      |      AS n_distinct
+      |  FROM lineitem),
+      |freq AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM terms GROUP BY 1),
+      |hot AS (SELECT term AS hot_term, cnt AS hot_cnt FROM freq
+      |        ORDER BY cnt DESC, term ASC LIMIT 1),
+      |$counters,
+      |dterm AS (SELECT DISTINCT term FROM terms),
+      |tz AS (SELECT term, (${FnvOracleSql.fnvStrPublic("term")}) AS z0
+      |       FROM dterm),
+      |${FnvOracleSql.mix64Ctes("t", "tz", Seq("term"))},
+      |th AS (SELECT DISTINCT
+      |         CAST(h & 9223372036854775807::HUGEINT AS BIGINT) AS h
+      |       FROM tf),
+      |krn AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM th),
+      |kmv AS (SELECT max(h) AS kth_min_hash,
+      |          CAST(count(*) AS BIGINT) AS k_used
+      |        FROM krn WHERE rn <= 128)
+      |SELECT 'l_orderkey' AS colname, s.n_rows, s.null_cnt, s.n_distinct,
+      |  hot.hot_term, hot.hot_cnt, $rowmaxes AS hot_bound,
+      |  k.kth_min_hash, k.k_used,
+      |  CAST(CASE WHEN k.k_used < 128 THEN k.k_used
+      |       ELSE (9223372036854775807 // greatest(k.kth_min_hash, 1)) * 127
+      |       END AS BIGINT) AS kmv_est
+      |FROM stats s, hot, kmv k""".stripMargin
+  }
+
+  // STATS-GATED JOIN — the capstone: broadcast vs shuffle vs salted
+  // picked from the PERSISTED artifacts (Scale.statsJoinDecision —
+  // exact small-side rows for the broadcast pick, the exact persisted
+  // hot-key share for the salted pick, cmsJoinSize over the two
+  // persisted counter frames for reducer sizing, the KMV/NDV textbook
+  // estimate recorded alongside), never a scan of either input at
+  // decision time. Three regimes, each landing on a DIFFERENT branch
+  // at every driver SF, and the branch string is IN the
+  // hash-compared output — a mis-decision is a correctness failure,
+  // not a silent plan regression:
+  //   dim_enrich: supplier ⋈ nation (25 rows, every SF) → broadcast
+  //   uniform:    lineitem ⋈ orders (hottest key ≪ 20%) → shuffle
+  //   hot:        the planted 90%-hot mapping of the same join → salted
+  // broadcastRows = 100 is the demo's SF-invariance constant: above
+  // the 25-row dims, below the smallest orders slice the driver runs
+  // (1 500 at sf0.001). Results are branch-invariant, so one
+  // plain-SQL oracle pins all three regimes AND their branch labels.
+  private val scaleStatsGatedJoin: Q = (s, dir) => {
+    val root = statsArtifactStaged(s, dir)
+    val S = graft.llm.SketchOps
+    val Sc = graft.operators.Scale
+    def stats(name: String, key: String) = {
+      val ts = S.loadTableStats(s, s"$root/$name")
+      (Sc.keyStats(ts, key),
+        ts.counters.filter(col("colname") === key).drop("colname"))
+    }
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      floor(col("l_quantity")).cast("long").as("qty"))
+    val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val hotLi = li.withColumn("l_orderkey", statsHot(col("l_orderkey")))
+    val hotOrd = ord.withColumn("o_orderkey", statsHot(col("o_orderkey")))
+      .groupBy("o_orderkey").agg(min("o_custkey").as("o_custkey"))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+    def run(regime: String, big: DataFrame, small: DataFrame,
+        bigKey: String, smallKey: String, bigName: String,
+        smallName: String, sumLeft: Column, sumRight: Column) = {
+      val (bs, bc) = stats(bigName, bigKey)
+      val (ss, sc) = stats(smallName, smallKey)
+      val d = Sc.statsJoinDecision(bs, ss, bc, sc, broadcastRows = 100)
+      Sc.statsGatedJoin(big, small, bigKey, smallKey, d)
+        .agg(count(lit(1)).as("n_rows"), sum(sumLeft).as("sum_left"),
+          sum(sumRight).as("sum_right"))
+        .select(lit(regime).as("regime"), lit(d.branch).as("branch"),
+          col("n_rows"), col("sum_left"), col("sum_right"))
+    }
+    run("dim_enrich", sup, nat, "s_nationkey", "n_nationkey",
+        "supplier", "nation", col("s_suppkey"), col("n_regionkey"))
+      .unionByName(run("uniform", li, ord, "l_orderkey", "o_orderkey",
+        "lineitem", "orders", col("qty"), col("o_custkey")))
+      .unionByName(run("hot", hotLi, hotOrd, "l_orderkey", "o_orderkey",
+        "hot_lineitem", "hot_orders", col("qty"), col("o_custkey")))
+  }
+  private val scaleStatsGatedJoinOracle =
+    """WITH li AS (SELECT l_orderkey,
+      |              CAST(floor(l_quantity) AS BIGINT) AS qty
+      |            FROM lineitem),
+      |hli AS (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1
+      |               ELSE l_orderkey END AS k, qty FROM li),
+      |hord AS (SELECT CASE WHEN o_orderkey % 10 <> 0 THEN 1
+      |                ELSE o_orderkey END AS k,
+      |                min(o_custkey) AS o_custkey
+      |         FROM orders GROUP BY 1)
+      |SELECT 'dim_enrich' AS regime, 'broadcast' AS branch,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(s_suppkey) AS BIGINT) AS sum_left,
+      |       CAST(sum(n_regionkey) AS BIGINT) AS sum_right
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |UNION ALL
+      |SELECT 'uniform', 'shuffle', CAST(count(*) AS BIGINT),
+      |       CAST(sum(l.qty) AS BIGINT), CAST(sum(o.o_custkey) AS BIGINT)
+      |FROM li l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |UNION ALL
+      |SELECT 'hot', 'salted', CAST(count(*) AS BIGINT),
+      |       CAST(sum(l.qty) AS BIGINT), CAST(sum(o.o_custkey) AS BIGINT)
+      |FROM hli l JOIN hord o ON l.k = o.k""".stripMargin
+
   // Fixed-iteration integer PageRank over the supplier→part edge set:
   // value propagation as iterated join-aggregate supersteps, in exact
   // fixed-point arithmetic so the oracle (the same three supersteps
@@ -3048,8 +3237,13 @@ object Queries {
   private val llmBpeTrain: Q = (s, dir) =>
     graft.llm.TextOps.bpeTrain(docsT(s, dir), "text", gens = 8,
       topWords = 10)
-  private val llmBpeTrainOracle = {
-    val gens = 8
+  // Shared BPE training-CTE prefix (word types, char encoding, 8
+  // unrolled merge generations) — used by the train oracle AND the
+  // apply/mix oracles below, which RECOMPUTE the deterministic merge
+  // table that the engine side loads from the persisted model: the
+  // hash-compare pins persisted-model serving == fresh training.
+  private val bpeGens = 8
+  private val bpeTrainPrefix: String = {
     def genCtes(g: Int): String = {
       val prev = if (g == 1) "enc0" else s"enc${g - 1}"
       s"""syms$g AS (
@@ -3075,12 +3269,7 @@ object Queries {
         |           AS BIGINT) AS n_syms
         |  FROM enc$g)""".stripMargin
     }
-    val mergeRows = (1 to gens).map(g =>
-      s"""SELECT 'merge' AS kind, gen, a, b, cnt AS pair_cnt,
-        |  (SELECT n_syms FROM nsym$g) AS n_syms,
-        |  CAST(NULL AS VARCHAR) AS word, CAST(NULL AS VARCHAR) AS enc
-        |FROM win$g""".stripMargin).mkString("\nUNION ALL\n")
-    s"""WITH toks AS (
+    s"""toks AS (
       |  SELECT unnest(string_split_regex(text, '\\s+')) AS w
       |  FROM documents),
       |words AS (
@@ -3092,7 +3281,16 @@ object Queries {
       |    '<' || array_to_string(regexp_extract_all(w, '.'), '><') || '>'
       |      AS enc
       |  FROM words),
-      |${(1 to gens).map(genCtes).mkString(",\n")}
+      |${(1 to bpeGens).map(genCtes).mkString(",\n")}""".stripMargin
+  }
+  private val llmBpeTrainOracle = {
+    val gens = bpeGens
+    val mergeRows = (1 to gens).map(g =>
+      s"""SELECT 'merge' AS kind, gen, a, b, cnt AS pair_cnt,
+        |  (SELECT n_syms FROM nsym$g) AS n_syms,
+        |  CAST(NULL AS VARCHAR) AS word, CAST(NULL AS VARCHAR) AS enc
+        |FROM win$g""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH $bpeTrainPrefix
       |$mergeRows
       |UNION ALL
       |SELECT 'seg', CAST($gens AS INT), CAST(NULL AS VARCHAR),
@@ -3103,6 +3301,89 @@ object Queries {
       |      FROM enc$gens)
       |WHERE rn <= 10""".stripMargin
   }
+
+  // BPE APPLY — train → persist → apply (VERDICT r15 #2): the learned
+  // merge table (the model) is staged once per documents fingerprint
+  // through the seam contract, then the WHOLE corpus is tokenized
+  // under the LOADED rules — per-doc token counts under the learned
+  // tokenizer, as one codegen'd map-only projection (the merge chain
+  // inlines: ≤ gens literal replaces per word; zero shuffle). The
+  // oracle retrains its own merge table from the shared CTE prefix,
+  // so persisted-model serving == fresh training is the
+  // hash-compared surface (the q_ann_index_serve pattern).
+  private def bpeModelStaged(s: SparkSession, dir: String): String = {
+    val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("documents"))
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_bpe_model_v1_$key"
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        graft.llm.Quantizers.saveModel(
+          graft.llm.TextOps.bpeMergeModel(
+            graft.llm.TextOps.bpeTrain(docsT(s, dir), "text",
+              gens = bpeGens, topWords = 10)), tmp)
+      }
+    }
+    path
+  }
+  private def bpeMergesLoaded(s: SparkSession,
+      dir: String): Seq[(String, String)] =
+    graft.llm.TextOps.collectMerges(
+      graft.llm.Quantizers.loadModel(s, bpeModelStaged(s, dir)))
+
+  // the m CTE exposes the 8 learned pairs as one row of scalars; the
+  // replace chain inlines them per token exactly as the engine's
+  // codegen'd fold does
+  private def bpeOracleScalars: String =
+    "m AS (SELECT " + (1 to bpeGens).map(g =>
+      s"(SELECT a FROM win$g) AS a$g, (SELECT b FROM win$g) AS b$g")
+      .mkString(", ") + ")"
+  private def bpeOracleCount: String = {
+    val enc0 = "('<' || array_to_string(regexp_extract_all(t, '.'), '><') || '>')"
+    val chain = (1 to bpeGens).foldLeft(enc0)((e, g) =>
+      s"replace($e, '<' || a$g || '><' || b$g || '>', '<' || a$g || b$g || '>')")
+    s"""CAST(coalesce(list_sum(list_transform(
+      |    list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0),
+      |    t -> CASE WHEN regexp_matches(t, '^[a-z]+$$') AND length(t) >= 2
+      |         THEN len(string_split(trim($chain, '<>'), '><'))
+      |         ELSE 1 END)), 0) AS BIGINT)""".stripMargin
+  }
+
+  private val llmBpeApply: Q = (s, dir) =>
+    graft.llm.TextOps.bpeApply(docsT(s, dir), "doc_id", "text",
+      bpeMergesLoaded(s, dir))
+  private val llmBpeApplyOracle =
+    s"""WITH $bpeTrainPrefix,
+      |$bpeOracleScalars
+      |SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+      |    t -> length(t) > 0)) AS BIGINT) AS n_raw_tokens,
+      |  $bpeOracleCount AS n_bpe_tokens
+      |FROM documents CROSS JOIN m""".stripMargin
+
+  // The learned token counts CONSUMED: the token-budget mix
+  // denominated in the trained tokenizer's counts instead of the
+  // whitespace count (what q_llm_token_budget_mix "should be fed by"
+  // — VERDICT r15). Same hash-order prefix-cut semantics; only the
+  // n_tokens column changes meaning.
+  private val llmBpeBudgetMix: Q = (s, dir) =>
+    graft.llm.PipelineOps.tokenBudgetMixWith(docsT(s, dir), "doc_id",
+      "source",
+      graft.llm.TextOps.bpeTokenCount(col("text"), bpeMergesLoaded(s, dir)),
+      expr("400 + 40 * CAST(substring(source, 4) AS INT)"))
+  private val llmBpeBudgetMixOracle =
+    s"""WITH $bpeTrainPrefix,
+      |$bpeOracleScalars,
+      |tok AS (
+      |  SELECT doc_id, source, $bpeOracleCount AS n_tokens,
+      |         (doc_id & 2147483647) * 2654435761 AS h
+      |  FROM documents CROSS JOIN m),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM tok)
+      |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+      |WHERE cum_tokens <= 400 + 40 * CAST(substring(source, 4) AS INT)""".stripMargin
 
   // Per-doc top-3 BM25 terms, exact fixed-point (k1=1.2, b=0.75
   // cleared to integers; ratio idf; HUGEINT numerator).
@@ -5179,6 +5460,8 @@ object Queries {
     "q_scale_salted_agg" -> scaleSaltedAgg,
     "q_scale_salted_join" -> scaleSaltedJoin,
     "q_scale_gated_join" -> scaleGatedJoin,
+    "q_scale_stats_artifact" -> scaleStatsArtifact,
+    "q_scale_stats_gated_join" -> scaleStatsGatedJoin,
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_pagerank_dangling" -> graphPagerankDangling,
     "q_graph_pagerank_converge" -> graphPagerankConverge,
@@ -5244,6 +5527,8 @@ object Queries {
     "q_llm_quality" -> llmQuality,
     "q_llm_bpe_tokens" -> llmBpeTokens,
     "q_llm_bpe_train" -> llmBpeTrain,
+    "q_llm_bpe_apply" -> llmBpeApply,
+    "q_llm_bpe_budget_mix" -> llmBpeBudgetMix,
     "q_llm_langid" -> llmLangId,
     "q_llm_jaccard_pairs" -> llmJaccardPairs,
     "q_llm_minhash_pairs" -> llmMinhashPairs,
@@ -5347,6 +5632,8 @@ object Queries {
     "q_scale_salted_agg" -> scaleSaltedAggOracle,
     "q_scale_salted_join" -> scaleSaltedJoinOracle,
     "q_scale_gated_join" -> scaleGatedJoinOracle,
+    "q_scale_stats_artifact" -> scaleStatsArtifactOracle,
+    "q_scale_stats_gated_join" -> scaleStatsGatedJoinOracle,
     "q_graph_pagerank" -> graphPagerankOracle,
     "q_graph_pagerank_dangling" -> graphPagerankDanglingOracle,
     "q_graph_pagerank_converge" -> graphPagerankConvergeOracle,
@@ -5410,6 +5697,8 @@ object Queries {
     "q_llm_quality" -> llmQualityOracle,
     "q_llm_bpe_tokens" -> llmBpeTokensOracle,
     "q_llm_bpe_train" -> llmBpeTrainOracle,
+    "q_llm_bpe_apply" -> llmBpeApplyOracle,
+    "q_llm_bpe_budget_mix" -> llmBpeBudgetMixOracle,
     "q_llm_langid" -> llmLangIdOracle,
     "q_llm_jaccard_pairs" -> llmJaccardOracle,
     "q_llm_minhash_sig" -> llmMinhashSigOracle,

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Probe-cost lab for the stats-backed join planner: the r15 verdict
+  * named `hotKeyShare`'s full key-column scan per gate decision as
+  * the last asserted-not-measured cost in the repo — "at 100 TB a
+  * planner reads persisted stats instead". This measures exactly
+  * that trade on the driver corpora:
+  *
+  *  - LIVE probe: [[graft.operators.Scale.hotKeyShare]] over the big
+  *    side (map-combined, but still a scan of every key) — repeated
+  *    at 1× and a 10× self-union to show the cost is DATA-sized;
+  *  - STATS lookup: [[graft.operators.Scale.keyStats]] +
+  *    [[graft.operators.Scale.statsJoinDecision]] against the
+  *    persisted artifact (a `.head()` on a ≤|columns|-row single-part
+  *    parquet plus one counter-sized join) — flat in the data;
+  *  - BUILD (one-time, amortized over every later decision): the
+  *    profiler pass that writes the artifact.
+  *
+  *   runMain graft.StatsGateLab <sfDir> [runs]
+  */
+object StatsGateLab {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: runMain graft.StatsGateLab <sfDir> [runs]")
+    val dir = args(0)
+    val runs = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val S = graft.llm.SketchOps
+    val Sc = graft.operators.Scale
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def fmt(f: => Unit): String =
+      (1 to runs).map(_ => f"${timed(f)}%.3f").mkString("/")
+
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val li10 = (1 to 10).map(_ => li).reduce(_ unionByName _)
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+    println(s"corpus $dir, $runs runs each (run 1 cold), times in sec")
+
+    println(s"LIVE hotKeyShare probe, 1x lineitem:   ${fmt(
+      Sc.hotKeyShare(li, "l_orderkey"))}")
+    println(s"LIVE hotKeyShare probe, 10x lineitem:  ${fmt(
+      Sc.hotKeyShare(li10, "l_orderkey"))}")
+
+    val work = graft.sources.Staging.sessionTempDir("graft_statslab")
+    def build(name: String, df: DataFrame, key: String): Double = timed(
+      S.saveTableStats(
+        S.tableStats(df, col(key), Seq((key, col(key), None))),
+        s"$work/$name"))
+    println(f"BUILD lineitem artifact (one-time):    ${build("li",
+      li, "l_orderkey")}%.3f")
+    println(f"BUILD 10x-lineitem artifact:           ${build("li10",
+      li10, "l_orderkey")}%.3f")
+    println(f"BUILD orders artifact (one-time):      ${build("ord",
+      ord, "o_orderkey")}%.3f")
+
+    val liTs = S.loadTableStats(spark, s"$work/li")
+    val li10Ts = S.loadTableStats(spark, s"$work/li10")
+    val ordTs = S.loadTableStats(spark, s"$work/ord")
+    def counters(ts: S.TableStats, key: String) =
+      ts.counters.filter(col("colname") === key).drop("colname")
+    def decide(big: S.TableStats, bigKey: String): Unit = {
+      val d = Sc.statsJoinDecision(Sc.keyStats(big, bigKey),
+        Sc.keyStats(ordTs, "o_orderkey"), counters(big, bigKey),
+        counters(ordTs, "o_orderkey"))
+      require(d.branch.nonEmpty)
+    }
+    println(s"STATS full decision, 1x artifact:      ${fmt(
+      decide(liTs, "l_orderkey"))}")
+    println(s"STATS full decision, 10x artifact:     ${fmt(
+      decide(li10Ts, "l_orderkey"))}")
+
+    spark.stop()
+  }
+}

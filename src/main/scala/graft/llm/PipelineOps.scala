@@ -236,8 +236,20 @@ object PipelineOps {
     */
   def tokenBudgetMix(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, budgetTokens: Column): DataFrame =
+    tokenBudgetMixWith(df, idCol, sourceCol,
+      size(split(col(textCol), " ")), budgetTokens)
+
+  /** [[tokenBudgetMix]] fed by a CALLER-SUPPLIED per-doc token count —
+    * the learned-tokenizer consumer: once a trained tokenizer exists
+    * (q_llm_bpe_apply), budgets are denominated in ITS counts, and
+    * the fixed whitespace count mis-states them wherever segmentation
+    * differs. Same prefix-cut semantics and scale shape. */
+  def tokenBudgetMixWith(df: DataFrame, idCol: String, sourceCol: String,
+      nTokens: Column, budgetTokens: Column): DataFrame =
+    // nTokens keeps the caller's integer type (INT for the whitespace
+    // count, BIGINT for learned-tokenizer counts) — the oracle pins it
     budgetPrefixCut(df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
-      size(split(col(textCol), " ")).as("n_tokens"),
+      nTokens.as("n_tokens"),
       budgetTokens.cast("long").as("budget")))
       .select("doc_id", "source", "n_tokens", "cum_tokens")
 

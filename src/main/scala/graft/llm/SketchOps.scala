@@ -505,6 +505,116 @@ object SketchOps {
           .as(Seq("i", "bucket")))
       .groupBy("colname", "i", "bucket").agg(sum("cnt").as("cnt"))
 
+  // ------------------------------------------------------------------
+  // TABLE-STATS ARTIFACT — the profiler persisted for PLANNING (the
+  // sixth persistence seam). Round 15 shipped the estimators a
+  // cost-based layer needs (KMV cardinality, CMS hot keys,
+  // cmsJoinSize) but every join gate still measured LIVE with a scan
+  // of its input; this artifact closes that loop: profile a table
+  // ONCE (the profiler's single pass), persist the per-column
+  // planning stats plus raw-term counter frames, and let
+  // [[graft.operators.Scale.statsJoinDecision]] read THEM at plan
+  // time — a catalog lookup, never a data scan.
+  // ------------------------------------------------------------------
+
+  /** A table's persisted planning statistics.
+    *
+    *  - `cols`: one row per profiled column — exact `n_rows` /
+    *    `null_cnt` / `n_distinct`, the exact hottest term and its
+    *    count (`hot_term`, `hot_cnt` — the skew gate's numerator,
+    *    computed once at build time from the cardinality-sized
+    *    histogram), `hot_bound` (a CMS-only upper bound on ANY single
+    *    key's frequency — see [[tableStats]]), and the KMV sketch
+    *    fields (`kth_min_hash`, `k_used`, `kmv_est`).
+    *  - `counters`: per-column RAW-term CMS counter frames
+    *    ([[rawColumnCounters]]) — hash-compatible across tables, so
+    *    two artifacts answer "how big is A ⋈ B on this key?" via
+    *    [[cmsJoinSize]] without touching either table.
+    *
+    * Both frames are catalog-sized (≤ |columns| and
+    * ≤ |columns|·depth·width rows) — the artifact is a few KB no
+    * matter how large the profiled table.
+    */
+  case class TableStats(cols: DataFrame, counters: DataFrame)
+
+  /** Build a [[TableStats]] artifact in the profiler's ONE data pass
+    * ([[profileFrames]] — `rowKey` is the profiler's shared sample
+    * key; the stats tiers don't consume it, but sharing the frame
+    * means a caller computing both the profile and the stats pays a
+    * single scan).
+    *
+    * `hot_bound` is derived from the counter frame ALONE:
+    * min over hash rows i of (max bucket count in row i). For every
+    * key x, its CMS point estimate min_i c(i, h_i(x)) is bounded by
+    * min_i max_b c(i, b) (pointwise domination survives the min), and
+    * the point estimate never underestimates — so `hot_bound` is a
+    * sound upper bound on the hottest key's true frequency, available
+    * even to a consumer holding only the counters. The exact
+    * `hot_cnt` rides along because the build has the histogram anyway;
+    * the gate uses the exact value and the spec pins
+    * `hot_bound >= hot_cnt`.
+    */
+  def tableStats(df: DataFrame, rowKey: Column,
+      columns: Seq[(String, Column, Option[Column])], k: Int = 128,
+      depth: Int = 4, width: Int = 1024): TableStats = {
+    val (_, hist) = profileFrames(df, rowKey, columns)
+    val nn = hist.filter(col("term").isNotNull)
+    val base = hist.groupBy("colname").agg(
+      sum("cnt").as("n_rows"),
+      sum(when(col("term").isNull, col("cnt")).otherwise(0L)).as("null_cnt"),
+      countDistinct(col("term")).as("n_distinct"))
+    // exact hottest term per column, collapsed per TERM first (the
+    // profiler's n_distinct caveat: a term can span several (term, v)
+    // hist rows when numericForm is not a function of stringForm);
+    // term-asc tie-break for determinism
+    val tf = nn.groupBy("colname", "term").agg(sum("cnt").as("cnt"))
+    val hot = tf.withColumn("rnk", row_number().over(
+        Window.partitionBy("colname").orderBy(col("cnt").desc, col("term").asc)))
+      .filter(col("rnk") === 1)
+      .select(col("colname"), col("term").as("hot_term"),
+        col("cnt").as("hot_cnt"))
+    val kmv = kmvEstimate(kminOfHashed(
+        nn.select(col("colname").as("source"), col("h")).distinct(), k), k)
+      .filter(col("source") =!= "__merged__")
+      .select(col("source").as("colname"), col("kth_min_hash"),
+        col("k_used"), col("kmv_est"))
+    val counters = rawColumnCounters(hist, depth, width)
+    val hotBound = counters.groupBy("colname", "i")
+      .agg(max("cnt").as("rowmax"))
+      .groupBy("colname").agg(min("rowmax").as("hot_bound"))
+    val cols = base
+      .join(hot, Seq("colname"), "left")
+      .join(kmv, Seq("colname"), "left")
+      .join(hotBound, Seq("colname"), "left")
+      .select(col("colname"), col("n_rows"), col("null_cnt"),
+        col("n_distinct"), col("hot_term"), col("hot_cnt"),
+        col("hot_bound"), col("kth_min_hash"), col("k_used"),
+        col("kmv_est"))
+    TableStats(cols, counters)
+  }
+
+  /** Persist a [[TableStats]] artifact under `path` — `cols/` and
+    * `counters/` through the model seam's single-part layout (both
+    * halves are catalog-sized), plus a top-level `_SUCCESS` once both
+    * are complete, written through the Hadoop FileSystem API
+    * (filesystem-agnostic — the saveIvfIndex precedent). */
+  def saveTableStats(ts: TableStats, path: String): Unit = {
+    Quantizers.saveModel(ts.cols, s"$path/cols")
+    Quantizers.saveModel(ts.counters, s"$path/counters")
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(
+      ts.cols.sparkSession.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+  }
+
+  /** Load an artifact persisted by [[saveTableStats]]. Integer stats
+    * round-trip parquet exactly, so planning from the loaded artifact
+    * equals planning from the in-session frames (ModelSeamSpec). */
+  def loadTableStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): TableStats =
+    TableStats(spark.read.parquet(s"$path/cols"),
+      spark.read.parquet(s"$path/counters"))
+
   private def cmsBuckets(term: Column, depth: Int, width: Int) =
     array((0 until depth).map(i =>
       h63(concat(lit(i.toString), term)) % lit(width.toLong)): _*)

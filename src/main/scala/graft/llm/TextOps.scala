@@ -133,6 +133,62 @@ object TextOps {
     mergeDf.unionByName(segDf)
   }
 
+  /** The persisted-model view of a [[bpeTrain]] output: just the
+    * learned merge rules, in generation order — the frame the seam
+    * persists (`Quantizers.saveModel`) and [[bpeApply]] serves from. */
+  def bpeMergeModel(train: DataFrame): DataFrame =
+    train.filter(col("kind") === "merge").select("gen", "a", "b")
+
+  /** Collect a merge model to driver-side rules — bounded model state
+    * (≤ gens rows, the quantizer-codebook precedent): the rules
+    * inline into ONE expression chain, so applying the learned
+    * tokenizer to a 100 TB corpus is a zero-shuffle map-only
+    * projection. */
+  def collectMerges(model: DataFrame): Seq[(String, String)] =
+    model.orderBy("gen").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Learned-BPE token count of `text` as one expression:
+    * whitespace tokens in the learned domain (`[a-z]{2,}` — the
+    * domain [[bpeTrain]] learns over) are segmented by the merge
+    * rules applied in generation order (literal replace of
+    * `<a><b>` → `<ab>` == greedy non-overlapping merge, the bpeTrain
+    * encoding contract), every other non-empty token passes through
+    * unsegmented as 1 token (deliberate simplification, mirroring
+    * training's domain restriction). Zero shuffle — the whole
+    * tokenizer is `aggregate` over the token array (a higher-order
+    * function, interpreted like the shingle kernels in DedupOps —
+    * per-row string work, no exchange; the hot path at scale is the
+    * scan, not codegen). */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    def segLen(w: Column): Column = {
+      val enc0 = concat(lit("<"), concat_ws("><", split(w, "")), lit(">"))
+      val encN = merges.foldLeft(enc0) { case (e, (a, b)) =>
+        replace(e, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+      }
+      size(split(regexp_replace(encN, "^<|>$", ""), "><")).cast("long")
+    }
+    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    aggregate(toks, lit(0L), (acc, t) => acc +
+      when(t.rlike("^[a-z]+$") && length(t) >= 2, segLen(t))
+        .otherwise(1L))
+  }
+
+  /** BPE APPLY — the missing half of the tokenizer story (train →
+    * persist → apply): per-document token counts of the WHOLE corpus
+    * under the LEARNED merge table, next to the raw whitespace count.
+    * This is the number a token budget is actually denominated in
+    * once a trained tokenizer exists — the fixed whitespace count
+    * mis-states budgets wherever segmentation differs (see
+    * q_llm_bpe_budget_mix, which feeds [[bpeTokenCount]] into the
+    * mixing prefix cut). */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol),
+      size(filter(split(col(textCol), "\\s+"), t => length(t) > 0))
+        .cast("long").as("n_raw_tokens"),
+      bpeTokenCount(col(textCol), merges).as("n_bpe_tokens"))
+
   /** BPE-ish subword segmentation via regex: alphanumeric runs are
     * one token each, every other non-space character is its own token
     * (the usual pre-tokenization regex shape of GPT-2-family BPE,

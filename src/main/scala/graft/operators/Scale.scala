@@ -168,6 +168,140 @@ object Scale {
       big.join(small, big(bigKey) === small(smallKey))
   }
 
+  /** One join column's planning stats, read back as driver scalars
+    * from a persisted [[graft.llm.SketchOps.TableStats]] artifact.
+    * The read is a `.head()` on a ≤|columns|-row single-part frame —
+    * a catalog lookup, NOT a data scan: this is what replaces
+    * [[hotKeyShare]]'s full key-column probe at plan time (the r15
+    * verdict's last asserted-not-measured cost — at 100 TB a planner
+    * reads persisted stats; StatsGateLab measures the drop).
+    */
+  case class KeyStats(nRows: Long, nullCnt: Long, nDistinct: Long,
+      hotCnt: Long, hotBound: Long, kmvEst: Long) {
+    /** Rows that survive an inner equi-join's implicit IsNotNull —
+      * the [[hotKeyShare]] denominator. */
+    def nonNull: Long = nRows - nullCnt
+  }
+
+  def keyStats(ts: graft.llm.SketchOps.TableStats,
+      colname: String): KeyStats = {
+    val rows = ts.cols.filter(col("colname") === colname)
+      .select("n_rows", "null_cnt", "n_distinct", "hot_cnt", "hot_bound",
+        "kmv_est")
+      .collect()
+    require(rows.nonEmpty, s"no stats row for column '$colname'")
+    val r = rows.head
+    def g(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+    KeyStats(g(0), g(1), g(2), g(3), g(4), g(5))
+  }
+
+  /** The decision a stats-backed join planner records: the branch it
+    * picked, the CMS inner-product join-size BOUND it sized reducers
+    * from, the textbook NDV estimate it recorded next to it, and the
+    * reducer count. */
+  case class JoinDecision(branch: String, joinSizeBound: Long,
+      ndvEst: Long, numParts: Int)
+
+  /** Pick a join plan from PERSISTED statistics — the consumer the
+    * sketch family was built for. [[skewGatedJoin]] measures its gate
+    * live (a full key-column scan per decision — correct, but at
+    * 100 TB a planner reads the table catalog instead); this reads
+    * two [[KeyStats]] rows and two counter frames, all
+    * catalog-sized, and never touches either table before the join
+    * itself. Decision tree, in plan-quality order:
+    *
+    *  1. `small.nRows <= broadcastRows` → `"broadcast"`: a broadcast
+    *     hash join has NO shuffle, so it is immune to key skew — it
+    *     dominates salting whenever the small side fits (exact
+    *     n_rows, not an estimate: the artifact has it).
+    *  2. hottest big-side key owns ≥ hotNum/hotDen of the non-null
+    *     rows (`hot_cnt`, exact from the artifact — so this decision
+    *     EQUALS the live [[hotKeyShare]] gate's, which StatsGateSpec
+    *     pins; `hot_bound` is the CMS-only fallback a counters-only
+    *     consumer would use, conservative in the safe direction) →
+    *     `"salted"`.
+    *  3. otherwise `"shuffle"`, with the reducer count sized from the
+    *     join-size bound: [[graft.llm.SketchOps.cmsJoinSize]] over
+    *     the two persisted counter frames never underestimates, so
+    *     `numParts = ceil(bound / rowsPerPartition)` errs toward more
+    *     partitions — the memory-safe direction. The textbook NDV
+    *     formula rows_a·rows_b / max(ndv) (Spark CBO's own join
+    *     estimate, here from the persisted KMV cardinalities) is an
+    *     EXPECTATION under uniformity, not a bound — recorded in the
+    *     decision for observability, never used to shrink the plan.
+    */
+  /** The CMS inner-product join-size bound computed DRIVER-SIDE from
+    * collected counter cells — the planner's form of
+    * [[graft.llm.SketchOps.cmsJoinSize]] (StatsGateSpec pins the two
+    * equal). The counter frames are ≤ depth·width rows by
+    * construction, so a planner collects them once and answers in
+    * microseconds; the frame form's three tiny Spark jobs cost ~1 s
+    * of fixed scheduling per decision (StatsGateLab measured it) —
+    * fine for a catalog entry, wrong for a planner making a decision
+    * per join. Same semantics: min over hash rows of the bucketwise
+    * inner product; a row with no shared cells pins the bound to 0.
+    */
+  private[graft] def joinSizeBoundLocal(a: Map[(Int, Long), Long],
+      b: Map[(Int, Long), Long], depth: Int): Long =
+    (0 until depth).map { i =>
+      a.iterator.collect { case ((`i`, bk), ca) =>
+        BigInt(ca) * BigInt(b.getOrElse((i, bk), 0L))
+      }.sum
+    }.min.min(BigInt(Long.MaxValue)).toLong
+
+  private def collectCounters(counters: DataFrame): Map[(Int, Long), Long] =
+    counters.select(col("i").cast("int"), col("bucket"), col("cnt"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+
+  def statsJoinDecision(bigStats: KeyStats, smallStats: KeyStats,
+      bigCounters: DataFrame, smallCounters: DataFrame, depth: Int = 4,
+      broadcastRows: Long = 10000, hotNum: Long = 1, hotDen: Long = 5,
+      rowsPerPartition: Long = 4000000L, maxParts: Int = 2048)
+      : JoinDecision = {
+    require(hotNum > 0 && hotDen > 0 && rowsPerPartition > 0)
+    // counter-sized work: ≤ depth·width cells per side, collected and
+    // reduced driver-side (see [[joinSizeBoundLocal]])
+    val bound = joinSizeBoundLocal(collectCounters(bigCounters),
+      collectCounters(smallCounters), depth)
+    val ndv = math.max(math.max(bigStats.kmvEst, smallStats.kmvEst), 1L)
+    val ndvEst = (BigInt(bigStats.nonNull) * BigInt(smallStats.nonNull) / ndv)
+      .min(BigInt(Long.MaxValue)).toLong
+    val branch =
+      if (smallStats.nRows <= broadcastRows) "broadcast"
+      else if (BigInt(bigStats.hotCnt) * hotDen >=
+          BigInt(bigStats.nonNull) * hotNum) "salted"
+      else "shuffle"
+    val numParts = math.max(1L, math.min(maxParts.toLong,
+      (bound + rowsPerPartition - 1) / rowsPerPartition)).toInt
+    JoinDecision(branch, bound, ndvEst, numParts)
+  }
+
+  /** Execute the join a [[statsJoinDecision]] picked. All branches
+    * return identical results (inner equi-join, big columns then
+    * small columns) — the decision is a pure plan choice, which is
+    * what lets one plain-SQL oracle pin every branch. On the shuffle
+    * branch, when the stats-derived reducer count exceeds the
+    * session default, both sides are explicitly hash-partitioned to
+    * it on the join key — the two exchanges are reused by the join
+    * (co-partitioned children), so the DOP choice costs no extra
+    * shuffle. */
+  def statsGatedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, decision: JoinDecision,
+      salts: Int = 16): DataFrame = decision.branch match {
+    case "broadcast" =>
+      big.join(broadcast(small), big(bigKey) === small(smallKey))
+    case "salted" =>
+      saltedJoin(big, small, bigKey, smallKey, salts)
+    case _ =>
+      val base = big.sparkSession.sessionState.conf.numShufflePartitions
+      if (decision.numParts > base) {
+        val b = big.repartition(decision.numParts, col(bigKey))
+        val sm = small.repartition(decision.numParts, col(smallKey))
+        b.join(sm, b(bigKey) === sm(smallKey))
+      } else big.join(small, big(bigKey) === small(smallKey))
+  }
+
   /** Bronze writer: partitions raw traces by (chain_id, block day) so
     * incremental jobs and per-chain backfills prune at the directory
     * level — at 100 TB a day-of-one-chain query touches its slice

@@ -1660,4 +1660,58 @@ class LlmSpec extends SparkSpec {
     assert(curve.zip(curve.tail).forall { case (x, y) => y <= x })
   }
 
+  test("bpeApply: whole-corpus counts under the learned merges == the " +
+      "reference segmenter; persisted model serves identically") {
+    import graft.llm.{Quantizers, TextOps}
+    import spark.implicits._
+    val docs = Seq(
+      "aaaa aab the the the quick quick brown fox fox fox",
+      "the quick brown aaaa aab banana bandana the quick",
+      "fox banana bandana aab aaaa the THE Ignored123 x",
+      "   ", "a"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val gens = 6
+    val model = TextOps.bpeMergeModel(
+      TextOps.bpeTrain(docs, "text", gens, topWords = 5))
+    val merges = TextOps.collectMerges(model)
+    assert(merges.size == gens)
+    // persisted model == in-session model (the seam surface)
+    val path = graft.sources.Staging.sessionTempDir("graft_bpe_model_spec")
+    Quantizers.saveModel(model, path)
+    val loadedMerges = TextOps.collectMerges(Quantizers.loadModel(spark, path))
+    assert(loadedMerges == merges)
+    val got = TextOps.bpeApply(docs, "doc_id", "text", loadedMerges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // reference: greedy non-overlapping merges per word, in gen order;
+    // out-of-domain tokens (uppercase, digits, 1-char) pass through as 1
+    def mergeOne(s: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toList
+    }
+    def refCount(w: String): Long =
+      if (w.matches("^[a-z]+$") && w.length >= 2)
+        merges.foldLeft(w.map(_.toString).toList) {
+          case (s, (a, b)) => mergeOne(s, a, b)
+        }.length.toLong
+      else 1L
+    for (r <- docs.collect()) {
+      val toks = r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq
+      val (nRaw, nBpe) = got(r.getLong(0))
+      assert(nRaw == toks.size.toLong, s"doc ${r.getLong(0)} raw")
+      assert(nBpe == toks.map(refCount).sum, s"doc ${r.getLong(0)} bpe")
+    }
+    // merged words really compress: "the" appears as one symbol after
+    // training on this corpus, so its count is below its char count
+    assert(got(0L)._2 < "aaaa aab the the the quick quick brown fox fox fox"
+      .split(" ").map(_.length.toLong).sum)
+    // empty/whitespace-only doc counts zero
+    assert(got(3L) == ((0L, 0L)))
+  }
+
 }

@@ -206,7 +206,7 @@ class ModelSeamSpec extends SparkSpec {
   // ----------------------------------------------------------------
   // The SHARED persistence-seam contract (documented once in
   // COVERAGE.md "Persistence-seam contract") — parameterized over all
-  // five seams (the r15 IVF index proved the claim: a new seam added
+  // six seams (the r15 IVF index proved the claim: a new seam added
   // to this table inherits the assertions) so a sixth cannot
   // re-introduce the r12 stale-staging hazard:
   //   1. staging dirs are keyed on SyntheticTraces.tableKey over the
@@ -226,7 +226,7 @@ class ModelSeamSpec extends SparkSpec {
       load: String => DataFrame)
 
   test("persistence-seam contract: fingerprint key, atomic publish, " +
-      "no-rebuild idempotence, bit-exact reload — all five seams") {
+      "no-rebuild idempotence, bit-exact reload — all six seams") {
     import graft.llm.{DedupOps, PipelineOps, TextOps}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def withSuccess(w: String => Unit): String => Unit = { tmp =>
@@ -275,8 +275,31 @@ class ModelSeamSpec extends SparkSpec {
         p => {
           val ix = graft.llm.SimilarityOps.loadIvfIndex(spark, p)
           ix.assignments.join(ix.centroids, Seq("cell"))
+        }),
+      // the sixth seam (r16): the table-stats artifact the join
+      // planner reads. The Seam frame is the canonical single-frame
+      // view (per-column stats row ⋈ its counter cells on colname);
+      // save/load round it through the REAL two-part layout (cols/ +
+      // counters/ single-part model parquet, one top-level _SUCCESS)
+      Seam("table_stats",
+        () => {
+          val ts = graft.llm.SketchOps.tableStats(docs, col("doc_id"),
+            Seq(("source", col("source"), None)))
+          ts.cols.join(ts.counters, Seq("colname"))
+        },
+        (m, p) => graft.llm.SketchOps.saveTableStats(
+          graft.llm.SketchOps.TableStats(
+            m.select(col("colname"), col("n_rows"), col("null_cnt"),
+              col("n_distinct"), col("hot_term"), col("hot_cnt"),
+              col("hot_bound"), col("kth_min_hash"), col("k_used"),
+              col("kmv_est")).distinct(),
+            m.select(col("colname"), col("i"), col("bucket"), col("cnt"))),
+          p),
+        p => {
+          val ts = graft.llm.SketchOps.loadTableStats(spark, p)
+          ts.cols.join(ts.counters, Seq("colname"))
         }))
-    assert(seams.size == 5) // the contract covers every shipped seam
+    assert(seams.size == 6) // the contract covers every shipped seam
     val work = graft.sources.Staging.sessionTempDir("graft_seam_contract")
     val key = graft.sources.SyntheticTraces.tableKey(
       "/root/testdata/sf0.001", Seq("documents"))
