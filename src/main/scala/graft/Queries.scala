@@ -2781,6 +2781,161 @@ object Queries {
       |FROM unioned""".stripMargin
   }
 
+  // WINDOWED KMV (tumbling 1-week windows): the per-window catalog
+  // question — "distinct users per week per event type" — which the
+  // global sketch can't answer. The window start rides INSIDE the
+  // sketch group key (windowStart|group), so the existing kernels
+  // (rank/merge/estimate) apply unchanged; k = 32 so the sketch
+  // genuinely estimates at sf0.01+ (≈150 users/group) and passes
+  // through exact below it. The __merged__ row is KEPT: merging every
+  // window's sketch reproduces the GLOBAL k-min sketch — the rollup
+  // identity is in the hash-compared output.
+  private val sketchKmvWindowed: Q = (s, dir) => {
+    val S = graft.llm.SketchOps
+    val df = events(s, dir)
+      .select(col("event_type"), col("user_id").cast("string").as("term"),
+        col("sec"))
+      .withColumn("wsrc", S.windowedKey(col("sec"), 604800L, col("event_type")))
+    S.splitWindowedKey(S.kmvDistinct(df, "wsrc", "term", 32))
+      .select("window_start", "source", "n_exact", "kth_min_hash",
+        "k_used", "kmv_est")
+  }
+  private def kmvWindowedOracle(withExact: Boolean) = {
+    val exactCol = if (withExact) "n_exact, " else ""
+    val exactCte = if (withExact)
+      """rne AS (
+        |  SELECT source, h,
+        |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n_exact
+        |  FROM hh),
+        |per AS (
+        |  SELECT source, n_exact, max(h) AS kth_min_hash,
+        |         CAST(count(*) AS BIGINT) AS k_used
+        |  FROM rne WHERE rn <= 32 GROUP BY 1, 2),
+        |me AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+        |       FROM (SELECT DISTINCT h FROM hh)),
+        |unioned AS (
+        |  SELECT source, n_exact, kth_min_hash, k_used FROM per
+        |  UNION ALL
+        |  SELECT '__merged__', me.n_exact, mh.kth_min_hash, mh.k_used
+        |  FROM me, mh)""".stripMargin
+    else
+      """rne AS (
+        |  SELECT source, h,
+        |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM hh),
+        |per AS (
+        |  SELECT source, max(h) AS kth_min_hash,
+        |         CAST(count(*) AS BIGINT) AS k_used
+        |  FROM rne WHERE rn <= 32 GROUP BY 1),
+        |unioned AS (
+        |  SELECT source, kth_min_hash, k_used FROM per
+        |  UNION ALL
+        |  SELECT '__merged__', kth_min_hash, k_used FROM mh)""".stripMargin
+    val estBase = if (withExact) "n_exact" else "k_used"
+    s"""WITH ev AS (
+      |  SELECT event_type, CAST(user_id AS VARCHAR) AS term,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |st AS (
+      |  SELECT CAST(sec - sec % 604800 AS VARCHAR) || '|' || event_type
+      |           AS source,
+      |         term
+      |  FROM ev),
+      |dt AS (SELECT DISTINCT source, term FROM st),
+      |z AS (SELECT source, (${FnvOracleSql.fnvStrPublic("term")}) AS z0 FROM dt),
+      |${FnvOracleSql.mix64Ctes("q", "z", Seq("source"))},
+      |hh AS (SELECT DISTINCT source,
+      |         CAST(h & 9223372036854775807::HUGEINT AS BIGINT) AS h
+      |       FROM qf),
+      |km AS (SELECT source, h FROM (
+      |         SELECT source, h,
+      |           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |         FROM hh) WHERE rn <= 32),
+      |mk AS (SELECT h FROM (SELECT DISTINCT h FROM km) ORDER BY h LIMIT 32),
+      |mh AS (SELECT max(h) AS kth_min_hash, CAST(count(*) AS BIGINT) AS k_used
+      |       FROM mk),
+      |$exactCte
+      |SELECT CASE WHEN source = '__merged__' THEN NULL
+      |       ELSE CAST(string_split(source, '|')[1] AS BIGINT) END
+      |         AS window_start,
+      |  CASE WHEN source = '__merged__' THEN source
+      |       ELSE substring(source, strpos(source, '|') + 1) END AS source,
+      |  ${exactCol}kth_min_hash, k_used,
+      |  CAST(CASE WHEN k_used < 32 THEN $estBase
+      |       ELSE (9223372036854775807 // greatest(kth_min_hash, 1)) * 31
+      |       END AS BIGINT) AS kmv_est
+      |FROM unioned""".stripMargin
+  }
+  private val sketchKmvWindowedOracle = kmvWindowedOracle(withExact = true)
+
+  // WINDOWED KMV AS A STREAM with WATERMARK EVICTION — the shape a
+  // real pipeline runs ("distinct users per week", forever): per
+  // micro-batch the windowed sketch merges into the carried state,
+  // the event-time watermark (max ts seen; the replay slices are
+  // time-ordered) CLOSES windows whose end has passed — their sketch
+  // rows are emitted once and DROPPED from the carried state, so the
+  // state is open_windows × groups × k rows no matter how long the
+  // stream runs (the global sketch streams carry one sketch forever;
+  // this is the form whose state doesn't grow with the window
+  // count). Emitted ∪ open is estimate-identical to the batch
+  // windowed form — the oracle is the batch oracle minus the exact
+  // twin (the stream never held the full distinct set).
+  private val sketchKmvWindowStream: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // sketch-sized state
+    try {
+      val (k, win) = (32, 604800L)
+      val S = graft.llm.SketchOps
+      val watch = kmvSlicesStaged(s, dir)
+      val work = graft.sources.Staging.sessionTempDir("graft_kmv_wstream")
+      var openPath: Option[String] = None
+      var emitted = false
+      var wm = Long.MinValue
+      var idx = 0
+      val schema = s.read.parquet(watch).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val bk = S.kmvKmin(b.withColumn("wsrc",
+                S.windowedKey(col("ts"), win, col("event_type"))),
+              "wsrc", "term", k)
+            val merged = openPath match {
+              case None => bk
+              case Some(p) => S.kmvMerge(s.read.parquet(p), bk, k)
+            }
+            wm = math.max(wm,
+              b.agg(max(col("ts").cast("long"))).head().getLong(0))
+            // a closed window's key never reappears (time-ordered
+            // replay), so each window is emitted exactly once
+            val wsOf = substring_index(col("source"), "|", 1).cast("long")
+            val closed = merged.filter(wsOf + lit(win) <= lit(wm))
+            if (!closed.isEmpty) {
+              closed.write.mode("append").parquet(s"$work/emitted")
+              emitted = true
+            }
+            val next = s"$work/open_${idx + 1}"
+            merged.filter(wsOf + lit(win) > lit(wm)).write.parquet(next)
+            openPath = Some(next)
+            idx += 1
+          }
+        }
+        .option("checkpointLocation", s"$work/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val open = s.read.parquet(openPath.getOrElse(
+        sys.error("kmv window stream produced no batches")))
+      val all = if (emitted)
+        s.read.parquet(s"$work/emitted").unionByName(open) else open
+      S.splitWindowedKey(S.kmvEstimate(all, k))
+        .select("window_start", "source", "kth_min_hash", "k_used",
+          "kmv_est")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+  private val sketchKmvWindowStreamOracle = kmvWindowedOracle(withExact = false)
+
   // CMS AS A STREAM (the frequency twin of q_sketch_kmv_stream, same
   // replay dir): each micro-batch's counter frame (SketchOps.
   // cmsCounters — the SAME core as the batch entry) merges into the
@@ -4017,6 +4172,90 @@ object Queries {
       |WHERE f % 2 = 0""".stripMargin
 
   // Resize (image stub): 64-point stride resample, exact checksum.
+  // MULTIMODAL PERCEPTUAL-HASH NEAR-DUP (pHash, DCT form): the
+  // media half of the dedup story — stride-sample the opaque payload
+  // to an 8×8 grid (the resize stub's sampling; a real decoder's
+  // luminance thumbnail slots in unchanged), fixed-point Q14 DCT-II,
+  // threshold the 63 AC coefficients at their median, pack 63 bits,
+  // then the SAME 4×16-bit Hamming-band LSH core as the text SimHash
+  // (recall-lossless for hamming ≤ 3, Σ|bucket|² candidates, never
+  // all-pairs). Exact integers end to end: the StrictMath-computed
+  // Q14 cosine table is inlined as literals into BOTH engines.
+  // The raw corpus has no perceptual near-dups (every doc is distinct
+  // text), so the entry PLANTS them — an exact re-upload (doc_id%100
+  // = 0, +1e6) and a one-byte corruption (doc_id%100 = 50, +2e6,
+  // first char overwritten) of a deterministic subset, mirrored in
+  // the oracle — making the hash-compare cover real recovered pairs,
+  // not an empty set. Exact copies recover at hamming 0 always; the
+  // one-byte corruptions recover wherever ≤ 3 of the 63 threshold
+  // bits flipped (data-dependent, identical in both engines).
+  private val mmPhashNearDup: Q = (s, dir) => {
+    val base = docsT(s, dir).select(col("doc_id"), col("text"),
+      col("n_chars"))
+    val media = base
+      .unionByName(base.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("n_chars")))
+      .unionByName(base.filter(col("doc_id") % 100 === 50)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("X"), expr("substring(text, 2)")).as("text"),
+          col("n_chars")))
+    graft.llm.Multimodal.phashNearDup(
+      graft.llm.Multimodal.packFromDocuments(media))
+  }
+  private val mmPhashNearDupOracle = {
+    val ctRows = (for (u <- 0 until 8; n <- 0 until 8)
+      yield s"($u, $n, ${graft.llm.Multimodal.DctQ14(u)(n)})")
+      .mkString(", ")
+    s"""WITH media AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 100 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, 'X' || substring(text, 2)
+      |  FROM documents WHERE doc_id % 100 = 50),
+      |d AS (
+      |  SELECT doc_id AS media_id, length(text) AS n,
+      |    list_transform(range(length(text)),
+      |      i -> CAST(ord(text[i+1]) AS BIGINT)) AS codes
+      |  FROM media),
+      |ct(u, pos, cv) AS (SELECT * FROM (VALUES $ctRows)),
+      |px AS (
+      |  SELECT media_id, i, codes[(i * n) // 64 + 1] AS p,
+      |         i // 8 AS r, i % 8 AS c
+      |  FROM d, UNNEST(range(64)) AS t(i) WHERE n > 0),
+      |f AS (
+      |  SELECT px.media_id, cu.u AS u, cv.u AS v,
+      |    CAST(sum(px.p * cu.cv * cv.cv) AS BIGINT) AS coef
+      |  FROM px JOIN ct cu ON cu.pos = px.r JOIN ct cv ON cv.pos = px.c
+      |  GROUP BY 1, 2, 3),
+      |ac AS (SELECT media_id, u * 8 + v AS idx, coef FROM f
+      |       WHERE NOT (u = 0 AND v = 0)),
+      |med AS (
+      |  SELECT media_id, coef AS m FROM (
+      |    SELECT media_id, coef,
+      |      row_number() OVER (PARTITION BY media_id ORDER BY coef) AS rn
+      |    FROM ac) WHERE rn = 32),
+      |ph AS (
+      |  SELECT a.media_id,
+      |    CAST(sum(CASE WHEN a.coef > med.m
+      |         THEN 1::BIGINT << (a.idx - 1) ELSE 0 END) AS BIGINT)
+      |      AS phash
+      |  FROM ac a JOIN med ON a.media_id = med.media_id
+      |  GROUP BY 1
+      |  UNION ALL
+      |  SELECT media_id, 0 FROM d WHERE n = 0),
+      |ch AS (
+      |  SELECT media_id, phash, i AS chunk,
+      |         (phash >> (i * 16)) & 65535 AS key
+      |  FROM ph, UNNEST(range(4)) AS t(i))
+      |SELECT DISTINCT a.media_id AS id1, b.media_id AS id2,
+      |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+      |FROM ch a JOIN ch b
+      |  ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin
+  }
+
   private val mmResize: Q = (s, dir) =>
     graft.llm.Multimodal.resize(
       graft.llm.Multimodal.packFromDocuments(docsT(s, dir))).toDF()
@@ -5514,6 +5753,8 @@ object Queries {
     "q_sketch_kmv_distinct" -> sketchKmvDistinct,
     "q_sketch_kmv_intersect" -> sketchKmvIntersect,
     "q_sketch_kmv_stream" -> sketchKmvStream,
+    "q_sketch_kmv_windowed" -> sketchKmvWindowed,
+    "q_sketch_kmv_window_stream" -> sketchKmvWindowStream,
     "q_sketch_cms_heavy" -> sketchCmsHeavy,
     "q_sketch_cms_join_size" -> sketchCmsJoinSize,
     "q_sketch_cms_stream" -> sketchCmsStream,
@@ -5560,6 +5801,7 @@ object Queries {
     "q_mm_bin_counts" -> mmBinCounts,
     "q_mm_frames" -> mmFrames,
     "q_mm_resize" -> mmResize,
+    "q_mm_phash_neardup" -> mmPhashNearDup,
     "q_emb_neardup" -> embNearDup,
     "q_emb_semdedup" -> embSemDedup,
     "q_emb_cluster_sample" -> embClusterSample,
@@ -5596,7 +5838,8 @@ object Queries {
   val streamingEntries: Seq[String] = Seq(
     "q_llm_stream_neardup", "q_asof_stream", "q_etl_stream_transactions",
     "q_stream_interval_join", "q_stream_interval_join_outer",
-    "q_scd2_stream_merge", "q_sketch_kmv_stream", "q_sketch_cms_stream")
+    "q_scd2_stream_merge", "q_sketch_kmv_stream", "q_sketch_cms_stream",
+    "q_sketch_kmv_window_stream")
   require(streamingEntries.forall(all.contains),
     "streamingEntries must all be catalog entries")
 
@@ -5684,6 +5927,8 @@ object Queries {
     "q_sketch_kmv_distinct" -> sketchKmvDistinctOracle,
     "q_sketch_kmv_intersect" -> sketchKmvIntersectOracle,
     "q_sketch_kmv_stream" -> sketchKmvStreamOracle,
+    "q_sketch_kmv_windowed" -> sketchKmvWindowedOracle,
+    "q_sketch_kmv_window_stream" -> sketchKmvWindowStreamOracle,
     "q_sketch_cms_heavy" -> sketchCmsHeavyOracle,
     "q_sketch_cms_join_size" -> sketchCmsJoinSizeOracle,
     "q_sketch_cms_stream" -> sketchCmsHeavyOracle,
@@ -5736,6 +5981,7 @@ object Queries {
     "q_mm_bin_counts" -> mmBinCountsOracle,
     "q_mm_frames" -> mmFramesOracle,
     "q_mm_resize" -> mmResizeOracle,
+    "q_mm_phash_neardup" -> mmPhashNearDupOracle,
     "q_etl_blocks" -> etlBlocksOracle,
     "q_emb_neardup" -> embNearDupOracle,
     "q_emb_semdedup" -> embSemDedupOracle,

@@ -713,6 +713,131 @@ object StreamRehearsal {
           depth, width, topK))
     }
 
+    // ---- scenario 9: WINDOWED sketch stream with watermark eviction
+    // q_sketch_kmv_window_stream at volume: per batch the windowed
+    // sketch (window start inside the group key) merges into the
+    // carried state, the event-time watermark closes passed windows —
+    // emitted once, dropped from state. Requires, at EVERY batch:
+    //  - state rows ≤ open_windows × groups × k (the windowed bound);
+    //  - no closed window still carried (eviction really happens);
+    //  - emitted ∪ open set-equal to the whole-PREFIX windowed sketch
+    //    (eviction loses nothing, carries nothing extra);
+    // and the final estimates == the whole-corpus batch twin.
+    if (only(9)) locally {
+      import graft.llm.SketchOps
+      val (k, win) = (32, 604800L)
+      val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+      val ev = evRaw.select(col("event_type"),
+        col("user_id").cast("string").as("term"),
+        Queries.eventSeconds(evRaw.schema("ts").dataType).as("ts"))
+      val slices = 10
+      val watch = s"$work/wsketch_in"
+      stageSlices(ev, "ts", slices, s"$work/wsketch_stage", watch)
+      val sliceFiles = new java.io.File(watch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      def windowed(df: DataFrame) = df.withColumn("wsrc",
+        SketchOps.windowedKey(col("ts"), win, col("event_type")))
+      val wsOf = substring_index(col("source"), "|", 1).cast("long")
+      var openPath: Option[String] = None
+      var wm = Long.MinValue
+      var emittedAny = false
+      var idx = 0
+      val schema = spark.read.parquet(watch).schema
+      val t0 = System.nanoTime()
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Long, Long, Long, Boolean)]
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val bk = SketchOps.kmvKmin(windowed(b), "wsrc", "term", k)
+            val merged = openPath match {
+              case None => bk
+              case Some(p) =>
+                SketchOps.kmvMerge(spark.read.parquet(p), bk, k)
+            }
+            wm = math.max(wm,
+              b.agg(max(col("ts").cast("long"))).head().getLong(0))
+            val closed = merged.filter(wsOf + lit(win) <= lit(wm))
+            if (!closed.isEmpty) {
+              closed.write.mode("append").parquet(s"$work/wsketch_emitted")
+              emittedAny = true
+            }
+            val next = s"$work/wsketch_open_${idx + 1}"
+            merged.filter(wsOf + lit(win) > lit(wm)).write.parquet(next)
+            openPath = Some(next)
+            idx += 1
+          }
+        }
+        .option("checkpointLocation", s"$work/wsketch_ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val nBatches = idx
+      require(nBatches == sliceFiles.length,
+        s"expected ${sliceFiles.length} batches, got $nBatches")
+      def setEqual(a: DataFrame, b: DataFrame): Boolean = {
+        val n = a.count()
+        b.count() == n && a.unionByName(b).distinct().count() == n
+      }
+      println(f"\nwindowed sketch stream + eviction (sf1, $nBatches " +
+        f"batches): $wall%.1f s wall")
+      println("| batch | batch rows | open state rows | open windows | " +
+        "open·groups·k bound | emitted+open prefix parity |")
+      println("|---|---|---|---|---|---|")
+      // replay the same fold driver-side to audit every batch's state
+      // (the stream persisted only the final open/emitted frames)
+      var openChk: Option[DataFrame] = None
+      var emittedChk: Option[DataFrame] = None
+      var wmChk = Long.MinValue
+      for (i <- 1 to nBatches) {
+        val slice = spark.read.parquet(sliceFiles(i - 1).toString)
+        val bk = SketchOps.kmvKmin(windowed(slice), "wsrc", "term", k)
+        val merged = openChk.map(SketchOps.kmvMerge(_, bk, k))
+          .getOrElse(bk).localCheckpoint()
+        wmChk = math.max(wmChk,
+          slice.agg(max(col("ts").cast("long"))).head().getLong(0))
+        val closed = merged.filter(wsOf + lit(win) <= lit(wmChk))
+        if (!closed.isEmpty)
+          emittedChk = Some(emittedChk.map(_.unionByName(closed))
+            .getOrElse(closed).localCheckpoint())
+        val open = merged.filter(wsOf + lit(win) > lit(wmChk))
+          .localCheckpoint()
+        openChk = Some(open)
+        val stateRows = open.count()
+        val openWindows = open.select(wsOf).distinct().count()
+        // the bound the state claims: distinct open (window, group)
+        // pairs × k
+        val pairBound = open.select("source").distinct().count() * k
+        val all = emittedChk.map(_.unionByName(open)).getOrElse(open)
+        val parity = setEqual(all,
+          SketchOps.kmvKmin(windowed(
+            sliceFiles.take(i).map(f => spark.read.parquet(f.toString))
+              .reduce(_ unionByName _)), "wsrc", "term", k))
+        val bRows = slice.count()
+        println(s"| ${i - 1} | $bRows | $stateRows | $openWindows | " +
+          s"$pairBound | ${if (parity) "MATCH" else "MISMATCH"} |")
+        require(stateRows <= pairBound,
+          s"batch ${i - 1}: windowed state $stateRows > bound $pairBound")
+        require(open.filter(wsOf + lit(win) <= lit(wmChk)).isEmpty,
+          s"batch ${i - 1}: a closed window is still carried")
+        require(parity,
+          s"batch ${i - 1}: emitted+open != whole-prefix windowed sketch")
+      }
+      require(emittedAny, "eviction never fired across the stream")
+      // final estimates == the whole-corpus batch twin
+      val streamAll = {
+        val open = spark.read.parquet(openPath.get)
+        if (emittedAny)
+          spark.read.parquet(s"$work/wsketch_emitted").unionByName(open)
+        else open
+      }
+      assertParity("windowed kmv stream estimate",
+        SketchOps.splitWindowedKey(SketchOps.kmvEstimate(streamAll, k)),
+        SketchOps.splitWindowedKey(SketchOps.kmvEstimate(
+          SketchOps.kmvKmin(windowed(ev), "wsrc", "term", k), k)))
+    }
+
     println("\nstream rehearsal complete")
   }
 }

@@ -834,16 +834,18 @@ object DedupOps {
         i => winHash(i, lit(w)))))
   }
 
-  /** SimHash near-dup pairs: 64-bit signature split into four 16-bit
-    * chunks; pairs sharing ANY chunk (pigeonhole: hamming<=3 implies
-    * at least one chunk equal) are candidates, then filtered by exact
-    * hamming distance <= maxHamming.
+  /** Hamming-band LSH candidate pairs over ANY 64-bit signature frame
+    * `(id, sig)` — the 4×16-bit chunk pigeonhole: two signatures
+    * within Hamming distance 3 differ in at most 3 chunks, so they
+    * agree on AT LEAST one — sharing any (chunk index, chunk value)
+    * bucket is a recall-lossless candidate filter. Shared by the text
+    * SimHash ([[simhashPairs]]) and the multimodal perceptual hash
+    * ([[Multimodal.phashNearDup]]): one banding core, never
+    * all-pairs (Σ|bucket|² candidate cost, the MinHash-LSH shape).
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+  private[graft] def hammingBandPairs(sigs: DataFrame,
+      maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole only guarantees recall for hamming <= 3")
-    val sigs = df.select(col(idCol).as("id"),
-      graft.functions.GraftFunctions.simhash64(col(textCol)).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("chunk"),
@@ -857,4 +859,15 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup pairs: 64-bit signature split into four 16-bit
+    * chunks; pairs sharing ANY chunk (pigeonhole: hamming<=3 implies
+    * at least one chunk equal) are candidates, then filtered by exact
+    * hamming distance <= maxHamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(df.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.simhash64(col(textCol)).as("sig")),
+      maxHamming)
 }

@@ -166,6 +166,87 @@ object Multimodal {
     }
   }
 
+  /** Fixed-point DCT-II basis, Q14: `round(cos(π(2n+1)u/16) · 2^14)`
+    * via StrictMath (bit-reproducible on every JVM). The SAME integer
+    * table is inlined as literals into the DuckDB oracle, so the
+    * whole perceptual hash is exact-integer in both engines. */
+  val DctQ14: Array[Array[Long]] = Array.tabulate(8, 8)((u, n) =>
+    math.round(StrictMath.cos(StrictMath.PI * (2 * n + 1) * u / 16.0)
+      * 16384.0))
+
+  /** Integer PERCEPTUAL HASH (pHash, DCT form — Zauner 2010) over the
+    * opaque payload: the media-dedup primitive a multimodal training
+    * pipeline needs next to the text dedup family (byte-identical
+    * images dedup by content hash; re-encoded/resized near-copies
+    * need a perceptual signature).
+    *
+    * Pipeline per row, all exact integers: (1) "decode/resize" — the
+    * [[resize]] stub's stride sampling reduces the payload to an 8×8
+    * grid of byte values (a real decoder would produce an 8×8
+    * luminance thumbnail here; the plumbing, fixed-point DCT, and
+    * banding below are what carries over unchanged); (2) 2-D DCT-II
+    * in Q14 fixed point ([[DctQ14]] — |coef| ≤ 64·255·2^28 ≈ 2^42,
+    * far inside Long); (3) threshold the 63 AC coefficients at their
+    * MEDIAN (the 32nd smallest — index 31 of the ascending sort);
+    * (4) pack bit `uv-1` per coefficient uv ∈ [1, 63] — 63 bits, so
+    * the hash is always non-negative and engine sign semantics never
+    * diverge. Empty payloads hash to 0.
+    */
+  def phash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val n = m.payload.length
+        if (n == 0) (m.media_id, 0L)
+        else {
+          val p = Array.tabulate(64)(i =>
+            (m.payload(((i.toLong * n) / 64).toInt) & 0xff).toLong)
+          val coef = new Array[Long](64)
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var s = 0L
+              var r = 0
+              while (r < 8) {
+                var c = 0
+                while (c < 8) {
+                  s += p(r * 8 + c) * DctQ14(u)(r) * DctQ14(v)(c)
+                  c += 1
+                }
+                r += 1
+              }
+              coef(u * 8 + v) = s
+              v += 1
+            }
+            u += 1
+          }
+          val ac = coef.drop(1).sorted
+          val median = ac(31)
+          var h = 0L
+          var i = 1
+          while (i < 64) {
+            if (coef(i) > median) h |= 1L << (i - 1)
+            i += 1
+          }
+          (m.media_id, h)
+        }
+      }
+    }.toDF("media_id", "phash")
+  }
+
+  /** Perceptual-hash NEAR-DUP pairs: [[phash]] signatures through the
+    * SAME Hamming-band LSH core as the text SimHash
+    * ([[DedupOps.hammingBandPairs]] — 4×16-bit chunk pigeonhole,
+    * recall-lossless for hamming ≤ 3, Σ|bucket|² candidates, never
+    * all-pairs). The multimodal half of the dedup story. */
+  def phashNearDup(media: Dataset[MediaRow],
+      maxHamming: Int = 3): DataFrame =
+    DedupOps.hammingBandPairs(
+      phash(media).select(col("media_id").as("id"), col("phash").as("sig")),
+      maxHamming)
+
   /** Per-partition feature extraction: iterator-in/iterator-out so a
     * real decoder can amortize codec init per partition (the Scala
     * analogue of the mapInPandas batch shape).

@@ -506,6 +506,39 @@ object SketchOps {
       .groupBy("colname", "i", "bucket").agg(sum("cnt").as("cnt"))
 
   // ------------------------------------------------------------------
+  // WINDOWED sketches: the per-window catalog question ("distinct
+  // users per day", "hot keys per hour") that a single global sketch
+  // cannot answer. Design: the tumbling-window START rides INSIDE the
+  // sketch group key (`<windowStart>|<group>`), so every existing
+  // kernel — rank, merge, estimate — applies UNCHANGED, a stream's
+  // carried state is (open windows × groups) × the same per-sketch
+  // bound, and closed windows are evictable by a prefix filter on the
+  // state frame (watermark-close-and-emit — the stream twin does
+  // exactly that). Merging every window's sketch reproduces the
+  // GLOBAL sketch (k smallest of the union of unions), so the
+  // windowed form's `__merged__` row IS the all-time answer.
+  // ------------------------------------------------------------------
+
+  /** Tumbling-window start (integer floor) of an epoch-seconds column. */
+  def windowStart(tsSec: Column, windowSec: Long): Column = {
+    require(windowSec > 0)
+    tsSec.cast("long") - pmod(tsSec.cast("long"), lit(windowSec))
+  }
+
+  /** The composite windowed sketch key: `<windowStart>|<group>`. */
+  def windowedKey(tsSec: Column, windowSec: Long, groupCol: Column): Column =
+    concat(windowStart(tsSec, windowSec).cast("string"), lit("|"), groupCol)
+
+  /** Split a sketch frame's composite `source` back into
+    * (`window_start`, `source`); the `__merged__` row (the all-time
+    * rollup) keeps a null window. */
+  def splitWindowedKey(df: DataFrame): DataFrame = df
+    .withColumn("window_start", when(col("source") =!= "__merged__",
+      substring_index(col("source"), "|", 1).cast("long")))
+    .withColumn("source", when(col("source") === "__merged__", col("source"))
+      .otherwise(expr("substring(source, instr(source, '|') + 1)")))
+
+  // ------------------------------------------------------------------
   // TABLE-STATS ARTIFACT — the profiler persisted for PLANNING (the
   // sixth persistence seam). Round 15 shipped the estimators a
   // cost-based layer needs (KMV cardinality, CMS hot keys,

@@ -1306,6 +1306,52 @@ class LlmSpec extends SparkSpec {
     assert(feats.forall(f => Set("image", "audio", "video").contains(f.kind)))
   }
 
+  test("multimodal pHash: planted near-dup recovery — exact re-uploads " +
+      "at hamming 0, small corruptions within the band radius, " +
+      "unrelated media not paired") {
+    import spark.implicits._
+    val payloadA = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val payloadB = ("pack my box with five dozen liquor jugs now " * 8).trim
+    // C: one corrupted byte in A (same length — most sampled pixels
+    // identical); D: unrelated random-ish text
+    val payloadC = payloadA.updated(10, 'Z')
+    val payloadD = (0 until payloadA.length)
+      .map(i => ('a' + (i * 7 + i * i % 13) % 26).toChar).mkString
+    val docs = Seq((1L, payloadA), (2L, payloadB), (3L, payloadC),
+        (4L, payloadD), (5L, payloadA), (6L, ""))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val media = Multimodal.packFromDocuments(docs)
+    val hashes = Multimodal.phash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 63-bit packing: always non-negative; empty payload hashes to 0
+    assert(hashes.values.forall(_ >= 0L))
+    assert(hashes(6L) == 0L)
+    // exact duplicate payloads hash identically
+    assert(hashes(1L) == hashes(5L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // the one-byte corruption stays inside the band radius; unrelated
+    // payloads are far apart
+    assert(ham(hashes(1L), hashes(3L)) <= 3,
+      s"corruption drifted ${ham(hashes(1L), hashes(3L))} bits")
+    assert(ham(hashes(1L), hashes(2L)) > 3)
+    assert(ham(hashes(1L), hashes(4L)) > 3)
+    val pairs = Multimodal.phashNearDup(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 5L, 0)), "exact re-upload must recover")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L),
+      "corrupted copy must recover through the Hamming bands")
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(1L, 2L)),
+      "unrelated media must not pair")
+    // the banding is the SAME core as the text SimHash: pairs equal a
+    // brute-force hamming filter on these signatures
+    val ids = hashes.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      h = ham(hashes(i), hashes(j)) if h <= 3
+    } yield (i, j, h)).toSet
+    assert(pairs == brute, "band recall must equal brute force at r<=3")
+  }
+
   /** All messages down an exception's cause chain (executor failures
     * surface wrapped in SparkException layers).
     */

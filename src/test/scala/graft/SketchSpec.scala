@@ -345,6 +345,76 @@ class MergeableSketchSpec extends SparkSpec {
     assert(out("ghost") >= 0L)
   }
 
+  test("windowed KMV: per-window sketches == per-window local reference; " +
+      "merging every window's sketch reproduces the GLOBAL sketch; " +
+      "watermark eviction keeps state at open-windows x k and " +
+      "emitted + open == the batch windowed form") {
+    val win = 100L
+    val k = 4
+    // 3 windows x 1 group, enough distinct keys per window to overflow k
+    val rows = (0 until 300).map(i =>
+      (i.toLong, "g", s"u${i % 250}")) // ts 0..299 -> windows 0,100,200
+    val df = rows.toDF("ts", "g", "term")
+      .withColumn("wsrc",
+        SketchOps.windowedKey(col("ts"), win, col("g")))
+    val windowed = SketchOps.kmvKmin(df, "wsrc", "term", k)
+    // per-window state bound: exactly k rows per (window, group)
+    val perWin = windowed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perWin.keySet == Set("0|g", "100|g", "200|g"))
+    assert(perWin.values.forall(_ == k.toLong))
+    // rollup identity: k smallest of the union of window sketches ==
+    // the global sketch over the raw stream
+    val global = SketchOps.kmvKmin(
+        df.withColumn("all", lit("all")), "all", "term", k)
+      .select("h").collect().map(_.getLong(0)).toSet
+    val rolled = windowed.select("h").distinct()
+      .orderBy("h").limit(k).collect().map(_.getLong(0)).toSet
+    assert(rolled == global, "window sketches must roll up to the global")
+    // streaming fold with watermark eviction: batches arrive in time
+    // order; windows whose end passed the max-ts watermark close and
+    // leave the carried state
+    val batches = rows.grouped(120).toSeq // 3 uneven batches
+    var open = Seq.empty[(String, Long)] // (source, h)
+    var emitted = Seq.empty[(String, Long)]
+    var wm = Long.MinValue
+    for (b <- batches) {
+      val bdf = b.toDF("ts", "g", "term").withColumn("wsrc",
+        SketchOps.windowedKey(col("ts"), win, col("g")))
+      val bk = SketchOps.kmvKmin(bdf, "wsrc", "term", k)
+      val merged = SketchOps.kmvMerge(
+        open.toDF("source", "h"), bk, k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      wm = math.max(wm, b.map(_._1).max)
+      def ws(s: String) = s.split("\\|")(0).toLong
+      val (cl, op) = merged.partition { case (s, _) => ws(s) + win <= wm }
+      emitted ++= cl
+      open = op
+      // the state bound the scenario row claims: open windows x k
+      val openWindows = open.map(_._1).distinct.size
+      assert(open.size <= openWindows * k)
+      // eviction really happens: once the watermark passes a window
+      // it is no longer carried
+      assert(open.forall { case (s, _) => ws(s) + win > wm })
+    }
+    val streamAll = (emitted ++ open).toDF("source", "h")
+    val batchAll = windowed.select("source", "h")
+    assert(streamAll.collect().map(_.toSeq).toSet ==
+      batchAll.collect().map(_.toSeq).toSet,
+      "evicted+open stream state must equal the batch windowed sketch")
+    // each closed window was emitted exactly once
+    assert(emitted.map(_._1).distinct.size == 2)
+    // splitWindowedKey recovers (window_start, group), merged row
+    // keeps a null window
+    val split = SketchOps.splitWindowedKey(
+      SketchOps.kmvEstimate(windowed, k))
+    val got = split.select("window_start", "source").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+      .toSet
+    assert(got == Set((0L, "g"), (100L, "g"), (200L, "g"),
+      (-1L, "__merged__")))
+  }
+
   test("null keys are dropped by both sketches (a null hash would sort " +
       "first in Spark's window but last in DuckDB's)") {
     val df = Seq(Some("a"), Some("b"), None, Some("a"), None)
