@@ -4955,6 +4955,72 @@ object Queries {
       |FROM scored
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) <= 5""".stripMargin
 
+  // INCREMENTAL IVF INDEX UPDATE — the corpus APPENDS between
+  // rebuilds (VERDICT r15 #5): the staged artifact is built over 75%
+  // of the corpus (vec_id % 4 != 0), then the remaining 25% is
+  // APPENDED through SimilarityOps.appendToIvfIndex — assigned to the
+  // EXISTING centroids, assignment rows appended to assign/ in place
+  // (the banded-projection append-only contract applied to ANN;
+  // centroids/ immutable between rebuilds). The entry serves from the
+  // updated persisted index; the ORACLE picks centroids from the BASE
+  // subset but assigns the WHOLE corpus — i.e. it IS the
+  // rebuilt-with-same-centroids index — so "serve-after-append ==
+  // serve-over-rebuilt" is the hash-compared surface. Recall drift vs
+  // fresh centroids is measured separately (AnnUpdateLab, COVERAGE).
+  private def ivfUpdatedIndexStaged(s: SparkSession, dir: String): String = {
+    val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("embeddings"))
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_upd_v1_$key"
+    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        val So = graft.llm.SimilarityOps
+        So.saveIvfIndex(So.buildIvfIndex(
+          embT(s, dir).filter(col("vec_id") % 4 =!= 0),
+          "vec_id", "embedding"), tmp)
+        So.appendToIvfIndex(s, tmp,
+          embT(s, dir).filter(col("vec_id") % 4 === 0),
+          "vec_id", "embedding")
+      }
+    }
+    path
+  }
+  private val annIndexUpdate: Q = (s, dir) => {
+    val ix = graft.llm.SimilarityOps.loadIvfIndex(s,
+      ivfUpdatedIndexStaged(s, dir))
+    graft.llm.SimilarityOps.ivfServeTopK(ix,
+        embT(s, dir).filter(col("vec_id") < 20), "vec_id", "embedding", 5,
+        score = graft.llm.SimilarityOps.quantizedCosineX1e6)
+      .select(col("query_id"), col("neighbor_id"),
+        col("score").as("score_x1e6"), col("rank"))
+  }
+  private val annIndexUpdateOracle =
+    s"""$quantNormCte,
+      |cent AS (SELECT id AS cell, q AS cq, nq AS cnq FROM n
+      |         WHERE id % 4 <> 0
+      |         ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id
+      |         LIMIT 16),
+      |assigned AS (
+      |  SELECT neighbor_id, q, nq, cell FROM (
+      |    SELECT v.id AS neighbor_id, v.q AS q, v.nq AS nq, c.cell AS cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+      |    FROM n v, cent c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, q, nq, cell FROM (
+      |    SELECT v.id AS query_id, v.q AS q, v.nq AS nq, c.cell AS cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+      |    FROM n v, cent c WHERE v.id < 20) WHERE rn <= 4),
+      |scored AS (
+      |  SELECT p.query_id, a.neighbor_id,
+      |    ${qcosSql("p.q", "p.nq", "a.q", "a.nq")} AS score_x1e6
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell
+      |  WHERE p.query_id <> a.neighbor_id)
+      |SELECT query_id, neighbor_id, score_x1e6,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) AS INT) AS rank
+      |FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) <= 5""".stripMargin
+
   // Cluster-balanced diversity sample: nearest-cell assignment (same
   // kernel + hash-order centroids as q_ann_ivf_topk), at most 5 kept
   // per cell in multiplicative-hash order.
@@ -5817,6 +5883,7 @@ object Queries {
     "q_ann_lsh_topk" -> annLshTopk,
     "q_ann_ivf_topk" -> annIvfTopk,
     "q_ann_index_serve" -> annIndexServe,
+    "q_ann_index_update" -> annIndexUpdate,
     "q_ann_filtered_serve" -> annFilteredServe,
     "q_ann_filtered_topk" -> annFilteredTopk,
     "q_ann_pq_topk" -> annPqTopk,
@@ -5991,6 +6058,7 @@ object Queries {
     "q_ann_lsh_topk" -> annLshTopkOracle,
     "q_ann_ivf_topk" -> annIvfTopkOracle,
     "q_ann_index_serve" -> annIvfTopkOracle,
+    "q_ann_index_update" -> annIndexUpdateOracle,
     "q_ann_filtered_serve" -> annFilteredServeOracle,
     "q_ann_filtered_topk" -> annFilteredTopkOracle,
     "q_ann_pq_topk" -> annPqTopkOracle,

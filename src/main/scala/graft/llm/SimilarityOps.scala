@@ -416,6 +416,39 @@ object SimilarityOps {
     IvfIndex(Quantizers.loadModel(spark, s"$path/centroids"),
       spark.read.parquet(s"$path/assign"))
 
+  /** INCREMENTAL index update — a corpus APPENDS between rebuilds:
+    * assign ONLY the new batch to the EXISTING centroids and union
+    * the assignment lists (the incremental-dedup banded-projection
+    * precedent applied to ANN). The assignment pass is the same
+    * map-only kernel as the build, so the update is linear in the
+    * BATCH — never a corpus rebuild. Serving after the update is
+    * IDENTICAL to serving over an index rebuilt with the SAME
+    * centroids over the grown corpus (ModelSeamSpec pins it: cell
+    * assignment is a pure per-row function of (vector, centroids)).
+    * What degrades is RECALL, not correctness: the centroids were
+    * laid out for the pre-append distribution, so as the appended
+    * fraction grows the cells partition the new mass less well —
+    * AnnUpdateLab measures the drift curve (COVERAGE); rebuild when
+    * it crosses budget. */
+  def updateIvfIndex(index: IvfIndex, batch: DataFrame, idCol: String,
+      embCol: String): IvfIndex =
+    index.copy(assignments = index.assignments.unionByName(
+      buildIvfIndex(batch, idCol, embCol,
+        centroids = Some(index.centroids)).assignments))
+
+  /** [[updateIvfIndex]] against a PERSISTED index: the new batch's
+    * assignment rows APPEND to the `assign/` half in place (plain
+    * multi-part parquet — the append-only contract the banded
+    * projection established); `centroids/` is immutable between
+    * rebuilds. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String,
+      embCol: String): Unit = {
+    val ix = loadIvfIndex(spark, path)
+    buildIvfIndex(batch, idCol, embCol, centroids = Some(ix.centroids))
+      .assignments.write.mode("append").parquet(s"$path/assign")
+  }
+
   /** Filtered serve from a PREBUILT index — the other half of the
     * filtered-ANN story. [[filteredTopK]] ADAPTS the index to the
     * predicate (centroids from the filtered distribution, built per

@@ -61,6 +61,42 @@ class ModelSeamSpec extends SparkSpec {
     assert(new java.io.File(s"$path/_SUCCESS").isFile)
   }
 
+  test("INCREMENTAL index update: appending a batch to the persisted " +
+      "index == rebuilding with the SAME centroids over the grown " +
+      "corpus; update cost is batch-sized (assign/ appends, " +
+      "centroids/ immutable)") {
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val ix = SimilarityOps.buildIvfIndex(base, "vec_id", "embedding",
+      nlist = 8)
+    val path = graft.sources.Staging.sessionTempDir("graft_ivf_update")
+    SimilarityOps.saveIvfIndex(ix, path)
+    val centFiles = new java.io.File(s"$path/centroids").listFiles().toSet
+    val assignBefore = new java.io.File(s"$path/assign").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    SimilarityOps.appendToIvfIndex(spark, path, batch, "vec_id", "embedding")
+    // append-only: centroids untouched, assign/ grew
+    assert(new java.io.File(s"$path/centroids").listFiles().toSet ==
+      centFiles, "centroids/ must be immutable between rebuilds")
+    assert(new java.io.File(s"$path/assign").listFiles()
+      .count(_.getName.endsWith(".parquet")) > assignBefore,
+      "assign/ must gain the batch's part files")
+    def serve(i: SimilarityOps.IvfIndex) =
+      SimilarityOps.ivfServeTopK(i, queries, "vec_id", "embedding",
+        k = 5, nprobe = 3).collect().map(_.toSeq).toSet
+    val updated = serve(SimilarityOps.loadIvfIndex(spark, path))
+    // the rebuilt-same-centroids index over the grown corpus
+    val rebuilt = serve(SimilarityOps.buildIvfIndex(emb, "vec_id",
+      "embedding", nlist = 8, centroids = Some(ix.centroids)))
+    assert(updated == rebuilt,
+      "serve-after-append must equal serve-over-rebuilt (same centroids)")
+    assert(updated.nonEmpty)
+    // the in-memory form agrees too
+    val inMem = serve(SimilarityOps.updateIvfIndex(ix, batch, "vec_id",
+      "embedding"))
+    assert(inMem == rebuilt)
+  }
+
   test("filtered serve from the prebuilt index: persisted == in-session; " +
       "nprobe = nlist degenerates to exact brute over the qualifying set") {
     val ix = SimilarityOps.buildIvfIndexWithAttrs(emb, "vec_id",
