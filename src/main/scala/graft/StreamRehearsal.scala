@@ -838,6 +838,91 @@ object StreamRehearsal {
           SketchOps.kmvKmin(windowed(ev), "wsrc", "term", k), k)))
     }
 
+    // ---- scenario 10: PROFILER AS A STREAM (always-on table stats)
+    // The one-pass profiler's working frames are both mergeable: the
+    // per-value histogram folds by cellwise count addition (histMerge,
+    // CARDINALITY-sized state) and the bottom-k row sample folds by
+    // quantileMerge (k-sized state). A streaming profiler therefore
+    // carries (hist, sample) between micro-batches and can finalize —
+    // at ANY batch — both the full profile (profileFromState) and the
+    // table-stats artifact (tableStatsFromHist) that the stats-gated
+    // join consumes: the always-on stats service. Requires, at EVERY
+    // batch: hist state set-equal to the whole-prefix histogram,
+    // state rows == prefix cardinality (never stream-sized), sample
+    // rows ≤ numeric-cols × k; finally, stream-folded profile AND
+    // stats artifact equal to the batch-built forms.
+    if (only(10)) locally {
+      import graft.llm.SketchOps
+      val k = 128
+      val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+      val qv = floor(col("value") * 1000).cast("long")
+      val cols = Seq(
+        ("user_id", col("user_id"), Some(col("user_id"))),
+        ("event_type", col("event_type"), None),
+        ("value", qv, Some(qv)))
+      val ev = evRaw.select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"),
+        Queries.eventSeconds(evRaw.schema("ts").dataType).as("ts"))
+        .localCheckpoint()
+      val slices = 10
+      val watch = s"$work/prof_in"
+      stageSlices(ev, "ts", slices, s"$work/prof_stage", watch)
+      val sliceFiles = new java.io.File(watch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      def frames(df: DataFrame) =
+        SketchOps.profileFrames(df, col("event_id"), cols)
+      var histState: Option[DataFrame] = None
+      var sampState: Option[DataFrame] = None
+      println(s"\nprofiler as a stream (sf1, ${sliceFiles.length} batches):")
+      println("| batch | batch rows | hist state rows | prefix cardinality | " +
+        "sample rows | cols·k bound | hist prefix parity |")
+      println("|---|---|---|---|---|---|---|")
+      def setEqual(a: DataFrame, b: DataFrame): Boolean = {
+        val n = a.count()
+        b.count() == n && a.unionByName(b).distinct().count() == n
+      }
+      val t0 = System.nanoTime()
+      for (i <- 1 to sliceFiles.length) {
+        val slice = spark.read.parquet(sliceFiles(i - 1).toString)
+        val (tall, hist) = frames(slice)
+        histState = Some(histState.map(SketchOps.histMerge(_, hist))
+          .getOrElse(hist).localCheckpoint())
+        val samp = SketchOps.profileSample(tall, k)
+        sampState = Some(sampState
+          .map(SketchOps.quantileMerge(_, samp, k))
+          .getOrElse(samp).localCheckpoint())
+        val prefix = sliceFiles.take(i)
+          .map(f => spark.read.parquet(f.toString))
+          .reduce(_ unionByName _)
+        val prefixHist = frames(prefix)._2
+        val hRows = histState.get.count()
+        val card = prefixHist.count()
+        val sRows = sampState.get.count()
+        val sBound = 2L * k // two numeric columns
+        val parity = setEqual(histState.get, prefixHist)
+        println(s"| ${i - 1} | ${slice.count()} | $hRows | $card | " +
+          s"$sRows | $sBound | ${if (parity) "MATCH" else "MISMATCH"} |")
+        require(hRows == card,
+          s"batch ${i - 1}: hist state $hRows != prefix cardinality $card")
+        require(parity, s"batch ${i - 1}: hist state != whole-prefix hist")
+        require(sRows <= sBound,
+          s"batch ${i - 1}: sample state $sRows > bound $sBound")
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"fold wall (incl. per-batch prefix audits): $wall%.1f s")
+      // finalize from the carried state == the batch-built forms
+      assertParity("stream-folded profile",
+        SketchOps.profileFromState(histState.get, sampState.get, k,
+          4, 1024, 3),
+        graft.llm.SketchOps.profileTable(ev, col("event_id"), cols, k))
+      val streamStats = SketchOps.tableStatsFromHist(histState.get)
+      val batchStats = SketchOps.tableStats(ev, col("event_id"), cols)
+      assertParity("stream-folded stats artifact (cols)",
+        streamStats.cols, batchStats.cols)
+      assertParity("stream-folded stats artifact (counters)",
+        streamStats.counters, batchStats.counters)
+    }
+
     println("\nstream rehearsal complete")
   }
 }

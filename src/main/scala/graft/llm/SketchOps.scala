@@ -402,7 +402,37 @@ object SketchOps {
     (tall, hist)
   }
 
+  /** The profiler's SECOND state frame: the bottom-k row sample per
+    * numeric column, extracted from the one-pass stacked frame — ≤ k
+    * rows per column, and it merges with [[quantileMerge]] (bottom-k
+    * of a union of bottom-ks), so a STREAMING profiler carries
+    * (histogram, sample) between micro-batches and folds each with
+    * its own merge (StreamRehearsal scenario 10 measures the fold at
+    * sf1). */
+  private[graft] def profileSample(tall: DataFrame, k: Int): DataFrame =
+    tall.filter(col("is_num") && col("v").isNotNull)
+      .select(col("colname").as("source"), col("row_h").as("h"), col("v"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("h", "v")))
+      .filter(col("rn") <= k).drop("rn")
+
+  /** Merge two per-value histogram frames by cellwise count addition —
+    * the profiler's between-batch fold. State stays CARDINALITY-sized
+    * (one row per distinct (column, value)), never stream-sized. */
+  def histMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("colname", "term", "h", "v", "is_num")
+      .agg(sum("cnt").as("cnt"))
+
   private def profileFromFrames(tall: DataFrame, hist: DataFrame,
+      k: Int, depth: Int, width: Int, topK: Int): DataFrame =
+    profileFromState(hist, profileSample(tall, k), k, depth, width, topK)
+
+  /** Assemble the profile from the two STATE frames — what both the
+    * batch profiler and a streaming table-stats service finalize
+    * from; [[tableStatsFromHist]] shares the histogram half, so the
+    * stream's carried state IS the stats artifact's input. */
+  private[graft] def profileFromState(hist: DataFrame, samp: DataFrame,
       k: Int, depth: Int, width: Int, topK: Int): DataFrame = {
     val nn = hist.filter(col("term").isNotNull)
 
@@ -452,17 +482,11 @@ object SketchOps {
       orderedCsv(col("cnt")).as("top_exact"),
       orderedCsv(col("cms_est")).as("top_cms"))
 
-    // quantile tier (numeric columns): bottom-k rows by the SHARED
-    // row-key hash → sample estimate; exact order statistic from the
-    // histogram's cumulative counts as the twin
-    val samp = tall.filter(col("is_num") && col("v").isNotNull)
-      .select(col("colname").as("source"), col("row_h").as("h"), col("v"))
-      .distinct()
-    val qest = quantileEstimate(
-        samp.withColumn("rn", row_number().over(
-          Window.partitionBy("source").orderBy("h", "v")))
-          .filter(col("rn") <= k).drop("rn"),
-        Seq(50, 90))
+    // quantile tier (numeric columns): the bottom-k sample state
+    // ([[profileSample]] — rows by the SHARED row-key hash) → sample
+    // estimate; exact order statistic from the histogram's cumulative
+    // counts as the twin
+    val qest = quantileEstimate(samp, Seq(50, 90))
       .select(col("source").as("colname"), col("sample_n"),
         col("q50_est"), col("q90_est"))
     val vh = nn.filter(col("v").isNotNull)
@@ -589,8 +613,17 @@ object SketchOps {
     */
   def tableStats(df: DataFrame, rowKey: Column,
       columns: Seq[(String, Column, Option[Column])], k: Int = 128,
+      depth: Int = 4, width: Int = 1024): TableStats =
+    tableStatsFromHist(profileFrames(df, rowKey, columns)._2, k, depth,
+      width)
+
+  /** [[tableStats]] from an already-built histogram frame — the
+    * always-on form: a STREAMING profiler folds its histogram state
+    * per micro-batch ([[histMerge]]) and finalizes the stats artifact
+    * from the carried state whenever a planner wants fresh stats
+    * (StreamRehearsal scenario 10 pins stream-folded == batch-built). */
+  def tableStatsFromHist(hist: DataFrame, k: Int = 128,
       depth: Int = 4, width: Int = 1024): TableStats = {
-    val (_, hist) = profileFrames(df, rowKey, columns)
     val nn = hist.filter(col("term").isNotNull)
     val base = hist.groupBy("colname").agg(
       sum("cnt").as("n_rows"),
