@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Floor attribution for the two non-streaming ratio-frontier entries
+  * (r15 VERDICT item 6): q_ann_ivfpq_rerank (2.0-2.1× its 0.38 s
+  * stick) and q_llm_perplexity (2.1× its 0.41 s stick). Each is
+  * decomposed into its tiers (the Bm25Lab pattern) against
+  * checkpointed inputs, so the residual after the last tier is the
+  * fixed per-job planning/scheduling floor — either a cuttable
+  * exchange shows up as a tier gap, or the table closes the entry as
+  * floor-bound.
+  *
+  *   runMain graft.FrontierLab <sfDir> [runs]
+  */
+object FrontierLab {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val runs = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val So = graft.llm.SimilarityOps
+    val Po = graft.llm.PipelineOps
+    def noop(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def fmt(mk: => DataFrame): String =
+      (1 to runs).map(_ => f"${noop(mk)}%.2f").mkString("/")
+
+    // ---- q_ann_ivfpq_rerank tiers --------------------------------
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 20).localCheckpoint()
+    println(s"corpus $dir, $runs runs each (run 1 cold)")
+    println(s"ivfpq ADC candidate tier (rerank=32):   ${fmt(
+      So.ivfPqTopK(emb, queries, "vec_id", "embedding", 32))}")
+    // the exact tier alone, against a CHECKPOINTED candidate frame
+    // (lab-timing rule: time the checkpointed copy)
+    val cands = So.ivfPqTopK(emb, queries, "vec_id", "embedding", 32)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    println(s"exact rescoring tier over cached cands: ${fmt {
+      val V = graft.functions.VecFunctions
+      val quant = transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long"))
+      def base(df: DataFrame, idAs: String, qAs: String, nqAs: String) =
+        df.select(col("vec_id").as(idAs), quant.as(qAs))
+          .select(col(idAs), col(qAs), V.dot_long(col(qAs), col(qAs)).as(nqAs))
+      val c = base(emb, "neighbor_id", "cq", "cnq")
+      val q = base(queries, "query_id", "qq", "qnq")
+      val exact = graft.operators.Hints.maybeBroadcast(cands)
+        .join(c, Seq("neighbor_id"))
+        .join(graft.operators.Hints.maybeBroadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          when(col("qnq") === 0 || col("cnq") === 0, 0L)
+            .otherwise(floor(V.dot_long(col("qq"), col("cq")).cast("double")
+              * lit(1e6)
+              / sqrt((col("qnq") * col("cnq")).cast("double"))).cast("long"))
+            .as("score_x1e6"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("score_x1e6").desc, col("neighbor_id").asc)
+      exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    }}")
+    println(s"full rerank entry (ADC + exact):        ${fmt(
+      So.ivfPqRerankTopK(emb, queries, "vec_id", "embedding", 5))}")
+
+    // ---- q_llm_perplexity tiers ----------------------------------
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val isRef = col("doc_id") % 50 === 0
+    println(s"bigram-LM TRAIN tier alone:             ${fmt(
+      Po.trainBigramLm(docs, "doc_id", "text", isRef))}")
+    val model = Po.trainBigramLm(docs, "doc_id", "text", isRef)
+      .localCheckpoint()
+    println(s"SERVE tier over the cached model:       ${fmt(
+      Po.lmPerplexityServe(docs.filter(!isRef), "doc_id", "text", model))}")
+    println(s"full fused entry (train + score):       ${fmt(
+      Po.lmPerplexity(docs, "doc_id", "text", isRef))}")
+    spark.stop()
+  }
+}
