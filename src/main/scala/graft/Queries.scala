@@ -2869,6 +2869,55 @@ object Queries {
   }
   private val sketchKmvWindowedOracle = kmvWindowedOracle(withExact = true)
 
+  // WINDOWED CMS HEAVY HITTERS — the frequency half of the windowed
+  // family ("hot keys per hour"): per weekly window, a 4×1024 counter
+  // frame (merges cellwise per (window, i, bucket); a stream's state
+  // is open_windows × depth·width cells, evicting by window_start —
+  // the same close-and-emit story the windowed KMV stream measures),
+  // point-queried for each window's exact top-3 users. cms_est >=
+  // exact_tf always, per window.
+  private val sketchCmsWindowed: Q = (s, dir) => {
+    val S = graft.llm.SketchOps
+    val (depth, width) = (4, 1024)
+    val ev = events(s, dir).select(
+      col("user_id").cast("string").as("term"), col("sec"))
+    S.cmsProbeWindowed(
+      S.cmsCountersWindowed(ev, "term", "sec", 604800L, depth, width),
+      S.cmsTopCandidatesWindowed(ev, "term", "sec", 604800L, 3),
+      depth, width)
+  }
+  private val sketchCmsWindowedOracle = {
+    def hb(i: Int) =
+      s"CAST((${FnvOracleSql.fnvStrPublic(s"('$i' || term)")}) & " +
+        s"9223372036854775807::HUGEINT AS BIGINT) % 1024"
+    val counters = (0 until 4).map(i =>
+      s"""c$i AS (
+         |  SELECT window_start, ${hb(i)} AS bucket,
+         |         CAST(sum(tf) AS BIGINT) AS cnt
+         |  FROM tf0 GROUP BY 1, 2)""".stripMargin).mkString(",\n")
+    s"""WITH ev AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS term,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |st AS (SELECT sec - sec % 604800 AS window_start, term FROM ev),
+      |tf0 AS (SELECT window_start, term, CAST(count(*) AS BIGINT) AS tf
+      |        FROM st GROUP BY 1, 2),
+      |$counters,
+      |top AS (
+      |  SELECT window_start, term, tf AS exact_tf,
+      |    ${hb(0)} AS b0, ${hb(1)} AS b1, ${hb(2)} AS b2, ${hb(3)} AS b3
+      |  FROM tf0
+      |  QUALIFY row_number() OVER (PARTITION BY window_start
+      |    ORDER BY tf DESC, term) <= 3)
+      |SELECT t.window_start, t.term, t.exact_tf,
+      |       least(x0.cnt, x1.cnt, x2.cnt, x3.cnt) AS cms_est
+      |FROM top t
+      |JOIN c0 x0 ON x0.window_start = t.window_start AND x0.bucket = t.b0
+      |JOIN c1 x1 ON x1.window_start = t.window_start AND x1.bucket = t.b1
+      |JOIN c2 x2 ON x2.window_start = t.window_start AND x2.bucket = t.b2
+      |JOIN c3 x3 ON x3.window_start = t.window_start AND x3.bucket = t.b3""".stripMargin
+  }
+
   // WINDOWED KMV AS A STREAM with WATERMARK EVICTION — the shape a
   // real pipeline runs ("distinct users per week", forever): per
   // micro-batch the windowed sketch merges into the carried state,
@@ -5821,6 +5870,7 @@ object Queries {
     "q_sketch_kmv_stream" -> sketchKmvStream,
     "q_sketch_kmv_windowed" -> sketchKmvWindowed,
     "q_sketch_kmv_window_stream" -> sketchKmvWindowStream,
+    "q_sketch_cms_windowed" -> sketchCmsWindowed,
     "q_sketch_cms_heavy" -> sketchCmsHeavy,
     "q_sketch_cms_join_size" -> sketchCmsJoinSize,
     "q_sketch_cms_stream" -> sketchCmsStream,
@@ -5996,6 +6046,7 @@ object Queries {
     "q_sketch_kmv_stream" -> sketchKmvStreamOracle,
     "q_sketch_kmv_windowed" -> sketchKmvWindowedOracle,
     "q_sketch_kmv_window_stream" -> sketchKmvWindowStreamOracle,
+    "q_sketch_cms_windowed" -> sketchCmsWindowedOracle,
     "q_sketch_cms_heavy" -> sketchCmsHeavyOracle,
     "q_sketch_cms_join_size" -> sketchCmsJoinSizeOracle,
     "q_sketch_cms_stream" -> sketchCmsHeavyOracle,

@@ -562,6 +562,45 @@ object SketchOps {
     .withColumn("source", when(col("source") === "__merged__", col("source"))
       .otherwise(expr("substring(source, instr(source, '|') + 1)")))
 
+  /** The frequency half of the windowed family: per tumbling window,
+    * a (i, bucket) counter frame — "hot keys per hour". Merges
+    * cellwise per (window_start, i, bucket), so a stream's state is
+    * open_windows × depth·width cells and closed windows evict by a
+    * window_start filter (the same close-and-emit story the windowed
+    * KMV stream demonstrates). */
+  def cmsCountersWindowed(df: DataFrame, termCol: String, tsCol: String,
+      windowSec: Long, depth: Int, width: Int): DataFrame =
+    df.filter(col(termCol).isNotNull)
+      .select(windowStart(col(tsCol), windowSec).as("window_start"),
+        posexplode(cmsBuckets(col(termCol), depth, width))
+          .as(Seq("i", "bucket")))
+      .groupBy("window_start", "i", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Exact per-window top-`topK` keys — the windowed verification
+    * twin (production feeds candidates from the stream or a sample). */
+  def cmsTopCandidatesWindowed(df: DataFrame, termCol: String,
+      tsCol: String, windowSec: Long, topK: Int): DataFrame =
+    df.filter(col(termCol).isNotNull)
+      .select(windowStart(col(tsCol), windowSec).as("window_start"),
+        col(termCol).as("term"))
+      .groupBy("window_start", "term").agg(count(lit(1)).as("exact_tf"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("window_start")
+          .orderBy(col("exact_tf").desc, col("term").asc)))
+      .filter(col("rnk") <= topK).drop("rnk")
+
+  /** Point-query per-window candidates against a windowed counter
+    * frame — min over depth rows within the candidate's window; the
+    * cmsProbe zero-for-missing contract carries over. */
+  def cmsProbeWindowed(counters: DataFrame, candidates: DataFrame,
+      depth: Int, width: Int): DataFrame =
+    candidates.select(col("window_start"), col("term"), col("exact_tf"),
+        posexplode(cmsBuckets(col("term"), depth, width))
+          .as(Seq("i", "bucket")))
+      .join(counters, Seq("window_start", "i", "bucket"), "left")
+      .groupBy("window_start", "term", "exact_tf")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
   // ------------------------------------------------------------------
   // TABLE-STATS ARTIFACT — the profiler persisted for PLANNING (the
   // sixth persistence seam). Round 15 shipped the estimators a
