@@ -2939,10 +2939,16 @@ object Queries {
       val S = graft.llm.SketchOps
       val watch = kmvSlicesStaged(s, dir)
       val work = graft.sources.Staging.sessionTempDir("graft_kmv_wstream")
-      var openPath: Option[String] = None
-      var emitted = false
+      // per batch, ONE state write carrying a `closed` flag: a window
+      // that closed THIS batch is written here once and filtered out
+      // of the next batch's carried state (its key never reappears —
+      // time-ordered replay), so the emit-once contract holds with
+      // exactly TWO jobs per batch (the watermark scalar + the state
+      // write) instead of the recompute-per-consumer shape
+      // (wm/isEmpty/emit-write/open-write each re-running the merge)
+      val statePaths = scala.collection.mutable.ArrayBuffer.empty[String]
       var wm = Long.MinValue
-      var idx = 0
+      val wsOf = substring_index(col("source"), "|", 1).cast("long")
       val schema = s.read.parquet(watch).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(watch)
@@ -2951,33 +2957,31 @@ object Queries {
             val bk = S.kmvKmin(b.withColumn("wsrc",
                 S.windowedKey(col("ts"), win, col("event_type"))),
               "wsrc", "term", k)
-            val merged = openPath match {
+            val merged = statePaths.lastOption match {
               case None => bk
-              case Some(p) => S.kmvMerge(s.read.parquet(p), bk, k)
+              case Some(p) => S.kmvMerge(
+                s.read.parquet(p).filter(!col("closed")).drop("closed"),
+                bk, k)
             }
             wm = math.max(wm,
               b.agg(max(col("ts").cast("long"))).head().getLong(0))
-            // a closed window's key never reappears (time-ordered
-            // replay), so each window is emitted exactly once
-            val wsOf = substring_index(col("source"), "|", 1).cast("long")
-            val closed = merged.filter(wsOf + lit(win) <= lit(wm))
-            if (!closed.isEmpty) {
-              closed.write.mode("append").parquet(s"$work/emitted")
-              emitted = true
-            }
-            val next = s"$work/open_${idx + 1}"
-            merged.filter(wsOf + lit(win) > lit(wm)).write.parquet(next)
-            openPath = Some(next)
-            idx += 1
+            val next = s"$work/state_${statePaths.size + 1}"
+            merged.withColumn("closed", wsOf + lit(win) <= lit(wm))
+              .write.parquet(next)
+            statePaths += next
+            ()
           }
         }
         .option("checkpointLocation", s"$work/ck")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val open = s.read.parquet(openPath.getOrElse(
-        sys.error("kmv window stream produced no batches")))
-      val all = if (emitted)
-        s.read.parquet(s"$work/emitted").unionByName(open) else open
+      require(statePaths.nonEmpty, "kmv window stream produced no batches")
+      // every closed window lives in exactly the batch dir where it
+      // closed; the final dir additionally holds the still-open tail
+      val all = statePaths.init
+        .map(p => s.read.parquet(p).filter(col("closed")))
+        .foldLeft(s.read.parquet(statePaths.last))(_ unionByName _)
+        .drop("closed")
       S.splitWindowedKey(S.kmvEstimate(all, k))
         .select("window_start", "source", "kth_min_hash", "k_used",
           "kmv_est")
@@ -3114,6 +3118,70 @@ object Queries {
       |sk AS (SELECT source, list_sort(list(v)) AS sv FROM samp GROUP BY 1),
       |ex AS (SELECT source, list_sort(list(v)) AS ev2 FROM st GROUP BY 1)
       |SELECT s.source,
+      |  CAST(len(sv) AS BIGINT) AS sample_n,
+      |  sv[(len(sv) - 1) * 50 // 100 + 1] AS q50_est,
+      |  sv[(len(sv) - 1) * 90 // 100 + 1] AS q90_est,
+      |  CAST(len(ev2) AS BIGINT) AS exact_n,
+      |  ev2[(len(ev2) - 1) * 50 // 100 + 1] AS q50_exact,
+      |  ev2[(len(ev2) - 1) * 90 // 100 + 1] AS q90_exact
+      |FROM sk s JOIN ex e ON s.source = e.source""".stripMargin
+  }
+
+  // WINDOWED QUANTILES — the third member of the windowed family
+  // (cardinality / frequency / quantiles, one per catalog question):
+  // per weekly window and event type, q50/q90 of the quantized value
+  // from the bottom-k-by-hash row sample, the window start riding in
+  // the composite sketch key exactly as the windowed KMV/CMS do —
+  // the sample kernel, merge, and estimator apply unchanged. k = 64
+  // so sf0.01+ windows genuinely estimate (≈400 values/group) and
+  // sf0.001's sparse windows exercise the exact passthrough; the
+  // exact windowed order statistics ride along as the twin.
+  private val sketchQuantileWindowed: Q = (s, dir) => {
+    val S = graft.llm.SketchOps
+    val ev = events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("sec"),
+        floor(col("value") * 1000).cast("long").as("v"))
+      .withColumn("wsrc",
+        S.windowedKey(col("sec"), 604800L, col("event_type")))
+    val est = S.quantileEstimate(
+      S.quantileSample(ev, "wsrc", "event_id", col("v"), 64), Seq(50, 90))
+    val exact = ev.groupBy(col("wsrc").as("source"))
+      .agg(sort_array(collect_list(col("v"))).as("ev2"))
+      .select(col("source"), size(col("ev2")).cast("long").as("exact_n"),
+        expr("element_at(ev2, CAST((CAST(size(ev2) AS BIGINT) - 1) * 50 DIV 100 AS INT) + 1)")
+          .as("q50_exact"),
+        expr("element_at(ev2, CAST((CAST(size(ev2) AS BIGINT) - 1) * 90 DIV 100 AS INT) + 1)")
+          .as("q90_exact"))
+    S.splitWindowedKey(est.join(exact, "source"))
+      .select("window_start", "source", "sample_n", "q50_est", "q90_est",
+        "exact_n", "q50_exact", "q90_exact")
+  }
+  private val sketchQuantileWindowedOracle = {
+    s"""WITH ev AS (
+      |  SELECT event_type, CAST(event_id AS VARCHAR) AS term,
+      |         CAST(floor(value * 1000) AS BIGINT) AS v,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events WHERE value IS NOT NULL),
+      |st AS (
+      |  SELECT CAST(sec - sec % 604800 AS VARCHAR) || '|' || event_type
+      |           AS source,
+      |         term, v
+      |  FROM ev),
+      |z AS (SELECT source, v, (${FnvOracleSql.fnvStrPublic("term")}) AS z0
+      |      FROM st),
+      |${FnvOracleSql.mix64Ctes("q", "z", Seq("source", "v"))},
+      |hh AS (SELECT DISTINCT source, v,
+      |         CAST(h & 9223372036854775807::HUGEINT AS BIGINT) AS h
+      |       FROM qf),
+      |rn AS (
+      |  SELECT source, v,
+      |         row_number() OVER (PARTITION BY source ORDER BY h, v) AS rn
+      |  FROM hh),
+      |samp AS (SELECT source, v FROM rn WHERE rn <= 64),
+      |sk AS (SELECT source, list_sort(list(v)) AS sv FROM samp GROUP BY 1),
+      |ex AS (SELECT source, list_sort(list(v)) AS ev2 FROM st GROUP BY 1)
+      |SELECT CAST(string_split(s.source, '|')[1] AS BIGINT) AS window_start,
+      |  substring(s.source, strpos(s.source, '|') + 1) AS source,
       |  CAST(len(sv) AS BIGINT) AS sample_n,
       |  sv[(len(sv) - 1) * 50 // 100 + 1] AS q50_est,
       |  sv[(len(sv) - 1) * 90 // 100 + 1] AS q90_est,
@@ -4252,10 +4320,50 @@ object Queries {
     graft.llm.Multimodal.phashNearDup(
       graft.llm.Multimodal.packFromDocuments(media))
   }
-  private val mmPhashNearDupOracle = {
-    val ctRows = (for (u <- 0 until 8; n <- 0 until 8)
+  /** The DCT table literal shared by every pHash oracle. */
+  private def phashCtRows: String =
+    (for (u <- 0 until 8; n <- 0 until 8)
       yield s"($u, $n, ${graft.llm.Multimodal.DctQ14(u)(n)})")
       .mkString(", ")
+
+  /** The pHash CTE chain: reads `${p}media(doc_id, text)` (and the
+    * shared `ct` DCT table), emits `${p}ph(media_id, phash)` —
+    * instantiable twice in one query (corpus + benchmark sides of the
+    * decontamination oracle). */
+  private def phashSqlChain(p: String): String =
+    s"""${p}d AS (
+      |  SELECT doc_id AS media_id, length(text) AS n,
+      |    list_transform(range(length(text)),
+      |      i -> CAST(ord(text[i+1]) AS BIGINT)) AS codes
+      |  FROM ${p}media),
+      |${p}px AS (
+      |  SELECT media_id, i, codes[(i * n) // 64 + 1] AS p,
+      |         i // 8 AS r, i % 8 AS c
+      |  FROM ${p}d, UNNEST(range(64)) AS t(i) WHERE n > 0),
+      |${p}f AS (
+      |  SELECT px.media_id, cu.u AS u, cv.u AS v,
+      |    CAST(sum(px.p * cu.cv * cv.cv) AS BIGINT) AS coef
+      |  FROM ${p}px px JOIN ct cu ON cu.pos = px.r
+      |  JOIN ct cv ON cv.pos = px.c
+      |  GROUP BY 1, 2, 3),
+      |${p}ac AS (SELECT media_id, u * 8 + v AS idx, coef FROM ${p}f
+      |       WHERE NOT (u = 0 AND v = 0)),
+      |${p}med AS (
+      |  SELECT media_id, coef AS m FROM (
+      |    SELECT media_id, coef,
+      |      row_number() OVER (PARTITION BY media_id ORDER BY coef) AS rn
+      |    FROM ${p}ac) WHERE rn = 32),
+      |${p}ph AS (
+      |  SELECT a.media_id,
+      |    CAST(sum(CASE WHEN a.coef > m.m
+      |         THEN 1::BIGINT << (a.idx - 1) ELSE 0 END) AS BIGINT)
+      |      AS phash
+      |  FROM ${p}ac a JOIN ${p}med m ON a.media_id = m.media_id
+      |  GROUP BY 1
+      |  UNION ALL
+      |  SELECT media_id, 0 FROM ${p}d WHERE n = 0)""".stripMargin
+
+  private val mmPhashNearDupOracle =
     s"""WITH media AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -4263,37 +4371,8 @@ object Queries {
       |  UNION ALL
       |  SELECT doc_id + 2000000, 'X' || substring(text, 2)
       |  FROM documents WHERE doc_id % 100 = 50),
-      |d AS (
-      |  SELECT doc_id AS media_id, length(text) AS n,
-      |    list_transform(range(length(text)),
-      |      i -> CAST(ord(text[i+1]) AS BIGINT)) AS codes
-      |  FROM media),
-      |ct(u, pos, cv) AS (SELECT * FROM (VALUES $ctRows)),
-      |px AS (
-      |  SELECT media_id, i, codes[(i * n) // 64 + 1] AS p,
-      |         i // 8 AS r, i % 8 AS c
-      |  FROM d, UNNEST(range(64)) AS t(i) WHERE n > 0),
-      |f AS (
-      |  SELECT px.media_id, cu.u AS u, cv.u AS v,
-      |    CAST(sum(px.p * cu.cv * cv.cv) AS BIGINT) AS coef
-      |  FROM px JOIN ct cu ON cu.pos = px.r JOIN ct cv ON cv.pos = px.c
-      |  GROUP BY 1, 2, 3),
-      |ac AS (SELECT media_id, u * 8 + v AS idx, coef FROM f
-      |       WHERE NOT (u = 0 AND v = 0)),
-      |med AS (
-      |  SELECT media_id, coef AS m FROM (
-      |    SELECT media_id, coef,
-      |      row_number() OVER (PARTITION BY media_id ORDER BY coef) AS rn
-      |    FROM ac) WHERE rn = 32),
-      |ph AS (
-      |  SELECT a.media_id,
-      |    CAST(sum(CASE WHEN a.coef > med.m
-      |         THEN 1::BIGINT << (a.idx - 1) ELSE 0 END) AS BIGINT)
-      |      AS phash
-      |  FROM ac a JOIN med ON a.media_id = med.media_id
-      |  GROUP BY 1
-      |  UNION ALL
-      |  SELECT media_id, 0 FROM d WHERE n = 0),
+      |ct(u, pos, cv) AS (SELECT * FROM (VALUES $phashCtRows)),
+      |${phashSqlChain("")},
       |ch AS (
       |  SELECT media_id, phash, i AS chunk,
       |         (phash >> (i * 16)) & 65535 AS key
@@ -4303,7 +4382,53 @@ object Queries {
       |FROM ch a JOIN ch b
       |  ON a.chunk = b.chunk AND a.key = b.key AND a.media_id < b.media_id
       |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin
+
+  // PERCEPTUAL DECONTAMINATION — the media analogue of
+  // q_llm_decontaminate: benchmark media (here a one-byte-corrupted
+  // re-encode of every doc_id % 25 == 0 payload — bytes differ,
+  // perception doesn't) must not survive into the training corpus.
+  // Corpus and benchmark pHash through the SAME chain; candidates
+  // come from Hamming bands joined ACROSS SIDES only (linear in each
+  // side, never corpus² — the incremental-dedup shape); survivors =
+  // corpus anti-joined on the matched ids.
+  private val mmPhashDecontaminate: Q = (s, dir) => {
+    val M = graft.llm.Multimodal
+    val base = docsT(s, dir).select(col("doc_id"), col("text"),
+      col("n_chars"))
+    val bench = base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(lit("X"), expr("substring(text, 2)")).as("text"),
+        col("n_chars"))
+    M.phashDecontaminate(M.packFromDocuments(base),
+        M.packFromDocuments(bench))
+      .select(col("media_id"), col("kind"), col("n_bytes"))
   }
+  private val mmPhashDecontaminateOracle =
+    s"""WITH cmedia AS (SELECT doc_id, text FROM documents),
+      |bmedia AS (
+      |  SELECT doc_id + 5000000 AS doc_id, 'X' || substring(text, 2) AS text
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |ct(u, pos, cv) AS (SELECT * FROM (VALUES $phashCtRows)),
+      |${phashSqlChain("c")},
+      |${phashSqlChain("b")},
+      |cch AS (
+      |  SELECT media_id, phash, i AS chunk,
+      |         (phash >> (i * 16)) & 65535 AS key
+      |  FROM cph, UNNEST(range(4)) AS t(i)),
+      |bch AS (
+      |  SELECT phash AS bphash, i AS chunk,
+      |         (phash >> (i * 16)) & 65535 AS key
+      |  FROM bph, UNNEST(range(4)) AS t(i)),
+      |hit AS (
+      |  SELECT DISTINCT c.media_id
+      |  FROM cch c JOIN bch b ON c.chunk = b.chunk AND c.key = b.key
+      |  WHERE bit_count(xor(c.phash, b.bphash)) <= 3)
+      |SELECT d.doc_id AS media_id,
+      |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(length(d.text) AS BIGINT) AS n_bytes
+      |FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT media_id FROM hit)""".stripMargin
 
   private val mmResize: Q = (s, dir) =>
     graft.llm.Multimodal.resize(
@@ -5871,6 +5996,7 @@ object Queries {
     "q_sketch_kmv_windowed" -> sketchKmvWindowed,
     "q_sketch_kmv_window_stream" -> sketchKmvWindowStream,
     "q_sketch_cms_windowed" -> sketchCmsWindowed,
+    "q_sketch_quantile_windowed" -> sketchQuantileWindowed,
     "q_sketch_cms_heavy" -> sketchCmsHeavy,
     "q_sketch_cms_join_size" -> sketchCmsJoinSize,
     "q_sketch_cms_stream" -> sketchCmsStream,
@@ -5918,6 +6044,7 @@ object Queries {
     "q_mm_frames" -> mmFrames,
     "q_mm_resize" -> mmResize,
     "q_mm_phash_neardup" -> mmPhashNearDup,
+    "q_mm_phash_decontaminate" -> mmPhashDecontaminate,
     "q_emb_neardup" -> embNearDup,
     "q_emb_semdedup" -> embSemDedup,
     "q_emb_cluster_sample" -> embClusterSample,
@@ -6047,6 +6174,7 @@ object Queries {
     "q_sketch_kmv_windowed" -> sketchKmvWindowedOracle,
     "q_sketch_kmv_window_stream" -> sketchKmvWindowStreamOracle,
     "q_sketch_cms_windowed" -> sketchCmsWindowedOracle,
+    "q_sketch_quantile_windowed" -> sketchQuantileWindowedOracle,
     "q_sketch_cms_heavy" -> sketchCmsHeavyOracle,
     "q_sketch_cms_join_size" -> sketchCmsJoinSizeOracle,
     "q_sketch_cms_stream" -> sketchCmsHeavyOracle,
@@ -6100,6 +6228,7 @@ object Queries {
     "q_mm_frames" -> mmFramesOracle,
     "q_mm_resize" -> mmResizeOracle,
     "q_mm_phash_neardup" -> mmPhashNearDupOracle,
+    "q_mm_phash_decontaminate" -> mmPhashDecontaminateOracle,
     "q_etl_blocks" -> etlBlocksOracle,
     "q_emb_neardup" -> embNearDupOracle,
     "q_emb_semdedup" -> embSemDedupOracle,

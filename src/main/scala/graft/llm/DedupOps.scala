@@ -843,14 +843,21 @@ object DedupOps {
     * ([[Multimodal.phashNearDup]]): one banding core, never
     * all-pairs (Σ|bucket|² candidate cost, the MinHash-LSH shape).
     */
-  private[graft] def hammingBandPairs(sigs: DataFrame,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3, "4-chunk pigeonhole only guarantees recall for hamming <= 3")
-    val chunked = sigs.select(col("id"), col("sig"),
+  /** A signature frame exploded into its 4×16-bit band rows
+    * (id, sig, chunk, key) — the shared banding projection under
+    * [[hammingBandPairs]] (within one set) and
+    * [[Multimodal.phashDecontaminate]] (across two sets). */
+  private[graft] def hammingChunks(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), col("sig"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("chunk"),
             shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("c"))
       .select(col("id"), col("sig"), col("c.chunk").as("chunk"), col("c.key").as("key"))
+
+  private[graft] def hammingBandPairs(sigs: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole only guarantees recall for hamming <= 3")
+    val chunked = hammingChunks(sigs)
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))

@@ -247,6 +247,31 @@ object Multimodal {
       phash(media).select(col("media_id").as("id"), col("phash").as("sig")),
       maxHamming)
 
+  /** Perceptual-hash DECONTAMINATION — the media analogue of the text
+    * benchmark-decontamination pass: drop every corpus media item
+    * perceptually near-dup (hamming ≤ maxHamming) to ANY benchmark
+    * item (a re-encoded/cropped benchmark image in the training set
+    * is contamination even though its bytes differ). Candidates come
+    * from the Hamming bands joined ACROSS SIDES only (the
+    * incremental-dedup shape — linear in each side, never corpus²,
+    * and recall-lossless at hamming ≤ 3 by the same pigeonhole);
+    * survivors are the corpus anti-joined on the matched ids. */
+  def phashDecontaminate(corpus: Dataset[MediaRow],
+      benchmark: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk pigeonhole only guarantees recall for hamming <= 3")
+    val c = DedupOps.hammingChunks(phash(corpus)
+      .select(col("media_id").as("id"), col("phash").as("sig")))
+    val b = DedupOps.hammingChunks(phash(benchmark)
+        .select(col("media_id").as("id"), col("phash").as("sig")))
+      .select(col("sig").as("bsig"), col("chunk"), col("key"))
+    val hit = c.join(b, Seq("chunk", "key"))
+      .filter(bit_count(col("sig").bitwiseXOR(col("bsig"))) <= maxHamming)
+      .select(col("id")).distinct()
+    corpus.toDF().join(hit, corpus.toDF()("media_id") === hit("id"),
+      "left_anti")
+  }
+
   /** Per-partition feature extraction: iterator-in/iterator-out so a
     * real decoder can amortize codec init per partition (the Scala
     * analogue of the mapInPandas batch shape).

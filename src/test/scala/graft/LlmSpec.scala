@@ -1350,6 +1350,19 @@ class LlmSpec extends SparkSpec {
       h = ham(hashes(i), hashes(j)) if h <= 3
     } yield (i, j, h)).toSet
     assert(pairs == brute, "band recall must equal brute force at r<=3")
+    // DECONTAMINATION: a corrupted re-encode of payloadA in the
+    // benchmark set must knock out BOTH its source (1) and the exact
+    // re-upload (5); unrelated corpus media survive
+    val bench = Multimodal.packFromDocuments(
+      Seq((100L, payloadC)).toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text"))))
+    val survivors = Multimodal.phashDecontaminate(media, bench)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(!survivors.contains(1L) && !survivors.contains(5L) &&
+      !survivors.contains(3L),
+      s"perceptual matches must be dropped (got $survivors)")
+    assert(Set(2L, 4L).subsetOf(survivors),
+      "unrelated media must survive decontamination")
   }
 
   /** All messages down an exception's cause chain (executor failures
