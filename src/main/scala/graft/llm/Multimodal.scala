@@ -268,8 +268,8 @@ object Multimodal {
     val hit = c.join(b, Seq("chunk", "key"))
       .filter(bit_count(col("sig").bitwiseXOR(col("bsig"))) <= maxHamming)
       .select(col("id")).distinct()
-    corpus.toDF().join(hit, corpus.toDF()("media_id") === hit("id"),
-      "left_anti")
+    val cdf = corpus.toDF()
+    cdf.join(hit, cdf("media_id") === hit("id"), "left_anti")
   }
 
   /** Per-partition feature extraction: iterator-in/iterator-out so a

@@ -272,8 +272,12 @@ object Scale {
       else if (BigInt(bigStats.hotCnt) * hotDen >=
           BigInt(bigStats.nonNull) * hotNum) "salted"
       else "shuffle"
+    // ceil without the (bound + rpp - 1) addition — bound can sit at
+    // Long.MaxValue (the BigInt clamp above), where the textbook ceil
+    // form overflows negative and would yield numParts = 1
     val numParts = math.max(1L, math.min(maxParts.toLong,
-      (bound + rowsPerPartition - 1) / rowsPerPartition)).toInt
+      bound / rowsPerPartition +
+        (if (bound % rowsPerPartition > 0) 1L else 0L))).toInt
     JoinDecision(branch, bound, ndvEst, numParts)
   }
 

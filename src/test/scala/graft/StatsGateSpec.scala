@@ -149,6 +149,23 @@ class StatsGateSpec extends SparkSpec {
     assert(d.ndvEst == 6000L, s"ndvEst ${d.ndvEst}")
   }
 
+  test("join-size bound clamps at Long.MaxValue without wrapping and " +
+      "the DOP ceil is overflow-safe at the clamp") {
+    import spark.implicits._
+    // two ~4e9-count cells: the bucketwise product is 1.6e19 > Long.Max
+    // — the BigInt path must clamp, not wrap
+    val cell = Map((0, 1L) -> 4000000000L)
+    assert(Scale.joinSizeBoundLocal(cell, cell, 1) == Long.MaxValue)
+    val huge = Seq((0, 1L, 4000000000L)).toDF("i", "bucket", "cnt")
+    val ks = Scale.KeyStats(4000000000L, 0L, 1L, 1L, 4000000000L, 1L)
+    val d = Scale.statsJoinDecision(ks, ks, huge, huge, depth = 1,
+      broadcastRows = 0, rowsPerPartition = 1000000, maxParts = 2048)
+    assert(d.joinSizeBound == Long.MaxValue)
+    // the textbook ceil form (bound + rpp - 1) would overflow negative
+    // here and collapse the DOP to 1; the safe form caps at maxParts
+    assert(d.numParts == 2048, s"numParts ${d.numParts}")
+  }
+
   test("table-stats artifact: save -> load -> plan == plan from the " +
       "in-session frames") {
     import spark.implicits._
