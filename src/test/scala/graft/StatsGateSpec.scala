@@ -149,6 +149,22 @@ class StatsGateSpec extends SparkSpec {
     assert(d.ndvEst == 6000L, s"ndvEst ${d.ndvEst}")
   }
 
+  test("the catalog stats-gated entry consumes the artifact at PLAN " +
+      "time: no stats-artifact scan in the executed plan, and all " +
+      "three branch plans are present") {
+    val df = SparkEntry.queries("q_scale_stats_gated_join")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the persisted stats fed the DECISION (driver-side, during plan
+    // construction); the query itself must never rescan them
+    assert(!plan.contains("graft_table_stats"),
+      "stats-artifact files must not appear in the query's scans")
+    // the three regimes really landed on three different plans
+    assert(plan.contains("BroadcastHashJoin"),
+      "dim_enrich regime must broadcast")
+    assert(plan.contains("_salt"), "hot regime must take the salted plan")
+  }
+
   test("join-size bound clamps at Long.MaxValue without wrapping and " +
       "the DOP ceil is overflow-safe at the clamp") {
     import spark.implicits._
