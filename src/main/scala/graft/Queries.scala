@@ -2918,6 +2918,70 @@ object Queries {
       |JOIN c3 x3 ON x3.window_start = t.window_start AND x3.bucket = t.b3""".stripMargin
   }
 
+  // WINDOWED CMS AS A STREAM — the frequency twin of
+  // q_sketch_kmv_window_stream, same replay dir and the same
+  // single-write eviction design: per batch the windowed counter
+  // frame merges into the carried state by cellwise addition per
+  // (window, i, bucket), the watermark closes passed windows (their
+  // cells written once with the closed flag, filtered out of the next
+  // carried state — keys never reappear under time-ordered replay),
+  // so state is open_windows × depth·width cells at any stream
+  // length. Output — and therefore the oracle — is IDENTICAL to
+  // q_sketch_cms_windowed: windowed counter mergeability + eviction
+  // losing nothing is the hash-compared surface.
+  private val sketchCmsWindowStream: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // counter-sized state
+    try {
+      val (depth, width, win) = (4, 1024, 604800L)
+      val S = graft.llm.SketchOps
+      val watch = kmvSlicesStaged(s, dir)
+      val work = graft.sources.Staging.sessionTempDir("graft_cms_wstream")
+      val statePaths = scala.collection.mutable.ArrayBuffer.empty[String]
+      var wm = Long.MinValue
+      val schema = s.read.parquet(watch).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val bc = S.cmsCountersWindowed(b, "term", "ts", win, depth,
+              width)
+            val merged = statePaths.lastOption match {
+              case None => bc
+              case Some(p) => s.read.parquet(p).filter(!col("closed"))
+                .drop("closed").unionByName(bc)
+                .groupBy("window_start", "i", "bucket")
+                .agg(sum("cnt").as("cnt"))
+            }
+            wm = math.max(wm,
+              b.agg(max(col("ts").cast("long"))).head().getLong(0))
+            val next = s"$work/state_${statePaths.size + 1}"
+            merged.withColumn("closed",
+                col("window_start") + lit(win) <= lit(wm))
+              .write.parquet(next)
+            statePaths += next
+            ()
+          }
+        }
+        .option("checkpointLocation", s"$work/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      require(statePaths.nonEmpty, "cms window stream produced no batches")
+      val counters = statePaths.init
+        .map(p => s.read.parquet(p).filter(col("closed")))
+        .foldLeft(s.read.parquet(statePaths.last))(_ unionByName _)
+        .drop("closed")
+      // candidates from the batch side — the verification twin, the
+      // q_sketch_cms_stream precedent
+      val ev = events(s, dir).select(
+        col("user_id").cast("string").as("term"), col("sec"))
+      S.cmsProbeWindowed(counters,
+        S.cmsTopCandidatesWindowed(ev, "term", "sec", win, 3), depth,
+        width)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   // WINDOWED KMV AS A STREAM with WATERMARK EVICTION — the shape a
   // real pipeline runs ("distinct users per week", forever): per
   // micro-batch the windowed sketch merges into the carried state,
@@ -5996,6 +6060,7 @@ object Queries {
     "q_sketch_kmv_windowed" -> sketchKmvWindowed,
     "q_sketch_kmv_window_stream" -> sketchKmvWindowStream,
     "q_sketch_cms_windowed" -> sketchCmsWindowed,
+    "q_sketch_cms_window_stream" -> sketchCmsWindowStream,
     "q_sketch_quantile_windowed" -> sketchQuantileWindowed,
     "q_sketch_cms_heavy" -> sketchCmsHeavy,
     "q_sketch_cms_join_size" -> sketchCmsJoinSize,
@@ -6083,7 +6148,7 @@ object Queries {
     "q_llm_stream_neardup", "q_asof_stream", "q_etl_stream_transactions",
     "q_stream_interval_join", "q_stream_interval_join_outer",
     "q_scd2_stream_merge", "q_sketch_kmv_stream", "q_sketch_cms_stream",
-    "q_sketch_kmv_window_stream")
+    "q_sketch_kmv_window_stream", "q_sketch_cms_window_stream")
   require(streamingEntries.forall(all.contains),
     "streamingEntries must all be catalog entries")
 
@@ -6174,6 +6239,7 @@ object Queries {
     "q_sketch_kmv_windowed" -> sketchKmvWindowedOracle,
     "q_sketch_kmv_window_stream" -> sketchKmvWindowStreamOracle,
     "q_sketch_cms_windowed" -> sketchCmsWindowedOracle,
+    "q_sketch_cms_window_stream" -> sketchCmsWindowedOracle,
     "q_sketch_quantile_windowed" -> sketchQuantileWindowedOracle,
     "q_sketch_cms_heavy" -> sketchCmsHeavyOracle,
     "q_sketch_cms_join_size" -> sketchCmsJoinSizeOracle,
