@@ -40,32 +40,13 @@ object FrontierLab {
     println(s"ivfpq ADC candidate tier (rerank=32):   ${fmt(
       So.ivfPqTopK(emb, queries, "vec_id", "embedding", 32))}")
     // the exact tier alone, against a CHECKPOINTED candidate frame
-    // (lab-timing rule: time the checkpointed copy)
+    // (lab-timing rule: time the checkpointed copy) — the PRODUCTION
+    // kernel itself (SimilarityOps.rescoreCandidates), not an inline
+    // re-implementation that could drift from it
     val cands = So.ivfPqTopK(emb, queries, "vec_id", "embedding", 32)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint()
-    println(s"exact rescoring tier over cached cands: ${fmt {
-      val V = graft.functions.VecFunctions
-      val quant = transform(col("embedding"),
-        x => floor(x.cast("double") * 1000).cast("long"))
-      def base(df: DataFrame, idAs: String, qAs: String, nqAs: String) =
-        df.select(col("vec_id").as(idAs), quant.as(qAs))
-          .select(col(idAs), col(qAs), V.dot_long(col(qAs), col(qAs)).as(nqAs))
-      val c = base(emb, "neighbor_id", "cq", "cnq")
-      val q = base(queries, "query_id", "qq", "qnq")
-      val exact = graft.operators.Hints.maybeBroadcast(cands)
-        .join(c, Seq("neighbor_id"))
-        .join(graft.operators.Hints.maybeBroadcast(q), Seq("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          when(col("qnq") === 0 || col("cnq") === 0, 0L)
-            .otherwise(floor(V.dot_long(col("qq"), col("cq")).cast("double")
-              * lit(1e6)
-              / sqrt((col("qnq") * col("cnq")).cast("double"))).cast("long"))
-            .as("score_x1e6"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id")
-        .orderBy(col("score_x1e6").desc, col("neighbor_id").asc)
-      exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-    }}")
+    println(s"exact rescoring tier over cached cands: ${fmt(
+      So.rescoreCandidates(cands, emb, queries, "vec_id", "embedding", 5))}")
     println(s"full rerank entry (ADC + exact):        ${fmt(
       So.ivfPqRerankTopK(emb, queries, "vec_id", "embedding", 5))}")
 

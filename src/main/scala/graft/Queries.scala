@@ -568,7 +568,7 @@ object Queries {
     val nSlices = 3
     val watch = s"${System.getProperty("java.io.tmpdir")}/graft_asof_slices_v1_" +
       graft.sources.SyntheticTraces.tableKey(dir, Seq("events")) + s"_n$nSlices"
-    if (!new java.io.File(s"$watch/_SUCCESS").isFile) {
+    if (!graft.sources.Staging.hasMarker(s"$watch")) {
       graft.sources.Staging.stageOnce(watch) { tmp =>
         val ev = events(s, dir).select(
             col("user_id").as("key"),
@@ -590,7 +590,7 @@ object Queries {
             StreamRehearsal.moveSlices(s"$tmp/sent_$i", tmp, 0)
             org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(s"$tmp/sent_$i"))
           }
-        new java.io.File(tmp, "_SUCCESS").createNewFile()
+        graft.sources.Staging.touchMarker(tmp)
       }
     }
     watch
@@ -991,7 +991,7 @@ object Queries {
     val fp = java.lang.Long.toHexString(src.length() * 31L + src.lastModified())
     val key = dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" + fp
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_compact_$key"
-    if (!new java.io.File(s"$root/src/_SUCCESS").isFile) {
+    if (!graft.sources.Staging.hasMarker(s"$root/src")) {
       graft.sources.Staging.stageOnce(s"$root/src") { tmp =>
         t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
@@ -1140,7 +1140,7 @@ object Queries {
       Seq("lineitem", "orders", "supplier", "nation"))
     val path =
       s"${System.getProperty("java.io.tmpdir")}/graft_table_stats_v1_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         val S = graft.llm.SketchOps
         def one(name: String, df: DataFrame, rowKey: Column,
@@ -1167,9 +1167,7 @@ object Queries {
           col("o_orderkey"), "o_orderkey")
         // top-level completeness marker once all six artifacts landed
         // (stageOnce's publication test keys on it)
-        val marker = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
-        val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.create(marker, true).close()
+        graft.sources.Staging.touchMarker(tmp)
       }
     }
     path
@@ -1725,7 +1723,7 @@ object Queries {
   private def scd2Staged(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("events"))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_scd2_v1_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         val ev = events(s, dir)
           .select(col("user_id"), col("sec"), col("event_type"), col("event_id"))
@@ -1742,7 +1740,7 @@ object Queries {
           .select(col("user_id"), col("sec").as("ts"),
             col("event_type"), col("event_id"))
           .write.parquet(s"$tmp/delta")
-        new java.io.File(tmp, "_SUCCESS").createNewFile()
+        graft.sources.Staging.touchMarker(tmp)
       }
     }
     (s.read.parquet(s"$path/base"), s.read.parquet(s"$path/delta"))
@@ -1887,7 +1885,7 @@ object Queries {
   private def scd2StreamStaged(s: SparkSession, dir: String): (String, String) = {
     val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("events"))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_scd2_stream_v1_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         val (base, delta) = scd2Staged(s, dir)
         base.write.parquet(s"$tmp/base0")
@@ -1912,7 +1910,7 @@ object Queries {
           .write.partitionBy("_slice").parquet(s"$tmp/stage")
         StreamRehearsal.moveSlices(s"$tmp/stage", s"$tmp/slices", 0)
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(s"$tmp/stage"))
-        new java.io.File(tmp, "_SUCCESS").createNewFile()
+        graft.sources.Staging.touchMarker(tmp)
       }
     }
     (s"$path/base0", s"$path/slices")
@@ -2187,7 +2185,7 @@ object Queries {
     val fp = java.lang.Long.toHexString(src.length() * 31L + src.lastModified())
     val key = dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" + fp
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_trees_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         val li = t(s, dir, "lineitem")
         val child = struct(
@@ -2321,7 +2319,7 @@ object Queries {
       // same rationale as the flagship's sliced watch dir).
       val in = s"${System.getProperty("java.io.tmpdir")}/graft_nd_slices_v1_" +
         graft.sources.SyntheticTraces.tableKey(dir, Seq("documents"))
-      if (!new java.io.File(s"$in/_SUCCESS").isFile)
+      if (!graft.sources.Staging.hasMarker(s"$in"))
         graft.sources.Staging.stageOnce(in) { tmp =>
           docsT(s, dir).select(col("doc_id"), col("text"))
             .repartition(4, col("doc_id"))
@@ -2562,7 +2560,7 @@ object Queries {
   private val llmIndexServe: Q = (s, dir) => {
     val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("documents"))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_invidx_v1_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         graft.llm.TextOps.saveIndex(
           graft.llm.TextOps.invertedIndex(
@@ -2702,13 +2700,13 @@ object Queries {
   private def kmvSlicesStaged(s: SparkSession, dir: String): String = {
     val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("events"))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_kmv_slices_v1_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         val ev = events(s, dir).select(col("event_type"),
           col("user_id").cast("string").as("term"), col("sec").as("ts"))
         StreamRehearsal.stageSlices(ev, "ts", 3, s"$tmp/stage", tmp)
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(s"$tmp/stage"))
-        new java.io.File(tmp, "_SUCCESS").createNewFile()
+        graft.sources.Staging.touchMarker(tmp)
       }
     }
     path
@@ -3651,7 +3649,7 @@ object Queries {
     val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("documents"))
     val path =
       s"${System.getProperty("java.io.tmpdir")}/graft_bpe_model_v1_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         graft.llm.Quantizers.saveModel(
           graft.llm.TextOps.bpeMergeModel(
@@ -4032,7 +4030,7 @@ object Queries {
     val fp = java.lang.Long.toHexString(src.length() * 31L + src.lastModified())
     val key = dir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" + fp
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_neardup_bands_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         graft.llm.DedupOps.bandedProjection(
             d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
@@ -4877,7 +4875,7 @@ object Queries {
   private val llmPerplexityServed: Q = (s, dir) => {
     val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("documents"))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_bigramlm_v1_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         graft.llm.Quantizers.saveModel(
           graft.llm.PipelineOps.trainBigramLm(
@@ -5121,7 +5119,7 @@ object Queries {
     // serves can push predicates into the persisted scan (the seam
     // contract's layout-change rule: bump the version literal)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_v2_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         graft.llm.SimilarityOps.saveIvfIndex(
           graft.llm.SimilarityOps.buildIvfIndexWithAttrs(
@@ -5209,7 +5207,7 @@ object Queries {
     val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("embeddings"))
     val path =
       s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_upd_v1_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         val So = graft.llm.SimilarityOps
         So.saveIvfIndex(So.buildIvfIndex(
@@ -5863,7 +5861,7 @@ object Queries {
       // stay under the session temp dir.
       val watch = s"${System.getProperty("java.io.tmpdir")}/graft_stream_slices_v1_" +
         graft.sources.SyntheticTraces.corpusKey(dir) + s"_n$nSlices"
-      if (!new java.io.File(s"$watch/_SUCCESS").isFile) {
+      if (!graft.sources.Staging.hasMarker(s"$watch")) {
         graft.sources.Staging.stageOnce(watch) { tmp =>
           // null event-time flows through as 0, exactly sessionCommit's
           // coalesce — keeps this entry byte-equal to the batch path and
@@ -5892,7 +5890,7 @@ object Queries {
           }
           // stageOnce's completeness marker (Spark wrote its _SUCCESS
           // into the since-deleted stage/sent dirs, not here)
-          new java.io.File(tmp, "_SUCCESS").createNewFile()
+          graft.sources.Staging.touchMarker(tmp)
         }
       }
       // Size gate (partitions = 0): pick the state-store partition

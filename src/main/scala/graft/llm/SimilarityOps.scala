@@ -402,10 +402,7 @@ object SimilarityOps {
     // writers above do) — a java.io.File touch is a silent no-op on any
     // non-local path, and a forever-missing marker would make stageOnce
     // rebuild the index on every call
-    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = marker.getFileSystem(
-      index.centroids.sparkSession.sparkContext.hadoopConfiguration)
-    fs.create(marker, true).close()
+    graft.sources.Staging.touchMarker(path)
   }
 
   /** Load an index persisted by [[saveIvfIndex]]. Float arrays
@@ -429,7 +426,13 @@ object SimilarityOps {
     * laid out for the pre-append distribution, so as the appended
     * fraction grows the cells partition the new mass less well —
     * AnnUpdateLab measures the drift curve (COVERAGE); rebuild when
-    * it crosses budget. */
+    * it crosses budget.
+    *
+    * PRECONDITION: the batch's ids must be DISJOINT from the ids
+    * already in the index — an id assigned twice would serve as the
+    * same neighbor at two ranks. The caller owns the contract (an
+    * append stream naturally satisfies it); this in-memory form adds
+    * no anti-join so the update stays a pure batch-linear union. */
   def updateIvfIndex(index: IvfIndex, batch: DataFrame, idCol: String,
       embCol: String): IvfIndex =
     index.copy(assignments = index.assignments.unionByName(
@@ -440,13 +443,25 @@ object SimilarityOps {
     * assignment rows APPEND to the `assign/` half in place (plain
     * multi-part parquet — the append-only contract the banded
     * projection established); `centroids/` is immutable between
-    * rebuilds. */
+    * rebuilds. Same disjoint-id precondition as [[updateIvfIndex]].
+    *
+    * NOT crash-atomic on its own: the index's top-level `_SUCCESS`
+    * is dropped before the append and recreated after, so a crash
+    * mid-append (or a concurrent completeness probe) sees the index
+    * as incomplete rather than serving a torn half-appended
+    * `assign/` dir. A caller that needs full atomicity stages the
+    * whole update under a tmp dir and publishes by rename (the
+    * `Staging.stageOnce` pattern the catalog entry uses). */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String,
       embCol: String): Unit = {
     val ix = loadIvfIndex(spark, path)
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(marker, false)
     buildIvfIndex(batch, idCol, embCol, centroids = Some(ix.centroids))
       .assignments.write.mode("append").parquet(s"$path/assign")
+    graft.sources.Staging.touchMarker(path)
   }
 
   /** Filtered serve from a PREBUILT index — the other half of the
@@ -793,10 +808,23 @@ object SimilarityOps {
       codebook: Option[DataFrame] = None,
       residual: Boolean = false): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val V = graft.functions.VecFunctions
     val cands = ivfPqTopK(corpus, queries, idCol, embCol, rerank,
         nlist, nprobe, m, ksub, centroids, codebook, residual)
       .select(col("query_id"), col("neighbor_id"))
+    rescoreCandidates(cands, corpus, queries, idCol, embCol, k)
+  }
+
+  /** The exact-rescore refinement tier by itself: score the
+    * (query_id, neighbor_id) candidate pairs against the full-width
+    * vectors with the engine-exact quantized cosine and keep each
+    * query's top-`k` on the exact score. Package-private so
+    * FrontierLab times EXACTLY this kernel (not a re-implementation
+    * that could silently drift — r16 ADVICE); the candidate id-list
+    * broadcasts INTO both vector scans. */
+  private[graft] def rescoreCandidates(cands: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame = {
+    val V = graft.functions.VecFunctions
     val quant = transform(col(embCol), x => floor(x.cast("double") * 1000).cast("long"))
     def base(df: DataFrame, idAs: String, qAs: String, nqAs: String) =
       df.select(col(idCol).as(idAs), quant.as(qAs))

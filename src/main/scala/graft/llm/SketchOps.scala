@@ -543,10 +543,15 @@ object SketchOps {
   // windowed form's `__merged__` row IS the all-time answer.
   // ------------------------------------------------------------------
 
-  /** Tumbling-window start (integer floor) of an epoch-seconds column. */
+  /** Tumbling-window start of an epoch-seconds column:
+    * `sec - sec % window` with `%` truncating toward zero — the SAME
+    * remainder semantics as the DuckDB/ANSI `%` the windowed oracles
+    * use, so engine and oracle assign identical windows for EVERY
+    * epoch second, negative pre-1970 timestamps included (a pmod/
+    * floor form would diverge there — r16 ADVICE). */
   def windowStart(tsSec: Column, windowSec: Long): Column = {
     require(windowSec > 0)
-    tsSec.cast("long") - pmod(tsSec.cast("long"), lit(windowSec))
+    tsSec.cast("long") - tsSec.cast("long") % lit(windowSec)
   }
 
   /** The composite windowed sketch key: `<windowStart>|<group>`. */
@@ -706,10 +711,7 @@ object SketchOps {
   def saveTableStats(ts: TableStats, path: String): Unit = {
     Quantizers.saveModel(ts.cols, s"$path/cols")
     Quantizers.saveModel(ts.counters, s"$path/counters")
-    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = marker.getFileSystem(
-      ts.cols.sparkSession.sparkContext.hadoopConfiguration)
-    fs.create(marker, true).close()
+    graft.sources.Staging.touchMarker(path)
   }
 
   /** Load an artifact persisted by [[saveTableStats]]. Integer stats

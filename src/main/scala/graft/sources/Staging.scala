@@ -12,6 +12,28 @@ package graft.sources
   */
 object Staging {
 
+  private def hadoopConf =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** `_SUCCESS` completeness probe through the Hadoop FileSystem API —
+    * the same resolver the parquet writers use, so the probe agrees
+    * with the committer on any configured filesystem (a `java.io.File`
+    * probe silently reports "missing" for every non-local path, which
+    * would make [[stageOnce]] rebuild on every call). */
+  def hasMarker(path: String): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    marker.getFileSystem(hadoopConf).isFile(marker)
+  }
+
+  /** Touch the `_SUCCESS` marker under `path` — for staging writers
+    * whose last step is not a Spark committer (which writes its own). */
+  def touchMarker(path: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    marker.getFileSystem(hadoopConf).create(marker, true).close()
+  }
+
   /** Create a temp work dir that is deleted when this JVM exits.
     * Streaming query entries return lazy DataFrames over their output
     * dirs, so an eager `finally`-delete would break the caller's read;
@@ -30,7 +52,7 @@ object Staging {
     * `_SUCCESS` marker in its output (Spark's parquet committer does).
     */
   def stageOnce(path: String)(write: String => Unit): Unit = {
-    if (new java.io.File(s"$path/_SUCCESS").isFile) return
+    if (hasMarker(path)) return
     val tmp = path + ".tmp-" + ProcessHandle.current().pid() + "-" +
       java.util.UUID.randomUUID().toString.take(8)
     write(tmp)
@@ -48,7 +70,7 @@ object Staging {
              | _: java.nio.file.DirectoryNotEmptyException
              | _: java.nio.file.FileSystemException) =>
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
-        if (!new java.io.File(s"$path/_SUCCESS").isFile) throw e
+        if (!hasMarker(path)) throw e
     }
   }
 }

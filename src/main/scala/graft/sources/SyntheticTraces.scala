@@ -46,7 +46,7 @@ object SyntheticTraces {
   def bronze(spark: SparkSession, sfDir: String): DataFrame = {
     val key = corpusKey(sfDir)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_bronze_v2_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+    if (!Staging.hasMarker(s"$path")) {
       // stage in one file per core ([[blocksBronze]] rationale): the
       // consumer's map stage (interpreted from_json + partial tree
       // aggregation) is the CPU-dominant stage of the flagship
@@ -80,7 +80,7 @@ object SyntheticTraces {
     val fp = java.lang.Long.toHexString(f.length() * 31L + f.lastModified())
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + "_" + fp
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_blocks_v2_$key"
-    if (!new java.io.File(s"$path/_SUCCESS").isFile) {
+    if (!Staging.hasMarker(s"$path")) {
       Staging.stageOnce(path) { tmp =>
         val orders = spark.read.parquet(s"$sfDir/orders.parquet")
         def payload(tsBump: Int, gasBump: Int) = to_json(struct(
