@@ -1137,24 +1137,35 @@ object Queries {
   private def statsHot(c: Column) = when(c % 10 =!= 0, lit(1L)).otherwise(c)
   private def statsArtifactStaged(s: SparkSession, dir: String): String = {
     val key = graft.sources.SyntheticTraces.tableKey(dir,
-      Seq("lineitem", "orders", "supplier", "nation"))
+      Seq("lineitem", "orders", "customer", "supplier", "nation", "region"))
+    // _v2: orders carries BOTH join columns (o_orderkey, o_custkey)
+    // and customer/region/nation(n_regionkey) artifacts exist — the
+    // join-ORDER planner needs every column a chain joins on (the
+    // seam contract's layout-change rule: bump the version literal)
     val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_table_stats_v1_$key"
+      s"${System.getProperty("java.io.tmpdir")}/graft_table_stats_v2_$key"
     if (!graft.sources.Staging.hasMarker(s"$path")) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         val S = graft.llm.SketchOps
         def one(name: String, df: DataFrame, rowKey: Column,
-            keyCol: String): Unit =
+            keyCols: String*): Unit =
           S.saveTableStats(
-            S.tableStats(df, rowKey, Seq((keyCol, col(keyCol), None))),
+            S.tableStats(df, rowKey,
+              keyCols.map(k => (k, col(k), Option.empty[Column])).toSeq),
             s"$tmp/$name")
         one("lineitem", t(s, dir, "lineitem"),
           concat_ws("|", col("l_orderkey"), col("l_linenumber")),
           "l_orderkey")
-        one("orders", t(s, dir, "orders"), col("o_orderkey"), "o_orderkey")
+        one("orders", t(s, dir, "orders"), col("o_orderkey"),
+          "o_orderkey", "o_custkey")
+        one("customer", t(s, dir, "customer"), col("c_custkey"),
+          "c_custkey")
         one("supplier", t(s, dir, "supplier"), col("s_suppkey"),
           "s_nationkey")
-        one("nation", t(s, dir, "nation"), col("n_nationkey"), "n_nationkey")
+        one("nation", t(s, dir, "nation"), col("n_nationkey"),
+          "n_nationkey", "n_regionkey")
+        one("region", t(s, dir, "region"), col("r_regionkey"),
+          "r_regionkey")
         one("hot_lineitem",
           t(s, dir, "lineitem")
             .withColumn("l_orderkey", statsHot(col("l_orderkey"))),
@@ -1165,8 +1176,8 @@ object Queries {
             .withColumn("o_orderkey", statsHot(col("o_orderkey")))
             .groupBy("o_orderkey").agg(min("o_custkey").as("o_custkey")),
           col("o_orderkey"), "o_orderkey")
-        // top-level completeness marker once all six artifacts landed
-        // (stageOnce's publication test keys on it)
+        // top-level completeness marker once all eight artifacts
+        // landed (stageOnce's publication test keys on it)
         graft.sources.Staging.touchMarker(tmp)
       }
     }
@@ -1306,6 +1317,88 @@ object Queries {
       |SELECT 'hot', 'salted', CAST(count(*) AS BIGINT),
       |       CAST(sum(l.qty) AS BIGINT), CAST(sum(o.o_custkey) AS BIGINT)
       |FROM hli l JOIN hord o ON l.k = o.k""".stripMargin
+
+  // MULTI-JOIN ORDER PLANNING — the rung above the stats-gated join
+  // (VERDICT r16 next-round #1): Scale.statsJoinOrder enumerates
+  // every connected left-deep order of a 3-table chain, bounds each
+  // intermediate from the PERSISTED artifacts alone (the CMS
+  // inner-product join bound, composed across steps by scaling the
+  // carrier's counter frame with the other tables' max-multiplicity —
+  // sound for every tree, StatsGateSpec pins it), picks the min-total
+  // order, and executes it via statsGatedJoin per step. The CHOSEN
+  // ORDER STRING is in the hash-compared output (the branch-string
+  // precedent), so a mis-ordering is a correctness failure:
+  //   fact_chain: written lineitem ⋈ orders ⋈ customer — the planner
+  //     REORDERS to orders,customer,lineitem (bound(ord⋈cust) ≈
+  //     |orders| beats bound(li⋈ord) ≈ |lineitem| at every SF; ties
+  //     between the two orders-first enumerations resolve to the
+  //     first enumerated);
+  //   dim_chain: written nation ⋈ region ⋈ supplier — already
+  //     optimal (bound(nat⋈reg) = 25 rows), the planner KEEPS it.
+  // Inner equi-joins are order-invariant, so one plain-SQL oracle
+  // pins the result rows AND both order strings as literals.
+  private val scaleStatsJoinOrder: Q = (s, dir) => {
+    val root = statsArtifactStaged(s, dir)
+    val S = graft.llm.SketchOps
+    val Sc = graft.operators.Scale
+    def pt(name: String, keys: String*) =
+      Sc.planTable(S.loadTableStats(s, s"$root/$name"), name, keys.toSeq)
+    def run(regime: String, tables: Seq[Sc.PlanTable],
+        edges: Seq[Sc.JoinEdge], dfs: Map[String, DataFrame],
+        sumA: Column, sumB: Column) = {
+      val d = Sc.statsJoinOrder(tables, edges, broadcastRows = 100)
+      Sc.executeJoinOrder(dfs, d)
+        .agg(count(lit(1)).as("n_rows"), sum(sumA).as("sum_a"),
+          sum(sumB).as("sum_b"))
+        .select(lit(regime).as("regime"),
+          lit(d.orderString).as("join_order"), col("n_rows"),
+          col("sum_a"), col("sum_b"))
+    }
+    run("fact_chain",
+      Seq(pt("lineitem", "l_orderkey"),
+        pt("orders", "o_orderkey", "o_custkey"),
+        pt("customer", "c_custkey")),
+      Seq(Sc.JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        Sc.JoinEdge("orders", "o_custkey", "customer", "c_custkey")),
+      Map(
+        "lineitem" -> t(s, dir, "lineitem").select(col("l_orderkey"),
+          floor(col("l_quantity")).cast("long").as("qty")),
+        "orders" -> t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        "customer" -> t(s, dir, "customer").select("c_custkey",
+          "c_nationkey")),
+      col("qty"), col("c_nationkey"))
+      .unionByName(run("dim_chain",
+        Seq(pt("nation", "n_nationkey", "n_regionkey"),
+          pt("region", "r_regionkey"),
+          pt("supplier", "s_nationkey")),
+        Seq(Sc.JoinEdge("nation", "n_regionkey", "region", "r_regionkey"),
+          Sc.JoinEdge("supplier", "s_nationkey", "nation", "n_nationkey")),
+        Map(
+          "nation" -> t(s, dir, "nation").select("n_nationkey",
+            "n_regionkey"),
+          "region" -> t(s, dir, "region").select("r_regionkey"),
+          "supplier" -> t(s, dir, "supplier").select("s_suppkey",
+            "s_nationkey")),
+        col("s_suppkey"), col("n_regionkey")))
+  }
+  private val scaleStatsJoinOrderOracle =
+    """SELECT 'fact_chain' AS regime,
+      |       'orders,customer,lineitem' AS join_order,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+      |         AS sum_a,
+      |       CAST(sum(c_nationkey) AS BIGINT) AS sum_b
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |UNION ALL
+      |SELECT 'dim_chain', 'nation,region,supplier',
+      |       CAST(count(*) AS BIGINT),
+      |       CAST(sum(s_suppkey) AS BIGINT),
+      |       CAST(sum(n_regionkey) AS BIGINT)
+      |FROM nation
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN supplier ON s_nationkey = n_nationkey""".stripMargin
 
   // Fixed-iteration integer PageRank over the supplier→part edge set:
   // value propagation as iterated join-aggregate supersteps, in exact
@@ -6003,6 +6096,7 @@ object Queries {
     "q_scale_gated_join" -> scaleGatedJoin,
     "q_scale_stats_artifact" -> scaleStatsArtifact,
     "q_scale_stats_gated_join" -> scaleStatsGatedJoin,
+    "q_scale_stats_join_order" -> scaleStatsJoinOrder,
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_pagerank_dangling" -> graphPagerankDangling,
     "q_graph_pagerank_converge" -> graphPagerankConverge,
@@ -6184,6 +6278,7 @@ object Queries {
     "q_scale_gated_join" -> scaleGatedJoinOracle,
     "q_scale_stats_artifact" -> scaleStatsArtifactOracle,
     "q_scale_stats_gated_join" -> scaleStatsGatedJoinOracle,
+    "q_scale_stats_join_order" -> scaleStatsJoinOrderOracle,
     "q_graph_pagerank" -> graphPagerankOracle,
     "q_graph_pagerank_dangling" -> graphPagerankDanglingOracle,
     "q_graph_pagerank_converge" -> graphPagerankConvergeOracle,

@@ -77,6 +77,35 @@ object StatsGateLab {
     println(s"STATS full decision, 10x artifact:     ${fmt(
       decide(li10Ts, "l_orderkey"))}")
 
+    // join-ORDER planning (r16 next-round #1): the full 3-table
+    // enumeration — planTable collects counter-sized frames once,
+    // then every candidate order is bounded driver-side. Flat at 10x
+    // by construction (the collected state is ≤ depth·width cells per
+    // column no matter the table size).
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    println(f"BUILD orders(2-col)+customer artifacts: ${timed {
+      S.saveTableStats(S.tableStats(ord, col("o_orderkey"),
+        Seq(("o_orderkey", col("o_orderkey"), None),
+          ("o_custkey", col("o_custkey"), None))), s"$work/ord2")
+      S.saveTableStats(S.tableStats(cust, col("c_custkey"),
+        Seq(("c_custkey", col("c_custkey"), None))), s"$work/cust")
+    }}%.3f")
+    val ord2Ts = S.loadTableStats(spark, s"$work/ord2")
+    val custTs = S.loadTableStats(spark, s"$work/cust")
+    def orderDecision(li: S.TableStats): Unit = {
+      val d = Sc.statsJoinOrder(
+        Seq(Sc.planTable(li, "lineitem", Seq("l_orderkey")),
+          Sc.planTable(ord2Ts, "orders", Seq("o_orderkey", "o_custkey")),
+          Sc.planTable(custTs, "customer", Seq("c_custkey"))),
+        Seq(Sc.JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+          Sc.JoinEdge("orders", "o_custkey", "customer", "c_custkey")))
+      require(d.order.nonEmpty)
+    }
+    println(s"ORDER plan (3-table chain), 1x:        ${fmt(
+      orderDecision(liTs))}")
+    println(s"ORDER plan (3-table chain), 10x:       ${fmt(
+      orderDecision(li10Ts))}")
+
     spark.stop()
   }
 }

@@ -241,15 +241,19 @@ object Scale {
     * per join. Same semantics: min over hash rows of the bucketwise
     * inner product; a row with no shared cells pins the bound to 0.
     */
-  private[graft] def joinSizeBoundLocal(a: Map[(Int, Long), Long],
-      b: Map[(Int, Long), Long], depth: Int): Long =
+  private[graft] def joinSizeBoundBig(a: Map[(Int, Long), Long],
+      b: Map[(Int, Long), Long], depth: Int): BigInt =
     (0 until depth).map { i =>
       a.iterator.collect { case ((`i`, bk), ca) =>
         BigInt(ca) * BigInt(b.getOrElse((i, bk), 0L))
       }.sum
-    }.min.min(BigInt(Long.MaxValue)).toLong
+    }.min
 
-  private def collectCounters(counters: DataFrame): Map[(Int, Long), Long] =
+  private[graft] def joinSizeBoundLocal(a: Map[(Int, Long), Long],
+      b: Map[(Int, Long), Long], depth: Int): Long =
+    joinSizeBoundBig(a, b, depth).min(BigInt(Long.MaxValue)).toLong
+
+  private[graft] def collectCounters(counters: DataFrame): Map[(Int, Long), Long] =
     counters.select(col("i").cast("int"), col("bucket"), col("cnt"))
       .collect()
       .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
@@ -258,12 +262,25 @@ object Scale {
       bigCounters: DataFrame, smallCounters: DataFrame, depth: Int = 4,
       broadcastRows: Long = 10000, hotNum: Long = 1, hotDen: Long = 5,
       rowsPerPartition: Long = 4000000L, maxParts: Int = 2048)
-      : JoinDecision = {
-    require(hotNum > 0 && hotDen > 0 && rowsPerPartition > 0)
+      : JoinDecision =
     // counter-sized work: ≤ depth·width cells per side, collected and
     // reduced driver-side (see [[joinSizeBoundLocal]])
-    val bound = joinSizeBoundLocal(collectCounters(bigCounters),
-      collectCounters(smallCounters), depth)
+    statsJoinDecisionLocal(bigStats, smallStats,
+      collectCounters(bigCounters), collectCounters(smallCounters), depth,
+      broadcastRows, hotNum, hotDen, rowsPerPartition, maxParts)
+
+  /** [[statsJoinDecision]] over ALREADY-COLLECTED counter maps — the
+    * form a planner making many decisions uses (collect each table's
+    * counter frame once, decide per candidate join in microseconds;
+    * [[statsJoinOrder]] is such a caller). */
+  def statsJoinDecisionLocal(bigStats: KeyStats, smallStats: KeyStats,
+      bigCounters: Map[(Int, Long), Long],
+      smallCounters: Map[(Int, Long), Long], depth: Int = 4,
+      broadcastRows: Long = 10000, hotNum: Long = 1, hotDen: Long = 5,
+      rowsPerPartition: Long = 4000000L, maxParts: Int = 2048)
+      : JoinDecision = {
+    require(hotNum > 0 && hotDen > 0 && rowsPerPartition > 0)
+    val bound = joinSizeBoundLocal(bigCounters, smallCounters, depth)
     val ndv = math.max(math.max(bigStats.kmvEst, smallStats.kmvEst), 1L)
     val ndvEst = (BigInt(bigStats.nonNull) * BigInt(smallStats.nonNull) / ndv)
       .min(BigInt(Long.MaxValue)).toLong
@@ -305,6 +322,201 @@ object Scale {
         b.join(sm, b(bigKey) === sm(smallKey))
       } else big.join(small, big(bigKey) === small(smallKey))
   }
+
+  // ------------------------------------------------------------------
+  // MULTI-JOIN ORDER PLANNING from the persisted stats artifacts —
+  // the next planner rung above [[statsJoinDecision]] (which picks ONE
+  // join's strategy): pick the ORDER of a 3-4-table join chain from
+  // the same catalog-sized state, then execute each left-deep step
+  // through [[statsGatedJoin]]. Everything at decision time is
+  // driver-side arithmetic over collected counter maps (≤ depth·width
+  // cells per column) — no table is touched before the joins run.
+  // ------------------------------------------------------------------
+
+  /** One table as the order planner sees it: per-join-column
+    * [[KeyStats]] and collected counter maps. Build with
+    * [[planTable]] from a persisted [[graft.llm.SketchOps.TableStats]]
+    * artifact. */
+  case class PlanTable(name: String, stats: Map[String, KeyStats],
+      counters: Map[String, Map[(Int, Long), Long]]) {
+    /** The max-multiplicity this table can contribute when OTHER
+      * tables' rows join "through" it: no row elsewhere can match
+      * more than the hottest key's count on any of this table's join
+      * columns. The max over columns is taken (rather than tracking
+      * which edge the join tree actually uses) — sound for every
+      * tree, and exact whenever the table joins on a single column. */
+    def maxMult: Long = math.max(1L, stats.values.map(_.hotCnt).max)
+  }
+
+  /** Read the planner's state for `keys` of one table out of a stats
+    * artifact: one KeyStats row and one collected counter map per
+    * column — all catalog-sized (the counter frame is ≤ depth·width
+    * cells by construction), so a planner holds every table's
+    * PlanTable in driver memory no matter how large the tables. */
+  def planTable(ts: graft.llm.SketchOps.TableStats, name: String,
+      keys: Seq[String]): PlanTable =
+    PlanTable(name,
+      keys.map(k => k -> keyStats(ts, k)).toMap,
+      keys.map(k => k -> collectCounters(
+        ts.counters.filter(col("colname") === k).drop("colname"))).toMap)
+
+  /** An equi-join predicate between two named tables. */
+  case class JoinEdge(tableA: String, keyA: String, tableB: String,
+      keyB: String)
+
+  /** One executed step of a chosen left-deep order: `table` joins the
+    * current intermediate via `carrier` (the already-included table
+    * holding the join column), with the composed intermediate-size
+    * bound and the per-step [[JoinDecision]]. */
+  case class OrderStep(table: String, carrier: String, carrierKey: String,
+      tableKey: String, stepBound: Long, decision: JoinDecision)
+
+  /** The planner's verdict: the chosen left-deep order, its per-step
+    * bounds/decisions, and the total intermediate-size bound it
+    * minimized. */
+  case class JoinOrderDecision(order: Seq[String], steps: Seq[OrderStep],
+      totalBound: Long) {
+    def orderString: String = order.mkString(",")
+  }
+
+  private def clampLong(x: BigInt): Long =
+    x.min(BigInt(Long.MaxValue)).toLong
+
+  /** Pick the left-deep ORDER of a multi-table equi-join chain from
+    * persisted statistics alone — the decision a cost-based layer
+    * makes right after choosing per-join strategies, here from
+    * exactly the same artifacts ([[graft.llm.SketchOps.TableStats]]
+    * via [[planTable]]).
+    *
+    * Enumeration: all left-deep orders (permutations of `tables`,
+    * generated in input order — ties in the bound resolve to the
+    * FIRST enumerated order, so the written order wins ties) in which
+    * every table after the first connects to the already-included set
+    * through an edge in `edges` (input order decides when several
+    * connect). 3-4 tables → ≤ 24 orders, each bounded in
+    * microseconds; the n! growth is why real optimizers switch to DP
+    * past ~6 tables, not a concern at this rung.
+    *
+    * Bounding a step that joins table T via carrier S (S already
+    * included, predicate S.kS = T.kT): the CMS inner-product bound
+    * [[joinSizeBoundBig]] over the two PERSISTED counter frames never
+    * underestimates |S ⋈ T|, and the intermediate's frequency vector
+    * on kS is cellwise ≤ (Π max-mult of the OTHER included tables) ×
+    * S's own frame — each S row is replicated at most that many times
+    * (every other table matches it through one tree edge, each
+    * bounded by that table's hottest join-key count). So
+    *
+    *   |I ⋈ T|  ≤  Π_{k ∈ I, k ≠ S} maxMult(k) ·
+    *               joinSizeBound(counters(S, kS), counters(T, kT))
+    *
+    * — sound for every join tree, exact when multiplicities are
+    * constant (StatsGateSpec pins both directions). The order's cost
+    * is the SUM of its intermediate bounds (the classic C_out
+    * objective); the min-cost order wins.
+    *
+    * Each step of the winning order also gets its
+    * [[statsJoinDecisionLocal]] strategy call, with the intermediate
+    * side's stats COMPOSED the same way: n_rows from the previous
+    * step's bound, hot count scaled by the same multiplier, carrier's
+    * NDV/KMV carried through (a join can only drop key values).
+    * Decision cost is independent of table sizes by construction —
+    * StatsGateLab measures it flat at 10×.
+    */
+  def statsJoinOrder(tables: Seq[PlanTable], edges: Seq[JoinEdge],
+      depth: Int = 4, broadcastRows: Long = 10000, hotNum: Long = 1,
+      hotDen: Long = 5, rowsPerPartition: Long = 4000000L,
+      maxParts: Int = 2048): JoinOrderDecision = {
+    require(tables.size >= 2, "need at least two tables to order")
+    require(tables.map(_.name).distinct.size == tables.size,
+      "table names must be unique")
+    val byName = tables.map(t => t.name -> t).toMap
+    edges.foreach { e =>
+      require(byName.contains(e.tableA) && byName.contains(e.tableB),
+        s"edge $e references an unknown table")
+      require(byName(e.tableA).counters.contains(e.keyA) &&
+        byName(e.tableB).counters.contains(e.keyB),
+        s"edge $e references an unprofiled column")
+    }
+    // first edge (input order) connecting t to the included set →
+    // (carrier, carrierKey, tableKey)
+    def connecting(included: Seq[String],
+        t: String): Option[(String, String, String)] =
+      edges.collectFirst {
+        case JoinEdge(a, ka, b, kb) if a == t && included.contains(b) =>
+          (b, kb, ka)
+        case JoinEdge(a, ka, b, kb) if b == t && included.contains(a) =>
+          (a, ka, kb)
+      }
+    def perms(remaining: Seq[String], acc: Seq[String]): Seq[Seq[String]] =
+      if (remaining.isEmpty) Seq(acc)
+      else remaining.flatMap(t =>
+        perms(remaining.filterNot(_ == t), acc :+ t))
+    // (total bound, per-step (carrier, cKey, tKey, stepBound)) or None
+    // when the order is disconnected at some step
+    def boundOf(order: Seq[String])
+        : Option[(BigInt, Seq[(String, String, String, BigInt)])] = {
+      val steps = Seq.newBuilder[(String, String, String, BigInt)]
+      var included = Seq(order.head)
+      var total = BigInt(0)
+      for (t <- order.tail) connecting(included, t) match {
+        case None => return None
+        case Some((carrier, cKey, tKey)) =>
+          val multOthers = included.filterNot(_ == carrier)
+            .map(n => BigInt(byName(n).maxMult)).product
+          val sb = multOthers * joinSizeBoundBig(
+            byName(carrier).counters(cKey), byName(t).counters(tKey), depth)
+          steps += ((carrier, cKey, tKey, sb))
+          total += sb
+          included :+= t
+      }
+      Some((total, steps.result()))
+    }
+    val candidates = perms(tables.map(_.name), Seq.empty)
+      .flatMap(p => boundOf(p).map(p -> _))
+    require(candidates.nonEmpty, "no connected left-deep order exists")
+    val (order, (total, rawSteps)) = candidates.minBy(_._2._1)
+    // strategy call per step of the winner, with composed
+    // intermediate-side stats (first step: the base table's own)
+    var included = Seq(order.head)
+    var prevBound = BigInt(-1)
+    val steps = rawSteps.zip(order.tail).map {
+      case ((carrier, cKey, tKey, sb), t) =>
+        val cs = byName(carrier).stats(cKey)
+        val m = included.filterNot(_ == carrier)
+          .map(n => BigInt(byName(n).maxMult)).product
+        val bigStats =
+          if (included.size == 1) cs
+          else KeyStats(nRows = clampLong(prevBound), nullCnt = 0L,
+            nDistinct = cs.nDistinct, hotCnt = clampLong(m * cs.hotCnt),
+            hotBound = clampLong(m * cs.hotBound), kmvEst = cs.kmvEst)
+        val bigCounters =
+          if (included.size == 1) byName(carrier).counters(cKey)
+          else byName(carrier).counters(cKey)
+            .map { case (cell, c) => cell -> clampLong(m * c) }
+        val d = statsJoinDecisionLocal(bigStats, byName(t).stats(tKey),
+          bigCounters, byName(t).counters(tKey), depth, broadcastRows,
+          hotNum, hotDen, rowsPerPartition, maxParts)
+        included :+= t
+        prevBound = sb
+        OrderStep(t, carrier, cKey, tKey, clampLong(sb), d)
+    }
+    JoinOrderDecision(order, steps, clampLong(total))
+  }
+
+  /** Execute a [[statsJoinOrder]] verdict over the named inputs:
+    * start from the order's base table and fold each step through
+    * [[statsGatedJoin]] (the per-step strategy was already decided
+    * from the artifacts). Inner equi-joins only, so the result set is
+    * order-invariant — which is what lets one plain-SQL oracle pin
+    * the whole plan AND the chosen order string. Column names must be
+    * unique across the joined tables (the demo corpus's TPC-H
+    * prefixes guarantee it). */
+  def executeJoinOrder(dfs: Map[String, DataFrame],
+      decision: JoinOrderDecision, salts: Int = 16): DataFrame =
+    decision.steps.foldLeft(dfs(decision.order.head)) { (cur, st) =>
+      statsGatedJoin(cur, dfs(st.table), st.carrierKey, st.tableKey,
+        st.decision, salts)
+    }
 
   /** Bronze writer: partitions raw traces by (chain_id, block day) so
     * incremental jobs and per-chain backfills prune at the directory

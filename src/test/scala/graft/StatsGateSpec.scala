@@ -199,4 +199,116 @@ class StatsGateSpec extends SparkSpec {
       ts.counters.collect().map(_.toSeq).toSet)
     assert(Scale.keyStats(loaded, "k") == Scale.keyStats(ts, "k"))
   }
+
+  // ---- multi-join ORDER planning (r16 next-round #1) ----------------
+
+  private def cc(ts: SketchOps.TableStats, key: String) =
+    Scale.collectCounters(keyCounters(ts, key))
+
+  test("join-order bound composition: EQUALS cmsJoinSize on the joined " +
+      "intermediate's own artifact under constant multiplicity, and " +
+      "never undershoots it (or the true size) under skew") {
+    import spark.implicits._
+    // B's k1 is unique and fully covered by A; C joins B on k2
+    val b = (1 to 40).map(k => (k.toLong, (k % 8).toLong)).toDF("b_k1", "b_k2")
+    val c = (0 to 7).flatMap(k2 => Seq.fill(5)(k2.toLong)).toDF("c_k2")
+    val bTs = SketchOps.tableStats(b, col("b_k1"),
+      Seq(("b_k1", col("b_k1"), None), ("b_k2", col("b_k2"), None)))
+    val cTs = stats(c, "c_k2")
+    val bcBound = Scale.joinSizeBoundBig(cc(bTs, "b_k2"), cc(cTs, "c_k2"), 4)
+    def check(a: org.apache.spark.sql.DataFrame,
+        expectEqual: Boolean): Unit = {
+      val aTs = stats(a, "a_k1")
+      val mA = Scale.keyStats(aTs, "a_k1").hotCnt
+      val composed = BigInt(mA) * bcBound
+      // the intermediate A ⋈ B profiled as its OWN artifact
+      val inter = a.join(b, a("a_k1") === b("b_k1"))
+      val iTs = stats(inter, "b_k2")
+      val own = Scale.joinSizeBoundBig(cc(iTs, "b_k2"), cc(cTs, "c_k2"), 4)
+      val exact = inter.join(c, inter("b_k2") === c("c_k2")).count()
+      assert(own >= exact, s"own bound $own under exact $exact")
+      if (expectEqual)
+        assert(composed == own,
+          s"constant multiplicity must compose exactly: $composed != $own")
+      else
+        assert(composed >= own,
+          s"composed $composed under the intermediate's own bound $own")
+    }
+    // every A key appears exactly 3 times -> every B row replicates
+    // exactly 3x in A ⋈ B, so the intermediate's counter frame is
+    // cellwise 3x B's and the composed bound is EXACT
+    check((1 to 40).flatMap(k => Seq.fill(3)(k.toLong)).toDF("a_k1"),
+      expectEqual = true)
+    // skewed A (key 1 x30, keys 2..11 once): composition scales by the
+    // hottest multiplicity -> a sound overestimate
+    check((Seq.fill(30)(1L) ++ (2 to 11).map(_.toLong)).toDF("a_k1"),
+      expectEqual = false)
+  }
+
+  test("statsJoinOrder REORDERS the fact chain to the min-bound order, " +
+      "KEEPS an already-optimal written order, and execution returns " +
+      "exactly the plain join's rows") {
+    val dir = "/root/testdata/sf0.001"
+    def table(name: String) = spark.read.parquet(s"$dir/$name.parquet")
+    def pt(name: String, keys: String*) = {
+      val df = table(name)
+      val ts = SketchOps.tableStats(df, col(keys.head),
+        keys.map(k => (k, col(k), Option.empty[org.apache.spark.sql.Column])).toSeq)
+      Scale.planTable(ts, name, keys.toSeq)
+    }
+    val factTables = Seq(pt("lineitem", "l_orderkey"),
+      pt("orders", "o_orderkey", "o_custkey"), pt("customer", "c_custkey"))
+    val factEdges = Seq(
+      Scale.JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      Scale.JoinEdge("orders", "o_custkey", "customer", "c_custkey"))
+    val fact = Scale.statsJoinOrder(factTables, factEdges,
+      broadcastRows = 100)
+    // written lineitem-first; bound(orders ⋈ customer) ≈ |orders| beats
+    // bound(lineitem ⋈ orders) ≈ |lineitem| -> the planner reorders
+    assert(fact.orderString == "orders,customer,lineitem",
+      s"fact chain order ${fact.orderString}")
+    assert(fact.steps.map(_.stepBound).sum.toDouble > 0)
+    val dimTables = Seq(pt("nation", "n_nationkey", "n_regionkey"),
+      pt("region", "r_regionkey"), pt("supplier", "s_nationkey"))
+    val dimEdges = Seq(
+      Scale.JoinEdge("nation", "n_regionkey", "region", "r_regionkey"),
+      Scale.JoinEdge("supplier", "s_nationkey", "nation", "n_nationkey"))
+    val dim = Scale.statsJoinOrder(dimTables, dimEdges,
+      broadcastRows = 100)
+    // written nation,region,supplier is already min-bound (25-row
+    // first intermediate); ties resolve to the first enumerated =
+    // written order
+    assert(dim.orderString == "nation,region,supplier",
+      s"dim chain order ${dim.orderString}")
+    // pure plan choice: the executed chosen order == the plain join
+    val dfs = Map(
+      "lineitem" -> table("lineitem").select("l_orderkey", "l_linenumber"),
+      "orders" -> table("orders").select("o_orderkey", "o_custkey"),
+      "customer" -> table("customer").select("c_custkey", "c_nationkey"))
+    val got = Scale.executeJoinOrder(dfs, fact)
+      .select("l_orderkey", "l_linenumber", "o_custkey", "c_nationkey")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val want = dfs("lineitem")
+      .join(dfs("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(dfs("customer"), col("o_custkey") === col("c_custkey"))
+      .select("l_orderkey", "l_linenumber", "o_custkey", "c_nationkey")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.length == want.length && got.sameElements(want))
+  }
+
+  test("statsJoinOrder rejects a disconnected chain and non-unique " +
+      "table names") {
+    import spark.implicits._
+    val a = Seq(1L).toDF("ak")
+    val ts = stats(a, "ak")
+    val p1 = Scale.planTable(ts, "t1", Seq("ak"))
+    val p2 = Scale.planTable(ts, "t2", Seq("ak"))
+    intercept[IllegalArgumentException] {
+      Scale.statsJoinOrder(Seq(p1, p2), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.statsJoinOrder(Seq(p1, p1),
+        Seq(Scale.JoinEdge("t1", "ak", "t1", "ak")))
+    }
+  }
 }
