@@ -3144,6 +3144,126 @@ object Queries {
   }
   private val sketchKmvWindowStreamOracle = kmvWindowedOracle(withExact = false)
 
+  // Staged time-ordered replay slices for the windowed QUANTILE
+  // stream: (event_type, event_id, quantized value, ts) — the
+  // kmvSlicesStaged shape with the value column the quantile sample
+  // ranks (that dir carries only the distinct-count projection).
+  private def quantileSlicesStaged(s: SparkSession, dir: String): String = {
+    val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("events"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_quantile_slices_v1_$key"
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        val ev = events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("v"),
+            col("sec").as("ts"))
+        StreamRehearsal.stageSlices(ev, "ts", 3, s"$tmp/stage", tmp)
+        org.apache.hadoop.fs.FileUtil.fullyDelete(
+          new java.io.File(s"$tmp/stage"))
+        graft.sources.Staging.touchMarker(tmp)
+      }
+    }
+    path
+  }
+
+  // WINDOWED QUANTILES AS A STREAM — the third stream twin completing
+  // the windowed family (KMV/CMS landed r16; VERDICT r16 #2): the
+  // bottom-k-by-hash row sample merges EXACTLY like KMV (the bottom-k
+  // of a union of bottom-k sets is the bottom-k of the union), so the
+  // watermark-eviction design lifts unchanged — per batch the
+  // windowed sample (quantileSample over the windowStart|group
+  // composite key) merges into the carried state (quantileMerge), the
+  // watermark closes passed windows (written once with the closed
+  // flag, filtered out of the next carried state), so state is
+  // open_windows × groups × k rows at ANY stream length (scenario 11,
+  // SCALE_STREAM_r17.md). Output is the estimate tier of
+  // q_sketch_quantile_windowed — the stream never held the full
+  // per-window value sets, so there is no exact twin to emit; the
+  // oracle is the batch windowed oracle minus its exact columns, and
+  // cross-batch sample mergeability is the hash-compared surface.
+  private val sketchQuantileWindowStream: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // sketch-sized state
+    try {
+      val (k, win) = (64, 604800L)
+      val S = graft.llm.SketchOps
+      val watch = quantileSlicesStaged(s, dir)
+      val work = graft.sources.Staging.sessionTempDir("graft_q_wstream")
+      val statePaths = scala.collection.mutable.ArrayBuffer.empty[String]
+      var wm = Long.MinValue
+      val wsOf = substring_index(col("source"), "|", 1).cast("long")
+      val schema = s.read.parquet(watch).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val bs = S.quantileSample(b.withColumn("wsrc",
+                S.windowedKey(col("ts"), win, col("event_type"))),
+              "wsrc", "event_id", col("v"), k)
+            val merged = statePaths.lastOption match {
+              case None => bs
+              case Some(p) => S.quantileMerge(
+                s.read.parquet(p).filter(!col("closed")).drop("closed"),
+                bs, k)
+            }
+            wm = math.max(wm,
+              b.agg(max(col("ts").cast("long"))).head().getLong(0))
+            val next = s"$work/state_${statePaths.size + 1}"
+            merged.withColumn("closed", wsOf + lit(win) <= lit(wm))
+              .write.parquet(next)
+            statePaths += next
+            ()
+          }
+        }
+        .option("checkpointLocation", s"$work/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      require(statePaths.nonEmpty,
+        "quantile window stream produced no batches")
+      // every closed window lives in exactly the batch dir where it
+      // closed; the final dir additionally holds the still-open tail
+      val all = statePaths.init
+        .map(p => s.read.parquet(p).filter(col("closed")))
+        .foldLeft(s.read.parquet(statePaths.last))(_ unionByName _)
+        .drop("closed")
+      S.splitWindowedKey(S.quantileEstimate(all, Seq(50, 90)))
+        .select("window_start", "source", "sample_n", "q50_est",
+          "q90_est")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+  private val sketchQuantileWindowStreamOracle = {
+    s"""WITH ev AS (
+      |  SELECT event_type, CAST(event_id AS VARCHAR) AS term,
+      |         CAST(floor(value * 1000) AS BIGINT) AS v,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events WHERE value IS NOT NULL),
+      |st AS (
+      |  SELECT CAST(sec - sec % 604800 AS VARCHAR) || '|' || event_type
+      |           AS source,
+      |         term, v
+      |  FROM ev),
+      |z AS (SELECT source, v, (${FnvOracleSql.fnvStrPublic("term")}) AS z0
+      |      FROM st),
+      |${FnvOracleSql.mix64Ctes("q", "z", Seq("source", "v"))},
+      |hh AS (SELECT DISTINCT source, v,
+      |         CAST(h & 9223372036854775807::HUGEINT AS BIGINT) AS h
+      |       FROM qf),
+      |rn AS (
+      |  SELECT source, v,
+      |         row_number() OVER (PARTITION BY source ORDER BY h, v) AS rn
+      |  FROM hh),
+      |samp AS (SELECT source, v FROM rn WHERE rn <= 64),
+      |sk AS (SELECT source, list_sort(list(v)) AS sv FROM samp GROUP BY 1)
+      |SELECT CAST(string_split(source, '|')[1] AS BIGINT) AS window_start,
+      |  substring(source, strpos(source, '|') + 1) AS source,
+      |  CAST(len(sv) AS BIGINT) AS sample_n,
+      |  sv[(len(sv) - 1) * 50 // 100 + 1] AS q50_est,
+      |  sv[(len(sv) - 1) * 90 // 100 + 1] AS q90_est
+      |FROM sk""".stripMargin
+  }
+
   // CMS AS A STREAM (the frequency twin of q_sketch_kmv_stream, same
   // replay dir): each micro-batch's counter frame (SketchOps.
   // cmsCounters — the SAME core as the batch entry) merges into the
@@ -6154,6 +6274,7 @@ object Queries {
     "q_sketch_cms_windowed" -> sketchCmsWindowed,
     "q_sketch_cms_window_stream" -> sketchCmsWindowStream,
     "q_sketch_quantile_windowed" -> sketchQuantileWindowed,
+    "q_sketch_quantile_window_stream" -> sketchQuantileWindowStream,
     "q_sketch_cms_heavy" -> sketchCmsHeavy,
     "q_sketch_cms_join_size" -> sketchCmsJoinSize,
     "q_sketch_cms_stream" -> sketchCmsStream,
@@ -6240,7 +6361,8 @@ object Queries {
     "q_llm_stream_neardup", "q_asof_stream", "q_etl_stream_transactions",
     "q_stream_interval_join", "q_stream_interval_join_outer",
     "q_scd2_stream_merge", "q_sketch_kmv_stream", "q_sketch_cms_stream",
-    "q_sketch_kmv_window_stream", "q_sketch_cms_window_stream")
+    "q_sketch_kmv_window_stream", "q_sketch_cms_window_stream",
+    "q_sketch_quantile_window_stream")
   require(streamingEntries.forall(all.contains),
     "streamingEntries must all be catalog entries")
 
@@ -6334,6 +6456,7 @@ object Queries {
     "q_sketch_cms_windowed" -> sketchCmsWindowedOracle,
     "q_sketch_cms_window_stream" -> sketchCmsWindowedOracle,
     "q_sketch_quantile_windowed" -> sketchQuantileWindowedOracle,
+    "q_sketch_quantile_window_stream" -> sketchQuantileWindowStreamOracle,
     "q_sketch_cms_heavy" -> sketchCmsHeavyOracle,
     "q_sketch_cms_join_size" -> sketchCmsJoinSizeOracle,
     "q_sketch_cms_stream" -> sketchCmsHeavyOracle,

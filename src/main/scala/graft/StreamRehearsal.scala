@@ -923,6 +923,89 @@ object StreamRehearsal {
         streamStats.counters, batchStats.counters)
     }
 
+    // ---- scenario 11: WINDOWED QUANTILE stream with watermark
+    // eviction — q_sketch_quantile_window_stream at volume (the third
+    // stream twin; the bottom-k row sample merges exactly like KMV,
+    // so the scenario-9 eviction design lifts unchanged). Requires,
+    // at EVERY batch:
+    //  - state rows ≤ open (window, group) pairs × k;
+    //  - no closed window still carried;
+    //  - emitted ∪ open set-equal to the whole-PREFIX windowed sample
+    //    (eviction loses nothing, carries nothing extra);
+    // and the final estimates == the whole-corpus batch twin.
+    if (only(11)) locally {
+      import graft.llm.SketchOps
+      val (k, win) = (64, 604800L)
+      val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+      val ev = evRaw.filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 1000).cast("long").as("v"),
+          Queries.eventSeconds(evRaw.schema("ts").dataType).as("ts"))
+      val slices = 10
+      val watch = s"$work/wquant_in"
+      stageSlices(ev, "ts", slices, s"$work/wquant_stage", watch)
+      val sliceFiles = new java.io.File(watch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      def sample(df: DataFrame) = SketchOps.quantileSample(
+        df.withColumn("wsrc",
+          SketchOps.windowedKey(col("ts"), win, col("event_type"))),
+        "wsrc", "event_id", col("v"), k)
+      val wsOf = substring_index(col("source"), "|", 1).cast("long")
+      def setEqual(a: DataFrame, b: DataFrame): Boolean = {
+        val n = a.count()
+        b.count() == n && a.unionByName(b).distinct().count() == n
+      }
+      println(s"\nwindowed QUANTILE stream + eviction (sf1, " +
+        s"${sliceFiles.length} batches):")
+      println("| batch | batch rows | open state rows | open windows | " +
+        "open·groups·k bound | emitted+open prefix parity |")
+      println("|---|---|---|---|---|---|")
+      var openChk: Option[DataFrame] = None
+      var emittedChk: Option[DataFrame] = None
+      var wmChk = Long.MinValue
+      val t0 = System.nanoTime()
+      for (i <- 1 to sliceFiles.length) {
+        val slice = spark.read.parquet(sliceFiles(i - 1).toString)
+        val bs = sample(slice)
+        val merged = openChk.map(SketchOps.quantileMerge(_, bs, k))
+          .getOrElse(bs).localCheckpoint()
+        wmChk = math.max(wmChk,
+          slice.agg(max(col("ts").cast("long"))).head().getLong(0))
+        val closed = merged.filter(wsOf + lit(win) <= lit(wmChk))
+        if (!closed.isEmpty)
+          emittedChk = Some(emittedChk.map(_.unionByName(closed))
+            .getOrElse(closed).localCheckpoint())
+        val open = merged.filter(wsOf + lit(win) > lit(wmChk))
+          .localCheckpoint()
+        openChk = Some(open)
+        val stateRows = open.count()
+        val openWindows = open.select(wsOf).distinct().count()
+        val pairBound = open.select("source").distinct().count() * k
+        val all = emittedChk.map(_.unionByName(open)).getOrElse(open)
+        val parity = setEqual(all, sample(
+          sliceFiles.take(i).map(f => spark.read.parquet(f.toString))
+            .reduce(_ unionByName _)))
+        println(s"| ${i - 1} | ${slice.count()} | $stateRows | " +
+          s"$openWindows | $pairBound | " +
+          s"${if (parity) "MATCH" else "MISMATCH"} |")
+        require(stateRows <= pairBound,
+          s"batch ${i - 1}: windowed state $stateRows > bound $pairBound")
+        require(open.filter(wsOf + lit(win) <= lit(wmChk)).isEmpty,
+          s"batch ${i - 1}: a closed window is still carried")
+        require(parity,
+          s"batch ${i - 1}: emitted+open != whole-prefix windowed sample")
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"fold wall (incl. per-batch prefix audits): $wall%.1f s")
+      require(emittedChk.nonEmpty, "eviction never fired across the stream")
+      val streamAll = emittedChk.get.unionByName(openChk.get)
+      assertParity("windowed quantile stream estimate",
+        SketchOps.splitWindowedKey(
+          SketchOps.quantileEstimate(streamAll, Seq(50, 90))),
+        SketchOps.splitWindowedKey(
+          SketchOps.quantileEstimate(sample(ev), Seq(50, 90))))
+    }
+
     println("\nstream rehearsal complete")
   }
 }
