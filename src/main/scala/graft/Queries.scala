@@ -5470,6 +5470,168 @@ object Queries {
       |FROM scored
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) <= 5""".stripMargin
 
+  // DRIFT-GATED IVF REBUILD (VERDICT r16 #3 — make something CONSUME
+  // AnnUpdateLab's drift finding): q_ann_index_update appends forever
+  // against immutable centroids; here every incoming batch is
+  // measured first (SimilarityOps.ivfUpdateDecision — the batch's max
+  // single-cell share under the EXISTING centroids, a counter-sized
+  // stat the append's own assignment pass computes for free) and the
+  // gate picks append vs REBUILD-with-fresh-centroids; the decision
+  // row persists into the artifact's drift/ half. Two regimes staged
+  // through the seam, the BRANCH AND THE MEASURED STAT in the
+  // hash-compared output:
+  //   iid:   the %4 split — batch spreads like the corpus (max share
+  //          ≤ 13% at every SF) → append; serving == the
+  //          rebuilt-same-centroids oracle (the index-update surface);
+  //   drift: every batch vector REPLACED by the vec_id=1 donor — the
+  //          whole batch lands in ONE cell (share = 1) → rebuild;
+  //          serving == fresh hash-order centroids over the GROWN
+  //          corpus, which the oracle builds from scratch.
+  // A wrong gate call fails the hash on branch, stat, AND the served
+  // neighbors (append vs rebuild serve differently by construction).
+  private def ivfGatedIndexStaged(s: SparkSession, dir: String,
+      regime: String): String = {
+    val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("embeddings"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_ivf_gated_${regime}_v1_$key"
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        val So = graft.llm.SimilarityOps
+        val emb = embT(s, dir)
+        So.saveIvfIndex(So.buildIvfIndex(
+          emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding"), tmp)
+        val batch =
+          if (regime == "drift") {
+            // planted drift: the whole batch carries one donor vector
+            // (1-row broadcast scalar — the slice-count-guard shape)
+            val donor = emb.filter(col("vec_id") === 1)
+              .select(col("embedding").as("demb"))
+            emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"))
+              .crossJoin(broadcast(donor))
+              .select(col("vec_id"), col("demb").as("embedding"))
+          } else emb.filter(col("vec_id") % 4 === 0)
+            .select("vec_id", "embedding")
+        So.ivfGatedUpdate(s, tmp, batch, "vec_id", "embedding")
+      }
+    }
+    path
+  }
+  private val annIndexRebuild: Q = (s, dir) => {
+    val So = graft.llm.SimilarityOps
+    def one(regime: String) = {
+      val root = ivfGatedIndexStaged(s, dir, regime)
+      val ix = So.loadIvfIndex(s, root)
+      val drift = So.loadIvfDrift(s, root).head() // exactly one update
+      // queries = the regime corpus's own rows (the drifted batch
+      // queries with its drifted vectors), read from the index itself
+      val queries = ix.assignments.filter(col("neighbor_id") < 20)
+        .select(col("neighbor_id").as("vec_id"),
+          col("emb").as("embedding"))
+      So.ivfServeTopK(ix, queries, "vec_id", "embedding", 5,
+          score = So.quantizedCosineX1e6)
+        .select(lit(regime).as("regime"),
+          lit(drift.getString(0)).as("branch"),
+          lit(drift.getLong(1)).as("max_cell_cnt"),
+          lit(drift.getLong(2)).as("batch_rows"),
+          col("query_id"), col("neighbor_id"),
+          col("score").as("score_x1e6"), col("rank"))
+    }
+    one("iid").unionByName(one("drift"))
+  }
+  private val annIndexRebuildOracle = {
+    // serve top-5 (nprobe 4) over `cent` + `corpus`, emitting the
+    // regime/branch literals and the drift stat computed from `stat`
+    def serve(prefix: String, regime: String, branch: String) =
+      s"""${prefix}assigned AS (
+        |  SELECT neighbor_id, q, nq, cell FROM (
+        |    SELECT v.id AS neighbor_id, v.q AS q, v.nq AS nq,
+        |      c.cell AS cell,
+        |      row_number() OVER (PARTITION BY v.id
+        |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+        |    FROM ${prefix}n v, ${prefix}cent c) WHERE rn = 1),
+        |${prefix}probes AS (
+        |  SELECT query_id, q, nq, cell FROM (
+        |    SELECT v.id AS query_id, v.q AS q, v.nq AS nq, c.cell AS cell,
+        |      row_number() OVER (PARTITION BY v.id
+        |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+        |    FROM ${prefix}n v, ${prefix}cent c WHERE v.id < 20) WHERE rn <= 4),
+        |${prefix}scored AS (
+        |  SELECT p.query_id, a.neighbor_id,
+        |    ${qcosSql("p.q", "p.nq", "a.q", "a.nq")} AS score_x1e6
+        |  FROM ${prefix}probes p JOIN ${prefix}assigned a ON p.cell = a.cell
+        |  WHERE p.query_id <> a.neighbor_id),
+        |${prefix}out AS (
+        |  SELECT '$regime' AS regime, '$branch' AS branch,
+        |    query_id, neighbor_id, score_x1e6,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_x1e6 DESC, neighbor_id) AS INT) AS rank
+        |  FROM ${prefix}scored
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_x1e6 DESC, neighbor_id) <= 5)""".stripMargin
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding FROM embeddings),
+      |donor AS (SELECT embedding AS demb FROM embeddings WHERE vec_id = 1),
+      |-- iid regime: original vectors, base centroids (id % 4 <> 0),
+      |-- gate stays append -> serve over base centroids + whole corpus
+      |in0 AS (SELECT id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM e0),
+      |i_n AS (SELECT id, q,
+      |    CAST(list_sum(list_transform(q, v -> v*v)) AS BIGINT) AS nq
+      |  FROM in0),
+      |i_cent AS (SELECT id AS cell, q AS cq, nq AS cnq FROM i_n
+      |           WHERE id % 4 <> 0
+      |           ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id
+      |           LIMIT 16),
+      |i_stat AS (
+      |  SELECT CAST(max(cnt) AS BIGINT) AS max_cell_cnt,
+      |         CAST(sum(cnt) AS BIGINT) AS batch_rows
+      |  FROM (SELECT cell, count(*) AS cnt FROM (
+      |    SELECT cell FROM (
+      |      SELECT v.id, c.cell,
+      |        row_number() OVER (PARTITION BY v.id
+      |          ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+      |      FROM i_n v, i_cent c WHERE v.id % 4 = 0) WHERE rn = 1)
+      |    GROUP BY cell)),
+      |${serve("i_", "iid", "append")},
+      |-- drift regime: batch vectors replaced by the donor, gate fires
+      |-- rebuild -> serve over FRESH centroids from the grown corpus
+      |d_e AS (SELECT id,
+      |    CASE WHEN id % 4 = 0 THEN (SELECT demb FROM donor)
+      |         ELSE embedding END AS embedding
+      |  FROM e0),
+      |dn0 AS (SELECT id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM d_e),
+      |d_n AS (SELECT id, q,
+      |    CAST(list_sum(list_transform(q, v -> v*v)) AS BIGINT) AS nq
+      |  FROM dn0),
+      |d_cent AS (SELECT id AS cell, q AS cq, nq AS cnq FROM d_n
+      |           ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id
+      |           LIMIT 16),
+      |d_bcent AS (SELECT id AS cell, q AS cq, nq AS cnq FROM d_n
+      |            WHERE id % 4 <> 0
+      |            ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id
+      |            LIMIT 16),
+      |d_stat AS (
+      |  SELECT CAST(max(cnt) AS BIGINT) AS max_cell_cnt,
+      |         CAST(sum(cnt) AS BIGINT) AS batch_rows
+      |  FROM (SELECT cell, count(*) AS cnt FROM (
+      |    SELECT cell FROM (
+      |      SELECT v.id, c.cell,
+      |        row_number() OVER (PARTITION BY v.id
+      |          ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+      |      FROM d_n v, d_bcent c WHERE v.id % 4 = 0) WHERE rn = 1)
+      |    GROUP BY cell)),
+      |${serve("d_", "drift", "rebuild")}
+      |SELECT o.regime, o.branch, s.max_cell_cnt, s.batch_rows,
+      |       o.query_id, o.neighbor_id, o.score_x1e6, o.rank
+      |FROM i_out o, i_stat s
+      |UNION ALL
+      |SELECT o.regime, o.branch, s.max_cell_cnt, s.batch_rows,
+      |       o.query_id, o.neighbor_id, o.score_x1e6, o.rank
+      |FROM d_out o, d_stat s""".stripMargin
+  }
+
   // Cluster-balanced diversity sample: nearest-cell assignment (same
   // kernel + hash-order centroids as q_ann_ivf_topk), at most 5 kept
   // per cell in multiplicative-hash order.
@@ -6339,6 +6501,7 @@ object Queries {
     "q_ann_ivf_topk" -> annIvfTopk,
     "q_ann_index_serve" -> annIndexServe,
     "q_ann_index_update" -> annIndexUpdate,
+    "q_ann_index_rebuild" -> annIndexRebuild,
     "q_ann_filtered_serve" -> annFilteredServe,
     "q_ann_filtered_topk" -> annFilteredTopk,
     "q_ann_pq_topk" -> annPqTopk,
@@ -6521,6 +6684,7 @@ object Queries {
     "q_ann_ivf_topk" -> annIvfTopkOracle,
     "q_ann_index_serve" -> annIvfTopkOracle,
     "q_ann_index_update" -> annIndexUpdateOracle,
+    "q_ann_index_rebuild" -> annIndexRebuildOracle,
     "q_ann_filtered_serve" -> annFilteredServeOracle,
     "q_ann_filtered_topk" -> annFilteredTopkOracle,
     "q_ann_pq_topk" -> annPqTopkOracle,

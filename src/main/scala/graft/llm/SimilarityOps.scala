@@ -464,6 +464,94 @@ object SimilarityOps {
     graft.sources.Staging.touchMarker(path)
   }
 
+  /** The drift verdict of one gated update: the branch taken and the
+    * measured drift stat it was gated on — the appended batch's
+    * largest single-cell assignment count over the batch row count. */
+  case class IvfUpdateDecision(branch: String, maxCellCnt: Long,
+      batchRows: Long)
+
+  /** Measure an incoming batch's DRIFT against an index and gate
+    * append vs rebuild — the consumer of AnnUpdateLab's finding
+    * (append stays recall-flat on i.i.d. arrivals but the centroids
+    * were laid out for the pre-append distribution, so concentrated
+    * new mass degrades cell balance). The drift stat is the batch's
+    * max single-cell share under the EXISTING centroids: the batch is
+    * assigned (the same map-only kernel an append runs anyway — the
+    * measurement is free), the per-cell histogram is ≤ nlist rows
+    * (driver-side reduce, counter-sized), and the gate fires rebuild
+    * when maxCellCnt·shareDen ≥ batchRows·shareNum (default ≥ 1/2: an
+    * i.i.d. batch spreads like the corpus — ≤ 13% on the demo corpora
+    * at every SF — while drifted mass concentrating in one cell
+    * crosses half immediately). Integer arithmetic only, so the stat
+    * itself is oracle-comparable. Returns the decision plus the
+    * already-computed batch assignments (an append reuses them). */
+  def ivfUpdateDecision(index: IvfIndex, batch: DataFrame, idCol: String,
+      embCol: String, shareNum: Long = 1, shareDen: Long = 2)
+      : (IvfUpdateDecision, DataFrame) = {
+    require(shareNum > 0 && shareDen > 0)
+    val assign = buildIvfIndex(batch, idCol, embCol,
+      centroids = Some(index.centroids)).assignments
+    val hist = assign.groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .agg(max("cnt").as("mx"), sum("cnt").as("tot")).head()
+    require(!hist.isNullAt(0), "gated update needs a non-empty batch")
+    val (mx, tot) = (hist.getLong(0), hist.getLong(1))
+    val branch = if (BigInt(mx) * shareDen >= BigInt(tot) * shareNum)
+      "rebuild" else "append"
+    (IvfUpdateDecision(branch, mx, tot), assign)
+  }
+
+  /** Drift-GATED update of a PERSISTED index — the measured-scalar
+    * gate shape (q_ann_filtered_topk, skewGatedJoin) applied to the
+    * index lifecycle: [[ivfUpdateDecision]] measures the batch, then
+    *
+    *  - `append`: the batch's assignment rows append in place (the
+    *    [[appendToIvfIndex]] path — centroids immutable);
+    *  - `rebuild`: FRESH hash-order centroids over the grown corpus
+    *    (reconstructed from the assignment rows ∪ the batch — the
+    *    assignments carry the vectors) and both halves rewritten.
+    *
+    * Either way the decision row (branch, max_cell_cnt, batch_rows)
+    * APPENDS to the artifact's `drift/` half — the index carries its
+    * own drift history, so a later consumer can audit every gate call
+    * without re-measuring. Same crash-atomicity contract as
+    * [[appendToIvfIndex]] (marker dropped during the mutation), same
+    * disjoint-id precondition on append. */
+  def ivfGatedUpdate(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, embCol: String,
+      shareNum: Long = 1, shareDen: Long = 2,
+      nlist: Int = 16): IvfUpdateDecision = {
+    val ix = loadIvfIndex(spark, path)
+    val (d, batchAssign) =
+      ivfUpdateDecision(ix, batch, idCol, embCol, shareNum, shareDen)
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(marker, false)
+    if (d.branch == "append")
+      batchAssign.write.mode("append").parquet(s"$path/assign")
+    else {
+      // localCheckpoint: the rebuild OVERWRITES the assign/ dir its
+      // own input lineage reads — materialize first
+      val grown = ix.assignments
+        .select(col("neighbor_id").as(idCol), col("emb").as(embCol))
+        .unionByName(batch.select(col(idCol), col(embCol)))
+        .localCheckpoint()
+      val fresh = buildIvfIndex(grown, idCol, embCol, nlist)
+      Quantizers.saveModel(fresh.centroids, s"$path/centroids")
+      fresh.assignments.write.mode("overwrite").parquet(s"$path/assign")
+    }
+    import spark.implicits._
+    Seq((d.branch, d.maxCellCnt, d.batchRows))
+      .toDF("branch", "max_cell_cnt", "batch_rows")
+      .write.mode("append").parquet(s"$path/drift")
+    graft.sources.Staging.touchMarker(path)
+    d
+  }
+
+  /** The drift history a [[ivfGatedUpdate]]-maintained index carries:
+    * one (branch, max_cell_cnt, batch_rows) row per gated update. */
+  def loadIvfDrift(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(s"$path/drift")
+
   /** Filtered serve from a PREBUILT index — the other half of the
     * filtered-ANN story. [[filteredTopK]] ADAPTS the index to the
     * predicate (centroids from the filtered distribution, built per

@@ -97,6 +97,67 @@ class ModelSeamSpec extends SparkSpec {
     assert(inMem == rebuilt)
   }
 
+  test("DRIFT-GATED update (r17): an i.i.d. batch APPENDS (centroids " +
+      "immutable, serve == rebuilt-same-centroids), a planted-drift " +
+      "batch flips the gate to REBUILD (fresh centroids, serve == a " +
+      "from-scratch build over the grown corpus); the decision " +
+      "history persists in drift/") {
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val iidBatch = emb.filter(col("vec_id") % 4 === 0)
+      .select("vec_id", "embedding")
+    def stage(): String = {
+      val path = graft.sources.Staging.sessionTempDir("graft_ivf_gated")
+      SimilarityOps.saveIvfIndex(
+        SimilarityOps.buildIvfIndex(base, "vec_id", "embedding",
+          nlist = 8), path)
+      path
+    }
+    def serve(i: SimilarityOps.IvfIndex) =
+      SimilarityOps.ivfServeTopK(i, queries, "vec_id", "embedding",
+        k = 5, nprobe = 3).collect().map(_.toSeq).toSet
+
+    // --- i.i.d. regime: gate stays append -------------------------
+    val pIid = stage()
+    val centFiles = new java.io.File(s"$pIid/centroids").listFiles().toSet
+    val dIid = SimilarityOps.ivfGatedUpdate(spark, pIid, iidBatch,
+      "vec_id", "embedding", nlist = 8)
+    assert(dIid.branch == "append", s"iid branch ${dIid.branch}")
+    assert(dIid.maxCellCnt * 2 < dIid.batchRows,
+      "iid batch must spread below the half-share gate")
+    assert(new java.io.File(s"$pIid/centroids").listFiles().toSet ==
+      centFiles, "append must leave centroids/ immutable")
+    val baseIx = SimilarityOps.buildIvfIndex(base, "vec_id", "embedding",
+      nlist = 8)
+    assert(serve(SimilarityOps.loadIvfIndex(spark, pIid)) ==
+      serve(SimilarityOps.buildIvfIndex(emb, "vec_id", "embedding",
+        nlist = 8, centroids = Some(baseIx.centroids))),
+      "gated append must serve like the rebuilt-same-centroids index")
+
+    // --- planted drift: the whole batch carries one donor vector --
+    val donor = emb.filter(col("vec_id") === 1)
+      .select(col("embedding").as("demb"))
+    val driftBatch = emb.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id")).crossJoin(broadcast(donor))
+      .select(col("vec_id"), col("demb").as("embedding"))
+    val pDrift = stage()
+    val dDrift = SimilarityOps.ivfGatedUpdate(spark, pDrift, driftBatch,
+      "vec_id", "embedding", nlist = 8)
+    assert(dDrift.branch == "rebuild", s"drift branch ${dDrift.branch}")
+    assert(dDrift.maxCellCnt == dDrift.batchRows,
+      "the planted batch must land in exactly one cell")
+    // rebuild == a from-scratch build over the grown (drifted) corpus
+    val grown = base.select("vec_id", "embedding").unionByName(driftBatch)
+    assert(serve(SimilarityOps.loadIvfIndex(spark, pDrift)) ==
+      serve(SimilarityOps.buildIvfIndex(grown, "vec_id", "embedding",
+        nlist = 8)),
+      "gated rebuild must serve like a fresh build over the grown corpus")
+    // the artifact carries its own drift history
+    val hist = SimilarityOps.loadIvfDrift(spark, pDrift).collect()
+    assert(hist.length == 1 && hist.head.getString(0) == "rebuild")
+    assert(SimilarityOps.loadIvfDrift(spark, pIid).collect()
+      .map(_.getString(0)).toSeq == Seq("append"))
+  }
+
   test("filtered serve from the prebuilt index: persisted == in-session; " +
       "nprobe = nlist degenerates to exact brute over the qualifying set") {
     val ix = SimilarityOps.buildIvfIndexWithAttrs(emb, "vec_id",
