@@ -1400,6 +1400,105 @@ object Queries {
       |JOIN region ON n_regionkey = r_regionkey
       |JOIN supplier ON s_nationkey = n_nationkey""".stripMargin
 
+  // STREAM-FOLDED STATS → JOIN DECISION, end-to-end (VERDICT r16 #6):
+  // rehearsal scenario 10 proved the profiler's histogram folds
+  // across micro-batches (histMerge, cardinality-sized state) into
+  // the SAME table-stats artifact the batch build produces; this
+  // entry closes the loop inside ONE catalog entry — the always-on
+  // stats service making a real plan decision. lineitem replays as 3
+  // micro-batches, each batch's histogram frame merges into the
+  // carried state; at stream end the artifact finalizes
+  // (tableStatsFromHist) and Scale.statsJoinDecision plans
+  // lineitem ⋈ orders from the FOLDED stats (orders' side from the
+  // persisted v2 artifact). The entry REQUIREs the folded decision
+  // equal the decision from the persisted batch-built lineitem
+  // artifact — stream-folded == batch-built is enforced at every run,
+  // not just in the rehearsal — then executes the join through
+  // statsGatedJoin with the branch string in the hash-compared
+  // output (shuffle at every SF: lineitem's hottest key ≪ 20%).
+  private def lineitemSlicesStaged(s: SparkSession, dir: String): String = {
+    val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("lineitem"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_li_slices_v1_$key"
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"))
+        StreamRehearsal.stageSlices(li, "l_orderkey", 3, s"$tmp/stage", tmp)
+        org.apache.hadoop.fs.FileUtil.fullyDelete(
+          new java.io.File(s"$tmp/stage"))
+        graft.sources.Staging.touchMarker(tmp)
+      }
+    }
+    path
+  }
+  private val scaleStatsStreamGate: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val S = graft.llm.SketchOps
+    val Sc = graft.operators.Scale
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // hist-sized state
+    try {
+      val watch = lineitemSlicesStaged(s, dir)
+      val work = graft.sources.Staging.sessionTempDir("graft_sgate_stream")
+      var statePath: Option[String] = None
+      var idx = 0
+      val cols = Seq(("l_orderkey", col("l_orderkey"),
+        Option.empty[Column]))
+      val rowKey = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+      val schema = s.read.parquet(watch).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val hist = S.profileFrames(b, rowKey, cols)._2
+            val merged = statePath match {
+              case None => hist
+              case Some(p) => S.histMerge(s.read.parquet(p), hist)
+            }
+            val next = s"$work/state_${idx + 1}"
+            merged.write.parquet(next)
+            statePath = Some(next)
+            idx += 1
+          }
+        }
+        .option("checkpointLocation", s"$work/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val folded = S.tableStatsFromHist(s.read.parquet(statePath.getOrElse(
+        sys.error("stats stream produced no batches"))))
+      val root = statsArtifactStaged(s, dir)
+      def counters(ts: S.TableStats, key: String) =
+        ts.counters.filter(col("colname") === key).drop("colname")
+      val ordTs = S.loadTableStats(s, s"$root/orders")
+      def decide(liTs: S.TableStats) = Sc.statsJoinDecision(
+        Sc.keyStats(liTs, "l_orderkey"), Sc.keyStats(ordTs, "o_orderkey"),
+        counters(liTs, "l_orderkey"), counters(ordTs, "o_orderkey"),
+        broadcastRows = 100)
+      val d = decide(folded)
+      // the always-on service must agree with the batch-built artifact
+      val dBatch = decide(S.loadTableStats(s, s"$root/lineitem"))
+      require(d == dBatch,
+        s"stream-folded decision $d != batch-built decision $dBatch")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      Sc.statsGatedJoin(li, ord, "l_orderkey", "o_orderkey", d)
+        .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+          sum("o_custkey").as("sum_cust"))
+        .select(lit("stream_folded").as("regime"),
+          lit(d.branch).as("branch"), col("n_rows"), col("sum_qty"),
+          col("sum_cust"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+  private val scaleStatsStreamGateOracle =
+    """SELECT 'stream_folded' AS regime, 'shuffle' AS branch,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+      |         AS sum_qty,
+      |       CAST(sum(o.o_custkey) AS BIGINT) AS sum_cust
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
+
   // Fixed-iteration integer PageRank over the supplier→part edge set:
   // value propagation as iterated join-aggregate supersteps, in exact
   // fixed-point arithmetic so the oracle (the same three supersteps
@@ -6379,6 +6478,7 @@ object Queries {
     "q_scale_stats_artifact" -> scaleStatsArtifact,
     "q_scale_stats_gated_join" -> scaleStatsGatedJoin,
     "q_scale_stats_join_order" -> scaleStatsJoinOrder,
+    "q_scale_stats_stream_gate" -> scaleStatsStreamGate,
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_pagerank_dangling" -> graphPagerankDangling,
     "q_graph_pagerank_converge" -> graphPagerankConverge,
@@ -6525,7 +6625,7 @@ object Queries {
     "q_stream_interval_join", "q_stream_interval_join_outer",
     "q_scd2_stream_merge", "q_sketch_kmv_stream", "q_sketch_cms_stream",
     "q_sketch_kmv_window_stream", "q_sketch_cms_window_stream",
-    "q_sketch_quantile_window_stream")
+    "q_sketch_quantile_window_stream", "q_scale_stats_stream_gate")
   require(streamingEntries.forall(all.contains),
     "streamingEntries must all be catalog entries")
 
@@ -6564,6 +6664,7 @@ object Queries {
     "q_scale_stats_artifact" -> scaleStatsArtifactOracle,
     "q_scale_stats_gated_join" -> scaleStatsGatedJoinOracle,
     "q_scale_stats_join_order" -> scaleStatsJoinOrderOracle,
+    "q_scale_stats_stream_gate" -> scaleStatsStreamGateOracle,
     "q_graph_pagerank" -> graphPagerankOracle,
     "q_graph_pagerank_dangling" -> graphPagerankDanglingOracle,
     "q_graph_pagerank_converge" -> graphPagerankConvergeOracle,
