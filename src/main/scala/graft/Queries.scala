@@ -3363,6 +3363,205 @@ object Queries {
       |FROM sk""".stripMargin
   }
 
+  // SESSION-windowed KMV (VERDICT r16 #5): tumbling windows landed
+  // r16; the other real streaming window shape is the SESSION — here
+  // "distinct items per user session" (item = event_id mod 50, a
+  // 50-item catalog; sessions split at a >3-day gap, which at the
+  // driver corpora yields 60-70-event sessions whose ~45 distinct
+  // items genuinely exceed k = 32 — both estimator branches run at
+  // every SF). The session key is user|session_start (min sec of the
+  // session — identity without a counter, which is what lets the
+  // stream twin drop closed-session state outright), and the sketch
+  // kernels apply UNCHANGED over that composite key: the same
+  // windowed-family composition as q_sketch_kmv_windowed with the
+  // window id coming from the g1 sessionizer instead of floor
+  // arithmetic. kmvDistinct's __merged__ row rides along = the
+  // all-sessions distinct rollup.
+  private val sketchKmvSession: Q = (s, dir) => {
+    val gap = 259200L
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val sess = events(s, dir).select(col("event_id"), col("user_id"),
+        col("sec"))
+      .withColumn("item", (col("event_id") % 50).cast("string"))
+      .withColumn("prev", lag("sec", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("sec") - col("prev") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("session_start",
+        min("sec").over(Window.partitionBy("user_id", "session_id")))
+      .withColumn("src", concat(col("user_id").cast("string"), lit("|"),
+        col("session_start").cast("string")))
+    graft.llm.SketchOps.kmvDistinct(sess, "src", "item", 32)
+  }
+  private def kmvSessionOracle(withExact: Boolean): String = {
+    val exactCol = if (withExact) "n_exact, " else ""
+    val estBase = if (withExact) "n_exact" else "k_used"
+    val merged = if (withExact)
+      """
+        |  UNION ALL
+        |  SELECT '__merged__', me.n_exact, mh.kth_min_hash, mh.k_used
+        |  FROM me, mh""".stripMargin
+    else ""
+    val perExact = if (withExact) "n_exact, " else ""
+    s"""WITH ev AS (
+      |  SELECT event_id, user_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |flags AS (
+      |  SELECT *,
+      |    CASE WHEN lag(sec) OVER w IS NULL
+      |           OR sec - lag(sec) OVER w > 259200 THEN 1 ELSE 0 END
+      |      AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |sess AS (
+      |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM flags),
+      |st AS (
+      |  SELECT CAST(user_id AS VARCHAR) || '|' ||
+      |           CAST(min(sec) OVER (PARTITION BY user_id, session_id)
+      |                AS VARCHAR) AS source,
+      |         CAST(event_id % 50 AS VARCHAR) AS term
+      |  FROM sess),
+      |dt AS (SELECT DISTINCT source, term FROM st),
+      |z AS (SELECT source, (${FnvOracleSql.fnvStrPublic("term")}) AS z0
+      |      FROM dt),
+      |${FnvOracleSql.mix64Ctes("q", "z", Seq("source"))},
+      |hh AS (SELECT DISTINCT source,
+      |         CAST(h & 9223372036854775807::HUGEINT AS BIGINT) AS h
+      |       FROM qf),
+      |rn AS (
+      |  SELECT source, h,
+      |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n_exact
+      |  FROM hh),
+      |kmin AS (SELECT * FROM rn WHERE rn <= 32),
+      |per AS (
+      |  SELECT source, n_exact, max(h) AS kth_min_hash,
+      |         CAST(count(*) AS BIGINT) AS k_used
+      |  FROM kmin GROUP BY 1, 2),
+      |mk AS (SELECT h FROM (SELECT DISTINCT h FROM kmin) ORDER BY h LIMIT 32),
+      |mh AS (SELECT max(h) AS kth_min_hash, CAST(count(*) AS BIGINT) AS k_used
+      |       FROM mk),
+      |me AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+      |       FROM (SELECT DISTINCT h FROM hh)),
+      |unioned AS (
+      |  SELECT source, ${perExact}kth_min_hash, k_used FROM per$merged)
+      |SELECT source, ${exactCol}kth_min_hash, k_used,
+      |  CAST(CASE WHEN k_used < 32 THEN $estBase
+      |       ELSE (9223372036854775807 // greatest(kth_min_hash, 1)) * 31
+      |       END AS BIGINT) AS kmv_est
+      |FROM unioned""".stripMargin
+  }
+  private val sketchKmvSessionOracle = kmvSessionOracle(withExact = true)
+
+  // Staged time-ordered replay slices for the SESSION sketch stream:
+  // (user_id, event_id, item, ts, event_time) in 3 slices plus the
+  // two far-future sentinels the TWS stream entries use (the first
+  // advances the watermark past every real session's close timer, the
+  // second gives the timers a batch to fire in; sentinel user -1 is
+  // filtered from the output).
+  private def sessionSlicesStaged(s: SparkSession, dir: String): String = {
+    val spark2 = s
+    import spark2.implicits._
+    val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("events"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_session_slices_v1_$key"
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        val ev = events(s, dir).select(col("user_id"), col("event_id"),
+            (col("event_id") % 50).cast("string").as("item"),
+            col("sec").as("ts"))
+          .withColumn("event_time", col("ts").cast("timestamp"))
+        StreamRehearsal.stageSlices(ev, "ts", 3, s"$tmp/stage", tmp)
+        org.apache.hadoop.fs.FileUtil.fullyDelete(
+          new java.io.File(s"$tmp/stage"))
+        val mx = s.read.parquet(tmp).agg(max("ts")).head().getLong(0)
+        Seq((3, -1L, mx + 1000000L), (4, -2L, mx + 2000000L))
+          .foreach { case (i, id, ts) =>
+            Seq((-1L, id, "s", ts)).toDF("user_id", "event_id", "item", "ts")
+              .withColumn("event_time", col("ts").cast("timestamp"))
+              .withColumn("_slice", lit(i))
+              .write.partitionBy("_slice").mode("overwrite")
+              .parquet(s"$tmp/sent_$i")
+            StreamRehearsal.moveSlices(s"$tmp/sent_$i", tmp, 0)
+            org.apache.hadoop.fs.FileUtil.fullyDelete(
+              new java.io.File(s"$tmp/sent_$i"))
+          }
+        graft.sources.Staging.touchMarker(tmp)
+      }
+    }
+    path
+  }
+
+  // SESSIONIZED KMV AS A REAL STREAM — TwsKmvSession: one RocksDB
+  // state row per OPEN session (session_start is the identity, so
+  // closed sessions drop their state outright — no counter survives),
+  // per-key event-time timers close a session gapSeconds after its
+  // latest event, inline closes handle multiple sessions inside one
+  // batch. Emits one sketch row per closed session; the estimate
+  // finalizes with the shared KMV integer formula. Oracle = the batch
+  // session oracle minus the exact twin and the __merged__ rollup
+  // (the stream never held the distinct sets and emits per-session
+  // rows only): gap-close parity between the TWS machinery and the
+  // batch window sessionizer is the hash-compared surface.
+  private val sketchKmvSessionStream: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val TrackKey =
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    val prev =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevTrack = s.conf.getOption(TrackKey)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(TrackKey, "false") // measured knob — SCALE_STREAM_r09.md
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val spark2 = s
+      import spark2.implicits._
+      val work = graft.sources.Staging.sessionTempDir("graft_kmv_sess")
+      val watch = sessionSlicesStaged(s, dir)
+      val stream = s.readStream.schema(s.read.parquet(watch).schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .as[graft.streaming.KmvSessEvent]
+      val q = graft.streaming.TwsKmvSession
+        .sessionSketch(stream, 259200L, 32).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out").filter(col("user_id") >= 0)
+        .select(
+          concat(col("user_id").cast("string"), lit("|"),
+            col("session_start").cast("string")).as("source"),
+          col("kth_min_hash"), col("k_used"),
+          when(col("k_used") < 32, col("k_used"))
+            .otherwise(expr(
+              "(9223372036854775807 DIV greatest(kth_min_hash, 1)) * 31"))
+            .as("kmv_est"))
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prev match {
+        case Some(p) => s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      prevTrack match {
+        case Some(t) => s.conf.set(TrackKey, t)
+        case None => s.conf.unset(TrackKey)
+      }
+    }
+  }
+  private val sketchKmvSessionStreamOracle =
+    kmvSessionOracle(withExact = false)
+
   // CMS AS A STREAM (the frequency twin of q_sketch_kmv_stream, same
   // replay dir): each micro-batch's counter frame (SketchOps.
   // cmsCounters — the SAME core as the batch entry) merges into the
@@ -6537,6 +6736,8 @@ object Queries {
     "q_sketch_cms_window_stream" -> sketchCmsWindowStream,
     "q_sketch_quantile_windowed" -> sketchQuantileWindowed,
     "q_sketch_quantile_window_stream" -> sketchQuantileWindowStream,
+    "q_sketch_kmv_session" -> sketchKmvSession,
+    "q_sketch_kmv_session_stream" -> sketchKmvSessionStream,
     "q_sketch_cms_heavy" -> sketchCmsHeavy,
     "q_sketch_cms_join_size" -> sketchCmsJoinSize,
     "q_sketch_cms_stream" -> sketchCmsStream,
@@ -6625,7 +6826,8 @@ object Queries {
     "q_stream_interval_join", "q_stream_interval_join_outer",
     "q_scd2_stream_merge", "q_sketch_kmv_stream", "q_sketch_cms_stream",
     "q_sketch_kmv_window_stream", "q_sketch_cms_window_stream",
-    "q_sketch_quantile_window_stream", "q_scale_stats_stream_gate")
+    "q_sketch_quantile_window_stream", "q_scale_stats_stream_gate",
+    "q_sketch_kmv_session_stream")
   require(streamingEntries.forall(all.contains),
     "streamingEntries must all be catalog entries")
 
@@ -6721,6 +6923,8 @@ object Queries {
     "q_sketch_cms_window_stream" -> sketchCmsWindowedOracle,
     "q_sketch_quantile_windowed" -> sketchQuantileWindowedOracle,
     "q_sketch_quantile_window_stream" -> sketchQuantileWindowStreamOracle,
+    "q_sketch_kmv_session" -> sketchKmvSessionOracle,
+    "q_sketch_kmv_session_stream" -> sketchKmvSessionStreamOracle,
     "q_sketch_cms_heavy" -> sketchCmsHeavyOracle,
     "q_sketch_cms_join_size" -> sketchCmsJoinSizeOracle,
     "q_sketch_cms_stream" -> sketchCmsHeavyOracle,

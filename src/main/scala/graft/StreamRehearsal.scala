@@ -1006,6 +1006,96 @@ object StreamRehearsal {
           SketchOps.quantileEstimate(sample(ev), Seq(50, 90))))
     }
 
+    // ---- scenario 12: SESSIONIZED KMV stream (TwsKmvSession) at sf1
+    // The real transformWithState machinery (RocksDB state, per-key
+    // event-time timers) over 10 time-ordered slices + 2 far-future
+    // sentinels. Measures the per-batch STATE ROWS from the query
+    // progress (trackTotalNumberOfRows on for the measurement):
+    // state = OPEN sessions only — bounded by the user count, never
+    // by stream length or closed-session count — and the flushed
+    // output must equal the batch window sessionizer's sketch rows.
+    if (only(12)) locally {
+      import graft.llm.SketchOps
+      import graft.streaming.{KmvSessEvent, TwsKmvSession}
+      import spark.implicits._
+      val (k, gap) = (32, 259200L)
+      val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+      val ev = evRaw.select(col("user_id"), col("event_id"),
+          (col("event_id") % 50).cast("string").as("item"),
+          Queries.eventSeconds(evRaw.schema("ts").dataType).as("ts"))
+        .withColumn("event_time", col("ts").cast("timestamp"))
+      val nUsers = ev.select("user_id").distinct().count()
+      val watch = s"$work/kmvsess_in"
+      stageSlices(ev, "ts", 10, s"$work/kmvsess_stage", watch)
+      val mx = spark.read.parquet(watch).agg(max("ts")).head().getLong(0)
+      Seq((10, -1L, mx + 1000000L), (11, -2L, mx + 2000000L)).foreach {
+        case (i, id, ts) =>
+          Seq((-1L, id, "s", ts)).toDF("user_id", "event_id", "item", "ts")
+            .withColumn("event_time", col("ts").cast("timestamp"))
+            .withColumn("_slice", lit(i))
+            .write.partitionBy("_slice").mode("overwrite")
+            .parquet(s"$work/kmvsess_sent_$i")
+          moveSlices(s"$work/kmvsess_sent_$i", watch, 0)
+          org.apache.hadoop.fs.FileUtil.fullyDelete(
+            new java.io.File(s"$work/kmvsess_sent_$i"))
+      }
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        "true") // the measurement IS the point here
+      val t0 = System.nanoTime()
+      val stream = spark.readStream
+        .schema(spark.read.parquet(watch).schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .as[KmvSessEvent]
+      val q = TwsKmvSession.sessionSketch(stream, gap, k).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$work/kmvsess_out")
+        .option("checkpointLocation", s"$work/kmvsess_ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"\nsessionized KMV stream (sf1, TwsKmvSession, " +
+        f"$nUsers users): $wall%.1f s wall")
+      println("| batch | input rows | state rows (open sessions) | " +
+        "user bound |")
+      println("|---|---|---|---|")
+      q.recentProgress.filter(_.numInputRows > 0).zipWithIndex.foreach {
+        case (p, i) =>
+          val stateRows = p.stateOperators.headOption
+            .map(_.numRowsTotal).getOrElse(-1L)
+          println(s"| $i | ${p.numInputRows} | $stateRows | " +
+            s"${nUsers + 1} |")
+          require(stateRows <= nUsers + 1,
+            s"batch $i: state $stateRows exceeds open-session bound")
+      }
+      // flushed output == the batch window sessionizer's sketch rows
+      val streamOut = spark.read.parquet(s"$work/kmvsess_out")
+        .filter(col("user_id") >= 0)
+        .select(concat(col("user_id").cast("string"), lit("|"),
+          col("session_start").cast("string")).as("source"),
+          col("kth_min_hash"), col("k_used"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = ev.withColumn("prev", lag("ts", 1).over(w))
+        .withColumn("ns", when(col("prev").isNull ||
+          col("ts") - col("prev") > gap, 1L).otherwise(0L))
+        .withColumn("sid", sum("ns").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+        .withColumn("session_start", min("ts").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id", "sid")))
+        .withColumn("src", concat(col("user_id").cast("string"), lit("|"),
+          col("session_start").cast("string")))
+      val batchOut = SketchOps.kmvEstimate(
+          SketchOps.kmvKmin(sess, "src", "item", k), k)
+        .filter(col("source") =!= "__merged__")
+        .select("source", "kth_min_hash", "k_used")
+      assertParity("sessionized kmv stream sketch", streamOut, batchOut)
+    }
+
     println("\nstream rehearsal complete")
   }
 }
