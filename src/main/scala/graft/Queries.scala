@@ -5003,6 +5003,116 @@ object Queries {
       |FROM documents d
       |WHERE d.doc_id NOT IN (SELECT media_id FROM hit)""".stripMargin
 
+  // VIDEO-SEQUENCE NEAR-DUP (VERDICT r16 #8 — compose frames ×
+  // pHash): each video clip reduces to the SEQUENCE of its frames'
+  // perceptual hashes (framePhash — frameSample's demux plumbing with
+  // the q_mm_phash grid kernel per 64-byte frame), 3-frame shingles
+  // fingerprint with the string-FNV kernel, candidates come from the
+  // shared-fingerprint bucket join (never all-pairs — the winnowing
+  // shape), and a pair survives when the shared shingles cover ≥ 1/2
+  // of the SHORTER clip's shingle set. The corpus is the video-kind
+  // documents with payload looped ×2 (a clip long enough to carry
+  // 5-10 frames); planted, all mirrored in SQL:
+  //   +1e6: exact re-uploads (doc_id % 30 == 2) — recover at full
+  //         ratio always;
+  //   +2e6: a one-byte "re-encode" inside frame 2 (doc_id % 30 == 5)
+  //         — only the ≤ 3 shingles crossing that frame break, so
+  //         clips with ≥ 6 shingles recover (shorter ones fall under
+  //         the ratio — data-dependent, identical in both engines);
+  //   +3e6: a 2-frame PREFIX TRIM (doc_id % 30 == 8) — shingle
+  //         fingerprints are position-independent, so the trimmed
+  //         clip's shingles are a SUBSET and recover at full ratio.
+  private val mmFrameNearDup: Q = (s, dir) => {
+    val base = docsT(s, dir).filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), expr("repeat(text, 2)").as("text"),
+        col("n_chars"))
+    val media = base
+      .unionByName(base.filter(col("doc_id") % 30 === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("n_chars")))
+      .unionByName(base.filter(col("doc_id") % 30 === 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(expr("substring(text, 1, 130)"), lit("X"),
+            expr("substring(text, 132)")).as("text"),
+          col("n_chars")))
+      .unionByName(base.filter(col("doc_id") % 30 === 8)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          expr("substring(text, 129)").as("text"), col("n_chars")))
+    graft.llm.Multimodal.frameSequenceNearDup(
+      graft.llm.Multimodal.packFromDocuments(media))
+  }
+  private val mmFrameNearDupOracle =
+    s"""WITH vid AS (
+      |  SELECT doc_id, repeat(text, 2) AS text FROM documents
+      |  WHERE doc_id % 3 = 2),
+      |media AS (
+      |  SELECT doc_id, text FROM vid
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM vid WHERE doc_id % 30 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    substring(text, 1, 130) || 'X' || substring(text, 132)
+      |  FROM vid WHERE doc_id % 30 = 5
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, substring(text, 129)
+      |  FROM vid WHERE doc_id % 30 = 8),
+      |ct(u, pos, cv) AS (SELECT * FROM (VALUES $phashCtRows)),
+      |d AS (
+      |  SELECT doc_id AS media_id, length(text) // 64 AS nf,
+      |    list_transform(range(length(text)),
+      |      i -> CAST(ord(text[i+1]) AS BIGINT)) AS codes
+      |  FROM media),
+      |px AS (
+      |  SELECT media_id, f, i, codes[f * 64 + i + 1] AS p,
+      |         i // 8 AS r, i % 8 AS c
+      |  FROM d, UNNEST(range(nf)) AS tf(f), UNNEST(range(64)) AS ti(i)),
+      |fcoef AS (
+      |  SELECT px.media_id, px.f, cu.u AS u, cv.u AS v,
+      |    CAST(sum(px.p * cu.cv * cv.cv) AS BIGINT) AS coef
+      |  FROM px JOIN ct cu ON cu.pos = px.r
+      |  JOIN ct cv ON cv.pos = px.c
+      |  GROUP BY 1, 2, 3, 4),
+      |ac AS (SELECT media_id, f, u * 8 + v AS idx, coef FROM fcoef
+      |       WHERE NOT (u = 0 AND v = 0)),
+      |med AS (
+      |  SELECT media_id, f, coef AS m FROM (
+      |    SELECT media_id, f, coef,
+      |      row_number() OVER (PARTITION BY media_id, f
+      |        ORDER BY coef) AS rn
+      |    FROM ac) WHERE rn = 32),
+      |fh AS (
+      |  SELECT a.media_id, a.f,
+      |    CAST(sum(CASE WHEN a.coef > m.m
+      |         THEN 1::BIGINT << (a.idx - 1) ELSE 0 END) AS BIGINT)
+      |      AS fhash
+      |  FROM ac a JOIN med m ON a.media_id = m.media_id AND a.f = m.f
+      |  GROUP BY 1, 2),
+      |seq AS (
+      |  SELECT media_id, fhash AS h0,
+      |    lead(fhash, 1) OVER w AS h1, lead(fhash, 2) OVER w AS h2
+      |  FROM fh WINDOW w AS (PARTITION BY media_id ORDER BY f)),
+      |-- the fingerprint stays in the unsigned HUGEINT domain: it is
+      |-- only a join key (the signed/unsigned representations are
+      |-- both injective images of the same 64-bit value)
+      |sh AS (
+      |  SELECT DISTINCT media_id,
+      |    (${FnvOracleSql.fnvStrPublic(
+             "(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) || " +
+             "'|' || CAST(h2 AS VARCHAR))")}) AS fp
+      |  FROM seq WHERE h2 IS NOT NULL),
+      |cnt AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_sh
+      |        FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.media_id AS id1, b.media_id AS id2,
+      |         CAST(count(*) AS BIGINT) AS shared
+      |  FROM sh a JOIN sh b ON a.fp = b.fp AND a.media_id < b.media_id
+      |  GROUP BY 1, 2)
+      |SELECT p.id1, p.id2, p.shared, c1.n_sh AS n1, c2.n_sh AS n2
+      |FROM pairs p
+      |JOIN cnt c1 ON c1.media_id = p.id1
+      |JOIN cnt c2 ON c2.media_id = p.id2
+      |WHERE p.shared * 2 >= least(c1.n_sh, c2.n_sh)""".stripMargin
+
   private val mmResize: Q = (s, dir) =>
     graft.llm.Multimodal.resize(
       graft.llm.Multimodal.packFromDocuments(docsT(s, dir))).toDF()
@@ -6786,6 +6896,7 @@ object Queries {
     "q_mm_resize" -> mmResize,
     "q_mm_phash_neardup" -> mmPhashNearDup,
     "q_mm_phash_decontaminate" -> mmPhashDecontaminate,
+    "q_mm_frame_neardup" -> mmFrameNearDup,
     "q_emb_neardup" -> embNearDup,
     "q_emb_semdedup" -> embSemDedup,
     "q_emb_cluster_sample" -> embClusterSample,
@@ -6979,6 +7090,7 @@ object Queries {
     "q_mm_resize" -> mmResizeOracle,
     "q_mm_phash_neardup" -> mmPhashNearDupOracle,
     "q_mm_phash_decontaminate" -> mmPhashDecontaminateOracle,
+    "q_mm_frame_neardup" -> mmFrameNearDupOracle,
     "q_etl_blocks" -> etlBlocksOracle,
     "q_emb_neardup" -> embNearDupOracle,
     "q_emb_semdedup" -> embSemDedupOracle,

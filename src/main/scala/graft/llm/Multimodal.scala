@@ -192,6 +192,41 @@ object Multimodal {
     * the hash is always non-negative and engine sign semantics never
     * diverge. Empty payloads hash to 0.
     */
+  /** The 8×8-grid → 63-bit hash kernel shared by the whole-payload
+    * [[phash]] and the per-frame [[framePhash]]: Q14 DCT-II, median
+    * threshold over the 63 AC coefficients, bit `uv-1` packing. */
+  private[llm] def gridPhash(p: Array[Long]): Long = {
+    val coef = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            s += p(r * 8 + c) * DctQ14(u)(r) * DctQ14(v)(c)
+            c += 1
+          }
+          r += 1
+        }
+        coef(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = coef.drop(1).sorted
+    val median = ac(31)
+    var h = 0L
+    var i = 1
+    while (i < 64) {
+      if (coef(i) > median) h |= 1L << (i - 1)
+      i += 1
+    }
+    h
+  }
+
   def phash(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -199,41 +234,80 @@ object Multimodal {
       rows.map { m =>
         val n = m.payload.length
         if (n == 0) (m.media_id, 0L)
-        else {
-          val p = Array.tabulate(64)(i =>
-            (m.payload(((i.toLong * n) / 64).toInt) & 0xff).toLong)
-          val coef = new Array[Long](64)
-          var u = 0
-          while (u < 8) {
-            var v = 0
-            while (v < 8) {
-              var s = 0L
-              var r = 0
-              while (r < 8) {
-                var c = 0
-                while (c < 8) {
-                  s += p(r * 8 + c) * DctQ14(u)(r) * DctQ14(v)(c)
-                  c += 1
-                }
-                r += 1
-              }
-              coef(u * 8 + v) = s
-              v += 1
-            }
-            u += 1
-          }
-          val ac = coef.drop(1).sorted
-          val median = ac(31)
-          var h = 0L
-          var i = 1
-          while (i < 64) {
-            if (coef(i) > median) h |= 1L << (i - 1)
-            i += 1
-          }
-          (m.media_id, h)
-        }
+        else (m.media_id, gridPhash(Array.tabulate(64)(i =>
+          (m.payload(((i.toLong * n) / 64).toInt) & 0xff).toLong)))
       }
     }.toDF("media_id", "phash")
+  }
+
+  /** Per-FRAME perceptual hash — the video-sequence primitive
+    * composing [[frameSample]]'s demux plumbing with [[phash]]'s grid
+    * kernel: the payload cut into non-overlapping `frameSize`-byte
+    * frames, every `stride`-th kept, and each kept frame
+    * stride-sampled to the 8×8 grid [[gridPhash]] thresholds (with
+    * the default frameSize = 64 the frame's bytes ARE the grid; a
+    * real decoder's per-frame luminance thumbnail slots in
+    * unchanged). */
+  def framePhash(media: Dataset[MediaRow], frameSize: Int = 64,
+      stride: Int = 1): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val nFrames = m.payload.length / frameSize
+        (0 until nFrames by stride).iterator.map { f =>
+          val p = Array.tabulate(64)(i => (m.payload(
+            f * frameSize + (i.toLong * frameSize / 64).toInt) & 0xff).toLong)
+          (m.media_id, f, gridPhash(p))
+        }
+      }
+    }.toDF("media_id", "frame_idx", "fhash")
+  }
+
+  /** VIDEO-SEQUENCE NEAR-DUP — frames × pHash composed into the
+    * dup-span/winnowing shape (the media analogue of text
+    * dup-span detection): each clip's kept frames reduce to a
+    * SEQUENCE of perceptual hashes ([[framePhash]]); shingles of
+    * `shingle` consecutive frame hashes are fingerprinted with the
+    * string-FNV kernel; candidate pairs come from the shared-
+    * fingerprint bucket join (Σ|bucket|² work, never all-pairs); a
+    * pair survives when its shared distinct-shingle count covers
+    * ≥ num/den of the SHORTER clip's shingle set — re-encodes that
+    * perturb a frame lose only the shingles crossing it, and a
+    * TRIMMED clip's shingles are a subset of the original's (shingle
+    * fingerprints are position-independent), so prefix-trims recover
+    * at full ratio. All integers end to end: frame hash, FNV shingle
+    * fingerprint, and the DIV-free ratio compare all mirror in SQL.
+    */
+  def frameSequenceNearDup(media: Dataset[MediaRow], frameSize: Int = 64,
+      stride: Int = 1, shingle: Int = 3, num: Long = 1,
+      den: Long = 2): DataFrame = {
+    require(shingle >= 2, "a sequence shingle needs at least 2 frames")
+    require(num > 0 && den > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    val fp0 = framePhash(media, frameSize, stride)
+    val shCols = (1 until shingle).map(j =>
+      lead("fhash", j).over(w).as(s"h$j"))
+    val sh = fp0
+      .select((col("media_id") +: col("fhash").as("h0") +: shCols): _*)
+      .filter(col(s"h${shingle - 1}").isNotNull)
+      .select(col("media_id"), graft.functions.LlmFunctions.fnv64(
+        concat_ws("|",
+          (0 until shingle).map(j => col(s"h$j")): _*)).as("fp"))
+      .distinct()
+    val counts = sh.groupBy("media_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.select(col("media_id").as("id1"), col("fp"))
+      .join(sh.select(col("media_id").as("id2"), col("fp")), Seq("fp"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(counts.select(col("media_id").as("id1"),
+        col("n_sh").as("n1")), Seq("id1"))
+      .join(counts.select(col("media_id").as("id2"),
+        col("n_sh").as("n2")), Seq("id2"))
+      .filter(col("shared") * den >= least(col("n1"), col("n2")) * num)
+      .select(col("id1"), col("id2"), col("shared"), col("n1"), col("n2"))
   }
 
   /** Perceptual-hash NEAR-DUP pairs: [[phash]] signatures through the

@@ -1365,6 +1365,37 @@ class LlmSpec extends SparkSpec {
       "unrelated media must survive decontamination")
   }
 
+  test("video-sequence near-dup (r17): exact re-uploads and prefix " +
+      "trims recover at full ratio, a one-frame corruption loses only " +
+      "the shingles crossing it, unrelated clips never pair") {
+    import spark.implicits._
+    // 10 distinct 64-byte "frames" -> a 640-byte clip
+    def frame(seed: Int): String =
+      (0 until 64).map(i => ('a' + (seed * 17 + i * 5) % 26).toChar).mkString
+    val clipA = (0 until 10).map(frame).mkString
+    val clipB = (20 until 30).map(frame).mkString           // unrelated
+    val clipTrim = clipA.substring(128)                     // drop 2 frames
+    val clipCorrupt = clipA.updated(130, 'Z')               // frame 2 hit
+    val docs = Seq((1L, clipA), (2L, clipB), (3L, clipTrim),
+        (4L, clipCorrupt), (5L, clipA))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val pairs = Multimodal.frameSequenceNearDup(
+        Multimodal.packFromDocuments(docs))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // clipA has 10 frames -> 8 shingles; the trim keeps 8 frames -> 6,
+    // ALL shared (shingle fps are position-independent)
+    assert(pairs((1L, 5L)) == ((8L, 8L, 8L)), "exact re-upload full ratio")
+    assert(pairs((1L, 3L)) == ((6L, 8L, 6L)), "prefix trim is a subset")
+    // the corruption sits in frame 2: exactly shingles (0,1,2),
+    // (1,2,3), (2,3,4) break -> 5 of 8 shared
+    assert(pairs((1L, 4L)) == ((5L, 8L, 8L)), "one-frame corruption")
+    // transitives among the planted family may pair; clipB never does
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L),
+      "unrelated clip must not pair")
+  }
+
   /** All messages down an exception's cause chain (executor failures
     * surface wrapped in SparkException layers).
     */
