@@ -41,6 +41,31 @@ object Queries {
     }
   }
 
+  /** Execute `mk` under a temporarily-pinned SMALL shuffle DOP and
+    * return the materialized result — the counter-sized-frame device
+    * the streaming entries use, here for the small BATCH frontier
+    * entries whose every shuffled frame is candidate- or
+    * vocabulary-sized (|queries|·rerank candidate rows, the
+    * vocabulary-bounded LM counts): hash-partitioning a few hundred
+    * rows across the session's 32 reducers is pure task-dispatch
+    * overhead — measured 2× of these entries' wall (ScratchMain r17:
+    * rerank 1.1-1.5 s at DOP 32 vs 0.70-0.74 s at 8; perplexity
+    * 0.72 → 0.55 s). The conf must be live at EXECUTION time, so the
+    * frame is materialized (localCheckpoint) inside the pinned scope
+    * and the session default is restored before returning — later
+    * entries in the same session are untouched. At production scale
+    * the DOP lever is sized from the candidate-frame bound (the
+    * statsJoinDecision pattern), not a constant; 8 is this demo
+    * batch's counter-sized choice.
+    */
+  private def withSmallShuffle(s: SparkSession, n: Int = 8)(
+      mk: => DataFrame): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try mk.localCheckpoint()
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** events.parquet has shipped with two physical `ts` encodings across
     * testdata generations: TIMESTAMP(NANOS) (which Spark 4 only reads
     * via the nanos-as-long legacy conf) and plain timestamp[us] (read
@@ -5445,9 +5470,10 @@ object Queries {
   // ordering, hash-exact across engines (the oracle runs the SAME 16
   // square-and-carry steps as unrolled CTEs over the distinct count
   // values, which are vocabulary-sized).
-  private val llmPerplexity: Q = (s, dir) =>
+  private val llmPerplexity: Q = (s, dir) => withSmallShuffle(s) {
     graft.llm.PipelineOps.lmPerplexity(
       docsT(s, dir), "doc_id", "text", col("doc_id") % 50 === 0)
+  }
   private val llmPerplexityOracle =
     s"""WITH tk AS (
       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS tk
@@ -6274,8 +6300,14 @@ object Queries {
   // as q_ann_ivf_topk), each scored from its PQ code via the query's
   // ADC table (same dist CTE as q_ann_pq_topk). Exact integer math
   // end-to-end, so membership AND ranking hash-compare.
-  private val annIvfPqTopk: Q = (s, dir) => {
-    val emb = embT(s, dir)
+  // coalesce(4): the PQ passes (quantize, encode, probe) are map
+  // stages over the 2000-row demo corpus — 32 cached partitions cost
+  // 32 task dispatches per pass for microseconds of work each
+  // (ScratchMain r17: 0.84-0.93 s -> 0.63-0.70 s). At scale the map
+  // DOP tracks bytes (maxPartitionBytes); the constant is this demo
+  // corpus's counter-sized choice, same rationale as withSmallShuffle.
+  private val annIvfPqTopk: Q = (s, dir) => withSmallShuffle(s) {
+    val emb = embT(s, dir).coalesce(4)
     graft.llm.SimilarityOps.ivfPqTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
   }
@@ -6337,8 +6369,8 @@ object Queries {
 
   // IVF-PQ + exact re-rank (FAISS refine): top-32 by compressed ADC,
   // re-scored pair-by-pair with the exact quantized cosine.
-  private val annIvfPqRerank: Q = (s, dir) => {
-    val emb = embT(s, dir)
+  private val annIvfPqRerank: Q = (s, dir) => withSmallShuffle(s) {
+    val emb = embT(s, dir).coalesce(4) // see annIvfPqTopk
     graft.llm.SimilarityOps.ivfPqRerankTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
   }
@@ -6362,8 +6394,8 @@ object Queries {
   // ADC tables are built per probed cell from (q − that centroid):
   // the FAISS-standard encoding. Same integer domain end-to-end, so
   // membership AND ranking hash-compare.
-  private val annIvfPqResidual: Q = (s, dir) => {
-    val emb = embT(s, dir)
+  private val annIvfPqResidual: Q = (s, dir) => withSmallShuffle(s) {
+    val emb = embT(s, dir).coalesce(4) // see annIvfPqTopk
     graft.llm.SimilarityOps.ivfPqTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5,
       residual = true)

@@ -793,7 +793,23 @@ object SimilarityOps {
       m: Int = 8, ksub: Int = 16,
       centroids: Option[DataFrame] = None,
       codebook: Option[DataFrame] = None,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false): DataFrame =
+    ivfPqTopKImpl(corpus, queries, idCol, embCol, k, nlist, nprobe, m,
+      ksub, centroids, codebook, residual, carryVectors = false)
+
+  /** [[ivfPqTopK]] with `carryVectors`: when set, the candidate rows
+    * CARRY the full-width query and corpus vectors (`qemb`, `emb`)
+    * through the ADC stage, so a refine tier can exact-rescore with a
+    * pure projection — no join back to either table. The carried
+    * width only rides the candidate frame (|queries|·k rows), never
+    * the corpus-sized scored stream's shuffle (the window rank is the
+    * only exchange and it sees the same rows either way). */
+  private def ivfPqTopKImpl(corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int, nlist: Int, nprobe: Int,
+      m: Int, ksub: Int,
+      centroids: Option[DataFrame],
+      codebook: Option[DataFrame],
+      residual: Boolean, carryVectors: Boolean): DataFrame = {
     val V = graft.functions.VecFunctions
     def quant(c: Column) =
       transform(c, x => floor(x.cast("double") * 1000).cast("long"))
@@ -834,20 +850,22 @@ object SimilarityOps {
       val qe = quant(col("emb"))
       val cell = element_at(V.nearest_cells_q(qe, col("cents"), 1), 1)
       val enc = if (residual) V.residual_q(qe, col("cents"), cell) else qe
+      val base = Seq(col("neighbor_id"), cell.as("cell"),
+        V.pq_encode(enc, col("cb"), m).as("codes"))
       corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
         .crossJoin(lookups)
-        .select(col("neighbor_id"), cell.as("cell"),
-          V.pq_encode(enc, col("cb"), m).as("codes"))
+        .select((if (carryVectors) base :+ col("emb") else base): _*)
     }
     val probes =
-      if (!residual)
+      if (!residual) {
+        val base = Seq(col("query_id"),
+          explode(V.nearest_cells_q(quant(col("qemb")), col("cents"), nprobe))
+            .as("cell"),
+          V.pq_table(quant(col("qemb")), col("cb"), m).as("tbl"))
         queries.select(col(idCol).as("query_id"), col(embCol).as("qemb"))
           .crossJoin(lookups)
-          .select(col("query_id"),
-            explode(V.nearest_cells_q(quant(col("qemb")), col("cents"), nprobe))
-              .as("cell"),
-            V.pq_table(quant(col("qemb")), col("cb"), m).as("tbl"))
-      else
+          .select((if (carryVectors) base :+ col("qemb") else base): _*)
+      } else
         // per-cell ADC tables: the table projection runs AFTER the
         // explode (|queries|·nprobe rows — still the tiny side), and
         // the lookup arrays ride through that one projection only
@@ -856,19 +874,22 @@ object SimilarityOps {
           .select(col("query_id"), col("qemb"), col("cents"), col("cb"),
             explode(V.nearest_cells_q(quant(col("qemb")), col("cents"), nprobe))
               .as("cell"))
-          .select(col("query_id"), col("cell"),
+          .select((Seq(col("query_id"), col("cell"),
             V.pq_table(V.residual_q(quant(col("qemb")), col("cents"), col("cell")),
-              col("cb"), m).as("tbl"))
+              col("cb"), m).as("tbl")) ++
+            (if (carryVectors) Seq(col("qemb")) else Nil)): _*)
     // the probe plan (BNL + explode) has no usable plan-time size
     // estimate, so the gate usually declines the hint here; that is
     // the designed fallback — AQE's runtime join selection sees the
     // ACTUAL probe size (|queries| × nprobe rows) and converts the
     // cell join back to broadcast when it is small
+    val outCols = Seq(col("query_id"), col("neighbor_id"),
+      V.pq_adc(col("tbl"), col("codes"), ksub).as("adist")) ++
+      (if (carryVectors) Seq(col("qemb"), col("emb")) else Nil)
     val scored = graft.operators.Hints.maybeBroadcast(probes)
       .join(indexed, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        V.pq_adc(col("tbl"), col("codes"), ksub).as("adist"))
+      .select(outCols: _*)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -896,10 +917,21 @@ object SimilarityOps {
       codebook: Option[DataFrame] = None,
       residual: Boolean = false): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val cands = ivfPqTopK(corpus, queries, idCol, embCol, rerank,
-        nlist, nprobe, m, ksub, centroids, codebook, residual)
-      .select(col("query_id"), col("neighbor_id"))
-    rescoreCandidates(cands, corpus, queries, idCol, embCol, k)
+    // the candidate rows CARRY the full-width vectors through the ADC
+    // stage, so the refine tier is a pure projection + re-rank — no
+    // join back to either table (two broadcast builds saved per run;
+    // the carried width rides only the |queries|·rerank candidate
+    // frame). [[rescoreCandidates]] remains the standalone refine API
+    // for an id-only candidate list (an external reranker's shape)
+    // and RandomDiffSpec pins the two paths identical.
+    val cands = ivfPqTopKImpl(corpus, queries, idCol, embCol, rerank,
+        nlist, nprobe, m, ksub, centroids, codebook, residual,
+        carryVectors = true)
+      .select(col("query_id"), col("neighbor_id"),
+        quantizedCosineX1e6(col("qemb"), col("emb")).as("score_x1e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_x1e6").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** The exact-rescore refinement tier by itself: score the

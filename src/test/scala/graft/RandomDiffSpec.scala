@@ -85,4 +85,24 @@ class RootRankSpec extends SparkSpec {
       assert(TraceOps.rootRank(sqlMin) == TraceOps.rootRank(scalaMin), s"seed=$seed")
     }
   }
+
+  test("IVF-PQ refine differential (r17): the fused carried-vector " +
+      "rerank == the standalone id-join rescoreCandidates path") {
+    import org.apache.spark.sql.functions._
+    val So = graft.llm.SimilarityOps
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 20)
+    val fused = So.ivfPqRerankTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(_.toSeq).toSet
+    // the external-reranker shape: ADC candidates as an id list, then
+    // the standalone refine joins the vectors back in
+    val cands = So.ivfPqTopK(emb, queries, "vec_id", "embedding", 32)
+      .select(col("query_id"), col("neighbor_id"))
+    val viaJoin = So.rescoreCandidates(cands, emb, queries, "vec_id",
+      "embedding", 5).collect().map(_.toSeq).toSet
+    assert(fused == viaJoin,
+      "carried-vector refine must equal the id-join refine")
+    assert(fused.nonEmpty)
+  }
 }
