@@ -110,21 +110,28 @@ class PlanShapeSpec extends SparkSpec {
       s"residual IVF-PQ grew an extra shuffle:\n$p")
   }
 
-  test("rerank tier: candidate list broadcasts into the corpus; one extra window only") {
+  test("rerank tier: refine is join-free (carried vectors) and adds " +
+      "NO exchange — the exact window reuses the ADC window's " +
+      "partitioning") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = plan(graft.llm.SimilarityOps.ivfPqRerankTopK(
       emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3))
     assert(!p.contains("CartesianProduct"), s"rerank refine went cartesian:\n$p")
-    // the refine stage re-scores only |queries|·rerank pairs: the tiny
-    // candidate id-list and the query vectors ship INTO the corpus scan
-    // as broadcast joins — the corpus never shuffles out for refinement
-    assert(p.contains("BroadcastHashJoin"),
-      s"candidate refine must be a broadcast join:\n$p")
+    // r17: the candidate rows CARRY the full-width vectors through the
+    // ADC stage, so the refine is a projection + re-rank — no join
+    // back to either table at all
     assert(count(p, "pq_encode") == 1 && count(p, "pq_table") == 1,
       s"rerank must reuse the single encode/table projections:\n$p")
-    // inner IVF-PQ budget (≤3) + exactly one exact-score rank window
-    assert(count(p, "Exchange hashpartitioning") <= 4,
-      s"rerank grew an extra shuffle:\n$p")
+    // both rank windows cluster on query_id, so the exact-score window
+    // is exchange-free on top of the ADC window's partitioning: the
+    // whole entry keeps the inner IVF-PQ's static budget (the ADC rank
+    // window + the cell join's static SMJ pair that AQE's runtime join
+    // selection converts to broadcast — the documented BNL-estimate
+    // story) and the refine adds ZERO
+    assert(count(p, "Exchange hashpartitioning") <= 3,
+      s"rerank refine grew an extra shuffle:\n$p")
+    assert(count(p, "windowspecdefinition") == 2,
+      s"expected the ADC rank + exact rank windows only:\n$p")
   }
 
   test("cluster sample: zero-shuffle assignment; only the cell window shuffles") {
