@@ -42,6 +42,7 @@ object PlanAudit {
     "q_ann_index_serve" -> "broadcast centroid array (model state, loaded from the persisted index)",
     "q_ann_index_update" -> "broadcast centroid array (model state, loaded from the incrementally-appended persisted index)",
     "q_ann_index_rebuild" -> "broadcast centroid array (model state, loaded from the drift-gated persisted index; both regimes serve from loaded centroids)",
+    "q_ann_ivfpq_serve" -> "broadcast centroid+codebook lookup row (model state, loaded from the persisted PQ index)",
     "q_ann_filtered_serve" -> "broadcast centroid array (model state, loaded from the persisted index)",
     // the estimate scalar (1 row) crossed with the exact-twin scalar
     // (1 row) — two aggregates, never data-scaled

@@ -6374,6 +6374,36 @@ object Queries {
     graft.llm.SimilarityOps.ivfPqRerankTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
   }
+
+  // PERSISTED IVF-PQ INDEX SERVE — the SEVENTH persistence seam
+  // (build-once/serve-many for the COMPRESSED family): the coarse
+  // centroids, PQ codebook, coded corpus rows and the full-width
+  // refine store are staged once per embeddings fingerprint
+  // (SimilarityOps.buildPqIndex/savePqIndex through the shared seam
+  // contract) and the entry serves rerank=32 → top-5 from the LOADED
+  // index — the per-run corpus encode of the fused entries never
+  // runs at query time. Oracle is IDENTICAL to q_ann_ivfpq_rerank's:
+  // "the persisted coded index serves bit-identically to the
+  // in-session build+refine" is the hash-compared surface.
+  private def pqIndexStaged(s: SparkSession, dir: String): String = {
+    val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("embeddings"))
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_v1_$key"
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        graft.llm.SimilarityOps.savePqIndex(
+          graft.llm.SimilarityOps.buildPqIndex(
+            embT(s, dir), "vec_id", "embedding"), tmp)
+      }
+    }
+    path
+  }
+  private val annIvfPqServe: Q = (s, dir) => withSmallShuffle(s) {
+    val ix = graft.llm.SimilarityOps.loadPqIndex(s, pqIndexStaged(s, dir))
+    graft.llm.SimilarityOps.ivfPqServeTopK(ix,
+      embT(s, dir).coalesce(4).filter(col("vec_id") < 20),
+      "vec_id", "embedding", 5, rerank = Some(32))
+  }
   private val annIvfPqRerankOracle =
     s"""$annIvfPqAdistCtes,
       |cands AS (
@@ -6951,6 +6981,7 @@ object Queries {
     "q_ann_pq_topk" -> annPqTopk,
     "q_ann_ivfpq_topk" -> annIvfPqTopk,
     "q_ann_ivfpq_rerank" -> annIvfPqRerank,
+    "q_ann_ivfpq_serve" -> annIvfPqServe,
     "q_ann_ivfpq_residual" -> annIvfPqResidual,
     "q_llm_repetition" -> llmRepetition,
     "q_llm_c4_stats" -> llmC4Stats,
@@ -7139,6 +7170,7 @@ object Queries {
     "q_ann_pq_topk" -> annPqTopkOracle,
     "q_ann_ivfpq_topk" -> annIvfPqTopkOracle,
     "q_ann_ivfpq_rerank" -> annIvfPqRerankOracle,
+    "q_ann_ivfpq_serve" -> annIvfPqRerankOracle,
     "q_ann_ivfpq_residual" -> annIvfPqResidualOracle,
     "q_llm_repetition" -> llmRepetitionOracle,
     "q_llm_c4_stats" -> llmC4StatsOracle,

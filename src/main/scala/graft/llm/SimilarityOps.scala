@@ -804,95 +804,259 @@ object SimilarityOps {
     * width only rides the candidate frame (|queries|·k rows), never
     * the corpus-sized scored stream's shuffle (the window rank is the
     * only exchange and it sees the same rows either way). */
+  private def quantL(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** Deterministic model-row pick shared by the IVF-PQ defaults:
+    * hash order with id tie-break — reproducible across runs, engines
+    * and partitionings (unlike limit() on an unordered frame); the
+    * 31-bit mask keeps the multiply inside a Long for any id. */
+  private def hashOrderPick(corpus: DataFrame, idCol: String,
+      embCol: String, n: Int, cidAs: String, vecAs: String): DataFrame =
+    corpus.select(col(idCol).as(cidAs), col(embCol).as(vecAs))
+      .orderBy(col(cidAs).bitwiseAND(lit(2147483647L)) * lit(2654435761L)
+        % lit(1000000007L), col(cidAs))
+      .limit(n)
+
+  /** The ONE-row lookup frame every IVF-PQ pass scores against:
+    * quantized centroid array + codebook array folded together
+    * (two stacked BNL joins would square the plan-size estimate and
+    * trip the probe-side broadcast gate into a needless sort-merge
+    * join). `canonicalizeCb` sorts a PROVIDED/loaded codebook frame
+    * into cid order — pq_encode indexes by array position, and
+    * collect_list order is partition-dependent for an arbitrary
+    * frame; centroid array order never matters (nearest_cells_q
+    * tie-breaks on the cell VALUE). Callers broadcast the result. */
+  private def pqLookupArrays(cents: DataFrame, cb: DataFrame,
+      canonicalizeCb: Boolean): DataFrame = {
+    val V = graft.functions.VecFunctions
+    val centArr = cents.select(col("cell"), col("centroid"))
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("raw"))
+      .select(transform(col("raw"), c => {
+        val cq = quantL(c("centroid"))
+        struct(c("cell").cast("long").as("cell"), cq.as("cq"),
+          V.dot_long(cq, cq).as("cnq"))
+      }).as("cents"))
+    val cbArr = cb.select(col("cid"), col("cvec"))
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("raw0"))
+      .select((if (canonicalizeCb) sort_array(col("raw0"))
+        else col("raw0")).as("raw"))
+      .select(transform(col("raw"), c =>
+        struct(c("cid").cast("long").as("cid"),
+          quantL(c("cvec")).as("cq"))).as("cb"))
+    centArr.crossJoin(cbArr)
+  }
+
+  /** Encode the corpus against a (broadcast) lookup frame:
+    * (neighbor_id, cell, codes[, emb]) — exactly what an IVF-PQ index
+    * stores; `carryEmb` keeps the full-width vector next to the codes
+    * (the FAISS refine-store shape). Residual mode: the duplicated
+    * cell expression stays a single kernel call via whole-stage
+    * subexpression elimination — both uses sit in the same Project. */
+  private def pqEncode(corpus: DataFrame, idCol: String, embCol: String,
+      lookups: DataFrame, m: Int, residual: Boolean,
+      carryEmb: Boolean): DataFrame = {
+    val V = graft.functions.VecFunctions
+    val qe = quantL(col("emb"))
+    val cell = element_at(V.nearest_cells_q(qe, col("cents"), 1), 1)
+    val enc = if (residual) V.residual_q(qe, col("cents"), cell) else qe
+    val base = Seq(col("neighbor_id"), cell.as("cell"),
+      V.pq_encode(enc, col("cb"), m).as("codes"))
+    corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
+      .crossJoin(lookups)
+      .select((if (carryEmb) base :+ col("emb") else base): _*)
+  }
+
+  /** Probe side: each query's `nprobe` nearest cells plus its ADC
+    * table (per-cell tables in residual mode — the table projection
+    * runs AFTER the explode, |queries|·nprobe rows, still the tiny
+    * side). */
+  private def pqProbes(queries: DataFrame, idCol: String, embCol: String,
+      lookups: DataFrame, nprobe: Int, m: Int, residual: Boolean,
+      carryQemb: Boolean): DataFrame = {
+    val V = graft.functions.VecFunctions
+    if (!residual) {
+      val base = Seq(col("query_id"),
+        explode(V.nearest_cells_q(quantL(col("qemb")), col("cents"), nprobe))
+          .as("cell"),
+        V.pq_table(quantL(col("qemb")), col("cb"), m).as("tbl"))
+      queries.select(col(idCol).as("query_id"), col(embCol).as("qemb"))
+        .crossJoin(lookups)
+        .select((if (carryQemb) base :+ col("qemb") else base): _*)
+    } else
+      queries.select(col(idCol).as("query_id"), col(embCol).as("qemb"))
+        .crossJoin(lookups)
+        .select(col("query_id"), col("qemb"), col("cents"), col("cb"),
+          explode(V.nearest_cells_q(quantL(col("qemb")), col("cents"), nprobe))
+            .as("cell"))
+        .select((Seq(col("query_id"), col("cell"),
+          V.pq_table(V.residual_q(quantL(col("qemb")), col("cents"), col("cell")),
+            col("cb"), m).as("tbl")) ++
+          (if (carryQemb) Seq(col("qemb")) else Nil)): _*)
+  }
+
+  /** ADC-score the probe × coded-row cell join and keep each query's
+    * top-`k` (ties on neighbor_id). Any columns beyond the standard
+    * triples (probes: query_id/cell/tbl, indexed:
+    * neighbor_id/cell/codes) ride through to the output — the
+    * carried-vector refine's channel. */
+  private def pqAdcRank(probes: DataFrame, indexed: DataFrame,
+      ksub: Int, k: Int): DataFrame = {
+    val V = graft.functions.VecFunctions
+    val carries =
+      (probes.columns.toSeq.diff(Seq("query_id", "cell", "tbl")) ++
+        indexed.columns.toSeq.diff(Seq("neighbor_id", "cell", "codes")))
+        .map(col)
+    // the probe plan (BNL + explode) has no usable plan-time size
+    // estimate, so the gate usually declines the hint here; that is
+    // the designed fallback — AQE's runtime join selection sees the
+    // ACTUAL probe size (|queries| × nprobe rows) and converts the
+    // cell join back to broadcast when it is small
+    val scored = graft.operators.Hints.maybeBroadcast(probes)
+      .join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select((Seq(col("query_id"), col("neighbor_id"),
+        V.pq_adc(col("tbl"), col("codes"), ksub).as("adist")) ++
+        carries): _*)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   private def ivfPqTopKImpl(corpus: DataFrame, queries: DataFrame,
       idCol: String, embCol: String, k: Int, nlist: Int, nprobe: Int,
       m: Int, ksub: Int,
       centroids: Option[DataFrame],
       codebook: Option[DataFrame],
       residual: Boolean, carryVectors: Boolean): DataFrame = {
-    val V = graft.functions.VecFunctions
-    def quant(c: Column) =
-      transform(c, x => floor(x.cast("double") * 1000).cast("long"))
-    def hashOrderTopK(n: Int, cidAs: String, vecAs: String) =
-      corpus.select(col(idCol).as(cidAs), col(embCol).as(vecAs))
-        .orderBy(col(cidAs).bitwiseAND(lit(2147483647L)) * lit(2654435761L)
-          % lit(1000000007L), col(cidAs))
-        .limit(n)
-    val centArr = centroids
-      .map(_.select(col("cell"), col("centroid")))
-      .getOrElse(hashOrderTopK(nlist, "cell", "centroid"))
-      .agg(collect_list(struct(col("cell"), col("centroid"))).as("raw"))
-      .select(transform(col("raw"), c => {
-        val cq = quant(c("centroid"))
-        struct(c("cell").cast("long").as("cell"), cq.as("cq"),
-          V.dot_long(cq, cq).as("cnq"))
-      }).as("cents"))
-    // provided codebooks canonicalized to cid order: pq_encode indexes
-    // by array position (see pqTopK), and collect_list order is
-    // partition-dependent for an arbitrary loaded frame
-    val cbArr = codebook
-      .map(_.select(col("cid"), col("cvec")))
-      .getOrElse(hashOrderTopK(ksub, "cid", "cvec"))
-      .agg(collect_list(struct(col("cid"), col("cvec"))).as("raw0"))
-      .select((if (codebook.isDefined) sort_array(col("raw0"))
-        else col("raw0")).as("raw"))
-      .select(transform(col("raw"), c =>
-        struct(c("cid").cast("long").as("cid"), quant(c("cvec")).as("cq"))).as("cb"))
-    // quantizer + codebook fold into ONE broadcast row (two stacked
-    // BNL joins would square the plan-size estimate and trip the
-    // probe-side broadcast gate into a needless sort-merge join)
-    val lookups = broadcast(centArr.crossJoin(cbArr))
-    // corpus stores exactly what an IVF-PQ index stores: cell + codes
-    // (residual mode: the duplicated cell expression stays a single
-    // kernel call via whole-stage subexpression elimination — both
-    // uses sit in the same Project)
-    val indexed = {
-      val qe = quant(col("emb"))
-      val cell = element_at(V.nearest_cells_q(qe, col("cents"), 1), 1)
-      val enc = if (residual) V.residual_q(qe, col("cents"), cell) else qe
-      val base = Seq(col("neighbor_id"), cell.as("cell"),
-        V.pq_encode(enc, col("cb"), m).as("codes"))
-      corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
-        .crossJoin(lookups)
-        .select((if (carryVectors) base :+ col("emb") else base): _*)
+    val cents = centroids.map(_.select(col("cell"), col("centroid")))
+      .getOrElse(hashOrderPick(corpus, idCol, embCol, nlist, "cell",
+        "centroid"))
+    val cb = codebook.map(_.select(col("cid"), col("cvec")))
+      .getOrElse(hashOrderPick(corpus, idCol, embCol, ksub, "cid", "cvec"))
+    val lookups = broadcast(
+      pqLookupArrays(cents, cb, canonicalizeCb = codebook.isDefined))
+    pqAdcRank(
+      pqProbes(queries, idCol, embCol, lookups, nprobe, m, residual,
+        carryQemb = carryVectors),
+      pqEncode(corpus, idCol, embCol, lookups, m, residual,
+        carryEmb = carryVectors),
+      ksub, k)
+  }
+
+  // ------------------------------------------------------------------
+  // PERSISTED IVF-PQ INDEX — the SEVENTH persistence seam, closing the
+  // build-once/serve-many gap for the compressed family: the IVF index
+  // (fifth seam) persists cells but serves full-width vectors; this
+  // persists what a FAISS-style store actually keeps — coarse
+  // centroids, the PQ codebook, and the CODED corpus rows (with the
+  // full-width vector alongside as the refine store) — so serving pays
+  // the probe-side work only and the per-run corpus encode disappears.
+  // ------------------------------------------------------------------
+
+  /** A persisted IVF-PQ index: `centroids` (cell, centroid) and
+    * `codebook` (cid, cvec) are model-sized; `assignments`
+    * (neighbor_id, cell, codes, emb) is the coded corpus with the
+    * full-width vector kept as the refine store; (nlist, m, ksub,
+    * residual) pin the build's geometry so serving cannot silently
+    * mismatch it. */
+  case class PqIndex(centroids: DataFrame, codebook: DataFrame,
+      assignments: DataFrame, nlist: Int, m: Int, ksub: Int,
+      residual: Boolean)
+
+  /** Build an IVF-PQ index over the corpus — the same construction
+    * [[ivfPqTopK]] runs inline (default hash-order centroid/codebook
+    * picks, or trained quantizers via `centroids`/`codebook`), with
+    * the coded rows kept as a frame instead of consumed. */
+  def buildPqIndex(corpus: DataFrame, idCol: String, embCol: String,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+      centroids: Option[DataFrame] = None,
+      codebook: Option[DataFrame] = None,
+      residual: Boolean = false): PqIndex = {
+    val cents = centroids.map(_.select(col("cell"), col("centroid")))
+      .getOrElse(hashOrderPick(corpus, idCol, embCol, nlist, "cell",
+        "centroid"))
+    val cb = codebook.map(_.select(col("cid"), col("cvec")))
+      .getOrElse(hashOrderPick(corpus, idCol, embCol, ksub, "cid", "cvec"))
+    // ALWAYS canonicalize here: the persisted codebook frame carries
+    // no position column, so the build's code positions and every
+    // later serve's table positions must both derive from the same
+    // total order — cid. (ADC distances are permutation-invariant as
+    // long as encode and table share ONE order; what breaks is codes
+    // written in one order and tables built in another.)
+    val lookups = broadcast(
+      pqLookupArrays(cents, cb, canonicalizeCb = true))
+    PqIndex(cents, cb,
+      pqEncode(corpus, idCol, embCol, lookups, m, residual,
+        carryEmb = true),
+      nlist, m, ksub, residual)
+  }
+
+  /** Persist a [[PqIndex]] under `path`: `centroids/`, `codebook/`
+    * and the 1-row `meta/` through the model seam's single-part
+    * layout; `assign/` as plain multi-part parquet (corpus-derived);
+    * the top-level `_SUCCESS` lands once every half is complete. */
+  def savePqIndex(index: PqIndex, path: String): Unit = {
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
+    Quantizers.saveModel(index.centroids, s"$path/centroids")
+    Quantizers.saveModel(index.codebook, s"$path/codebook")
+    Quantizers.saveModel(
+      Seq((index.nlist, index.m, index.ksub, index.residual))
+        .toDF("nlist", "m", "ksub", "residual"), s"$path/meta")
+    index.assignments.write.mode("overwrite").parquet(s"$path/assign")
+    graft.sources.Staging.touchMarker(path)
+  }
+
+  /** Load an index persisted by [[savePqIndex]]. Codes are integers
+    * and floats round-trip parquet bit-exactly, so serving from the
+    * loaded index equals serving from the in-session one
+    * (ModelSeamSpec). */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqIndex = {
+    val meta = Quantizers.loadModel(spark, s"$path/meta").head()
+    PqIndex(Quantizers.loadModel(spark, s"$path/centroids"),
+      Quantizers.loadModel(spark, s"$path/codebook"),
+      spark.read.parquet(s"$path/assign"),
+      meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getBoolean(3))
+  }
+
+  /** Serve top-k from a (possibly loaded) IVF-PQ index: probes score
+    * only the probed cells' CODED rows by ADC — the corpus encode
+    * never re-runs — and with `rerank = Some(r)` the top-`r`
+    * candidates refine against the full-width vectors the index
+    * carries (the join-free carried-vector refine). Identical results
+    * to the fused [[ivfPqTopK]]/[[ivfPqRerankTopK]] over the same
+    * quantizers, which is what lets the serve entry share the fused
+    * oracle. */
+  def ivfPqServeTopK(index: PqIndex, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nprobe: Int = 4,
+      rerank: Option[Int] = None): DataFrame = {
+    rerank.foreach(r => require(r >= k,
+      s"rerank ($r) must be >= k ($k)"))
+    val lookups = broadcast(
+      pqLookupArrays(index.centroids, index.codebook,
+        canonicalizeCb = true))
+    val carry = rerank.isDefined
+    val probes = pqProbes(queries, idCol, embCol, lookups, nprobe,
+      index.m, index.residual, carryQemb = carry)
+    val indexed =
+      if (carry) index.assignments
+        .select(col("neighbor_id"), col("cell"), col("codes"), col("emb"))
+      else index.assignments
+        .select(col("neighbor_id"), col("cell"), col("codes"))
+    val cands = pqAdcRank(probes, indexed, index.ksub,
+      rerank.getOrElse(k))
+    rerank match {
+      case None => cands
+      case Some(_) =>
+        val exact = cands.select(col("query_id"), col("neighbor_id"),
+          quantizedCosineX1e6(col("qemb"), col("emb")).as("score_x1e6"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score_x1e6").desc, col("neighbor_id").asc)
+        exact.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
     }
-    val probes =
-      if (!residual) {
-        val base = Seq(col("query_id"),
-          explode(V.nearest_cells_q(quant(col("qemb")), col("cents"), nprobe))
-            .as("cell"),
-          V.pq_table(quant(col("qemb")), col("cb"), m).as("tbl"))
-        queries.select(col(idCol).as("query_id"), col(embCol).as("qemb"))
-          .crossJoin(lookups)
-          .select((if (carryVectors) base :+ col("qemb") else base): _*)
-      } else
-        // per-cell ADC tables: the table projection runs AFTER the
-        // explode (|queries|·nprobe rows — still the tiny side), and
-        // the lookup arrays ride through that one projection only
-        queries.select(col(idCol).as("query_id"), col(embCol).as("qemb"))
-          .crossJoin(lookups)
-          .select(col("query_id"), col("qemb"), col("cents"), col("cb"),
-            explode(V.nearest_cells_q(quant(col("qemb")), col("cents"), nprobe))
-              .as("cell"))
-          .select((Seq(col("query_id"), col("cell"),
-            V.pq_table(V.residual_q(quant(col("qemb")), col("cents"), col("cell")),
-              col("cb"), m).as("tbl")) ++
-            (if (carryVectors) Seq(col("qemb")) else Nil)): _*)
-    // the probe plan (BNL + explode) has no usable plan-time size
-    // estimate, so the gate usually declines the hint here; that is
-    // the designed fallback — AQE's runtime join selection sees the
-    // ACTUAL probe size (|queries| × nprobe rows) and converts the
-    // cell join back to broadcast when it is small
-    val outCols = Seq(col("query_id"), col("neighbor_id"),
-      V.pq_adc(col("tbl"), col("codes"), ksub).as("adist")) ++
-      (if (carryVectors) Seq(col("qemb"), col("emb")) else Nil)
-    val scored = graft.operators.Hints.maybeBroadcast(probes)
-      .join(indexed, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(outCols: _*)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** IVF-PQ with an exact re-rank refinement (the standard FAISS

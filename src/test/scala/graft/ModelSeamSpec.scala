@@ -158,6 +158,45 @@ class ModelSeamSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("append"))
   }
 
+  test("IVF-PQ INDEX (r17, seventh seam): build -> save -> load -> " +
+      "serve == the fused build+serve, with and without the refine " +
+      "tier, raw and residual encodings; meta pins the geometry") {
+    val path = graft.sources.Staging.sessionTempDir("graft_pq_index")
+    SimilarityOps.savePqIndex(
+      SimilarityOps.buildPqIndex(emb, "vec_id", "embedding", nlist = 8,
+        m = 4, ksub = 8), path)
+    val loaded = SimilarityOps.loadPqIndex(spark, path)
+    assert(loaded.nlist == 8 && loaded.m == 4 && loaded.ksub == 8 &&
+      !loaded.residual, "meta must round-trip")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // ADC-only serve == the fused ivfPqTopK over the same geometry
+    assert(rows(SimilarityOps.ivfPqServeTopK(loaded, queries, "vec_id",
+        "embedding", k = 3, nprobe = 3)) ==
+      rows(SimilarityOps.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        3, nlist = 8, nprobe = 3, m = 4, ksub = 8)),
+      "persisted ADC serve must equal the fused build+serve")
+    // refine serve == the fused rerank (the carried refine store)
+    assert(rows(SimilarityOps.ivfPqServeTopK(loaded, queries, "vec_id",
+        "embedding", k = 3, nprobe = 3, rerank = Some(8))) ==
+      rows(SimilarityOps.ivfPqRerankTopK(emb, queries, "vec_id",
+        "embedding", 3, nlist = 8, nprobe = 3, m = 4, ksub = 8,
+        rerank = 8)),
+      "persisted refine serve must equal the fused rerank")
+    // residual geometry persists and serves identically too
+    val pr = graft.sources.Staging.sessionTempDir("graft_pq_index_res")
+    SimilarityOps.savePqIndex(
+      SimilarityOps.buildPqIndex(emb, "vec_id", "embedding", nlist = 8,
+        m = 4, ksub = 8, residual = true), pr)
+    val lr = SimilarityOps.loadPqIndex(spark, pr)
+    assert(lr.residual, "residual flag must round-trip")
+    assert(rows(SimilarityOps.ivfPqServeTopK(lr, queries, "vec_id",
+        "embedding", k = 3, nprobe = 3)) ==
+      rows(SimilarityOps.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        3, nlist = 8, nprobe = 3, m = 4, ksub = 8, residual = true)),
+      "persisted residual serve must equal the fused residual form")
+  }
+
   test("filtered serve from the prebuilt index: persisted == in-session; " +
       "nprobe = nlist degenerates to exact brute over the qualifying set") {
     val ix = SimilarityOps.buildIvfIndexWithAttrs(emb, "vec_id",
