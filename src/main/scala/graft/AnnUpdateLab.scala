@@ -42,15 +42,24 @@ object AnnUpdateLab {
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
       println(s"corpus $sfDir ($n vectors), recall@$k over " +
         s"${truth.size} queries, nlist=16 nprobe=4")
-      println("| appended % | updated-index recall | fresh-rebuild recall |")
-      println("|---|---|---|")
+      println("| appended % | updated-index recall | fresh-rebuild " +
+        "recall | gate (r17: max-cell share) |")
+      println("|---|---|---|---|")
       for (pct <- Seq(0, 10, 25, 50, 75)) {
         // "oldest" (1-f) by vec_id: appends arrive after the base build
         val cut = n - n * pct / 100
         val base = emb.filter(col("vec_id") < cut)
         val batch = emb.filter(col("vec_id") >= cut)
-        val updated = SimilarityOps.updateIvfIndex(
-          SimilarityOps.buildIvfIndex(base, "vec_id", "embedding"),
+        val baseIx = SimilarityOps.buildIvfIndex(base, "vec_id",
+          "embedding")
+        // the r17 gate CONSUMING this lab's finding: what would the
+        // drift gate decide for this batch?
+        val gate = if (pct == 0) "-" else {
+          val (d, _) = SimilarityOps.ivfUpdateDecision(baseIx, batch,
+            "vec_id", "embedding")
+          s"${d.branch} (${d.maxCellCnt}/${d.batchRows})"
+        }
+        val updated = SimilarityOps.updateIvfIndex(baseIx,
           batch, "vec_id", "embedding")
         val rUpd = RecallEval.recallAtK(truth,
           SimilarityOps.ivfServeTopK(updated, queries, "vec_id",
@@ -59,7 +68,7 @@ object AnnUpdateLab {
         val rFresh = RecallEval.recallAtK(truth,
           SimilarityOps.ivfServeTopK(fresh, queries, "vec_id",
             "embedding", k, score = sc))
-        println(f"| $pct%3d | $rUpd%.3f | $rFresh%.3f |")
+        println(f"| $pct%3d | $rUpd%.3f | $rFresh%.3f | $gate%s |")
       }
     } finally spark.stop()
   }

@@ -1163,12 +1163,13 @@ object Queries {
   private def statsArtifactStaged(s: SparkSession, dir: String): String = {
     val key = graft.sources.SyntheticTraces.tableKey(dir,
       Seq("lineitem", "orders", "customer", "supplier", "nation", "region"))
-    // _v2: orders carries BOTH join columns (o_orderkey, o_custkey)
-    // and customer/region/nation(n_regionkey) artifacts exist — the
-    // join-ORDER planner needs every column a chain joins on (the
+    // _v3: customer carries BOTH join columns (c_custkey,
+    // c_nationkey) for the 4-table chain; _v2 added orders' second
+    // column and the customer/region/nation(n_regionkey) artifacts —
+    // the join-ORDER planner needs every column a chain joins on (the
     // seam contract's layout-change rule: bump the version literal)
     val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_table_stats_v2_$key"
+      s"${System.getProperty("java.io.tmpdir")}/graft_table_stats_v3_$key"
     if (!graft.sources.Staging.hasMarker(s"$path")) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         val S = graft.llm.SketchOps
@@ -1184,7 +1185,7 @@ object Queries {
         one("orders", t(s, dir, "orders"), col("o_orderkey"),
           "o_orderkey", "o_custkey")
         one("customer", t(s, dir, "customer"), col("c_custkey"),
-          "c_custkey")
+          "c_custkey", "c_nationkey")
         one("supplier", t(s, dir, "supplier"), col("s_suppkey"),
           "s_nationkey")
         one("nation", t(s, dir, "nation"), col("n_nationkey"),
@@ -1405,6 +1406,32 @@ object Queries {
           "supplier" -> t(s, dir, "supplier").select("s_suppkey",
             "s_nationkey")),
         col("s_suppkey"), col("n_regionkey")))
+      // 4-table chain (composition depth 3): the written fact-first
+      // order is KEPT here — every order that includes customer before
+      // the last join pays its c_nationkey max-multiplicity (≈ |cust|/25
+      // customers behind the hottest nation) as the scaling factor on
+      // all later bounds, which dwarfs the |lineitem|-first cost the
+      // 3-table regime reorders away. The planner sees that from the
+      // persisted hot counts alone — the m-factor composition at work.
+      .unionByName(run("fact_chain4",
+        Seq(pt("lineitem", "l_orderkey"),
+          pt("orders", "o_orderkey", "o_custkey"),
+          pt("customer", "c_custkey", "c_nationkey"),
+          pt("nation", "n_nationkey")),
+        Seq(Sc.JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+          Sc.JoinEdge("orders", "o_custkey", "customer", "c_custkey"),
+          Sc.JoinEdge("customer", "c_nationkey", "nation",
+            "n_nationkey")),
+        Map(
+          "lineitem" -> t(s, dir, "lineitem").select(col("l_orderkey"),
+            floor(col("l_quantity")).cast("long").as("qty")),
+          "orders" -> t(s, dir, "orders").select("o_orderkey",
+            "o_custkey"),
+          "customer" -> t(s, dir, "customer").select("c_custkey",
+            "c_nationkey"),
+          "nation" -> t(s, dir, "nation").select("n_nationkey",
+            "n_regionkey")),
+        col("qty"), col("n_regionkey")))
   }
   private val scaleStatsJoinOrderOracle =
     """SELECT 'fact_chain' AS regime,
@@ -1423,7 +1450,16 @@ object Queries {
       |       CAST(sum(n_regionkey) AS BIGINT)
       |FROM nation
       |JOIN region ON n_regionkey = r_regionkey
-      |JOIN supplier ON s_nationkey = n_nationkey""".stripMargin
+      |JOIN supplier ON s_nationkey = n_nationkey
+      |UNION ALL
+      |SELECT 'fact_chain4', 'lineitem,orders,customer,nation',
+      |       CAST(count(*) AS BIGINT),
+      |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT),
+      |       CAST(sum(n_regionkey) AS BIGINT)
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey""".stripMargin
 
   // STREAM-FOLDED STATS → JOIN DECISION, end-to-end (VERDICT r16 #6):
   // rehearsal scenario 10 proved the profiler's histogram folds

@@ -2,9 +2,8 @@ package graft
 
 /** Disposable diagnostics main for iterating on one operator — not
   * part of the driver contract; contents change round to round.
-  * Currently: shuffle-partition sensitivity of the two small ANN/LM
-  * frontier entries (r17 item 4) — does dropping the session shuffle
-  * DOP for counter-sized candidate frames move the wall?
+  * Currently: the 4-table chain's chosen join order per SF (must be
+  * SF-invariant before the oracle literal is pinned).
   */
 object ScratchMain {
   def main(args: Array[String]): Unit = {
@@ -16,31 +15,29 @@ object ScratchMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions._
-    val dir = "/root/testdata/sf0.1"
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-    def time(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
-      val ts = (1 to 4).map { _ =>
-        val t0 = System.nanoTime()
-        mk.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+    val S = graft.llm.SketchOps
+    val Sc = graft.operators.Scale
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val dir = s"/root/testdata/sf$sf"
+      def table(name: String) = spark.read.parquet(s"$dir/$name.parquet")
+      def pt(name: String, keys: String*) = {
+        val df = table(name)
+        val ts = S.tableStats(df, col(keys.head),
+          keys.map(k => (k, col(k), Option.empty[org.apache.spark.sql.Column])).toSeq)
+        Sc.planTable(ts, name, keys.toSeq)
       }
-      println(f"$tag: ${ts.map(t => f"$t%.2f").mkString("/")}")
+      val tables = Seq(pt("lineitem", "l_orderkey"),
+        pt("orders", "o_orderkey", "o_custkey"),
+        pt("customer", "c_custkey", "c_nationkey"),
+        pt("nation", "n_nationkey"))
+      val edges = Seq(
+        Sc.JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        Sc.JoinEdge("orders", "o_custkey", "customer", "c_custkey"),
+        Sc.JoinEdge("customer", "c_nationkey", "nation", "n_nationkey"))
+      val d = Sc.statsJoinOrder(tables, edges, broadcastRows = 100)
+      println(s"sf$sf chain4: ${d.orderString} total=${d.totalBound} " +
+        d.steps.map(st => s"${st.table}@${st.stepBound}/${st.decision.branch}").mkString(" "))
     }
-    val emb32 = emb.repartition(32, col("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    emb32.count()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    time("rerank p=8 raw-scan corpus")(graft.llm.SimilarityOps.ivfPqRerankTopK(
-      emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5))
-    time("rerank p=8 32-part cached corpus")(graft.llm.SimilarityOps.ivfPqRerankTopK(
-      emb32, emb32.filter(col("vec_id") < 20), "vec_id", "embedding", 5))
-    val emb4 = emb32.coalesce(4)
-    time("rerank p=8 coalesce(4) of cached")(graft.llm.SimilarityOps.ivfPqRerankTopK(
-      emb4, emb4.filter(col("vec_id") < 20), "vec_id", "embedding", 5))
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    time("rerank p=2 coalesce(4)")(graft.llm.SimilarityOps.ivfPqRerankTopK(
-      emb4, emb4.filter(col("vec_id") < 20), "vec_id", "embedding", 5))
     spark.stop()
   }
 }

@@ -280,6 +280,23 @@ class StatsGateSpec extends SparkSpec {
     // written order
     assert(dim.orderString == "nation,region,supplier",
       s"dim chain order ${dim.orderString}")
+    // 4-table chain (composition depth 3): the fact-first written
+    // order is KEPT — any order including customer before the last
+    // join pays its c_nationkey max-multiplicity on all later bounds
+    val chain4 = Scale.statsJoinOrder(
+      Seq(pt("lineitem", "l_orderkey"),
+        pt("orders", "o_orderkey", "o_custkey"),
+        pt("customer", "c_custkey", "c_nationkey"),
+        pt("nation", "n_nationkey")),
+      Seq(Scale.JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        Scale.JoinEdge("orders", "o_custkey", "customer", "c_custkey"),
+        Scale.JoinEdge("customer", "c_nationkey", "nation",
+          "n_nationkey")),
+      broadcastRows = 100)
+    assert(chain4.orderString == "lineitem,orders,customer,nation",
+      s"4-table chain order ${chain4.orderString}")
+    assert(chain4.steps.last.decision.branch == "broadcast",
+      "the 25-row nation leg must broadcast")
     // pure plan choice: the executed chosen order == the plain join
     val dfs = Map(
       "lineitem" -> table("lineitem").select("l_orderkey", "l_linenumber"),
