@@ -1367,8 +1367,17 @@ object Queries {
     val root = statsArtifactStaged(s, dir)
     val S = graft.llm.SketchOps
     val Sc = graft.operators.Scale
+    // each (table, key-set) PlanTable loads once and is shared across
+    // the regimes (the counter collects are catalog-sized, but every
+    // load is still a driver job — a planner caches its catalog too).
+    // Keyed by the key SET, not the name: the profiled columns feed
+    // maxMult, so "nation on n_nationkey" and "nation on both keys"
+    // are different planner inputs.
+    val ptCache =
+      scala.collection.mutable.Map.empty[(String, Seq[String]), Sc.PlanTable]
     def pt(name: String, keys: String*) =
-      Sc.planTable(S.loadTableStats(s, s"$root/$name"), name, keys.toSeq)
+      ptCache.getOrElseUpdate((name, keys.toSeq),
+        Sc.planTable(S.loadTableStats(s, s"$root/$name"), name, keys.toSeq))
     def run(regime: String, tables: Seq[Sc.PlanTable],
         edges: Seq[Sc.JoinEdge], dfs: Map[String, DataFrame],
         sumA: Column, sumB: Column) = {

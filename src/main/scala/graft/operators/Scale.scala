@@ -280,7 +280,19 @@ object Scale {
       rowsPerPartition: Long = 4000000L, maxParts: Int = 2048)
       : JoinDecision = {
     require(hotNum > 0 && hotDen > 0 && rowsPerPartition > 0)
-    val bound = joinSizeBoundLocal(bigCounters, smallCounters, depth)
+    // DOP sizing takes the TIGHTEST of three SOUND upper bounds (the
+    // min of sound upper bounds is sound): the CMS inner product —
+    // tight under skew, but carrying collision slack that grows with
+    // corpus density over the fixed-width frame (measured ~146× on a
+    // 150k-key column over width 1024) — and the two hot-product
+    // bounds |A|·maxmult(B) / |B|·maxmult(A), which are tight for
+    // key-joins (a 6M ⋈ 1.5M orderkey join bounds at 6M rows instead
+    // of the CMS's collision-inflated 8.8B, so the reducer count
+    // stops over-splitting at 10× — the r17 scale probe's finding).
+    val bound = joinSizeBoundBig(bigCounters, smallCounters, depth)
+      .min(BigInt(bigStats.nonNull) * math.max(smallStats.hotCnt, 1L))
+      .min(BigInt(smallStats.nonNull) * math.max(bigStats.hotCnt, 1L))
+      .min(BigInt(Long.MaxValue)).toLong
     val ndv = math.max(math.max(bigStats.kmvEst, smallStats.kmvEst), 1L)
     val ndvEst = (BigInt(bigStats.nonNull) * BigInt(smallStats.nonNull) / ndv)
       .min(BigInt(Long.MaxValue)).toLong

@@ -137,13 +137,17 @@ class StatsGateSpec extends SparkSpec {
     assert(exact == 6000L)
     assert(d.joinSizeBound >= exact,
       s"CMS bound ${d.joinSizeBound} under exact $exact")
-    // the planner's driver-side bound == the oracled frame-form
-    // estimator (a tie-rule or hashing fix cannot silently diverge
-    // the two)
+    // the planner's bound is the MIN of the oracled frame-form CMS
+    // estimator and the two hot-product bounds (r17) — every leg
+    // sound, so the min stays >= exact; here the hot products are
+    // exactly the true size (6000·1 and 100·60), so the min strips
+    // the CMS's collision slack entirely
     val frameBound = SketchOps.cmsJoinSize(keyCounters(bTs, "k"),
       keyCounters(sTs, "dk"), 4).head().getLong(0)
-    assert(d.joinSizeBound == frameBound,
-      s"local bound ${d.joinSizeBound} != frame bound $frameBound")
+    assert(frameBound >= d.joinSizeBound,
+      s"CMS frame bound $frameBound under the planner min ${d.joinSizeBound}")
+    assert(d.joinSizeBound == 6000L,
+      s"hot-product legs must tighten the bound to exact, got ${d.joinSizeBound}")
     // 100 and 100 distinct keys, fully overlapping: the textbook
     // rows_a*rows_b/max(ndv) formula gives exactly the true size here
     assert(d.ndvEst == 6000L, s"ndvEst ${d.ndvEst}")
@@ -173,7 +177,10 @@ class StatsGateSpec extends SparkSpec {
     val cell = Map((0, 1L) -> 4000000000L)
     assert(Scale.joinSizeBoundLocal(cell, cell, 1) == Long.MaxValue)
     val huge = Seq((0, 1L, 4000000000L)).toDF("i", "bucket", "cnt")
-    val ks = Scale.KeyStats(4000000000L, 0L, 1L, 1L, 4000000000L, 1L)
+    // hotCnt = nRows so the r17 hot-product legs (4e9 · 4e9) ALSO
+    // overflow-clamp — this test pins the Long.MaxValue path
+    val ks = Scale.KeyStats(4000000000L, 0L, 1L, 4000000000L,
+      4000000000L, 1L)
     val d = Scale.statsJoinDecision(ks, ks, huge, huge, depth = 1,
       broadcastRows = 0, rowsPerPartition = 1000000, maxParts = 2048)
     assert(d.joinSizeBound == Long.MaxValue)
