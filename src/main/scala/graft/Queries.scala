@@ -3447,13 +3447,12 @@ object Queries {
   // window id coming from the g1 sessionizer instead of floor
   // arithmetic. kmvDistinct's __merged__ row rides along = the
   // all-sessions distinct rollup.
-  private val sketchKmvSession: Q = (s, dir) => {
-    val gap = 259200L
+  /** Attach the `user|session_start` composite sketch key (the g1
+    * gap sessionizer, >`gap`-second splits) to an events projection —
+    * shared by the session-windowed sketch family. */
+  private def withSessionKey(ev: DataFrame, gap: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
-    val sess = events(s, dir).select(col("event_id"), col("user_id"),
-        col("sec"))
-      .withColumn("item", (col("event_id") % 50).cast("string"))
-      .withColumn("prev", lag("sec", 1).over(w))
+    ev.withColumn("prev", lag("sec", 1).over(w))
       .withColumn("new_session",
         when(col("prev").isNull || col("sec") - col("prev") > gap, 1L)
           .otherwise(0L))
@@ -3463,6 +3462,11 @@ object Queries {
         min("sec").over(Window.partitionBy("user_id", "session_id")))
       .withColumn("src", concat(col("user_id").cast("string"), lit("|"),
         col("session_start").cast("string")))
+  }
+  private val sketchKmvSession: Q = (s, dir) => {
+    val sess = withSessionKey(events(s, dir).select(col("event_id"),
+        col("user_id"), col("sec"))
+      .withColumn("item", (col("event_id") % 50).cast("string")), 259200L)
     graft.llm.SketchOps.kmvDistinct(sess, "src", "item", 32)
   }
   private def kmvSessionOracle(withExact: Boolean): String = {
@@ -3631,6 +3635,84 @@ object Queries {
   }
   private val sketchKmvSessionStreamOracle =
     kmvSessionOracle(withExact = false)
+
+  // SESSION-windowed QUANTILES — the quantile member of the session
+  // family ("p90 value inside a user session"): the bottom-k row
+  // sample rides the SAME user|session_start composite key as the
+  // session KMV — sample kernel, merge, and estimator unchanged (the
+  // windowed-quantile composition with the window id coming from the
+  // g1 gap sessionizer instead of floor arithmetic). k = 32: full
+  // >3-day-gap sessions hold ~60-88 value events so they genuinely
+  // estimate, sparse sessions exercise the exact passthrough. The
+  // per-session frequency question is deliberately NOT sketched — a
+  // ≤90-event session needs no counter frame — so the session column
+  // of the family is cardinality + quantiles. Sessions are defined
+  // over the value-carrying events (value IS NOT NULL, mirrored);
+  // the exact order statistics ride along as the twin.
+  private val sketchQuantileSession: Q = (s, dir) => {
+    val S = graft.llm.SketchOps
+    val sess = withSessionKey(events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("sec"),
+        floor(col("value") * 1000).cast("long").as("v")), 259200L)
+    val est = S.quantileEstimate(
+      S.quantileSample(sess, "src", "event_id", col("v"), 32),
+      Seq(50, 90))
+    val exact = sess.groupBy(col("src").as("source"))
+      .agg(sort_array(collect_list(col("v"))).as("ev2"))
+      .select(col("source"), size(col("ev2")).cast("long").as("exact_n"),
+        expr("element_at(ev2, CAST((CAST(size(ev2) AS BIGINT) - 1) * 50 DIV 100 AS INT) + 1)")
+          .as("q50_exact"),
+        expr("element_at(ev2, CAST((CAST(size(ev2) AS BIGINT) - 1) * 90 DIV 100 AS INT) + 1)")
+          .as("q90_exact"))
+    est.join(exact, "source")
+  }
+  private val sketchQuantileSessionOracle = {
+    s"""WITH ev AS (
+      |  SELECT event_id, user_id,
+      |         CAST(floor(value * 1000) AS BIGINT) AS v,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events WHERE value IS NOT NULL),
+      |flags AS (
+      |  SELECT *,
+      |    CASE WHEN lag(sec) OVER w IS NULL
+      |           OR sec - lag(sec) OVER w > 259200 THEN 1 ELSE 0 END
+      |      AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |sess AS (
+      |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM flags),
+      |st AS (
+      |  SELECT CAST(user_id AS VARCHAR) || '|' ||
+      |           CAST(min(sec) OVER (PARTITION BY user_id, session_id)
+      |                AS VARCHAR) AS source,
+      |         CAST(event_id AS VARCHAR) AS term, v
+      |  FROM sess),
+      |z AS (SELECT source, v, (${FnvOracleSql.fnvStrPublic("term")}) AS z0
+      |      FROM st),
+      |${FnvOracleSql.mix64Ctes("q", "z", Seq("source", "v"))},
+      |hh AS (SELECT DISTINCT source, v,
+      |         CAST(h & 9223372036854775807::HUGEINT AS BIGINT) AS h
+      |       FROM qf),
+      |rn AS (
+      |  SELECT source, v,
+      |         row_number() OVER (PARTITION BY source ORDER BY h, v) AS rn
+      |  FROM hh),
+      |samp AS (SELECT source, v FROM rn WHERE rn <= 32),
+      |sk AS (SELECT source, list_sort(list(v)) AS sv FROM samp GROUP BY 1),
+      |ex AS (SELECT source, list_sort(list(v)) AS ev2 FROM st GROUP BY 1)
+      |SELECT s.source,
+      |  CAST(len(sv) AS BIGINT) AS sample_n,
+      |  sv[(len(sv) - 1) * 50 // 100 + 1] AS q50_est,
+      |  sv[(len(sv) - 1) * 90 // 100 + 1] AS q90_est,
+      |  CAST(len(ev2) AS BIGINT) AS exact_n,
+      |  ev2[(len(ev2) - 1) * 50 // 100 + 1] AS q50_exact,
+      |  ev2[(len(ev2) - 1) * 90 // 100 + 1] AS q90_exact
+      |FROM sk s JOIN ex e ON s.source = e.source""".stripMargin
+  }
 
   // CMS AS A STREAM (the frequency twin of q_sketch_kmv_stream, same
   // replay dir): each micro-batch's counter frame (SketchOps.
@@ -6955,6 +7037,7 @@ object Queries {
     "q_sketch_quantile_window_stream" -> sketchQuantileWindowStream,
     "q_sketch_kmv_session" -> sketchKmvSession,
     "q_sketch_kmv_session_stream" -> sketchKmvSessionStream,
+    "q_sketch_quantile_session" -> sketchQuantileSession,
     "q_sketch_cms_heavy" -> sketchCmsHeavy,
     "q_sketch_cms_join_size" -> sketchCmsJoinSize,
     "q_sketch_cms_stream" -> sketchCmsStream,
@@ -7144,6 +7227,7 @@ object Queries {
     "q_sketch_quantile_window_stream" -> sketchQuantileWindowStreamOracle,
     "q_sketch_kmv_session" -> sketchKmvSessionOracle,
     "q_sketch_kmv_session_stream" -> sketchKmvSessionStreamOracle,
+    "q_sketch_quantile_session" -> sketchQuantileSessionOracle,
     "q_sketch_cms_heavy" -> sketchCmsHeavyOracle,
     "q_sketch_cms_join_size" -> sketchCmsJoinSizeOracle,
     "q_sketch_cms_stream" -> sketchCmsHeavyOracle,
