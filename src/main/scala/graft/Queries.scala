@@ -1267,6 +1267,41 @@ object Queries {
       |FROM stats s, hot, kmv k""".stripMargin
   }
 
+  // INCREMENTAL STATS-ARTIFACT UPDATE — the sixth seam's append
+  // story (the IVF gated-append shape with an EXACT merge instead of
+  // a drift tradeoff): the persisted artifact is built over 75% of
+  // lineitem's rows with its histogram state kept alongside
+  // (saveTableStatsWithHist), then the remaining 25% folds in through
+  // SketchOps.updateTableStats — histMerge is exact cellwise count
+  // addition, so the refreshed artifact is IDENTICAL to a
+  // from-scratch rebuild over the whole table. The ORACLE IS
+  // q_scale_stats_artifact's full-table recomputation, so
+  // "update-in-place == rebuild" is the hash-compared surface; update
+  // cost is histogram-sized, never a table rescan.
+  private def statsUpdatedArtifactStaged(s: SparkSession,
+      dir: String): String = {
+    val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("lineitem"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_stats_upd_v1_$key"
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        val S = graft.llm.SketchOps
+        val li = t(s, dir, "lineitem")
+        val rowKey = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+        val cols = Seq(("l_orderkey", col("l_orderkey"),
+          Option.empty[Column]))
+        S.saveTableStatsWithHist(S.profileFrames(
+          li.filter(col("l_linenumber") % 4 =!= 0), rowKey, cols)._2, tmp)
+        S.updateTableStats(s, tmp, S.profileFrames(
+          li.filter(col("l_linenumber") % 4 === 0), rowKey, cols)._2)
+      }
+    }
+    path
+  }
+  private val scaleStatsUpdate: Q = (s, dir) =>
+    graft.llm.SketchOps.loadTableStats(s,
+      statsUpdatedArtifactStaged(s, dir)).cols
+
   // STATS-GATED JOIN — the capstone: broadcast vs shuffle vs salted
   // picked from the PERSISTED artifacts (Scale.statsJoinDecision —
   // exact small-side rows for the broadcast pick, the exact persisted
@@ -6974,6 +7009,7 @@ object Queries {
     "q_scale_salted_join" -> scaleSaltedJoin,
     "q_scale_gated_join" -> scaleGatedJoin,
     "q_scale_stats_artifact" -> scaleStatsArtifact,
+    "q_scale_stats_update" -> scaleStatsUpdate,
     "q_scale_stats_gated_join" -> scaleStatsGatedJoin,
     "q_scale_stats_join_order" -> scaleStatsJoinOrder,
     "q_scale_stats_stream_gate" -> scaleStatsStreamGate,
@@ -7166,6 +7202,7 @@ object Queries {
     "q_scale_salted_join" -> scaleSaltedJoinOracle,
     "q_scale_gated_join" -> scaleGatedJoinOracle,
     "q_scale_stats_artifact" -> scaleStatsArtifactOracle,
+    "q_scale_stats_update" -> scaleStatsArtifactOracle,
     "q_scale_stats_gated_join" -> scaleStatsGatedJoinOracle,
     "q_scale_stats_join_order" -> scaleStatsJoinOrderOracle,
     "q_scale_stats_stream_gate" -> scaleStatsStreamGateOracle,

@@ -722,6 +722,44 @@ object SketchOps {
     TableStats(spark.read.parquet(s"$path/cols"),
       spark.read.parquet(s"$path/counters"))
 
+  /** Persist a stats artifact TOGETHER with its histogram state
+    * (`hist/` — the foldable half an in-place update needs;
+    * [[saveTableStats]] stays the catalog-sized form for consumers
+    * that rebuild instead). The histogram is CARDINALITY-sized (one
+    * row per distinct (column, value)) — the banded-projection size
+    * class, not the catalog's — which is the price of updatability. */
+  def saveTableStatsWithHist(hist: DataFrame, path: String,
+      k: Int = 128, depth: Int = 4, width: Int = 1024): Unit = {
+    val ts = tableStatsFromHist(hist, k, depth, width)
+    Quantizers.saveModel(ts.cols, s"$path/cols")
+    Quantizers.saveModel(ts.counters, s"$path/counters")
+    hist.write.mode("overwrite").parquet(s"$path/hist")
+    graft.sources.Staging.touchMarker(path)
+  }
+
+  /** INCREMENTAL stats update — the table APPENDS between full
+    * profiles: fold the batch's histogram frame into the persisted
+    * one ([[histMerge]] — exact cellwise count addition, so the
+    * refreshed artifact is IDENTICAL to a from-scratch rebuild over
+    * the grown table; the IVF gated-append story with an exact merge
+    * instead of a drift tradeoff) and re-finalize `cols/` +
+    * `counters/` from the merged state. Update cost is batch-hist +
+    * carried-hist sized, never a rescan of the table. Same
+    * crash contract as the gated append: the marker drops during the
+    * rewrite, so a torn update reads as incomplete. */
+  def updateTableStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchHist: DataFrame, k: Int = 128, depth: Int = 4,
+      width: Int = 1024): Unit = {
+    // localCheckpoint: the refold OVERWRITES the hist/ dir its own
+    // input lineage reads — materialize first
+    val merged = histMerge(spark.read.parquet(s"$path/hist"), batchHist)
+      .localCheckpoint()
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(marker, false)
+    saveTableStatsWithHist(merged, path, k, depth, width)
+  }
+
   private def cmsBuckets(term: Column, depth: Int, width: Int) =
     array((0 until depth).map(i =>
       h63(concat(lit(i.toString), term)) % lit(width.toLong)): _*)

@@ -320,6 +320,30 @@ class StatsGateSpec extends SparkSpec {
     assert(got.length == want.length && got.sameElements(want))
   }
 
+  test("incremental stats update (r17): fold-in == from-scratch " +
+      "rebuild, bit-identical artifact and identical plan decision") {
+    import spark.implicits._
+    val base = (1 to 4000).map(i => ((i % 80).toLong, i.toLong)).toDF("k", "v")
+    val batch = (1 to 2000).map(i => ((i % 120).toLong, i.toLong)).toDF("k", "v")
+    val cols = Seq(("k", col("k"), Option.empty[org.apache.spark.sql.Column]))
+    val path = graft.sources.Staging.sessionTempDir("graft_stats_upd")
+    SketchOps.saveTableStatsWithHist(
+      SketchOps.profileFrames(base, col("v"), cols)._2, path)
+    assert(new java.io.File(s"$path/hist").isDirectory,
+      "the updatable form must persist the histogram half")
+    SketchOps.updateTableStats(spark, path,
+      SketchOps.profileFrames(batch, col("v"), cols)._2)
+    val updated = SketchOps.loadTableStats(spark, path)
+    val rebuilt = SketchOps.tableStats(base.unionByName(batch), col("v"), cols)
+    assert(updated.cols.collect().map(_.toSeq).toSet ==
+      rebuilt.cols.collect().map(_.toSeq).toSet,
+      "updated cols/ must equal the from-scratch rebuild")
+    assert(updated.counters.collect().map(_.toSeq).toSet ==
+      rebuilt.counters.collect().map(_.toSeq).toSet,
+      "updated counters/ must equal the from-scratch rebuild")
+    assert(Scale.keyStats(updated, "k") == Scale.keyStats(rebuilt, "k"))
+  }
+
   test("statsJoinOrder rejects a disconnected chain and non-unique " +
       "table names") {
     import spark.implicits._
