@@ -3498,7 +3498,12 @@ object Queries {
       .withColumn("src", concat(col("user_id").cast("string"), lit("|"),
         col("session_start").cast("string")))
   }
-  private val sketchKmvSession: Q = (s, dir) => {
+  // withSmallShuffle: the sessionize windows + sketch tiers exchange
+  // ~100k narrow rows (a few MB) — 32-way partitioning is dispatch
+  // overhead at this volume, the withSmallShuffle story at the
+  // events-corpus scale (the sf1 rehearsal drives the same kernels at
+  // 1M rows through the stream twin's own DOP)
+  private val sketchKmvSession: Q = (s, dir) => withSmallShuffle(s) {
     val sess = withSessionKey(events(s, dir).select(col("event_id"),
         col("user_id"), col("sec"))
       .withColumn("item", (col("event_id") % 50).cast("string")), 259200L)
@@ -3684,7 +3689,7 @@ object Queries {
   // of the family is cardinality + quantiles. Sessions are defined
   // over the value-carrying events (value IS NOT NULL, mirrored);
   // the exact order statistics ride along as the twin.
-  private val sketchQuantileSession: Q = (s, dir) => {
+  private val sketchQuantileSession: Q = (s, dir) => withSmallShuffle(s) {
     val S = graft.llm.SketchOps
     val sess = withSessionKey(events(s, dir)
       .filter(col("value").isNotNull)
