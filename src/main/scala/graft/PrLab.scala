@@ -29,8 +29,10 @@ object PrGate {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (dir <- dirs) {
-      val lineitem = dir + (if (new java.io.File(s"$dir/lineitem.parquet").exists)
-        "/lineitem.parquet" else "/lineitem")
+      // filesystem probe through the Hadoop FS resolver (Staging) —
+      // a java.io.File probe is wrong on any non-local path
+      val lineitem = dir + (if (graft.sources.Staging.pathExists(
+        s"$dir/lineitem.parquet")) "/lineitem.parquet" else "/lineitem")
       val edges = spark.read.parquet(lineitem).select(
         col("l_suppkey").as("src"), col("l_partkey").as("dst"))
       val est = edges.queryExecution.optimizedPlan.stats.sizeInBytes

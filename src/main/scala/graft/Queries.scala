@@ -6761,8 +6761,12 @@ object Queries {
     *   - the shared `edges` projection and `firstdeg` membership
     *     persists, which are amortized infrastructure for the whole
     *     j/a diagnostic family, not any one entry's cost.
-    * The flagship commit pipeline is deliberately NOT staged: its
-    * cost is attributed to q_etl_transactions by bench ordering.
+    * The flagship commit pipeline is NOT staged here (callers other
+    * than the bench want it measured); graft.Bench runs one throwaway
+    * flagship pass after stageAll so the shared commit + first-job
+    * cost stops landing on whichever entry runs first (r17 VERDICT
+    * #7 — q_etl_transactions read ~9x its warm ProbeMain time
+    * in-suite purely from that attribution).
     */
   def stageAll(s: SparkSession, dir: String): Unit = {
     graft.sources.SyntheticTraces.bronze(s, dir)

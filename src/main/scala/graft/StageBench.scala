@@ -9,7 +9,10 @@ object StageBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val bronze = "/tmp/graft_bronze_sf01"
-    if (!new java.io.File(bronze).isDirectory)
+    // completeness = the committer's _SUCCESS marker, probed through
+    // the Hadoop FS resolver (Staging) — a java.io.File dir probe
+    // would accept a torn write and is wrong on non-local paths
+    if (!graft.sources.Staging.hasMarker(bronze))
       graft.sources.SyntheticTraces.fromTpch(spark, "/root/testdata/sf0.1")
         .write.mode("overwrite").parquet(bronze)
     def time(tag: String)(f: => Unit): Unit = {

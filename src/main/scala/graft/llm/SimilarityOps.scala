@@ -456,12 +456,28 @@ object SimilarityOps {
       path: String, batch: DataFrame, idCol: String,
       embCol: String): Unit = {
     val ix = loadIvfIndex(spark, path)
-    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(marker, false)
-    buildIvfIndex(batch, idCol, embCol, centroids = Some(ix.centroids))
-      .assignments.write.mode("append").parquet(s"$path/assign")
-    graft.sources.Staging.touchMarker(path)
+    requirePlainIndex(ix, "appendToIvfIndex")
+    graft.sources.Staging.withMarkerDropped(path) {
+      buildIvfIndex(batch, idCol, embCol, centroids = Some(ix.centroids))
+        .assignments.write.mode("append").parquet(s"$path/assign")
+    }
+  }
+
+  /** The in-place maintainers ([[appendToIvfIndex]],
+    * [[ivfGatedUpdate]]) operate on PLAIN indexes only — an index
+    * built with [[buildIvfIndexWithAttrs]] carries attribute columns
+    * in `assign/` that an append would silently null out (the batch
+    * has no attrs channel) and a rebuild would silently drop (the
+    * corpus is reconstructed as (neighbor_id, emb) alone), degrading
+    * every later filtered serve. Enforced, not just documented:
+    * rebuild an attr-carrying index through its original staging
+    * path instead. */
+  private def requirePlainIndex(ix: IvfIndex, op: String): Unit = {
+    val cols = ix.assignments.columns.toSet
+    require(cols == Set("neighbor_id", "emb", "cell"),
+      s"$op requires a plain index (assign columns neighbor_id/emb/cell); " +
+        s"this index carries ${cols.mkString(", ")} — attr-carrying " +
+        "indexes must be rebuilt through their staging path")
   }
 
   /** The drift verdict of one gated update: the branch taken and the
@@ -521,29 +537,28 @@ object SimilarityOps {
       shareNum: Long = 1, shareDen: Long = 2,
       nlist: Int = 16): IvfUpdateDecision = {
     val ix = loadIvfIndex(spark, path)
+    requirePlainIndex(ix, "ivfGatedUpdate")
     val (d, batchAssign) =
       ivfUpdateDecision(ix, batch, idCol, embCol, shareNum, shareDen)
-    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(marker, false)
-    if (d.branch == "append")
-      batchAssign.write.mode("append").parquet(s"$path/assign")
-    else {
-      // localCheckpoint: the rebuild OVERWRITES the assign/ dir its
-      // own input lineage reads — materialize first
-      val grown = ix.assignments
-        .select(col("neighbor_id").as(idCol), col("emb").as(embCol))
-        .unionByName(batch.select(col(idCol), col(embCol)))
-        .localCheckpoint()
-      val fresh = buildIvfIndex(grown, idCol, embCol, nlist)
-      Quantizers.saveModel(fresh.centroids, s"$path/centroids")
-      fresh.assignments.write.mode("overwrite").parquet(s"$path/assign")
+    graft.sources.Staging.withMarkerDropped(path) {
+      if (d.branch == "append")
+        batchAssign.write.mode("append").parquet(s"$path/assign")
+      else {
+        // localCheckpoint: the rebuild OVERWRITES the assign/ dir its
+        // own input lineage reads — materialize first
+        val grown = ix.assignments
+          .select(col("neighbor_id").as(idCol), col("emb").as(embCol))
+          .unionByName(batch.select(col(idCol), col(embCol)))
+          .localCheckpoint()
+        val fresh = buildIvfIndex(grown, idCol, embCol, nlist)
+        Quantizers.saveModel(fresh.centroids, s"$path/centroids")
+        fresh.assignments.write.mode("overwrite").parquet(s"$path/assign")
+      }
+      import spark.implicits._
+      Seq((d.branch, d.maxCellCnt, d.batchRows))
+        .toDF("branch", "max_cell_cnt", "batch_rows")
+        .write.mode("append").parquet(s"$path/drift")
     }
-    import spark.implicits._
-    Seq((d.branch, d.maxCellCnt, d.batchRows))
-      .toDF("branch", "max_cell_cnt", "batch_rows")
-      .write.mode("append").parquet(s"$path/drift")
-    graft.sources.Staging.touchMarker(path)
     d
   }
 
@@ -822,13 +837,15 @@ object SimilarityOps {
     * quantized centroid array + codebook array folded together
     * (two stacked BNL joins would square the plan-size estimate and
     * trip the probe-side broadcast gate into a needless sort-merge
-    * join). `canonicalizeCb` sorts a PROVIDED/loaded codebook frame
-    * into cid order — pq_encode indexes by array position, and
-    * collect_list order is partition-dependent for an arbitrary
-    * frame; centroid array order never matters (nearest_cells_q
-    * tie-breaks on the cell VALUE). Callers broadcast the result. */
-  private def pqLookupArrays(cents: DataFrame, cb: DataFrame,
-      canonicalizeCb: Boolean): DataFrame = {
+    * join). The codebook array is ALWAYS sorted into cid order:
+    * pq_encode indexes by array position, collect_list order is
+    * partition-dependent, and an equidistant-codeword tie resolves by
+    * position — so encode and every later table build must share ONE
+    * total order (cid) or a tie could yield different codes across
+    * paths (r17 ADVICE). Centroid array order never matters
+    * (nearest_cells_q tie-breaks on the cell VALUE). Callers
+    * broadcast the result. */
+  private def pqLookupArrays(cents: DataFrame, cb: DataFrame): DataFrame = {
     val V = graft.functions.VecFunctions
     val centArr = cents.select(col("cell"), col("centroid"))
       .agg(collect_list(struct(col("cell"), col("centroid"))).as("raw"))
@@ -839,8 +856,7 @@ object SimilarityOps {
       }).as("cents"))
     val cbArr = cb.select(col("cid"), col("cvec"))
       .agg(collect_list(struct(col("cid"), col("cvec"))).as("raw0"))
-      .select((if (canonicalizeCb) sort_array(col("raw0"))
-        else col("raw0")).as("raw"))
+      .select(sort_array(col("raw0")).as("raw"))
       .select(transform(col("raw"), c =>
         struct(c("cid").cast("long").as("cid"),
           quantL(c("cvec")).as("cq"))).as("cb"))
@@ -934,8 +950,13 @@ object SimilarityOps {
         "centroid"))
     val cb = codebook.map(_.select(col("cid"), col("cvec")))
       .getOrElse(hashOrderPick(corpus, idCol, embCol, ksub, "cid", "cvec"))
-    val lookups = broadcast(
-      pqLookupArrays(cents, cb, canonicalizeCb = codebook.isDefined))
+    // ALWAYS canonicalize (r17 ADVICE): ADC distances are
+    // permutation-invariant, but the CODES are not — an equidistant-
+    // codeword tie resolves by array position, so the fused path and
+    // a persisted-index serve must both derive positions from the
+    // same total order (cid) or a tie could yield different codes and
+    // a data-dependent fused-vs-persisted mismatch.
+    val lookups = broadcast(pqLookupArrays(cents, cb))
     pqAdcRank(
       pqProbes(queries, idCol, embCol, lookups, nprobe, m, residual,
         carryQemb = carryVectors),
@@ -978,14 +999,11 @@ object SimilarityOps {
         "centroid"))
     val cb = codebook.map(_.select(col("cid"), col("cvec")))
       .getOrElse(hashOrderPick(corpus, idCol, embCol, ksub, "cid", "cvec"))
-    // ALWAYS canonicalize here: the persisted codebook frame carries
-    // no position column, so the build's code positions and every
-    // later serve's table positions must both derive from the same
-    // total order — cid. (ADC distances are permutation-invariant as
-    // long as encode and table share ONE order; what breaks is codes
-    // written in one order and tables built in another.)
-    val lookups = broadcast(
-      pqLookupArrays(cents, cb, canonicalizeCb = true))
+    // the persisted codebook frame carries no position column, so the
+    // build's code positions and every later serve's table positions
+    // both derive from the same total order — cid (pqLookupArrays
+    // canonicalizes unconditionally)
+    val lookups = broadcast(pqLookupArrays(cents, cb))
     PqIndex(cents, cb,
       pqEncode(corpus, idCol, embCol, lookups, m, residual,
         carryEmb = true),
@@ -1035,8 +1053,7 @@ object SimilarityOps {
     rerank.foreach(r => require(r >= k,
       s"rerank ($r) must be >= k ($k)"))
     val lookups = broadcast(
-      pqLookupArrays(index.centroids, index.codebook,
-        canonicalizeCb = true))
+      pqLookupArrays(index.centroids, index.codebook))
     val carry = rerank.isDefined
     val probes = pqProbes(queries, idCol, embCol, lookups, nprobe,
       index.m, index.residual, carryQemb = carry)

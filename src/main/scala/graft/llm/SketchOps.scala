@@ -754,10 +754,9 @@ object SketchOps {
     // input lineage reads — materialize first
     val merged = histMerge(spark.read.parquet(s"$path/hist"), batchHist)
       .localCheckpoint()
-    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(marker, false)
-    saveTableStatsWithHist(merged, path, k, depth, width)
+    graft.sources.Staging.withMarkerDropped(path) {
+      saveTableStatsWithHist(merged, path, k, depth, width)
+    }
   }
 
   private def cmsBuckets(term: Column, depth: Int, width: Int) =

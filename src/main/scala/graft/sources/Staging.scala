@@ -34,6 +34,32 @@ object Staging {
     marker.getFileSystem(hadoopConf).create(marker, true).close()
   }
 
+  /** Existence probe through the Hadoop FileSystem API — the
+    * companion to [[hasMarker]] for measurement mains that gate on a
+    * staged path's presence (a `java.io.File` probe silently reports
+    * "missing" for every non-local path). */
+  def pathExists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(hadoopConf).exists(p)
+  }
+
+  /** Run an IN-PLACE artifact mutation under a dropped `_SUCCESS`
+    * marker: the marker is deleted before `mutate` runs and recreated
+    * after, so a crash mid-mutation (or a concurrent completeness
+    * probe) sees the artifact as incomplete rather than serving a
+    * torn half-mutated state. The shared crash contract of every
+    * in-place maintainer (IVF append, gated update, stats fold-in) —
+    * one helper so the contract lives in one place. Single writer per
+    * artifact is the caller's contract (the seam dirs are
+    * fingerprint-keyed and staged once); [[stageOnce]] repairs a
+    * marker-less torn dir by deleting and rebuilding it. */
+  def withMarkerDropped(path: String)(mutate: => Unit): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    marker.getFileSystem(hadoopConf).delete(marker, false)
+    mutate
+    touchMarker(path)
+  }
+
   /** Create a temp work dir that is deleted when this JVM exits.
     * Streaming query entries return lazy DataFrames over their output
     * dirs, so an eager `finally`-delete would break the caller's read;
@@ -53,6 +79,19 @@ object Staging {
     */
   def stageOnce(path: String)(write: String => Unit): Unit = {
     if (hasMarker(path)) return
+    // TORN-DIR REPAIR: an existing target without a marker is a
+    // crashed in-place mutation ([[withMarkerDropped]] died inside the
+    // window) — by the single-writer seam contract nothing live owns
+    // it, and leaving it would wedge the artifact forever (the rename
+    // below fails on an existing dir, the catch sees no marker and
+    // rethrows on every call). Delete and rebuild. A concurrent FRESH
+    // stager is unaffected: it builds under its own tmp sibling and
+    // only publishes by rename, so the final path never exists
+    // marker-less on that path.
+    if (pathExists(path)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(hadoopConf).delete(p, true)
+    }
     val tmp = path + ".tmp-" + ProcessHandle.current().pid() + "-" +
       java.util.UUID.randomUUID().toString.take(8)
     write(tmp)

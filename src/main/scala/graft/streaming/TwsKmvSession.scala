@@ -27,6 +27,25 @@ import org.apache.spark.sql.streaming._
   * 63 bits — the SAME kernel the Catalyst `mixed63` path evaluates
   * (the expressions delegate to TextHash), so the stream's sketch
   * rows are bit-identical to the batch twin's.
+  *
+  * ORDERING CONTRACT (r17 ADVICE): bit-parity with the globally
+  * sorted batch sessionizer holds when each key's events arrive in
+  * event-time order ACROSS micro-batches (within a batch the
+  * processor sorts). The watermark delay admits cross-batch late
+  * events; for those the processor degrades SAFELY rather than
+  * exactly: `lastSec` never regresses (a late event folds its item
+  * into the open session's sketch but cannot pull the frontier back,
+  * so a following in-order event can never falsely split the
+  * session), and `sessionStart` — the session's identity — is never
+  * lowered (the batch twin, seeing the same late event in sorted
+  * order, may assign an earlier start second; an already-open
+  * stream session cannot retract its identity). A late event older
+  * than the open session's start thus joins that session instead of
+  * extending it backwards — sketch contents stay a superset-merge,
+  * session boundaries stay watermark-consistent, but start seconds
+  * can diverge from the batch twin under out-of-order input. The
+  * shipped entries and rehearsal scenario 12 stage per-key
+  * time-ordered slices, where parity is exact.
   */
 case class KmvSessEvent(user_id: Long, event_id: Long, item: String,
     ts: Long, event_time: java.sql.Timestamp)
@@ -75,7 +94,12 @@ class KmvSessionProcessor(gapSeconds: Long, k: Int)
       val h = h63(e.item)
       val hs = if (cur.hs.contains(h)) cur.hs
         else (cur.hs :+ h).sorted.take(k)
-      cur = cur.copy(sessionStart = start, lastSec = e.ts, hs = hs)
+      // regression guard (see the class doc's ordering contract): a
+      // cross-batch LATE event folds into the open session but must
+      // not pull lastSec back — a regressed frontier would let the
+      // next in-order event falsely split the session
+      cur = cur.copy(sessionStart = start,
+        lastSec = math.max(cur.lastSec, e.ts), hs = hs)
     }
     // one live timer per open session, re-armed so it fires
     // gapSeconds after the LATEST event (the TraceSessionProcessor

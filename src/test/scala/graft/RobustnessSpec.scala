@@ -145,4 +145,37 @@ class RobustnessSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall@5 = $recall")
     info(s"IVF ANN recall@5 = $recall (nprobe 8/16 cells)")
   }
+
+  test("Staging (r18): a crash inside withMarkerDropped leaves a torn " +
+      "marker-less dir that stageOnce REPAIRS (delete + rebuild) " +
+      "instead of wedging forever (r17 ADVICE)") {
+    val St = graft.sources.Staging
+    val root = St.sessionTempDir("graft_torn")
+    val path = s"$root/artifact"
+    def build(content: String): Unit = St.stageOnce(path) { tmp =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "data"), content)
+      St.touchMarker(tmp)
+    }
+    build("v1")
+    assert(St.hasMarker(path))
+    // a successful in-place mutation round-trips the marker
+    St.withMarkerDropped(path) {
+      assert(!St.hasMarker(path), "marker must be dropped inside the window")
+    }
+    assert(St.hasMarker(path))
+    // crash mid-mutation: the marker stays dropped
+    intercept[RuntimeException] {
+      St.withMarkerDropped(path) { throw new RuntimeException("boom") }
+    }
+    assert(!St.hasMarker(path), "a torn mutation must read as incomplete")
+    // the old behavior: rename onto the existing dir fails, the catch
+    // saw no marker and rethrew — every later call wedged. Now
+    // stageOnce deletes the torn dir and rebuilds.
+    build("v2")
+    assert(St.hasMarker(path), "stageOnce must repair the torn dir")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "data")) == "v2")
+  }
 }

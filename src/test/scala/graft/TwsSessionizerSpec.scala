@@ -272,4 +272,56 @@ class TwsSessionizerSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("sessionized KMV (r18): a cross-batch LATE event cannot " +
+      "regress lastSec and falsely split the session (r17 ADVICE)") {
+    import graft.streaming.{KmvSessEvent, TwsKmvSession}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def e(u: Long, id: Long, item: String, ts: Long) =
+        KmvSessEvent(u, id, item, ts, new java.sql.Timestamp(ts * 1000L))
+      val mem = MemoryStream[KmvSessEvent]
+      // wide watermark delay so the planted late event is admitted —
+      // exactly the situation the guard covers
+      val q = TwsKmvSession.sessionSketch(mem.toDS(), gapSeconds = 100L,
+          k = 4, watermarkDelay = "1000 seconds").toDF()
+        .writeStream.format("memory").queryName("kmv_sess_late")
+        .outputMode("append").start()
+      try {
+        // the ADVICE scenario: frontier at 150, late 140 arrives, then
+        // 245 — an unguarded fold regresses lastSec to 140 and splits
+        // at 245 (245-140 > gap) where the sorted batch twin keeps one
+        // session (245-150 <= gap)
+        mem.addData(e(1L, 1, "a", 100), e(1L, 2, "b", 150))
+        q.processAllAvailable()
+        mem.addData(e(1L, 3, "c", 140))
+        q.processAllAvailable()
+        mem.addData(e(1L, 4, "d", 245))
+        q.processAllAvailable()
+        // sentinels close every open session
+        mem.addData(e(-1L, -1, "s", 100000))
+        q.processAllAvailable()
+        mem.addData(e(-1L, -2, "s", 200000))
+        q.processAllAvailable()
+        mem.addData()
+        q.processAllAvailable()
+        val out = spark.sql(
+          "SELECT * FROM kmv_sess_late WHERE user_id >= 0").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        assert(out.length == 1,
+          s"late event falsely split the session: ${out.mkString(",")}")
+        val hs = Seq("a", "b", "c", "d").map(i =>
+          graft.functions.TextHash.mix64(
+            graft.functions.TextHash.fnv1a64(i)) & Long.MaxValue)
+          .distinct.sorted.take(4)
+        assert(out.head == ((1L, 100L, hs.max, hs.length.toLong)),
+          s"got ${out.head}; the late event's item must fold into the " +
+            "one open session with its start unchanged")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
