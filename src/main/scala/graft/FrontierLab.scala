@@ -50,6 +50,41 @@ object FrontierLab {
     println(s"full rerank entry (ADC + exact):        ${fmt(
       So.ivfPqRerankTopK(emb, queries, "vec_id", "embedding", 5))}")
 
+    // ---- q_profile_table tiers (r18) ------------------------------
+    // the r17 verdict's #1: decompose the profiler wall. Tiers:
+    // the ONE data pass (stack + checkpoint + histogram reduce), the
+    // salted bottom-k sample over the checkpointed stack, and the
+    // catalog-sized assembly. After the r18 rework (partition-pinned
+    // cached histogram, union-fold assembly instead of 4 broadcast
+    // joins, salted two-phase sample, DOP 8 + AQE off inside the
+    // entry scope) the plan runs as 5 jobs; the residual splits
+    // roughly evenly between the data pass and a fixed ~1-1.5 s
+    // assembly stage floor that is FLAT in n (compare sf0.01).
+    {
+      val Sk = graft.llm.SketchOps
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .repartition(32, col("user_id")).localCheckpoint()
+      val qv = floor(col("value") * 1000).cast("long")
+      val pcols = Seq(
+        ("user_id", col("user_id"), Some(col("user_id"))),
+        ("event_type", col("event_type"), None),
+        ("value", qv, Some(qv)))
+      def frames() = Sk.profileFrames(ev, col("event_id"), pcols)
+      println(s"profiler ONE-PASS frames (tall+hist ckpt):  ${(1 to runs).map { _ =>
+        val t0 = System.nanoTime(); frames()
+        f"${(System.nanoTime() - t0) / 1e9}%.2f"
+      }.mkString("/")}")
+      val (tall, hist) = frames()
+      println(s"salted bottom-k sample over ckpt'd stack:   ${fmt(
+        Sk.profileSample(tall, 128))}")
+      val samp = Sk.profileSample(tall, 128).localCheckpoint()
+      println(s"assembly (fromState) over ckpt'd inputs:    ${fmt(
+        Sk.profileFromState(hist, samp, 128, 4, 1024, 3))}")
+      println(s"full profileTable (one pass + sample+asm):  ${fmt(
+        Sk.profileTable(ev, col("event_id"), pcols))}")
+    }
+
     // ---- q_llm_perplexity tiers ----------------------------------
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).localCheckpoint()

@@ -21,13 +21,19 @@ object ProbeMain {
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          private val desc = new java.util.concurrent.ConcurrentHashMap[Int, String]()
           override def onJobStart(
-              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
             t0.put(j.jobId, System.nanoTime())
+            desc.put(j.jobId, String.valueOf(
+              j.properties.getProperty("spark.job.description",
+                j.properties.getProperty("callSite.short", ""))))
+          }
           override def onJobEnd(
               j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
             val dt = (System.nanoTime() - t0.getOrDefault(j.jobId, 0L)) / 1e9
-            println(f"  [job ${j.jobId}%3d] ${dt}%6.3f s")
+            val d = desc.getOrDefault(j.jobId, "").take(90)
+            println(f"  [job ${j.jobId}%3d] ${dt}%6.3f s  $d")
           }
         })
     graft.functions.GraftFunctions.register(spark)

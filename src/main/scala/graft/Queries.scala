@@ -4107,7 +4107,27 @@ object Queries {
   // input row, before the stack) and the exact histogram order
   // statistic. Every estimate integer, mirrored in the oracle,
   // hash-compared.
+  // withSmallShuffle: everything past the checkpointed one-pass stack
+  // is cardinality-sized (the sf0.1 histogram is 19k rows) — 32-way
+  // exchanges through the ~12 assembly stages were pure task-dispatch
+  // overhead (r17 VERDICT #1; the FrontierLab profile rows decompose
+  // the wall: one data pass + salted sample + a fixed assembly floor)
   private val profileTableQ: Q = (s, dir) => {
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // AQE off for the assembly: every post-hist frame is
+    // cardinality-sized and already partition-pinned, so AQE's
+    // per-stage job re-planning is pure fixed cost here
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    // materialize INSIDE the pinned scope (conf live at execution)
+    try profileTableInner(s, dir).localCheckpoint()
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+  private def profileTableInner(s: SparkSession, dir: String) = {
     val qv = floor(col("value") * 1000).cast("long")
     graft.llm.SketchOps.profileTable(events(s, dir), col("event_id"),
       Seq(
@@ -5462,9 +5482,14 @@ object Queries {
   // the held-out eval set; any other doc sharing a 3-token shingle
   // with them is flagged. The shingle set broadcasts — no corpus
   // shuffle at 100 TB.
-  private val llmDecontaminate: Q = (s, dir) =>
+  // withSmallShuffle: every shuffled frame here is ≤ doc-count-sized
+  // (the bench fp set, the per-doc hit counts, the final left join) —
+  // the explode + broadcast semi-join itself is map-only, so 32-way
+  // exchanges were the whole gap to the DuckDB stick (r17 VERDICT #2)
+  private val llmDecontaminate: Q = (s, dir) => withSmallShuffle(s) {
     graft.llm.PipelineOps.decontaminate(
       docsT(s, dir), "doc_id", "text", col("doc_id") % 50 === 0)
+  }
   private val llmDecontaminateOracle =
     s"""$minhashFpsCte,
       |s AS (SELECT doc_id, list_distinct(fps) AS fps FROM d),
@@ -5804,8 +5829,12 @@ object Queries {
   // doc signatures min-merge to one catalog-sized frame per source;
   // the pair step is source², never doc-scaled. Arithmetic minhash,
   // so the permille estimates hash-compare exactly.
-  private val llmSourceOverlap: Q = (s, dir) =>
+  // withSmallShuffle: the merged signatures are one row per source and
+  // the pair frame is source² — everything past the map-only doc
+  // signature pass is catalog-sized (r17 VERDICT #2 boundary entry)
+  private val llmSourceOverlap: Q = (s, dir) => withSmallShuffle(s) {
     graft.llm.DedupOps.sourceSimilarityMatrix(docsT(s, dir), "doc_id", "text", "source")
+  }
   private val llmSourceOverlapOracle = {
     val mins = (0 until 8).map(i => s"min(mh$i) AS mh$i").mkString(", ")
     val matches = (0 until 8)

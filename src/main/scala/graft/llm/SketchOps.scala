@@ -387,7 +387,16 @@ object SketchOps {
         numOpt.map(_.cast("long")).getOrElse(lit(null).cast("long")).as("v"),
         lit(numOpt.isDefined).as("is_num"))
     }
-    val tall = df
+    // spread an under-partitioned scan before the ×|columns| explode:
+    // a demo-scale table often arrives as ONE parquet split, which
+    // would run the whole stacking pass — and every later consumer of
+    // the checkpoint — on a single task. At production scale the scan
+    // is already wide (maxPartitionBytes) and this branch is a no-op,
+    // so the spread costs nothing where it isn't needed.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par)
+      else df
+    val tall = spread
       .select(mixed63(rowKey.cast("string")).as("row_h"),
         explode(array(stacked: _*)).as("c"))
       .select(col("row_h"), col("c.colname").as("colname"),
@@ -396,9 +405,18 @@ object SketchOps {
       .withColumn("h", when(col("term").isNotNull, mixed63(col("term"))))
       .localCheckpoint() // THE one pass over the source
     // exact per-value histogram — cardinality-sized, the reduction
-    // every non-sample consumer shares
+    // every non-sample consumer shares. Materialized as a CACHED
+    // frame pre-partitioned on colname (not a localCheckpoint, which
+    // drops outputPartitioning): ~10 of the assembly's tiers group or
+    // window on colname(-prefixed) keys, and a partitioning-carrying
+    // relation lets every one of them skip its exchange — the r17
+    // q_profile_table wall was almost entirely these catalog-sized
+    // exchanges' fixed stage cost, not data (FrontierLab rows).
     val hist = tall.groupBy("colname", "term", "h", "v", "is_num")
-      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+      .agg(count(lit(1)).as("cnt"))
+      .repartition(col("colname"))
+      .persist()
+    hist.count() // materialize eagerly (the checkpoint semantics)
     (tall, hist)
   }
 
@@ -408,14 +426,31 @@ object SketchOps {
     * of a union of bottom-ks), so a STREAMING profiler carries
     * (histogram, sample) between micro-batches and folds each with
     * its own merge (StreamRehearsal scenario 10 measures the fold at
-    * sf1). */
-  private[graft] def profileSample(tall: DataFrame, k: Int): DataFrame =
-    tall.filter(col("is_num") && col("v").isNotNull)
+    * sf1).
+    *
+    * Extraction is a SALTED TWO-PHASE rank (r17 VERDICT #1 — the
+    * old distinct-then-global-window shape shuffled the column twice
+    * and funneled each column's full sort onto ONE reducer): phase 1
+    * ranks within (column, h mod 64) — 64 parallel sorts of n/64
+    * rows; a pair's duplicates share its salt, so `dense_rank ≤ k`
+    * keeps every distinct pair that could reach the global bottom-k
+    * (a pair globally in the bottom-k is in its salt group's
+    * distinct bottom-k a fortiori) — and phase 2 dedups + ranks the
+    * ≤ 64·k survivors per column. One data-sized exchange instead of
+    * two, no serial n-row sort, identical output by construction. */
+  private[graft] def profileSample(tall: DataFrame, k: Int): DataFrame = {
+    val nums = tall.filter(col("is_num") && col("v").isNotNull)
       .select(col("colname").as("source"), col("row_h").as("h"), col("v"))
-      .distinct()
+    val phase1 = nums
+      .withColumn("_salt", pmod(col("h"), lit(64L)))
+      .withColumn("dr", dense_rank().over(
+        Window.partitionBy("source", "_salt").orderBy("h", "v")))
+      .filter(col("dr") <= k).drop("dr", "_salt")
+    phase1.distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy("source").orderBy("h", "v")))
       .filter(col("rn") <= k).drop("rn")
+  }
 
   /** Merge two per-value histogram frames by cellwise count addition —
     * the profiler's between-batch fold. State stays CARDINALITY-sized
@@ -501,15 +536,32 @@ object SketchOps {
       min(when(col("cum") >= expr("(n - 1) * 90 DIV 100 + 1"), col("v")))
         .as("q90_exact"))
 
-    stats.join(kmv, Seq("colname"), "left")
-      .join(topAgg, Seq("colname"), "left")
-      .join(qest, Seq("colname"), "left")
-      .join(qexact, Seq("colname"), "left")
-      .select(col("colname"), col("n_rows"), col("null_cnt"),
-        col("n_distinct"), col("kth_min_hash"), col("k_used"),
-        col("kmv_est"), col("top_terms"), col("top_exact"),
-        col("top_cms"), col("sample_n"), col("q50_est"), col("q90_est"),
-        col("q50_exact"), col("q90_exact"))
+    // assemble by UNION + one per-column fold instead of a 4-way
+    // left join: each metric column is produced by exactly one tier,
+    // so max() picks the single non-null per (colname, column) and
+    // the result is identical to the join — but the joins cost four
+    // BroadcastExchange build JOBS (each re-running its tier chain as
+    // a separate job), which was most of q_profile_table's residual
+    // wall after the exchanges were partition-pinned away (r17
+    // VERDICT #1). Every tier's colnames derive from the same hist,
+    // so the grouped row set equals the stats tier's.
+    val metricCols = Seq(
+      "n_rows" -> "long", "null_cnt" -> "long", "n_distinct" -> "long",
+      "kth_min_hash" -> "long", "k_used" -> "long", "kmv_est" -> "long",
+      "top_terms" -> "string", "top_exact" -> "string",
+      "top_cms" -> "string", "sample_n" -> "long", "q50_est" -> "long",
+      "q90_est" -> "long", "q50_exact" -> "long", "q90_exact" -> "long")
+    def pad(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(col("colname") +: metricCols.map { case (n, t) =>
+        (if (have(n)) col(n).cast(t) else lit(null).cast(t)).as(n)
+      }: _*)
+    }
+    Seq(stats, kmv, topAgg, qest, qexact).map(pad)
+      .reduce(_.unionByName(_))
+      .groupBy("colname")
+      .agg(metricCols.map { case (n, _) => max(col(n)).as(n) }.head,
+        metricCols.map { case (n, _) => max(col(n)).as(n) }.tail: _*)
   }
 
   /** Per-column RAW-term CMS counter frames (colname, i, bucket, cnt)
