@@ -1163,13 +1163,15 @@ object Queries {
   private def statsArtifactStaged(s: SparkSession, dir: String): String = {
     val key = graft.sources.SyntheticTraces.tableKey(dir,
       Seq("lineitem", "orders", "customer", "supplier", "nation", "region"))
-    // _v3: customer carries BOTH join columns (c_custkey,
-    // c_nationkey) for the 4-table chain; _v2 added orders' second
-    // column and the customer/region/nation(n_regionkey) artifacts —
-    // the join-ORDER planner needs every column a chain joins on (the
-    // seam contract's layout-change rule: bump the version literal)
+    // _v4: the DP regime's star corpus (orders2 re-keyed on custkey,
+    // the two selective order dims); _v3: customer carries BOTH join
+    // columns (c_custkey, c_nationkey) for the 4-table chain; _v2
+    // added orders' second column and the customer/region/
+    // nation(n_regionkey) artifacts — the join-ORDER planner needs
+    // every column a chain joins on (the seam contract's
+    // layout-change rule: bump the version literal)
     val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_table_stats_v3_$key"
+      s"${System.getProperty("java.io.tmpdir")}/graft_table_stats_v4_$key"
     if (!graft.sources.Staging.hasMarker(s"$path")) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         val S = graft.llm.SketchOps
@@ -1202,7 +1204,23 @@ object Queries {
             .withColumn("o_orderkey", statsHot(col("o_orderkey")))
             .groupBy("o_orderkey").agg(min("o_custkey").as("o_custkey")),
           col("o_orderkey"), "o_orderkey")
-        // top-level completeness marker once all eight artifacts
+        // the DP star regime's derived tables (q_scale_stats_join
+        // _order_dp): a second custkey-keyed fact and two selective
+        // order dims — the shape where a bushy plan prices below
+        // every left-deep order
+        one("orders2", t(s, dir, "orders")
+            .select(col("o_custkey").as("o2_custkey"),
+              col("o_orderkey").as("o2_orderkey")),
+          col("o2_orderkey"), "o2_custkey", "o2_orderkey")
+        one("dsel1", t(s, dir, "orders")
+            .filter(col("o_orderkey") % 100 === 0)
+            .select(col("o_orderkey").as("d1_key")),
+          col("d1_key"), "d1_key")
+        one("dsel2", t(s, dir, "orders")
+            .filter(col("o_orderkey") % 50 === 0)
+            .select(col("o_orderkey").as("d2_key")),
+          col("d2_key"), "d2_key")
+        // top-level completeness marker once all eleven artifacts
         // landed (stageOnce's publication test keys on it)
         graft.sources.Staging.touchMarker(tmp)
       }
@@ -1504,6 +1522,112 @@ object Queries {
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
+  // SELINGER-DP JOIN ORDERING (r18, VERDICT r17 #3) — the rung above
+  // the left-deep permutation scan: Scale.statsJoinOrderDp memoizes
+  // the best plan per connected table subset over the SAME persisted
+  // artifacts, bushy shapes allowed, with the tighter min-composition
+  // step bound (a sub-plan's size bound caps every later step that
+  // joins through it — the selectivity credit the left-deep CMS
+  // composition cannot express). Two regimes, the CHOSEN SHAPE STRING
+  // and the bushy-win flag in the hash-compared output:
+  //   dp_star:  customer hub with TWO reducing branches (orders ⋈ a
+  //     1%-selective order dim; a custkey-keyed orders clone ⋈ a
+  //     2%-selective dim) — the DP prices the bushy
+  //     ((orders2,dsel2),(customer,(orders,dsel1))) strictly below
+  //     every left-deep order (1.7x at every SF: each branch's small
+  //     bound caps the bridge steps, which any left-deep order must
+  //     pay unreduced on one side);
+  //   dp_chain: the 3-table fact chain — the DP AGREES with the
+  //     left-deep rung (dp == best-left-deep bound, shape
+  //     (lineitem,(orders,customer))), so the new rung degrades to
+  //     the old one when bushy buys nothing.
+  // Inner equi-joins are shape-invariant, so one plain-SQL oracle
+  // pins the result rows AND both shape literals (empirically
+  // SF-invariant at all three driver SFs before pinning).
+  private val scaleStatsJoinOrderDp: Q = (s, dir) => {
+    val root = statsArtifactStaged(s, dir)
+    val S = graft.llm.SketchOps
+    val Sc = graft.operators.Scale
+    val ptCache =
+      scala.collection.mutable.Map.empty[(String, Seq[String]), Sc.PlanTable]
+    def pt(name: String, keys: String*) =
+      ptCache.getOrElseUpdate((name, keys.toSeq),
+        Sc.planTable(S.loadTableStats(s, s"$root/$name"), name, keys.toSeq))
+    def run(regime: String, tables: Seq[Sc.PlanTable],
+        edges: Seq[Sc.JoinEdge], dfs: Map[String, DataFrame],
+        sumA: Column, sumB: Column) = {
+      val d = Sc.statsJoinOrderDp(tables, edges, broadcastRows = 100)
+      Sc.executeJoinTree(dfs, d.plan)
+        .agg(count(lit(1)).as("n_rows"), sum(sumA).as("sum_a"),
+          sum(sumB).as("sum_b"))
+        .select(lit(regime).as("regime"),
+          lit(d.shapeString).as("shape"),
+          lit(if (d.bushyWin) 1 else 0).as("bushy_win"),
+          col("n_rows"), col("sum_a"), col("sum_b"))
+    }
+    val ord = t(s, dir, "orders")
+    run("dp_star",
+      Seq(pt("orders", "o_orderkey", "o_custkey"),
+        pt("dsel1", "d1_key"),
+        pt("customer", "c_custkey"),
+        pt("orders2", "o2_custkey", "o2_orderkey"),
+        pt("dsel2", "d2_key")),
+      Seq(Sc.JoinEdge("orders", "o_orderkey", "dsel1", "d1_key"),
+        Sc.JoinEdge("orders", "o_custkey", "customer", "c_custkey"),
+        Sc.JoinEdge("orders2", "o2_custkey", "customer", "c_custkey"),
+        Sc.JoinEdge("orders2", "o2_orderkey", "dsel2", "d2_key")),
+      Map(
+        "orders" -> ord.select("o_orderkey", "o_custkey"),
+        "dsel1" -> ord.filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey").as("d1_key")),
+        "customer" -> t(s, dir, "customer").select("c_custkey"),
+        "orders2" -> ord.select(col("o_custkey").as("o2_custkey"),
+          col("o_orderkey").as("o2_orderkey")),
+        "dsel2" -> ord.filter(col("o_orderkey") % 50 === 0)
+          .select(col("o_orderkey").as("d2_key"))),
+      col("o_orderkey"), col("o2_orderkey"))
+      .unionByName(run("dp_chain",
+        Seq(pt("lineitem", "l_orderkey"),
+          pt("orders", "o_orderkey", "o_custkey"),
+          pt("customer", "c_custkey")),
+        Seq(Sc.JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+          Sc.JoinEdge("orders", "o_custkey", "customer", "c_custkey")),
+        Map(
+          "lineitem" -> t(s, dir, "lineitem").select(col("l_orderkey"),
+            floor(col("l_quantity")).cast("long").as("qty")),
+          "orders" -> t(s, dir, "orders").select("o_orderkey",
+            "o_custkey"),
+          "customer" -> t(s, dir, "customer").select("c_custkey",
+            "c_nationkey")),
+        col("qty"), col("c_nationkey")))
+  }
+  private val scaleStatsJoinOrderDpOracle =
+    """WITH d1 AS (SELECT o_orderkey AS d1_key FROM orders
+      |            WHERE o_orderkey % 100 = 0),
+      |d2 AS (SELECT o_orderkey AS d2_key FROM orders
+      |       WHERE o_orderkey % 50 = 0),
+      |o2 AS (SELECT o_custkey AS o2_custkey, o_orderkey AS o2_orderkey
+      |       FROM orders)
+      |SELECT 'dp_star' AS regime,
+      |       '((orders2,dsel2),(customer,(orders,dsel1)))' AS shape,
+      |       1 AS bushy_win,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS sum_a,
+      |       CAST(sum(o2_orderkey) AS BIGINT) AS sum_b
+      |FROM orders
+      |JOIN d1 ON o_orderkey = d1_key
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN o2 ON o2_custkey = c_custkey
+      |JOIN d2 ON o2_orderkey = d2_key
+      |UNION ALL
+      |SELECT 'dp_chain', '(lineitem,(orders,customer))', 0,
+      |       CAST(count(*) AS BIGINT),
+      |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT),
+      |       CAST(sum(c_nationkey) AS BIGINT)
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
 
   // STREAM-FOLDED STATS → JOIN DECISION, end-to-end (VERDICT r16 #6):
   // rehearsal scenario 10 proved the profiler's histogram folds
@@ -7050,6 +7174,7 @@ object Queries {
     "q_scale_stats_update" -> scaleStatsUpdate,
     "q_scale_stats_gated_join" -> scaleStatsGatedJoin,
     "q_scale_stats_join_order" -> scaleStatsJoinOrder,
+    "q_scale_stats_join_order_dp" -> scaleStatsJoinOrderDp,
     "q_scale_stats_stream_gate" -> scaleStatsStreamGate,
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_pagerank_dangling" -> graphPagerankDangling,
@@ -7243,6 +7368,7 @@ object Queries {
     "q_scale_stats_update" -> scaleStatsArtifactOracle,
     "q_scale_stats_gated_join" -> scaleStatsGatedJoinOracle,
     "q_scale_stats_join_order" -> scaleStatsJoinOrderOracle,
+    "q_scale_stats_join_order_dp" -> scaleStatsJoinOrderDpOracle,
     "q_scale_stats_stream_gate" -> scaleStatsStreamGateOracle,
     "q_graph_pagerank" -> graphPagerankOracle,
     "q_graph_pagerank_dangling" -> graphPagerankDanglingOracle,

@@ -2,7 +2,8 @@ package graft
 
 /** Disposable diagnostics main for iterating on one operator — not
   * part of the driver contract; contents change round to round.
-  * Currently: tier decomposition of q_profile_table (r17 VERDICT #1).
+  * Currently: DP-vs-left-deep join ordering regimes per SF (shape
+  * strings must be SF-invariant before the oracle literal is pinned).
   */
 object ScratchMain {
   def main(args: Array[String]): Unit = {
@@ -14,53 +15,49 @@ object ScratchMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.DataFrame
-
-    // --- partitioning-preservation probe ---------------------------
-    val df = spark.range(10000).selectExpr("id % 3 as k", "id as v")
-    val ck = df.repartition(4, col("k")).localCheckpoint()
-    def nex(d: DataFrame) =
-      d.queryExecution.executedPlan.toString.split("\n")
-        .count(_.contains("Exchange"))
-    println(s"PROBE groupBy(k):   ${nex(ck.groupBy("k").count())} exchanges")
-    println(s"PROBE groupBy(k,v): ${nex(ck.groupBy("k", "v").count())} exchanges")
-    println(s"PROBE window(k):    ${nex(ck.withColumn("rn",
-      org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v"))))} exchanges")
-    println(s"PROBE after alias:  ${nex(ck.select(col("k").as("s"), col("v"))
-      .groupBy("s").count())} exchanges")
-
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    def noop(d: DataFrame): Unit =
-      d.write.format("noop").mode("overwrite").save()
-    def timed(tag: String)(f: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      noop(f)
-      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
-    def smallShuffle(n: Int)(mk: => DataFrame): DataFrame = {
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-      try mk.localCheckpoint()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    }
     val S = graft.llm.SketchOps
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val ev = raw.repartition(32, col("user_id")).localCheckpoint()
-    val qv = floor(col("value") * 1000).cast("long")
-    val cols = Seq(
-      ("user_id", col("user_id"), Some(col("user_id"))),
-      ("event_type", col("event_type"), None),
-      ("value", qv, Some(qv)))
-    val prof = S.profileTable(ev, col("event_id"), cols)
-    val planStr = prof.queryExecution.executedPlan.toString
-    println(s"PROFILE exchanges: ${planStr.split("\n").count(_.contains("Exchange"))}")
-    println(planStr.split("\n").filter(l => l.contains("Exchange") || l.contains("Window") || l.contains("HashAggregate") || l.contains("InMemory") || l.contains("ExistingRDD")).take(60).mkString("\n"))
-    for (run <- 1 to 2) {
-      println(s"--- run $run ---")
-      timed("A as-is (32p in)  ")(S.profileTable(ev, col("event_id"), cols))
-      timed("B smallShuffle(8) ")(smallShuffle(8)(S.profileTable(ev, col("event_id"), cols)))
+    val Sc = graft.operators.Scale
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val dir = s"/root/testdata/sf$sf"
+      def table(name: String) = spark.read.parquet(s"$dir/$name.parquet")
+      def pt(name: String, df: org.apache.spark.sql.DataFrame,
+          keys: String*) = {
+        val ts = S.tableStats(df, col(keys.head),
+          keys.map(k => (k, col(k), Option.empty[org.apache.spark.sql.Column])).toSeq)
+        Sc.planTable(ts, name, keys.toSeq)
+      }
+      val orders = table("orders")
+      // dp_star: hub customer, two reducing branches
+      val star = Seq(
+        pt("orders", orders, "o_orderkey", "o_custkey"),
+        pt("dsel1", orders.filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey").as("d1_key")), "d1_key"),
+        pt("customer", table("customer"), "c_custkey"),
+        pt("orders2", orders.select(col("o_custkey").as("o2_custkey"),
+          col("o_orderkey").as("o2_orderkey")), "o2_custkey", "o2_orderkey"),
+        pt("dsel2", orders.filter(col("o_orderkey") % 50 === 0)
+          .select(col("o_orderkey").as("d2_key")), "d2_key"))
+      val starEdges = Seq(
+        Sc.JoinEdge("orders", "o_orderkey", "dsel1", "d1_key"),
+        Sc.JoinEdge("orders", "o_custkey", "customer", "c_custkey"),
+        Sc.JoinEdge("orders2", "o2_custkey", "customer", "c_custkey"),
+        Sc.JoinEdge("orders2", "o2_orderkey", "dsel2", "d2_key"))
+      val dStar = Sc.statsJoinOrderDp(star, starEdges, broadcastRows = 100)
+      println(s"sf$sf dp_star : ${dStar.shapeString} dp=${dStar.totalBound} " +
+        s"ld=${dStar.bestLeftDeepBound} bushyWin=${dStar.bushyWin}")
+      // dp_chain: the existing 3-table fact chain
+      val chain = Seq(
+        pt("lineitem", table("lineitem"), "l_orderkey"),
+        pt("ordersC", orders.select(col("o_orderkey"), col("o_custkey")),
+          "o_orderkey", "o_custkey"),
+        pt("customerC", table("customer")
+          .select(col("c_custkey"), col("c_nationkey")), "c_custkey"))
+      val chainEdges = Seq(
+        Sc.JoinEdge("lineitem", "l_orderkey", "ordersC", "o_orderkey"),
+        Sc.JoinEdge("ordersC", "o_custkey", "customerC", "c_custkey"))
+      val dChain = Sc.statsJoinOrderDp(chain, chainEdges, broadcastRows = 100)
+      println(s"sf$sf dp_chain: ${dChain.shapeString} dp=${dChain.totalBound} " +
+        s"ld=${dChain.bestLeftDeepBound} bushyWin=${dChain.bushyWin}")
     }
     spark.stop()
   }

@@ -106,6 +106,23 @@ object StatsGateLab {
     println(s"ORDER plan (3-table chain), 10x:       ${fmt(
       orderDecision(li10Ts))}")
 
+    // Selinger-DP rung (r18): same collected state, subset-DP over it
+    // — decision cost flat at 10x by the same construction (driver
+    // arithmetic over ≤ depth·width cells per column)
+    def dpDecision(li: S.TableStats): Unit = {
+      val d = Sc.statsJoinOrderDp(
+        Seq(Sc.planTable(li, "lineitem", Seq("l_orderkey")),
+          Sc.planTable(ord2Ts, "orders", Seq("o_orderkey", "o_custkey")),
+          Sc.planTable(custTs, "customer", Seq("c_custkey"))),
+        Seq(Sc.JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+          Sc.JoinEdge("orders", "o_custkey", "customer", "c_custkey")))
+      require(d.shapeString.nonEmpty)
+    }
+    println(s"DP plan (3-table chain), 1x:           ${fmt(
+      dpDecision(liTs))}")
+    println(s"DP plan (3-table chain), 10x:          ${fmt(
+      dpDecision(li10Ts))}")
+
     spark.stop()
   }
 }

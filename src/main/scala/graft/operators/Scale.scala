@@ -515,6 +515,227 @@ object Scale {
     JoinOrderDecision(order, steps, clampLong(total))
   }
 
+  // ------------------------------------------------------------------
+  // SELINGER-DP ORDERING (r17 VERDICT #3) — the rung above
+  // [[statsJoinOrder]]'s left-deep permutation scan: memoized
+  // best-plan-per-connected-subset over the same persisted artifacts,
+  // BUSHY shapes allowed. Two upgrades over the left-deep rung:
+  //
+  //  1. Enumeration: classic subset DP — for every connected table
+  //     subset, the best plan is the cheapest way to join two
+  //     connected, edge-adjacent sub-plans. Left-deep trees are the
+  //     special case where one side is a single table, so by
+  //     construction dpBound ≤ every left-deep order's bound under
+  //     the same cost model (StatsGateSpec pins it).
+  //  2. A TIGHTER (still sound) step bound. Joining intermediates
+  //     I_L (carrier S, key kS) and I_R (carrier T, key kT):
+  //       - one I_R row matches ≤ multPerKey(L,S,kS) :=
+  //         Π_{L∖S} maxMult · hot(S.kS) rows of I_L (each other L
+  //         table multiplies through one tree edge, then the bridge
+  //         key itself matches at most S's hottest kS count), so
+  //         |I| ≤ bound(I_R) · multPerKey(L,S,kS) — and symmetric;
+  //       - the CMS composition of the left-deep rung still holds:
+  //         |I| ≤ Π_{L∖S} maxMult · Π_{R∖T} maxMult · cms(S.kS,T.kT).
+  //     The step bound is the min of the three — min of sound upper
+  //     bounds is sound (the r17 DOP-fix rule), and the two new
+  //     product terms are what credit a SELECTIVE branch: a small
+  //     sub-plan bound caps every later step that joins through it,
+  //     which the base-counter CMS form cannot see. This is what
+  //     lets a bushy plan price below every left-deep order on a
+  //     star with two reducing branches (the staged dp regime).
+  //
+  // Cost = C_out over the step bounds, leaves free. Ties resolve to
+  // the FIRST enumerated plan (ascending subset masks, canonical
+  // submask order, tables in input order) — deterministic, and the
+  // left-deep-shaped candidate enumerates before the bushy one for
+  // equal-cost splits of the same subset only if its submask order
+  // says so, so tie behavior is pinned by spec, not luck.
+  // ------------------------------------------------------------------
+
+  /** A DP plan node: either a base table or a join of two sub-plans
+    * via the bridge (carrierL.keyL = carrierR.keyR). `stepBound` is
+    * this node's intermediate-size bound; `decision` the per-step
+    * strategy call (right side is the probe/broadcast side — the DP
+    * orients the smaller-bounded side right). `extraEdges` are
+    * further equi-predicates between the two sides (cyclic join
+    * graphs), applied as post-join filters — same result set, the
+    * bound stays sound (filters only shrink). */
+  sealed trait DpPlan {
+    def tables: Set[String]
+    def shapeString: String
+    def bound: BigInt
+    def cost: BigInt
+  }
+  case class DpLeaf(name: String, rows: Long) extends DpPlan {
+    def tables: Set[String] = Set(name)
+    def shapeString: String = name
+    def bound: BigInt = BigInt(rows)
+    def cost: BigInt = BigInt(0)
+  }
+  case class DpJoin(left: DpPlan, right: DpPlan, carrierL: String,
+      keyL: String, carrierR: String, keyR: String,
+      extraEdges: Seq[JoinEdge], stepBound: BigInt,
+      decision: JoinDecision) extends DpPlan {
+    def tables: Set[String] = left.tables ++ right.tables
+    def shapeString: String =
+      s"(${left.shapeString},${right.shapeString})"
+    def bound: BigInt = stepBound
+    def cost: BigInt = left.cost + right.cost + stepBound
+  }
+
+  /** The DP verdict: the chosen (possibly bushy) plan, its C_out
+    * bound total, and the best LEFT-DEEP total under the SAME cost
+    * model — `bushyWin` says the DP found a strictly cheaper bushy
+    * shape than any left-deep order. */
+  case class JoinOrderDpDecision(plan: DpPlan, totalBound: Long,
+      bestLeftDeepBound: Long) {
+    def shapeString: String = plan.shapeString
+    def bushyWin: Boolean = BigInt(totalBound) < BigInt(bestLeftDeepBound)
+  }
+
+  def statsJoinOrderDp(tables: Seq[PlanTable], edges: Seq[JoinEdge],
+      depth: Int = 4, broadcastRows: Long = 10000, hotNum: Long = 1,
+      hotDen: Long = 5, rowsPerPartition: Long = 4000000L,
+      maxParts: Int = 2048): JoinOrderDpDecision = {
+    require(tables.size >= 2, "need at least two tables to order")
+    require(tables.size <= 16, "subset DP supports up to 16 tables")
+    require(tables.map(_.name).distinct.size == tables.size,
+      "table names must be unique")
+    val byName = tables.map(t => t.name -> t).toMap
+    edges.foreach { e =>
+      require(byName.contains(e.tableA) && byName.contains(e.tableB),
+        s"edge $e references an unknown table")
+      require(byName(e.tableA).counters.contains(e.keyA) &&
+        byName(e.tableB).counters.contains(e.keyB),
+        s"edge $e references an unprofiled column")
+    }
+    val names = tables.map(_.name).toIndexedSeq
+    val idx = names.zipWithIndex.toMap
+    def rowsOf(n: String): Long = {
+      val ks = byName(n).stats.values
+      // every column's n_rows is the same table's row count; any
+      // representative works, take the max for safety
+      math.max(1L, ks.map(_.nRows).max)
+    }
+    def multAll(side: Set[String], carrier: String): BigInt =
+      side.toSeq.filterNot(_ == carrier).sorted
+        .map(n => BigInt(byName(n).maxMult)).product
+    // edges crossing a (L, R) bipartition, oriented L-side first,
+    // in input order
+    def crossing(l: Set[String], r: Set[String]): Seq[(String, String, String, String)] =
+      edges.collect {
+        case JoinEdge(a, ka, b, kb) if l(a) && r(b) => (a, ka, b, kb)
+        case JoinEdge(a, ka, b, kb) if l(b) && r(a) => (b, kb, a, ka)
+      }
+    def hotOf(t: String, k: String): BigInt =
+      BigInt(math.max(1L, byName(t).stats(k).hotCnt))
+    def stepBoundOf(l: DpPlan, r: DpPlan, s: String, kS: String,
+        t: String, kT: String): BigInt = {
+      val cms = multAll(l.tables, s) * multAll(r.tables, t) *
+        joinSizeBoundBig(byName(s).counters(kS), byName(t).counters(kT),
+          depth)
+      val viaL = r.bound * multAll(l.tables, s) * hotOf(s, kS)
+      val viaR = l.bound * multAll(r.tables, t) * hotOf(t, kT)
+      cms.min(viaL).min(viaR)
+    }
+    // per-step strategy call with composed stats, the statsJoinOrder
+    // composition generalized to a composed side on BOTH ends
+    def composedStats(p: DpPlan, carrier: String, key: String)
+        : (KeyStats, Map[(Int, Long), Long]) = {
+      val cs = byName(carrier).stats(key)
+      p match {
+        case _: DpLeaf => (cs, byName(carrier).counters(key))
+        case _ =>
+          val m = multAll(p.tables, carrier)
+          (KeyStats(nRows = clampLong(p.bound), nullCnt = 0L,
+            nDistinct = cs.nDistinct, hotCnt = clampLong(m * cs.hotCnt),
+            hotBound = clampLong(m * cs.hotBound), kmvEst = cs.kmvEst),
+            byName(carrier).counters(key)
+              .map { case (c, v) => c -> clampLong(m * v) })
+      }
+    }
+    def mkJoin(l: DpPlan, r: DpPlan): Option[DpJoin] = {
+      val cross = crossing(l.tables, r.tables)
+      if (cross.isEmpty) return None
+      // orient the smaller-bounded side RIGHT (the broadcast/probe
+      // side); strict < so ties keep the canonical (L, R)
+      val (big, small) = if (r.bound > l.bound) (r, l) else (l, r)
+      val oriented = crossing(big.tables, small.tables)
+      val (s, kS, t, kT) = oriented.head
+      val extra = oriented.tail.map { case (a, ka, b, kb) =>
+        JoinEdge(a, ka, b, kb) }
+      val sb = stepBoundOf(big, small, s, kS, t, kT)
+      val (bs, bc) = composedStats(big, s, kS)
+      val (ss, sc) = composedStats(small, t, kT)
+      val d = statsJoinDecisionLocal(bs, ss, bc, sc, depth, broadcastRows,
+        hotNum, hotDen, rowsPerPartition, maxParts)
+      Some(DpJoin(big, small, s, kS, t, kT, extra, sb, d))
+    }
+    val n = names.size
+    val full = (1 << n) - 1
+    val dp = new Array[DpPlan](full + 1)
+    for (i <- 0 until n)
+      dp(1 << i) = DpLeaf(names(i), rowsOf(names(i)))
+    for (mask <- 3 to full; if Integer.bitCount(mask) >= 2) {
+      val low = mask & -mask
+      var best: DpPlan = null
+      // canonical split enumeration: left side contains the lowest
+      // table; descending submask order (the standard loop) is itself
+      // deterministic, which pins tie resolution
+      var sub = (mask - 1) & mask
+      while (sub != 0) {
+        if ((sub & low) != 0) {
+          val l = dp(sub); val r = dp(mask ^ sub)
+          if (l != null && r != null) mkJoin(l, r).foreach { j =>
+            if (best == null || j.cost < best.cost) best = j
+          }
+        }
+        sub = (sub - 1) & mask
+      }
+      dp(mask) = best // null when the subset is disconnected
+    }
+    require(dp(full) != null, "no connected join tree exists")
+    // best LEFT-DEEP under the same cost model: restrict the DP to
+    // singleton right sides
+    val ld = new Array[BigInt](full + 1)
+    val ldPlan = new Array[DpPlan](full + 1)
+    for (i <- 0 until n) {
+      ld(1 << i) = BigInt(0)
+      ldPlan(1 << i) = dp(1 << i)
+    }
+    for (mask <- 3 to full; if Integer.bitCount(mask) >= 2) {
+      var best: BigInt = null
+      for (i <- 0 until n; if (mask & (1 << i)) != 0) {
+        val rest = mask ^ (1 << i)
+        if (ld(rest) != null)
+          mkJoin(ldPlan(rest), dp(1 << i)).foreach { j =>
+            val c = ld(rest) + j.stepBound
+            if (best == null || c < best) { best = c; ldPlan(mask) = j }
+          }
+      }
+      ld(mask) = best
+    }
+    require(ld(full) != null, "no connected left-deep order exists")
+    JoinOrderDpDecision(dp(full), clampLong(dp(full).cost),
+      clampLong(ld(full)))
+  }
+
+  /** Execute a [[statsJoinOrderDp]] plan tree over the named inputs:
+    * inner equi-joins bottom-up, each through [[statsGatedJoin]] with
+    * the DP's per-step strategy; extra crossing edges (cyclic graphs)
+    * apply as post-join equality filters — identical result set, so
+    * one plain-SQL oracle pins rows AND the shape string. Column
+    * names must be unique across the joined tables. */
+  def executeJoinTree(dfs: Map[String, DataFrame], plan: DpPlan,
+      salts: Int = 16): DataFrame = plan match {
+    case DpLeaf(name, _) => dfs(name)
+    case DpJoin(l, r, _, kL, _, kR, extra, _, d) =>
+      val joined = statsGatedJoin(executeJoinTree(dfs, l, salts),
+        executeJoinTree(dfs, r, salts), kL, kR, d, salts)
+      extra.foldLeft(joined)((df, e) =>
+        df.filter(col(e.keyA) === col(e.keyB)))
+  }
+
   /** Execute a [[statsJoinOrder]] verdict over the named inputs:
     * start from the order's base table and fold each step through
     * [[statsGatedJoin]] (the per-step strategy was already decided

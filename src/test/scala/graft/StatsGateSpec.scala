@@ -359,4 +359,122 @@ class StatsGateSpec extends SparkSpec {
         Seq(Scale.JoinEdge("t1", "ak", "t1", "ak")))
     }
   }
+
+  test("statsJoinOrderDp (r18): dp cost <= best left-deep on every " +
+      "regime under the same model; the star regime picks a strictly " +
+      "cheaper BUSHY shape; the chain regime degrades to left-deep; " +
+      "step bounds never undershoot true join sizes; execution == " +
+      "the plain join") {
+    val dir = "/root/testdata/sf0.001"
+    def table(name: String) = spark.read.parquet(s"$dir/$name.parquet")
+    def ptOf(name: String, df: DataFrame, keys: String*) = {
+      val ts = SketchOps.tableStats(df, col(keys.head),
+        keys.map(k => (k, col(k), Option.empty[org.apache.spark.sql.Column])).toSeq)
+      Scale.planTable(ts, name, keys.toSeq)
+    }
+    val orders = table("orders")
+    val dfs = Map(
+      "orders" -> orders.select("o_orderkey", "o_custkey"),
+      "dsel1" -> orders.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("d1_key")),
+      "customer" -> table("customer").select("c_custkey"),
+      "orders2" -> orders.select(col("o_custkey").as("o2_custkey"),
+        col("o_orderkey").as("o2_orderkey")),
+      "dsel2" -> orders.filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("d2_key")))
+    val star = Seq(
+      ptOf("orders", dfs("orders"), "o_orderkey", "o_custkey"),
+      ptOf("dsel1", dfs("dsel1"), "d1_key"),
+      ptOf("customer", dfs("customer"), "c_custkey"),
+      ptOf("orders2", dfs("orders2"), "o2_custkey", "o2_orderkey"),
+      ptOf("dsel2", dfs("dsel2"), "d2_key"))
+    val starEdges = Seq(
+      Scale.JoinEdge("orders", "o_orderkey", "dsel1", "d1_key"),
+      Scale.JoinEdge("orders", "o_custkey", "customer", "c_custkey"),
+      Scale.JoinEdge("orders2", "o2_custkey", "customer", "c_custkey"),
+      Scale.JoinEdge("orders2", "o2_orderkey", "dsel2", "d2_key"))
+    val dStar = Scale.statsJoinOrderDp(star, starEdges,
+      broadcastRows = 100)
+    assert(dStar.totalBound <= dStar.bestLeftDeepBound,
+      "dp must never price above the best left-deep (left-deep trees " +
+        "are a subset of the dp's search space)")
+    assert(dStar.bushyWin, s"star regime must be a bushy win, " +
+      s"got ${dStar.shapeString} dp=${dStar.totalBound} " +
+      s"ld=${dStar.bestLeftDeepBound}")
+    assert(dStar.shapeString ==
+      "((orders2,dsel2),(customer,(orders,dsel1)))",
+      s"star shape ${dStar.shapeString}")
+    // SOUNDNESS of every step bound: >= the step's true join size,
+    // checked by executing each subtree
+    def trueRows(p: Scale.DpPlan): Long = p match {
+      case Scale.DpLeaf(n, _) => dfs(n).count()
+      case j: Scale.DpJoin =>
+        val got = Scale.executeJoinTree(dfs, j).count()
+        assert(BigInt(got) <= j.bound,
+          s"step bound ${j.bound} undershoots true size $got " +
+            s"at ${j.shapeString}")
+        trueRows(j.left); trueRows(j.right); got
+    }
+    trueRows(dStar.plan)
+    // execution == the plain 5-table join
+    val got = Scale.executeJoinTree(dfs, dStar.plan)
+      .select("o_orderkey", "o2_orderkey")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val want = dfs("orders")
+      .join(dfs("dsel1"), col("o_orderkey") === col("d1_key"))
+      .join(dfs("customer"), col("o_custkey") === col("c_custkey"))
+      .join(dfs("orders2"), col("o2_custkey") === col("c_custkey"))
+      .join(dfs("dsel2"), col("o2_orderkey") === col("d2_key"))
+      .select("o_orderkey", "o2_orderkey")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.length == want.length && got.sameElements(want),
+      "dp execution must return exactly the plain join's rows")
+    assert(got.nonEmpty)
+    // chain regime: dp degrades to the left-deep rung
+    val chain = Seq(
+      ptOf("lineitem", table("lineitem"), "l_orderkey"),
+      ptOf("ordersK", dfs("orders").toDF("o_orderkey", "o_custkey"),
+        "o_orderkey", "o_custkey"),
+      ptOf("customerK", dfs("customer"), "c_custkey"))
+    val dChain = Scale.statsJoinOrderDp(chain,
+      Seq(Scale.JoinEdge("lineitem", "l_orderkey", "ordersK",
+        "o_orderkey"),
+        Scale.JoinEdge("ordersK", "o_custkey", "customerK",
+          "c_custkey")),
+      broadcastRows = 100)
+    assert(!dChain.bushyWin &&
+      dChain.totalBound == dChain.bestLeftDeepBound,
+      s"chain regime must degrade to left-deep: dp=${dChain.totalBound} " +
+        s"ld=${dChain.bestLeftDeepBound}")
+    assert(dChain.shapeString == "(lineitem,(ordersK,customerK))",
+      s"chain shape ${dChain.shapeString}")
+  }
+
+  test("statsJoinOrderDp rejects disconnected inputs and applies " +
+      "extra crossing edges of a CYCLIC graph as post-join filters") {
+    import spark.implicits._
+    val a = (1 to 50).map(i => (i.toLong, (i % 5).toLong)).toDF("ak", "ag")
+    val b = (1 to 50).map(i => (i.toLong, (i % 5).toLong)).toDF("bk", "bg")
+    def ptOf(name: String, df: DataFrame, keys: String*) = {
+      val ts = SketchOps.tableStats(df, col(keys.head),
+        keys.map(k => (k, col(k), Option.empty[org.apache.spark.sql.Column])).toSeq)
+      Scale.planTable(ts, name, keys.toSeq)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.statsJoinOrderDp(
+        Seq(ptOf("ta", a, "ak"), ptOf("tb", b, "bk")), Seq.empty)
+    }
+    // cyclic: two edges between the same pair — the second must apply
+    // as a filter, so the result is the two-key equi-join
+    val d = Scale.statsJoinOrderDp(
+      Seq(ptOf("ta", a, "ak", "ag"), ptOf("tb", b, "bk", "bg")),
+      Seq(Scale.JoinEdge("ta", "ak", "tb", "bk"),
+        Scale.JoinEdge("ta", "ag", "tb", "bg")))
+    val dfs = Map("ta" -> a, "tb" -> b)
+    val got = Scale.executeJoinTree(dfs, d.plan).count()
+    val want = a.join(b, col("ak") === col("bk") &&
+      col("ag") === col("bg")).count()
+    assert(got == want, s"cyclic-edge execution: got $got want $want")
+    assert(got == 50L)
+  }
 }
