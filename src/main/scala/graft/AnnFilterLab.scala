@@ -106,6 +106,33 @@ object AnnFilterLab {
       val perQ = queries.count() - full
       println(f"| $name | ${fmt(serveT)} | $recall%.3f | $perQ |")
     }
+
+    // r18: the prebuilt PQ index's filtered serve at the same
+    // selectivities — the compressed family's version of the same
+    // tradeoff; recall measured against exact filtered brute over the
+    // full-width vectors (so it folds in the PQ quantization loss the
+    // IVF rows don't pay), with the rerank refine on.
+    println("\nprebuilt PQ-index filtered serve (nlist=64, nprobe=8, rerank=32):")
+    println("| selectivity | serve s | recall@10 vs exact filtered |")
+    println("|---|---|---|")
+    val pqRaw = S.buildPqIndex(emb, "vec_id", "embedding", nlist = 64,
+      attrCols = Seq("label"))
+    val pq = pqRaw.copy(assignments = pqRaw.assignments.localCheckpoint())
+    for (((name, p), (_, sp)) <- preds.zip(servePreds)) {
+      val serveT = timed(S.ivfPqServeFilteredTopK(pq, queries, "vec_id",
+        "embedding", 10, sp, nprobe = 8, rerank = Some(32)))
+      val truth = S.bruteForceTopK(emb.filter(p), queries, "vec_id",
+          "embedding", 10, S.quantizedCosineX1e6)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val served = S.ivfPqServeFilteredTopK(pq, queries, "vec_id",
+          "embedding", 10, sp, nprobe = 8, rerank = Some(32))
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = truth.count(served.contains).toDouble /
+        math.max(truth.size, 1)
+      println(f"| $name | ${fmt(serveT)} | $recall%.3f |")
+    }
     spark.stop()
   }
 }

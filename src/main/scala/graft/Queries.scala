@@ -6707,13 +6707,18 @@ object Queries {
   // in-session build+refine" is the hash-compared surface.
   private def pqIndexStaged(s: SparkSession, dir: String): String = {
     val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("embeddings"))
+    // _v2: coded rows carry the label attribute (filtered serves push
+    // predicates into the persisted scan) and the per-row encoding
+    // error + meta baseline (the drift gate's stats) — the seam
+    // contract's layout-change rule: bump the version literal
     val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_v1_$key"
+      s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_v2_$key"
     if (!graft.sources.Staging.hasMarker(s"$path")) {
       graft.sources.Staging.stageOnce(path) { tmp =>
         graft.llm.SimilarityOps.savePqIndex(
           graft.llm.SimilarityOps.buildPqIndex(
-            embT(s, dir), "vec_id", "embedding"), tmp)
+            embT(s, dir), "vec_id", "embedding",
+            attrCols = Seq("label")), tmp)
       }
     }
     path
@@ -6789,6 +6794,314 @@ object Queries {
       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank
       |FROM adist
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 5""".stripMargin
+
+  // ---------------------------------------------------------------
+  // IVF-PQ index MAINTENANCE (r18, VERDICT r17 #4/#5): the seventh
+  // seam stops being build-once — incremental append under the
+  // existing model, a drift gate with the PQ-specific failure mode
+  // (encoding-error growth against the build-time baseline), and a
+  // filtered serve pushing the predicate below the coded scan.
+  // ---------------------------------------------------------------
+
+  // Parametrized DuckDB mirror of one IVF-PQ model + ADC serve: the
+  // annIvfPq CTE chain with a prefix, a caller-chosen (id, q, nq)
+  // corpus CTE, and a model-source WHERE (hash-order centroid/codebook
+  // picks restricted to the model's training rows) — what lets one
+  // oracle express "serve after append == rebuilt with the SAME
+  // model" and "serve after rebuild == FRESH model over the grown
+  // corpus" without duplicating the chain per regime.
+  private def pqModelSql(p: String, nSrc: String, where: String) = {
+    val w = if (where.isEmpty) "" else s"WHERE $where"
+    s"""${p}cent AS (SELECT id AS cell, q AS cq, nq AS cnq FROM $nSrc $w
+       |         ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id
+       |         LIMIT 16),
+       |${p}cb AS (SELECT q AS cbq,
+       |         CAST(row_number() OVER (
+       |           ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id) AS INT) - 1 AS cpos
+       |       FROM $nSrc $w
+       |       ORDER BY ((id & 2147483647) * 2654435761) % 1000000007, id
+       |       LIMIT 16)""".stripMargin
+  }
+  private def pqDistSql(p: String, nSrc: String, vidWhere: String,
+      model: String) = {
+    val w = if (vidWhere.isEmpty) "" else s"WHERE $vidWhere"
+    s"""${p}dist AS (
+       |  SELECT v.id AS vid, CAST(t.j AS INT) AS j, c.cpos AS c,
+       |    CAST(list_sum(list_transform(range(8),
+       |      i -> (v.q[CAST(t.j AS INT)*8 + CAST(i AS INT) + 1] - c.cbq[CAST(t.j AS INT)*8 + CAST(i AS INT) + 1])
+       |         * (v.q[CAST(t.j AS INT)*8 + CAST(i AS INT) + 1] - c.cbq[CAST(t.j AS INT)*8 + CAST(i AS INT) + 1]))) AS BIGINT) AS d2
+       |  FROM (SELECT * FROM $nSrc $w) v,
+       |       (SELECT unnest(range(8)) AS j) t, ${model}cb c),
+       |${p}codes AS (
+       |  SELECT vid, j, c, d2 FROM (
+       |    SELECT vid, j, c, d2,
+       |      row_number() OVER (PARTITION BY vid, j ORDER BY d2, c) AS rn
+       |    FROM ${p}dist) WHERE rn = 1)""".stripMargin
+  }
+  private def pqServeSql(p: String, nSrc: String, model: String,
+      codes: String, nprobe: Int) =
+    s"""${p}assigned AS (
+       |  SELECT neighbor_id, cell FROM (
+       |    SELECT v.id AS neighbor_id, c.cell AS cell,
+       |      row_number() OVER (PARTITION BY v.id
+       |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+       |    FROM $nSrc v, ${model}cent c) WHERE rn = 1),
+       |${p}probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT v.id AS query_id, c.cell AS cell,
+       |      row_number() OVER (PARTITION BY v.id
+       |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+       |    FROM $nSrc v, ${model}cent c WHERE v.id < 20) WHERE rn <= $nprobe),
+       |${p}adist AS (
+       |  SELECT p.query_id, a.neighbor_id, CAST(sum(dq.d2) AS BIGINT) AS adist
+       |  FROM ${p}probes p
+       |  JOIN ${p}assigned a ON p.cell = a.cell AND p.query_id <> a.neighbor_id
+       |  JOIN ${codes}codes cx ON cx.vid = a.neighbor_id
+       |  JOIN ${codes}dist dq ON dq.vid = p.query_id AND dq.j = cx.j AND dq.c = cx.c
+       |  GROUP BY 1, 2)""".stripMargin
+
+  // INCREMENTAL PQ-INDEX UPDATE — the staged artifact is built over
+  // 75% of the corpus (vec_id % 4 != 0: coarse centroids, codebook,
+  // coded rows, refine store, the frozen qerr baseline), then the
+  // remaining 25% APPENDS through SimilarityOps.appendToPqIndex —
+  // encoded under the EXISTING model, coded+refine rows appended in
+  // place. The ORACLE picks the model from the BASE subset but codes
+  // the WHOLE corpus — i.e. it IS the rebuilt-with-same-model index —
+  // so "serve-after-append == serve-over-rebuilt" is the
+  // hash-compared surface (the q_ann_index_update story on the
+  // compressed family).
+  private def pqUpdatedIndexStaged(s: SparkSession, dir: String): String = {
+    val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("embeddings"))
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_pq_upd_v1_$key"
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        val So = graft.llm.SimilarityOps
+        So.savePqIndex(So.buildPqIndex(
+          embT(s, dir).filter(col("vec_id") % 4 =!= 0),
+          "vec_id", "embedding"), tmp)
+        So.appendToPqIndex(s, tmp,
+          embT(s, dir).filter(col("vec_id") % 4 === 0),
+          "vec_id", "embedding")
+      }
+    }
+    path
+  }
+  private val annPqIndexUpdate: Q = (s, dir) => withSmallShuffle(s) {
+    val ix = graft.llm.SimilarityOps.loadPqIndex(s,
+      pqUpdatedIndexStaged(s, dir))
+    graft.llm.SimilarityOps.ivfPqServeTopK(ix,
+      embT(s, dir).coalesce(4).filter(col("vec_id") < 20),
+      "vec_id", "embedding", 5)
+  }
+  private val annPqIndexUpdateOracle =
+    s"""$quantNormCte,
+      |${pqModelSql("m_", "n", "id % 4 <> 0")},
+      |${pqDistSql("c_", "n", "", "m_")},
+      |${pqServeSql("s_", "n", "m_", "c_", 4)}
+      |SELECT query_id, neighbor_id, adist,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INT) AS rank
+      |FROM s_adist
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 5""".stripMargin
+
+  // DRIFT-GATED PQ REBUILD — the q_ann_index_rebuild shape on the
+  // compressed family, with the PQ-SPECIFIC failure mode as the new
+  // gate axis: a batch can spread across cells exactly like the
+  // corpus (the coarse gate stays quiet) while a STALE CODEBOOK
+  // quantizes its drifted vectors with exploding encoding error —
+  // silently degrading every later ADC serve. pqUpdateDecision
+  // measures BOTH stats from the append's own encode pass (max cell
+  // share, and the batch's total own-codes ADC error against the
+  // build-time baseline frozen in meta/); the gate rebuilds when
+  // either fires. Two regimes, branch AND both stats AND the served
+  // neighbors hash-compared:
+  //   iid:   the %4 split — spreads like the corpus, qerr ratio ~1x
+  //          -> append; serve == rebuilt-same-model;
+  //   drift: every batch vector SCALED x3 — cell assignment is
+  //          cosine-based so the cell share stays i.i.d.-like (the
+  //          coarse gate alone would MISS it), but encoding error
+  //          grows ~9x >= the 2x bar -> rebuild; serve == fresh
+  //          hash-order model over the grown (scaled) corpus.
+  private def pqGatedIndexStaged(s: SparkSession, dir: String,
+      regime: String): String = {
+    val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("embeddings"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_pq_gated_${regime}_v1_$key"
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        val So = graft.llm.SimilarityOps
+        val emb = embT(s, dir)
+        So.savePqIndex(So.buildPqIndex(
+          emb.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding"), tmp)
+        val batch =
+          if (regime == "drift")
+            emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double") * 3)
+                .as("embedding"))
+          else emb.filter(col("vec_id") % 4 === 0)
+            .select("vec_id", "embedding")
+        So.pqGatedUpdate(s, tmp, batch, "vec_id", "embedding")
+      }
+    }
+    path
+  }
+  private val annPqIndexRebuild: Q = (s, dir) => withSmallShuffle(s) {
+    val So = graft.llm.SimilarityOps
+    def one(regime: String) = {
+      val root = pqGatedIndexStaged(s, dir, regime)
+      val ix = So.loadPqIndex(s, root)
+      val drift = So.loadPqDrift(s, root).head() // exactly one update
+      // queries = the regime corpus's own rows read from the index's
+      // refine store (the drifted batch queries with its drifted
+      // vectors — the annIndexRebuild move)
+      val queries = ix.assignments.filter(col("neighbor_id") < 20)
+        .select(col("neighbor_id").as("vec_id"),
+          col("emb").as("embedding"))
+      So.ivfPqServeTopK(ix, queries.coalesce(4), "vec_id", "embedding", 5)
+        .select(lit(regime).as("regime"),
+          lit(drift.getString(0)).as("branch"),
+          lit(drift.getLong(1)).as("max_cell_cnt"),
+          lit(drift.getLong(2)).as("batch_rows"),
+          lit(drift.getLong(3)).as("batch_qerr_sum"),
+          lit(drift.getLong(4)).as("base_qerr_sum"),
+          lit(drift.getLong(5)).as("base_rows"),
+          col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+    }
+    one("iid").unionByName(one("drift"))
+  }
+  private val annPqIndexRebuildOracle = {
+    // per-regime gate stats, always under the BASE model: the batch's
+    // cell histogram and encoding-error sum, plus the base subset's
+    // own (the frozen baseline)
+    def gateStats(p: String, n: String) =
+      s"""${p}share AS (
+        |  SELECT CAST(max(cnt) AS BIGINT) AS max_cell_cnt,
+        |         CAST(sum(cnt) AS BIGINT) AS batch_rows
+        |  FROM (SELECT cell, count(*) AS cnt FROM (
+        |    SELECT cell FROM (
+        |      SELECT v.id, c.cell,
+        |        row_number() OVER (PARTITION BY v.id
+        |          ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+        |      FROM $n v, ${p}bm_cent c WHERE v.id % 4 = 0) WHERE rn = 1)
+        |    GROUP BY cell)),
+        |${p}bqerr AS (
+        |  SELECT CAST(sum(d2) AS BIGINT) AS batch_qerr_sum
+        |  FROM ${p}bc_codes WHERE vid % 4 = 0),
+        |${p}sqerr AS (
+        |  SELECT CAST(sum(d2) AS BIGINT) AS base_qerr_sum,
+        |         CAST(count(DISTINCT vid) AS BIGINT) AS base_rows
+        |  FROM ${p}bc_codes WHERE vid % 4 <> 0)""".stripMargin
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding FROM embeddings),
+      |-- iid regime: original vectors everywhere
+      |i_n AS (SELECT id, q,
+      |    CAST(list_sum(list_transform(q, v -> v*v)) AS BIGINT) AS nq
+      |  FROM (SELECT id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM e0)),
+      |-- drift regime: the %4 batch scaled x3 BEFORE quantization
+      |d_n AS (SELECT id, q,
+      |    CAST(list_sum(list_transform(q, v -> v*v)) AS BIGINT) AS nq
+      |  FROM (SELECT id,
+      |    CASE WHEN id % 4 = 0
+      |      THEN list_transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE)*3)*1000) AS BIGINT))
+      |      ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))
+      |    END AS q
+      |  FROM e0)),
+      |-- base model (both regimes' gates measure under it; the iid
+      |-- regime also SERVES from it — append keeps the model)
+      |${pqModelSql("i_bm_", "i_n", "id % 4 <> 0")},
+      |${pqDistSql("i_bc_", "i_n", "", "i_bm_")},
+      |${gateStats("i_", "i_n")},
+      |${pqServeSql("i_s_", "i_n", "i_bm_", "i_bc_", 4)},
+      |i_out AS (
+      |  SELECT 'iid' AS regime, 'append' AS branch,
+      |    sh.max_cell_cnt, sh.batch_rows, bq.batch_qerr_sum,
+      |    sq.base_qerr_sum, sq.base_rows,
+      |    a.query_id, a.neighbor_id, a.adist,
+      |    CAST(row_number() OVER (PARTITION BY a.query_id
+      |      ORDER BY a.adist, a.neighbor_id) AS INT) AS rank
+      |  FROM i_s_adist a, i_share sh, i_bqerr bq, i_sqerr sq
+      |  QUALIFY row_number() OVER (PARTITION BY a.query_id
+      |    ORDER BY a.adist, a.neighbor_id) <= 5),
+      |-- drift regime: gate under the base model (scaled batch), but
+      |-- the rebuild SERVES from a fresh model over the grown corpus
+      |${pqModelSql("d_bm_", "d_n", "id % 4 <> 0")},
+      |${pqDistSql("d_bc_", "d_n", "", "d_bm_")},
+      |${gateStats("d_", "d_n")},
+      |${pqModelSql("d_fm_", "d_n", "")},
+      |${pqDistSql("d_fc_", "d_n", "", "d_fm_")},
+      |${pqServeSql("d_s_", "d_n", "d_fm_", "d_fc_", 4)},
+      |d_out AS (
+      |  SELECT 'drift' AS regime, 'rebuild' AS branch,
+      |    sh.max_cell_cnt, sh.batch_rows, bq.batch_qerr_sum,
+      |    sq.base_qerr_sum, sq.base_rows,
+      |    a.query_id, a.neighbor_id, a.adist,
+      |    CAST(row_number() OVER (PARTITION BY a.query_id
+      |      ORDER BY a.adist, a.neighbor_id) AS INT) AS rank
+      |  FROM d_s_adist a, d_share sh, d_bqerr bq, d_sqerr sq
+      |  QUALIFY row_number() OVER (PARTITION BY a.query_id
+      |    ORDER BY a.adist, a.neighbor_id) <= 5)
+      |SELECT * FROM i_out UNION ALL SELECT * FROM d_out""".stripMargin
+  }
+
+  // FILTERED SERVE FROM THE PREBUILT PQ INDEX — q_ann_filtered_serve
+  // on the compressed family: the label predicate lands on the
+  // persisted coded rows (carried via the v2 index layout, a pushable
+  // parquet filter), only the probed cells' qualifying CODED rows are
+  // ADC-scored, and the top-32 refine against the carried full-width
+  // vectors. nprobe = 8 (double the unfiltered default) — the
+  // standard deployment mitigation for the cells-laid-out-unfiltered
+  // recall tradeoff, documented rather than hidden; nprobe = nlist
+  // degenerates to exact ADC over the qualifying set (ModelSeamSpec).
+  private val annIvfPqFilteredServe: Q = (s, dir) => withSmallShuffle(s) {
+    val ix = graft.llm.SimilarityOps.loadPqIndex(s, pqIndexStaged(s, dir))
+    graft.llm.SimilarityOps.ivfPqServeFilteredTopK(ix,
+      embT(s, dir).coalesce(4).filter(col("vec_id") < 20),
+      "vec_id", "embedding", 5, predicate = col("label") % 4 =!= 0,
+      nprobe = 8, rerank = Some(32))
+  }
+  private val annIvfPqFilteredServeOracle =
+    s"""WITH e AS (
+      |  SELECT vec_id AS id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT id, label, q,
+      |        CAST(list_sum(list_transform(q, v -> v*v)) AS BIGINT) AS nq
+      |      FROM e),
+      |${pqModelSql("m_", "n", "")},
+      |${pqDistSql("c_", "n", "", "m_")},
+      |f_assigned AS (
+      |  SELECT neighbor_id, cell FROM (
+      |    SELECT v.id AS neighbor_id, v.label AS label, c.cell AS cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+      |    FROM n v, m_cent c) WHERE rn = 1 AND label % 4 <> 0),
+      |f_probes AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT v.id AS query_id, c.cell AS cell,
+      |      row_number() OVER (PARTITION BY v.id
+      |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+      |    FROM n v, m_cent c WHERE v.id < 20) WHERE rn <= 8),
+      |f_adist AS (
+      |  SELECT p.query_id, a.neighbor_id, CAST(sum(dq.d2) AS BIGINT) AS adist
+      |  FROM f_probes p
+      |  JOIN f_assigned a ON p.cell = a.cell AND p.query_id <> a.neighbor_id
+      |  JOIN c_codes cx ON cx.vid = a.neighbor_id
+      |  JOIN c_dist dq ON dq.vid = p.query_id AND dq.j = cx.j AND dq.c = cx.c
+      |  GROUP BY 1, 2),
+      |f_cands AS (
+      |  SELECT query_id, neighbor_id FROM f_adist
+      |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 32),
+      |f_exact AS (
+      |  SELECT cd.query_id, cd.neighbor_id,
+      |    ${qcosSql("qn.q", "qn.nq", "cn.q", "cn.nq")} AS score_x1e6
+      |  FROM f_cands cd
+      |  JOIN n qn ON qn.id = cd.query_id
+      |  JOIN n cn ON cn.id = cd.neighbor_id)
+      |SELECT query_id, neighbor_id, score_x1e6,
+      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) AS INT) AS rank
+      |FROM f_exact
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) <= 5""".stripMargin
 
   // The float32 descriptor path, oracled exactly: feature = bin-6
   // count / n_bytes computed in FLOAT (one correctly-rounded single-
@@ -7309,6 +7622,9 @@ object Queries {
     "q_ann_ivfpq_topk" -> annIvfPqTopk,
     "q_ann_ivfpq_rerank" -> annIvfPqRerank,
     "q_ann_ivfpq_serve" -> annIvfPqServe,
+    "q_ann_pq_index_update" -> annPqIndexUpdate,
+    "q_ann_pq_index_rebuild" -> annPqIndexRebuild,
+    "q_ann_ivfpq_filtered_serve" -> annIvfPqFilteredServe,
     "q_ann_ivfpq_residual" -> annIvfPqResidual,
     "q_llm_repetition" -> llmRepetition,
     "q_llm_c4_stats" -> llmC4Stats,
@@ -7501,6 +7817,9 @@ object Queries {
     "q_ann_ivfpq_topk" -> annIvfPqTopkOracle,
     "q_ann_ivfpq_rerank" -> annIvfPqRerankOracle,
     "q_ann_ivfpq_serve" -> annIvfPqRerankOracle,
+    "q_ann_pq_index_update" -> annPqIndexUpdateOracle,
+    "q_ann_pq_index_rebuild" -> annPqIndexRebuildOracle,
+    "q_ann_ivfpq_filtered_serve" -> annIvfPqFilteredServeOracle,
     "q_ann_ivfpq_residual" -> annIvfPqResidualOracle,
     "q_llm_repetition" -> llmRepetitionOracle,
     "q_llm_c4_stats" -> llmC4StatsOracle,

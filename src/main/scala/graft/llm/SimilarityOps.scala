@@ -871,16 +871,27 @@ object SimilarityOps {
     * subexpression elimination — both uses sit in the same Project. */
   private def pqEncode(corpus: DataFrame, idCol: String, embCol: String,
       lookups: DataFrame, m: Int, residual: Boolean,
-      carryEmb: Boolean): DataFrame = {
+      carryEmb: Boolean, qerrKsub: Int = 0): DataFrame = {
     val V = graft.functions.VecFunctions
     val qe = quantL(col("emb"))
     val cell = element_at(V.nearest_cells_q(qe, col("cents"), 1), 1)
     val enc = if (residual) V.residual_q(qe, col("cents"), cell) else qe
+    val codes = V.pq_encode(enc, col("cb"), m)
+    // qerr = the row's ENCODING error — the ADC distance of its own
+    // codes against its own vector's table (Σ_j d2(subvec_j, chosen
+    // codeword)); the PQ-specific drift stat [[pqUpdateDecision]]
+    // gates on. The duplicated `enc` stays one kernel call via
+    // whole-stage subexpression elimination (same Project).
     val base = Seq(col("neighbor_id"), cell.as("cell"),
-      V.pq_encode(enc, col("cb"), m).as("codes"))
+      codes.as("codes")) ++
+      (if (carryEmb) Seq(col("emb")) else Nil) ++
+      (if (qerrKsub > 0)
+        Seq(V.pq_adc(V.pq_table(enc, col("cb"), m), codes, qerrKsub)
+          .as("qerr"))
+      else Nil)
     corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("emb"))
       .crossJoin(lookups)
-      .select((if (carryEmb) base :+ col("emb") else base): _*)
+      .select(base: _*)
   }
 
   /** Probe side: each query's `nprobe` nearest cells plus its ADC
@@ -977,23 +988,32 @@ object SimilarityOps {
 
   /** A persisted IVF-PQ index: `centroids` (cell, centroid) and
     * `codebook` (cid, cvec) are model-sized; `assignments`
-    * (neighbor_id, cell, codes, emb) is the coded corpus with the
-    * full-width vector kept as the refine store; (nlist, m, ksub,
-    * residual) pin the build's geometry so serving cannot silently
-    * mismatch it. */
+    * (neighbor_id, cell, codes, emb, qerr[, attrs…]) is the coded
+    * corpus with the full-width vector kept as the refine store and
+    * each row's ENCODING error (its own-codes ADC distance) kept as
+    * the drift gate's per-row stat; (nlist, m, ksub, residual) pin
+    * the build's geometry so serving cannot silently mismatch it.
+    * `qerrSum`/`qerrRows` are the BUILD-time encoding-error baseline
+    * (frozen between rebuilds — the reference distribution a gated
+    * update compares incoming batches against); -1 when the index
+    * was built in-session and never persisted. */
   case class PqIndex(centroids: DataFrame, codebook: DataFrame,
       assignments: DataFrame, nlist: Int, m: Int, ksub: Int,
-      residual: Boolean)
+      residual: Boolean, qerrSum: Long = -1L, qerrRows: Long = -1L)
 
   /** Build an IVF-PQ index over the corpus — the same construction
     * [[ivfPqTopK]] runs inline (default hash-order centroid/codebook
     * picks, or trained quantizers via `centroids`/`codebook`), with
-    * the coded rows kept as a frame instead of consumed. */
+    * the coded rows kept as a frame instead of consumed. `attrCols`
+    * carries attribute columns into the coded rows so filtered
+    * serves can push predicates into the persisted scan (the
+    * [[buildIvfIndexWithAttrs]] move on the compressed family). */
   def buildPqIndex(corpus: DataFrame, idCol: String, embCol: String,
       nlist: Int = 16, m: Int = 8, ksub: Int = 16,
       centroids: Option[DataFrame] = None,
       codebook: Option[DataFrame] = None,
-      residual: Boolean = false): PqIndex = {
+      residual: Boolean = false,
+      attrCols: Seq[String] = Nil): PqIndex = {
     val cents = centroids.map(_.select(col("cell"), col("centroid")))
       .getOrElse(hashOrderPick(corpus, idCol, embCol, nlist, "cell",
         "centroid"))
@@ -1004,25 +1024,36 @@ object SimilarityOps {
     // both derive from the same total order — cid (pqLookupArrays
     // canonicalizes unconditionally)
     val lookups = broadcast(pqLookupArrays(cents, cb))
-    PqIndex(cents, cb,
-      pqEncode(corpus, idCol, embCol, lookups, m, residual,
-        carryEmb = true),
-      nlist, m, ksub, residual)
+    val coded = pqEncode(corpus, idCol, embCol, lookups, m, residual,
+      carryEmb = true, qerrKsub = ksub)
+    val assigned =
+      if (attrCols.isEmpty) coded
+      else coded.join(corpus.select(
+        (col(idCol).as("neighbor_id") +: attrCols.map(col)): _*),
+        "neighbor_id")
+    PqIndex(cents, cb, assigned, nlist, m, ksub, residual)
   }
 
   /** Persist a [[PqIndex]] under `path`: `centroids/`, `codebook/`
     * and the 1-row `meta/` through the model seam's single-part
     * layout; `assign/` as plain multi-part parquet (corpus-derived);
-    * the top-level `_SUCCESS` lands once every half is complete. */
+    * the top-level `_SUCCESS` lands once every half is complete.
+    * The meta row records the build-time encoding-error baseline
+    * (one counter-sized aggregate over the coded rows the save
+    * materializes anyway) — what [[pqGatedUpdate]] gates against. */
   def savePqIndex(index: PqIndex, path: String): Unit = {
     val spark = index.centroids.sparkSession
     import spark.implicits._
     Quantizers.saveModel(index.centroids, s"$path/centroids")
     Quantizers.saveModel(index.codebook, s"$path/codebook")
-    Quantizers.saveModel(
-      Seq((index.nlist, index.m, index.ksub, index.residual))
-        .toDF("nlist", "m", "ksub", "residual"), s"$path/meta")
     index.assignments.write.mode("overwrite").parquet(s"$path/assign")
+    val qe = spark.read.parquet(s"$path/assign")
+      .agg(sum("qerr"), count(lit(1))).head()
+    Quantizers.saveModel(
+      Seq((index.nlist, index.m, index.ksub, index.residual,
+        if (qe.isNullAt(0)) 0L else qe.getLong(0), qe.getLong(1)))
+        .toDF("nlist", "m", "ksub", "residual", "qerr_sum", "qerr_rows"),
+      s"$path/meta")
     graft.sources.Staging.touchMarker(path)
   }
 
@@ -1036,8 +1067,165 @@ object SimilarityOps {
     PqIndex(Quantizers.loadModel(spark, s"$path/centroids"),
       Quantizers.loadModel(spark, s"$path/codebook"),
       spark.read.parquet(s"$path/assign"),
-      meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getBoolean(3))
+      meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getBoolean(3),
+      meta.getLong(4), meta.getLong(5))
   }
+
+  /** The PLAIN coded-row schema the in-place PQ maintainers require —
+    * the [[requirePlainIndex]] contract on the compressed family: an
+    * attr-carrying index appended to in place would silently null its
+    * attribute columns. */
+  private def requirePlainPqIndex(ix: PqIndex, op: String): Unit = {
+    val cols = ix.assignments.columns.toSet
+    require(cols == Set("neighbor_id", "cell", "codes", "emb", "qerr"),
+      s"$op requires a plain coded index (neighbor_id/cell/codes/emb/" +
+        s"qerr); this index carries ${cols.mkString(", ")} — " +
+        "attr-carrying indexes must be rebuilt through their staging path")
+  }
+
+  /** INCREMENTAL PQ-index update — the corpus APPENDS between
+    * rebuilds: encode ONLY the new batch under the EXISTING coarse
+    * centroids AND codebook and append the coded+refine rows to
+    * `assign/` in place ([[appendToIvfIndex]] on the compressed
+    * family; `centroids/`, `codebook/` and the meta baseline stay
+    * immutable between rebuilds). Serving after the update is
+    * IDENTICAL to serving over an index rebuilt with the SAME
+    * quantizers over the grown corpus (codes are a pure per-row
+    * function of (vector, centroids, codebook) — ModelSeamSpec pins
+    * it). What degrades is COMPRESSION QUALITY, not correctness: a
+    * codebook trained on the pre-append distribution encodes drifted
+    * mass with growing ADC error — exactly the stat
+    * [[pqUpdateDecision]] measures. Same crash contract
+    * ([[graft.sources.Staging.withMarkerDropped]]) and disjoint-id
+    * precondition as the IVF append. */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String,
+      embCol: String): Unit = {
+    val ix = loadPqIndex(spark, path)
+    requirePlainPqIndex(ix, "appendToPqIndex")
+    val lookups = broadcast(pqLookupArrays(ix.centroids, ix.codebook))
+    graft.sources.Staging.withMarkerDropped(path) {
+      pqEncode(batch, idCol, embCol, lookups, ix.m, ix.residual,
+        carryEmb = true, qerrKsub = ix.ksub)
+        .write.mode("append").parquet(s"$path/assign")
+    }
+  }
+
+  /** One gated PQ update's verdict: the branch and BOTH measured
+    * drift stats — the batch's max single-cell share (the coarse
+    * layout's failure mode, shared with the IVF gate) and the batch's
+    * total encoding error against the index's build-time baseline
+    * (the CODEBOOK's failure mode: drifted mass a stale codebook
+    * quantizes badly serves with degraded ADC quality while cell
+    * shares still look i.i.d.). All integers, so the whole decision
+    * row is oracle-comparable. */
+  case class PqUpdateDecision(branch: String, maxCellCnt: Long,
+      batchRows: Long, batchQerrSum: Long, baseQerrSum: Long,
+      baseRows: Long)
+
+  /** Measure an incoming batch against a PQ index and gate append vs
+    * rebuild. The batch is encoded under the EXISTING model (the same
+    * pass an append runs — the measurement is free); rebuild fires
+    * when EITHER
+    *   - cell share: maxCellCnt·shareDen ≥ batchRows·shareNum
+    *     (default ≥ 1/2 — the [[ivfUpdateDecision]] gate), or
+    *   - encoding-error growth: the batch's MEAN qerr is ≥
+    *     qerrNum/qerrDen × the build-time baseline mean (default 2×),
+    *     compared cross-multiplied in BigInt so the whole gate stays
+    *     integer-exact: batchQerrSum·baseRows·qerrDen ≥
+    *     qerrNum·baseQerrSum·batchRows.
+    * Returns the decision plus the already-encoded batch rows (an
+    * append reuses them). */
+  def pqUpdateDecision(index: PqIndex, batch: DataFrame, idCol: String,
+      embCol: String, shareNum: Long = 1, shareDen: Long = 2,
+      qerrNum: Long = 2, qerrDen: Long = 1)
+      : (PqUpdateDecision, DataFrame) = {
+    require(shareNum > 0 && shareDen > 0 && qerrNum > 0 && qerrDen > 0)
+    require(index.qerrRows > 0,
+      "gated PQ update needs a persisted index with a qerr baseline " +
+        "(savePqIndex writes it)")
+    val lookups = broadcast(pqLookupArrays(index.centroids, index.codebook))
+    val coded = pqEncode(batch, idCol, embCol, lookups, index.m,
+      index.residual, carryEmb = true, qerrKsub = index.ksub)
+      .localCheckpoint() // measured once, appended as-is
+    val st = coded.groupBy("cell").agg(count(lit(1)).as("cnt"),
+        sum("qerr").as("qe"))
+      .agg(max("cnt").as("mx"), sum("cnt").as("tot"), sum("qe").as("qes"))
+      .head()
+    require(!st.isNullAt(0), "gated update needs a non-empty batch")
+    val (mx, tot, qes) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val cellFires = BigInt(mx) * shareDen >= BigInt(tot) * shareNum
+    val qerrFires = BigInt(qes) * index.qerrRows * qerrDen >=
+      BigInt(qerrNum) * index.qerrSum * tot
+    val branch = if (cellFires || qerrFires) "rebuild" else "append"
+    (PqUpdateDecision(branch, mx, tot, qes, index.qerrSum,
+      index.qerrRows), coded)
+  }
+
+  /** Drift-GATED update of a persisted PQ index — [[ivfGatedUpdate]]
+    * on the compressed family, composing this round's two seams:
+    *
+    *  - `append`: the encoded batch rows append in place (model and
+    *    baseline immutable);
+    *  - `rebuild`: FRESH hash-order centroids AND codebook over the
+    *    grown corpus (reconstructed from the refine store ∪ the
+    *    batch), every half rewritten, the qerr baseline re-frozen at
+    *    the new build.
+    *
+    * Either way the decision row (branch + both stats) APPENDS to the
+    * artifact's `drift/` half. Crash contract and disjoint-id
+    * precondition as [[appendToPqIndex]]. */
+  def pqGatedUpdate(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, embCol: String,
+      shareNum: Long = 1, shareDen: Long = 2, qerrNum: Long = 2,
+      qerrDen: Long = 1): PqUpdateDecision = {
+    val ix = loadPqIndex(spark, path)
+    requirePlainPqIndex(ix, "pqGatedUpdate")
+    val (d, coded) = pqUpdateDecision(ix, batch, idCol, embCol,
+      shareNum, shareDen, qerrNum, qerrDen)
+    graft.sources.Staging.withMarkerDropped(path) {
+      if (d.branch == "append")
+        coded.write.mode("append").parquet(s"$path/assign")
+      else {
+        // localCheckpoint: the rebuild OVERWRITES the assign/ dir its
+        // own input lineage reads — materialize first
+        val grown = ix.assignments
+          .select(col("neighbor_id").as(idCol), col("emb").as(embCol))
+          .unionByName(batch.select(col(idCol), col(embCol)))
+          .localCheckpoint()
+        savePqIndex(buildPqIndex(grown, idCol, embCol, ix.nlist, ix.m,
+          ix.ksub, residual = ix.residual), path)
+      }
+      import spark.implicits._
+      Seq((d.branch, d.maxCellCnt, d.batchRows, d.batchQerrSum,
+        d.baseQerrSum, d.baseRows))
+        .toDF("branch", "max_cell_cnt", "batch_rows", "batch_qerr_sum",
+          "base_qerr_sum", "base_rows")
+        .write.mode("append").parquet(s"$path/drift")
+    }
+    d
+  }
+
+  /** The drift history a [[pqGatedUpdate]]-maintained index carries. */
+  def loadPqDrift(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(s"$path/drift")
+
+  /** Filtered serve from a prebuilt PQ index —
+    * [[ivfServeFilteredTopK]] on the compressed family: the predicate
+    * lands BELOW the coded scan (a pushable parquet filter when the
+    * index was built with `attrCols`), and only the probed cells'
+    * QUALIFYING coded rows are ADC-scored (then exact-refined when
+    * `rerank` is set). Same inherent recall tradeoff and mitigations
+    * as the IVF form: cells were laid out for the unfiltered
+    * distribution, so deployments widen `nprobe` for filtered serves
+    * (the entry uses nlist/2); `nprobe = nlist` degenerates to exact
+    * ADC over the whole qualifying set (the spec's differential). */
+  def ivfPqServeFilteredTopK(index: PqIndex, queries: DataFrame,
+      idCol: String, embCol: String, k: Int, predicate: Column,
+      nprobe: Int = 8, rerank: Option[Int] = None): DataFrame =
+    ivfPqServeTopK(
+      index.copy(assignments = index.assignments.filter(predicate)),
+      queries, idCol, embCol, k, nprobe, rerank)
 
   /** Serve top-k from a (possibly loaded) IVF-PQ index: probes score
     * only the probed cells' CODED rows by ADC — the corpus encode

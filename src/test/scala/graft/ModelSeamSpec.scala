@@ -491,4 +491,133 @@ class ModelSeamSpec extends SparkSpec {
       assert(va == vb, s"cell $ca centroid changed across the round-trip")
     }
   }
+
+  test("INCREMENTAL PQ update (r18): appending a batch encoded under " +
+      "the EXISTING model == rebuilding with the SAME quantizers over " +
+      "the grown corpus; model halves and the qerr baseline immutable") {
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+      .select("vec_id", "embedding")
+    val ix = SimilarityOps.buildPqIndex(base, "vec_id", "embedding",
+      nlist = 8, m = 4, ksub = 8)
+    val path = graft.sources.Staging.sessionTempDir("graft_pq_update")
+    SimilarityOps.savePqIndex(ix, path)
+    val metaBefore = java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$path/meta").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath).toSeq
+    SimilarityOps.appendToPqIndex(spark, path, batch, "vec_id",
+      "embedding")
+    val metaAfter = java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$path/meta").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath).toSeq
+    assert(metaBefore == metaAfter,
+      "meta (geometry + qerr baseline) must be immutable across appends")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val updated = SimilarityOps.loadPqIndex(spark, path)
+    val served = rows(SimilarityOps.ivfPqServeTopK(updated, queries,
+      "vec_id", "embedding", k = 3, nprobe = 3, rerank = Some(8)))
+    // rebuilt with the SAME quantizers over the grown corpus
+    val rebuilt = SimilarityOps.buildPqIndex(emb, "vec_id", "embedding",
+      nlist = 8, m = 4, ksub = 8, centroids = Some(ix.centroids),
+      codebook = Some(ix.codebook))
+    assert(served == rows(SimilarityOps.ivfPqServeTopK(rebuilt, queries,
+      "vec_id", "embedding", k = 3, nprobe = 3, rerank = Some(8))),
+      "serve-after-append must equal serve-over-rebuilt (same model)")
+    assert(served.nonEmpty)
+  }
+
+  test("DRIFT-GATED PQ update (r18): an i.i.d. batch APPENDS; a " +
+      "SCALED batch flips the gate to REBUILD through the " +
+      "encoding-error axis while the cell share stays quiet — the " +
+      "failure mode the coarse-only IVF gate cannot see") {
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    def stage(): String = {
+      val path = graft.sources.Staging.sessionTempDir("graft_pq_gated")
+      SimilarityOps.savePqIndex(SimilarityOps.buildPqIndex(base,
+        "vec_id", "embedding", nlist = 8, m = 4, ksub = 8), path)
+      path
+    }
+    // i.i.d. regime
+    val pIid = stage()
+    val iidBatch = emb.filter(col("vec_id") % 4 === 0)
+      .select("vec_id", "embedding")
+    val dIid = SimilarityOps.pqGatedUpdate(spark, pIid, iidBatch,
+      "vec_id", "embedding")
+    assert(dIid.branch == "append", s"iid batch must append: $dIid")
+    assert(BigInt(dIid.batchQerrSum) * dIid.baseRows <
+      BigInt(2) * dIid.baseQerrSum * dIid.batchRows,
+      s"iid qerr must sit under the 2x bar: $dIid")
+    // drift regime: vectors scaled x3 — cosine cell assignment keeps
+    // the cell share i.i.d.-like, but the stale codebook's encoding
+    // error explodes
+    val pDrift = stage()
+    val driftBatch = emb.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * 3)
+          .as("embedding"))
+    val dDrift = SimilarityOps.pqGatedUpdate(spark, pDrift, driftBatch,
+      "vec_id", "embedding")
+    assert(dDrift.branch == "rebuild", s"scaled batch must rebuild: $dDrift")
+    assert(BigInt(dDrift.maxCellCnt) * 2 < BigInt(dDrift.batchRows),
+      s"the cell-share axis must NOT be what fired: $dDrift")
+    assert(BigInt(dDrift.batchQerrSum) * dDrift.baseRows >=
+      BigInt(2) * dDrift.baseQerrSum * dDrift.batchRows,
+      s"the qerr axis must be what fired: $dDrift")
+    // the rebuild re-froze the baseline over the grown corpus and the
+    // drift history carries both decisions' stats
+    val reloaded = SimilarityOps.loadPqIndex(spark, pDrift)
+    assert(reloaded.qerrRows == emb.count(),
+      "rebuild must re-freeze the qerr baseline over the grown corpus")
+    assert(SimilarityOps.loadPqDrift(spark, pDrift).count() == 1L)
+    // serve after the rebuild == a fresh from-scratch build over the
+    // grown (scaled) corpus
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val grown = base.select("vec_id", "embedding")
+      .unionByName(driftBatch)
+    val fresh = SimilarityOps.buildPqIndex(grown, "vec_id", "embedding",
+      nlist = 8, m = 4, ksub = 8)
+    assert(rows(SimilarityOps.ivfPqServeTopK(reloaded, queries, "vec_id",
+        "embedding", k = 3, nprobe = 3)) ==
+      rows(SimilarityOps.ivfPqServeTopK(fresh, queries, "vec_id",
+        "embedding", k = 3, nprobe = 3)),
+      "post-rebuild serve must equal a from-scratch build")
+    // gated updates refuse an attr-carrying index
+    val pAttr = graft.sources.Staging.sessionTempDir("graft_pq_attr")
+    SimilarityOps.savePqIndex(SimilarityOps.buildPqIndex(base, "vec_id",
+      "embedding", nlist = 8, m = 4, ksub = 8,
+      attrCols = Seq("label")), pAttr)
+    intercept[IllegalArgumentException] {
+      SimilarityOps.appendToPqIndex(spark, pAttr, iidBatch, "vec_id",
+        "embedding")
+    }
+  }
+
+  test("PQ filtered serve (r18): persisted == in-session; nprobe = " +
+      "nlist degenerates to exact ADC over the qualifying set") {
+    val ix = SimilarityOps.buildPqIndex(emb, "vec_id", "embedding",
+      nlist = 8, m = 4, ksub = 8, attrCols = Seq("label"))
+    val path = graft.sources.Staging.sessionTempDir("graft_pq_fserve")
+    SimilarityOps.savePqIndex(ix, path)
+    val loaded = SimilarityOps.loadPqIndex(spark, path)
+    val pred = col("label") % 3 =!= 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    def serve(i: SimilarityOps.PqIndex, np: Int) =
+      rows(SimilarityOps.ivfPqServeFilteredTopK(i, queries, "vec_id",
+        "embedding", 5, pred, np))
+    assert(serve(loaded, 3) == serve(ix, 3),
+      "persisted filtered serve != in-session")
+    assert(serve(loaded, 3).nonEmpty)
+    // probing every cell = exact ADC ranking over the qualifying set:
+    // the fused ivfPqTopK over the pre-filtered corpus with the SAME
+    // persisted quantizers
+    val exact = rows(SimilarityOps.ivfPqTopK(emb.filter(pred), queries,
+      "vec_id", "embedding", 5, nlist = 8, nprobe = 8, m = 4, ksub = 8,
+      centroids = Some(loaded.centroids),
+      codebook = Some(loaded.codebook)))
+    assert(serve(loaded, 8) == exact,
+      "full-probe filtered serve must equal exact filtered ADC")
+  }
 }
