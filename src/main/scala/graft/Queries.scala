@@ -1728,6 +1728,144 @@ object Queries {
       |       CAST(sum(o.o_custkey) AS BIGINT) AS sum_cust
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
 
+  // TWO-SIDED STREAM-FOLDED PLANNING (r18, VERDICT r17 #6):
+  // q_scale_stats_stream_gate folds ONE table's profiler and reads
+  // the other side persisted; here BOTH fact sides of the 3-table
+  // chain (lineitem AND orders) replay as one tagged 3-slice stream,
+  // each micro-batch folds BOTH histograms (two cardinality-sized
+  // state frames), and the planner RE-PLANS per batch — strategy AND
+  // order, Scale.statsJoinOrder over the two folded artifacts plus
+  // the persisted customer artifact. The entry REQUIREs the final
+  // folded decision (order string + every per-step strategy) equal
+  // the decision from the persisted batch-built artifacts, counts
+  // the re-plans (one per slice), and executes the final plan with
+  // the order string in the hash-compared output. Rehearsal
+  // scenario 13 drives the same fold at sf1 and pins decision parity
+  // at EVERY batch.
+  private def liOrdSlicesStaged(s: SparkSession, dir: String): String = {
+    val key = graft.sources.SyntheticTraces.tableKey(dir,
+      Seq("lineitem", "orders"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_liord_slices_v1_$key"
+    if (!graft.sources.Staging.hasMarker(s"$path")) {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        // one tagged frame sliced on the shared orderkey range, so
+        // every slice carries BOTH tables' rows (the always-on
+        // profiler sees both sides grow together)
+        val li = t(s, dir, "lineitem")
+          .select(lit("lineitem").as("tbl"), col("l_orderkey").as("a"),
+            col("l_linenumber").cast("long").as("b"))
+        val ord = t(s, dir, "orders")
+          .select(lit("orders").as("tbl"), col("o_orderkey").as("a"),
+            col("o_custkey").cast("long").as("b"))
+        StreamRehearsal.stageSlices(li.unionByName(ord), "a", 3,
+          s"$tmp/stage", tmp)
+        org.apache.hadoop.fs.FileUtil.fullyDelete(
+          new java.io.File(s"$tmp/stage"))
+        graft.sources.Staging.touchMarker(tmp)
+      }
+    }
+    path
+  }
+  private val scaleStatsStreamOrder: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val S = graft.llm.SketchOps
+    val Sc = graft.operators.Scale
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // hist-sized state
+    try {
+      val watch = liOrdSlicesStaged(s, dir)
+      val work = graft.sources.Staging.sessionTempDir("graft_sorder_stream")
+      val root = statsArtifactStaged(s, dir)
+      val custTs = S.loadTableStats(s, s"$root/customer")
+      val custPt = Sc.planTable(custTs, "customer", Seq("c_custkey"))
+      val edges = Seq(
+        Sc.JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        Sc.JoinEdge("orders", "o_custkey", "customer", "c_custkey"))
+      def plan(liTs: S.TableStats, ordTs: S.TableStats) =
+        Sc.statsJoinOrder(
+          Seq(Sc.planTable(liTs, "lineitem", Seq("l_orderkey")),
+            Sc.planTable(ordTs, "orders", Seq("o_orderkey", "o_custkey")),
+            custPt),
+          edges, broadcastRows = 100)
+      var liPath: Option[String] = None
+      var ordPath: Option[String] = None
+      var idx = 0
+      var lastPlan: Option[Sc.JoinOrderDecision] = None
+      var replans = 0
+      val schema = s.read.parquet(watch).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            def fold(tag: String, prev: Option[String], hist: DataFrame)
+                : String = {
+              val merged = prev match {
+                case None => hist
+                case Some(p) => S.histMerge(s.read.parquet(p), hist)
+              }
+              val next = s"$work/${tag}_${idx + 1}"
+              merged.write.parquet(next)
+              next
+            }
+            liPath = Some(fold("li", liPath, S.profileFrames(
+              b.filter(col("tbl") === "lineitem")
+                .select(col("a").as("l_orderkey"), col("b").as("l_linenumber")),
+              concat_ws("|", col("l_orderkey"), col("l_linenumber")),
+              Seq(("l_orderkey", col("l_orderkey"), None)))._2))
+            ordPath = Some(fold("ord", ordPath, S.profileFrames(
+              b.filter(col("tbl") === "orders")
+                .select(col("a").as("o_orderkey"), col("b").as("o_custkey")),
+              col("o_orderkey"),
+              Seq(("o_orderkey", col("o_orderkey"), None),
+                ("o_custkey", col("o_custkey"), None)))._2))
+            idx += 1
+            // the always-on planner RE-PLANS from the carried state
+            // after every fold — order AND per-step strategy
+            lastPlan = Some(plan(
+              S.tableStatsFromHist(s.read.parquet(liPath.get)),
+              S.tableStatsFromHist(s.read.parquet(ordPath.get))))
+            replans += 1
+          }
+        }
+        .option("checkpointLocation", s"$work/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val d = lastPlan.getOrElse(
+        sys.error("stats stream produced no batches"))
+      // the always-on service must agree with the batch-built
+      // artifacts on the WHOLE plan — order and every step's strategy
+      val dBatch = plan(S.loadTableStats(s, s"$root/lineitem"),
+        S.loadTableStats(s, s"$root/orders"))
+      require(d == dBatch,
+        s"stream-folded plan $d != batch-built plan $dBatch")
+      val dfs = Map(
+        "lineitem" -> t(s, dir, "lineitem").select(col("l_orderkey"),
+          floor(col("l_quantity")).cast("long").as("qty")),
+        "orders" -> t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        "customer" -> t(s, dir, "customer").select("c_custkey",
+          "c_nationkey"))
+      Sc.executeJoinOrder(dfs, d)
+        .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+          sum("c_nationkey").as("sum_nat"))
+        .select(lit("stream_folded_order").as("regime"),
+          lit(d.orderString).as("join_order"),
+          lit(replans).as("n_replans"), col("n_rows"), col("sum_qty"),
+          col("sum_nat"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+  private val scaleStatsStreamOrderOracle =
+    """SELECT 'stream_folded_order' AS regime,
+      |       'orders,customer,lineitem' AS join_order,
+      |       3 AS n_replans,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+      |         AS sum_qty,
+      |       CAST(sum(c_nationkey) AS BIGINT) AS sum_nat
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
   // Fixed-iteration integer PageRank over the supplier→part edge set:
   // value propagation as iterated join-aggregate supersteps, in exact
   // fixed-point arithmetic so the oracle (the same three supersteps
@@ -7489,6 +7627,7 @@ object Queries {
     "q_scale_stats_join_order" -> scaleStatsJoinOrder,
     "q_scale_stats_join_order_dp" -> scaleStatsJoinOrderDp,
     "q_scale_stats_stream_gate" -> scaleStatsStreamGate,
+    "q_scale_stats_stream_order" -> scaleStatsStreamOrder,
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_pagerank_dangling" -> graphPagerankDangling,
     "q_graph_pagerank_converge" -> graphPagerankConverge,
@@ -7644,7 +7783,7 @@ object Queries {
     "q_scd2_stream_merge", "q_sketch_kmv_stream", "q_sketch_cms_stream",
     "q_sketch_kmv_window_stream", "q_sketch_cms_window_stream",
     "q_sketch_quantile_window_stream", "q_scale_stats_stream_gate",
-    "q_sketch_kmv_session_stream")
+    "q_sketch_kmv_session_stream", "q_scale_stats_stream_order")
   require(streamingEntries.forall(all.contains),
     "streamingEntries must all be catalog entries")
 
@@ -7686,6 +7825,7 @@ object Queries {
     "q_scale_stats_join_order" -> scaleStatsJoinOrderOracle,
     "q_scale_stats_join_order_dp" -> scaleStatsJoinOrderDpOracle,
     "q_scale_stats_stream_gate" -> scaleStatsStreamGateOracle,
+    "q_scale_stats_stream_order" -> scaleStatsStreamOrderOracle,
     "q_graph_pagerank" -> graphPagerankOracle,
     "q_graph_pagerank_dangling" -> graphPagerankDanglingOracle,
     "q_graph_pagerank_converge" -> graphPagerankConvergeOracle,

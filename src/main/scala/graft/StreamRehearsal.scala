@@ -1096,6 +1096,107 @@ object StreamRehearsal {
       assertParity("sessionized kmv stream sketch", streamOut, batchOut)
     }
 
+    // ---- scenario 13: TWO-SIDED stream-folded PLANNING at sf1 (r18,
+    // q_scale_stats_stream_order at volume). BOTH fact sides of the
+    // lineitem ⋈ orders ⋈ customer chain replay as one tagged stream;
+    // each batch folds BOTH histograms and the planner re-plans —
+    // order AND per-step strategy — from the carried state plus the
+    // batch-built customer stats. Requires, at EVERY batch: each
+    // side's state rows == its prefix cardinality (two
+    // cardinality-sized frames, never stream-sized), and the folded
+    // plan EQUAL to the plan from batch-built artifacts over the same
+    // prefix (decision parity while the stats are still partial —
+    // the always-on planner is trustworthy mid-stream, not only at
+    // end of day).
+    if (only(13)) locally {
+      import graft.llm.SketchOps
+      import graft.operators.Scale
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      val custPt = Scale.planTable(
+        SketchOps.tableStats(cust, col("c_custkey"),
+          Seq(("c_custkey", col("c_custkey"), None))),
+        "customer", Seq("c_custkey"))
+      val edges = Seq(
+        Scale.JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        Scale.JoinEdge("orders", "o_custkey", "customer", "c_custkey"))
+      def plan(liTs: SketchOps.TableStats, ordTs: SketchOps.TableStats) =
+        Scale.statsJoinOrder(
+          Seq(Scale.planTable(liTs, "lineitem", Seq("l_orderkey")),
+            Scale.planTable(ordTs, "orders",
+              Seq("o_orderkey", "o_custkey")),
+            custPt),
+          edges, broadcastRows = 100)
+      val tagged = li.select(lit("lineitem").as("tbl"),
+          col("l_orderkey").as("a"), col("l_linenumber").cast("long").as("b"))
+        .unionByName(ord.select(lit("orders").as("tbl"),
+          col("o_orderkey").as("a"), col("o_custkey").cast("long").as("b")))
+      val slices = 5
+      val watch = s"$work/sorder_in"
+      stageSlices(tagged, "a", slices, s"$work/sorder_stage", watch)
+      val sliceFiles = new java.io.File(watch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      def liFrames(df: DataFrame) = SketchOps.profileFrames(
+        df.filter(col("tbl") === "lineitem")
+          .select(col("a").as("l_orderkey"), col("b").as("l_linenumber")),
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")),
+        Seq(("l_orderkey", col("l_orderkey"), None)))._2
+      def ordFrames(df: DataFrame) = SketchOps.profileFrames(
+        df.filter(col("tbl") === "orders")
+          .select(col("a").as("o_orderkey"), col("b").as("o_custkey")),
+        col("o_orderkey"),
+        Seq(("o_orderkey", col("o_orderkey"), None),
+          ("o_custkey", col("o_custkey"), None)))._2
+      var liState: Option[DataFrame] = None
+      var ordState: Option[DataFrame] = None
+      println(s"\ntwo-sided stream-folded planning (sf1, " +
+        s"${sliceFiles.length} batches):")
+      println("| batch | li state rows | li prefix card | ord state rows " +
+        "| ord prefix card | plan parity (order + strategies) |")
+      println("|---|---|---|---|---|---|")
+      val t0 = System.nanoTime()
+      for (i <- 1 to sliceFiles.length) {
+        val slice = spark.read.parquet(sliceFiles(i - 1).toString)
+        liState = Some(liState.map(SketchOps.histMerge(_, liFrames(slice)))
+          .getOrElse(liFrames(slice)).localCheckpoint())
+        ordState = Some(ordState.map(SketchOps.histMerge(_, ordFrames(slice)))
+          .getOrElse(ordFrames(slice)).localCheckpoint())
+        val folded = plan(SketchOps.tableStatsFromHist(liState.get),
+          SketchOps.tableStatsFromHist(ordState.get))
+        val prefix = sliceFiles.take(i)
+          .map(f => spark.read.parquet(f.toString))
+          .reduce(_ unionByName _)
+        val batchPlan = plan(SketchOps.tableStatsFromHist(liFrames(prefix)),
+          SketchOps.tableStatsFromHist(ordFrames(prefix)))
+        val (lr, lc) = (liState.get.count(), liFrames(prefix).count())
+        val (or, oc) = (ordState.get.count(), ordFrames(prefix).count())
+        val parity = folded == batchPlan
+        println(s"| ${i - 1} | $lr | $lc | $or | $oc | " +
+          s"${if (parity) "MATCH" else "MISMATCH"} |")
+        require(lr == lc && or == oc,
+          s"batch ${i - 1}: state rows != prefix cardinality")
+        require(parity,
+          s"batch ${i - 1}: folded plan $folded != batch plan $batchPlan")
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"fold+replan wall (incl. per-batch prefix audits): $wall%.1f s")
+      // the final folded plan is the full-table plan
+      val full = plan(SketchOps.tableStats(li,
+          concat_ws("|", col("l_orderkey"), col("l_linenumber")),
+          Seq(("l_orderkey", col("l_orderkey"), None))),
+        SketchOps.tableStats(ord, col("o_orderkey"),
+          Seq(("o_orderkey", col("o_orderkey"), None),
+            ("o_custkey", col("o_custkey"), None))))
+      val foldedFinal = plan(SketchOps.tableStatsFromHist(liState.get),
+        SketchOps.tableStatsFromHist(ordState.get))
+      require(foldedFinal == full,
+        s"final folded plan $foldedFinal != batch-built plan $full")
+      println(s"final plan: ${full.orderString} " +
+        s"(steps: ${full.steps.map(_.decision.branch).mkString(",")}) — " +
+        "stream-folded == batch-built")
+    }
+
     println("\nstream rehearsal complete")
   }
 }
