@@ -1308,10 +1308,10 @@ object Queries {
         val rowKey = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
         val cols = Seq(("l_orderkey", col("l_orderkey"),
           Option.empty[Column]))
-        S.saveTableStatsWithHist(S.profileFrames(
-          li.filter(col("l_linenumber") % 4 =!= 0), rowKey, cols)._2, tmp)
-        S.updateTableStats(s, tmp, S.profileFrames(
-          li.filter(col("l_linenumber") % 4 === 0), rowKey, cols)._2)
+        S.saveTableStatsWithHist(S.histFrame(
+          li.filter(col("l_linenumber") % 4 =!= 0), rowKey, cols), tmp)
+        S.updateTableStats(s, tmp, S.histFrame(
+          li.filter(col("l_linenumber") % 4 === 0), rowKey, cols))
       }
     }
     path
@@ -1680,7 +1680,10 @@ object Queries {
         .option("maxFilesPerTrigger", 1).parquet(watch)
         .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
           if (!b.isEmpty) {
-            val hist = S.profileFrames(b, rowKey, cols)._2
+            // lazy per-batch fold unit — one job per trigger when the
+            // merged state writes (profileFrames' materialization is
+            // for the multi-consumer profile assembly, not a fold)
+            val hist = S.histFrame(b, rowKey, cols)
             val merged = statePath match {
               case None => hist
               case Some(p) => S.histMerge(s.read.parquet(p), hist)
@@ -1782,12 +1785,19 @@ object Queries {
       val edges = Seq(
         Sc.JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
         Sc.JoinEdge("orders", "o_custkey", "customer", "c_custkey"))
-      def plan(liTs: S.TableStats, ordTs: S.TableStats) =
+      // materialize each finalized artifact once per replan: planTable
+      // collects per COLUMN, and an unmaterialized tableStatsFromHist
+      // would recompute its whole cols/counters chain per collect
+      def mat(ts: S.TableStats) =
+        S.TableStats(ts.cols.localCheckpoint(), ts.counters.localCheckpoint())
+      def plan(liTs0: S.TableStats, ordTs0: S.TableStats) = {
+        val (liTs, ordTs) = (mat(liTs0), mat(ordTs0))
         Sc.statsJoinOrder(
           Seq(Sc.planTable(liTs, "lineitem", Seq("l_orderkey")),
             Sc.planTable(ordTs, "orders", Seq("o_orderkey", "o_custkey")),
             custPt),
           edges, broadcastRows = 100)
+      }
       var liPath: Option[String] = None
       var ordPath: Option[String] = None
       var idx = 0
@@ -1808,17 +1818,17 @@ object Queries {
               merged.write.parquet(next)
               next
             }
-            liPath = Some(fold("li", liPath, S.profileFrames(
+            liPath = Some(fold("li", liPath, S.histFrame(
               b.filter(col("tbl") === "lineitem")
                 .select(col("a").as("l_orderkey"), col("b").as("l_linenumber")),
               concat_ws("|", col("l_orderkey"), col("l_linenumber")),
-              Seq(("l_orderkey", col("l_orderkey"), None)))._2))
-            ordPath = Some(fold("ord", ordPath, S.profileFrames(
+              Seq(("l_orderkey", col("l_orderkey"), None)))))
+            ordPath = Some(fold("ord", ordPath, S.histFrame(
               b.filter(col("tbl") === "orders")
                 .select(col("a").as("o_orderkey"), col("b").as("o_custkey")),
               col("o_orderkey"),
               Seq(("o_orderkey", col("o_orderkey"), None),
-                ("o_custkey", col("o_custkey"), None)))._2))
+                ("o_custkey", col("o_custkey"), None)))))
             idx += 1
             // the always-on planner RE-PLANS from the carried state
             // after every fold — order AND per-step strategy
@@ -6656,8 +6666,11 @@ object Queries {
   // argmin and the query-side table lookups (m=8, ksub=16, dims=64
   // mirrored in the literals; codes use 0-based codebook POSITION
   // with position tie-break).
-  private val annPqTopk: Q = (s, dir) => {
-    val emb = embT(s, dir)
+  // withSmallShuffle + coalesce(4): same counter-sized-frame rationale
+  // as the IVF-PQ family (see annIvfPqTopk) — the PQ passes are map
+  // stages over the 2000-row demo corpus
+  private val annPqTopk: Q = (s, dir) => withSmallShuffle(s) {
+    val emb = embT(s, dir).coalesce(4)
     graft.llm.SimilarityOps.pqTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
   }

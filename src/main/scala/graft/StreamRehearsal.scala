@@ -1137,17 +1137,17 @@ object StreamRehearsal {
       stageSlices(tagged, "a", slices, s"$work/sorder_stage", watch)
       val sliceFiles = new java.io.File(watch).listFiles()
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      def liFrames(df: DataFrame) = SketchOps.profileFrames(
+      def liFrames(df: DataFrame) = SketchOps.histFrame(
         df.filter(col("tbl") === "lineitem")
           .select(col("a").as("l_orderkey"), col("b").as("l_linenumber")),
         concat_ws("|", col("l_orderkey"), col("l_linenumber")),
-        Seq(("l_orderkey", col("l_orderkey"), None)))._2
-      def ordFrames(df: DataFrame) = SketchOps.profileFrames(
+        Seq(("l_orderkey", col("l_orderkey"), None)))
+      def ordFrames(df: DataFrame) = SketchOps.histFrame(
         df.filter(col("tbl") === "orders")
           .select(col("a").as("o_orderkey"), col("b").as("o_custkey")),
         col("o_orderkey"),
         Seq(("o_orderkey", col("o_orderkey"), None),
-          ("o_custkey", col("o_custkey"), None)))._2
+          ("o_custkey", col("o_custkey"), None)))
       var liState: Option[DataFrame] = None
       var ordState: Option[DataFrame] = None
       println(s"\ntwo-sided stream-folded planning (sf1, " +

@@ -378,31 +378,55 @@ object SketchOps {
     * `hist` (the cardinality-sized per-value histogram). Shared by
     * [[profileTable]] and [[tableStats]] so the stats artifact pays
     * the same single scan the profile does. */
-  private[graft] def profileFrames(df: DataFrame, rowKey: Column,
-      columns: Seq[(String, Column, Option[Column])])
-      : (DataFrame, DataFrame) = {
+  /** The one-pass stacked projection (row_h, colname, term, v,
+    * is_num, h) — shared by [[profileFrames]] (which checkpoints it)
+    * and [[histFrame]] (which reduces it lazily). `spread`
+    * repartitions an under-partitioned scan before the ×|columns|
+    * explode — right for the profiler's materialized pass, pure
+    * overhead for a micro-batch fold. */
+  private def stackedProjection(df: DataFrame, rowKey: Column,
+      columns: Seq[(String, Column, Option[Column])],
+      spread: Boolean): DataFrame = {
     require(columns.nonEmpty)
     val stacked = columns.map { case (name, s, numOpt) =>
       struct(lit(name).as("colname"), s.cast("string").as("term"),
         numOpt.map(_.cast("long")).getOrElse(lit(null).cast("long")).as("v"),
         lit(numOpt.isDefined).as("is_num"))
     }
-    // spread an under-partitioned scan before the ×|columns| explode:
-    // a demo-scale table often arrives as ONE parquet split, which
-    // would run the whole stacking pass — and every later consumer of
-    // the checkpoint — on a single task. At production scale the scan
-    // is already wide (maxPartitionBytes) and this branch is a no-op,
-    // so the spread costs nothing where it isn't needed.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par)
-      else df
-    val tall = spread
+    val base = if (spread && df.rdd.getNumPartitions < par)
+      df.repartition(par) else df
+    base
       .select(mixed63(rowKey.cast("string")).as("row_h"),
         explode(array(stacked: _*)).as("c"))
       .select(col("row_h"), col("c.colname").as("colname"),
         col("c.term").as("term"), col("c.v").as("v"),
         col("c.is_num").as("is_num"))
       .withColumn("h", when(col("term").isNotNull, mixed63(col("term"))))
+  }
+
+  /** The histogram REDUCTION alone, LAZY — the streaming profiler's
+    * per-batch fold unit: a micro-batch fold consumes the histogram
+    * exactly once (histMerge + state write), so [[profileFrames]]'s
+    * materialization (tall checkpoint + partitioned cache, built for
+    * the multi-consumer profile assembly) would only add jobs per
+    * trigger. One map-combined aggregation when the fold writes. */
+  def histFrame(df: DataFrame, rowKey: Column,
+      columns: Seq[(String, Column, Option[Column])]): DataFrame =
+    stackedProjection(df, rowKey, columns, spread = false)
+      .groupBy("colname", "term", "h", "v", "is_num")
+      .agg(count(lit(1)).as("cnt"))
+
+  private[graft] def profileFrames(df: DataFrame, rowKey: Column,
+      columns: Seq[(String, Column, Option[Column])])
+      : (DataFrame, DataFrame) = {
+    // spread an under-partitioned scan before the ×|columns| explode:
+    // a demo-scale table often arrives as ONE parquet split, which
+    // would run the whole stacking pass — and every later consumer of
+    // the checkpoint — on a single task. At production scale the scan
+    // is already wide (maxPartitionBytes) and this branch is a no-op,
+    // so the spread costs nothing where it isn't needed.
+    val tall = stackedProjection(df, rowKey, columns, spread = true)
       .localCheckpoint() // THE one pass over the source
     // exact per-value histogram — cardinality-sized, the reduction
     // every non-sample consumer shares. Materialized as a CACHED

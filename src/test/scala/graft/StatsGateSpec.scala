@@ -328,11 +328,11 @@ class StatsGateSpec extends SparkSpec {
     val cols = Seq(("k", col("k"), Option.empty[org.apache.spark.sql.Column]))
     val path = graft.sources.Staging.sessionTempDir("graft_stats_upd")
     SketchOps.saveTableStatsWithHist(
-      SketchOps.profileFrames(base, col("v"), cols)._2, path)
+      SketchOps.histFrame(base, col("v"), cols), path)
     assert(new java.io.File(s"$path/hist").isDirectory,
       "the updatable form must persist the histogram half")
     SketchOps.updateTableStats(spark, path,
-      SketchOps.profileFrames(batch, col("v"), cols)._2)
+      SketchOps.histFrame(batch, col("v"), cols))
     val updated = SketchOps.loadTableStats(spark, path)
     val rebuilt = SketchOps.tableStats(base.unionByName(batch), col("v"), cols)
     assert(updated.cols.collect().map(_.toSeq).toSet ==
