@@ -105,4 +105,76 @@ class RootRankSpec extends SparkSpec {
       "carried-vector refine must equal the id-join refine")
     assert(fused.nonEmpty)
   }
+
+  test("DP ordering differential (r18): on randomized star corpora " +
+      "the DP plan always executes to the plain join's rows, never " +
+      "prices above the best left-deep, and every step bound is " +
+      "sound against the executed subtree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val S = graft.llm.SketchOps
+    val Sc = graft.operators.Scale
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(seed)
+      // random star: hub H(hk); facts F1(f1_hk, f1_dk), F2(f2_hk,
+      // f2_dk) with random fan-outs and hot keys; dims D1(d1_k),
+      // D2(d2_k) as random-selectivity subsets
+      val nHub = 50 + rnd.nextInt(200)
+      val fan1 = 1 + rnd.nextInt(20)
+      val fan2 = 1 + rnd.nextInt(20)
+      val sel1 = 2 + rnd.nextInt(10)
+      val sel2 = 2 + rnd.nextInt(10)
+      val hub = (1 to nHub).map(_.toLong).toDF("hk")
+      def fact(p: String, fan: Int) =
+        (1 to nHub).flatMap { h =>
+          val n = 1 + rnd.nextInt(fan)
+          (1 to n).map(i => (h.toLong, (h * 100 + i).toLong))
+        }.toDF(s"${p}_hk", s"${p}_dk")
+      val f1 = fact("f1", fan1)
+      val f2 = fact("f2", fan2)
+      val d1 = f1.filter(col("f1_dk") % sel1 === 0)
+        .select(col("f1_dk").as("d1_k"))
+      val d2 = f2.filter(col("f2_dk") % sel2 === 0)
+        .select(col("f2_dk").as("d2_k"))
+      val dfs = Map("hub" -> hub, "f1" -> f1, "f2" -> f2,
+        "d1" -> d1, "d2" -> d2)
+      def pt(name: String, keys: String*) =
+        Sc.planTable(S.tableStats(dfs(name), col(keys.head),
+          keys.map(k => (k, col(k), Option.empty[org.apache.spark.sql.Column])).toSeq),
+          name, keys.toSeq)
+      val tables = Seq(pt("hub", "hk"),
+        pt("f1", "f1_hk", "f1_dk"), pt("f2", "f2_hk", "f2_dk"),
+        pt("d1", "d1_k"), pt("d2", "d2_k"))
+      val edges = Seq(
+        Sc.JoinEdge("f1", "f1_hk", "hub", "hk"),
+        Sc.JoinEdge("f2", "f2_hk", "hub", "hk"),
+        Sc.JoinEdge("f1", "f1_dk", "d1", "d1_k"),
+        Sc.JoinEdge("f2", "f2_dk", "d2", "d2_k"))
+      val d = Sc.statsJoinOrderDp(tables, edges, broadcastRows = 20)
+      assert(d.totalBound <= d.bestLeftDeepBound,
+        s"seed $seed: dp ${d.totalBound} > left-deep ${d.bestLeftDeepBound}")
+      // step-bound soundness against executed subtrees
+      def audit(p: Sc.DpPlan): Unit = p match {
+        case _: Sc.DpLeaf => ()
+        case j: Sc.DpJoin =>
+          val got = Sc.executeJoinTree(dfs, j).count()
+          assert(BigInt(got) <= j.bound,
+            s"seed $seed: bound ${j.bound} under true $got at ${j.shapeString}")
+          audit(j.left); audit(j.right)
+      }
+      audit(d.plan)
+      val got = Sc.executeJoinTree(dfs, d.plan)
+        .select("f1_dk", "f2_dk").collect().map(_.toSeq)
+        .sortBy(_.mkString("|"))
+      val want = f1.join(hub, col("f1_hk") === col("hk"))
+        .join(f2, col("f2_hk") === col("hk"))
+        .join(d1, col("f1_dk") === col("d1_k"))
+        .join(d2, col("f2_dk") === col("d2_k"))
+        .select("f1_dk", "f2_dk").collect().map(_.toSeq)
+        .sortBy(_.mkString("|"))
+      assert(got.length == want.length && got.sameElements(want),
+        s"seed $seed: dp execution diverged from the plain join " +
+          s"(shape ${d.shapeString})")
+    }
+  }
 }
