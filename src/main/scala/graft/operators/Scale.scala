@@ -545,11 +545,10 @@ object Scale {
   //     star with two reducing branches (the staged dp regime).
   //
   // Cost = C_out over the step bounds, leaves free. Ties resolve to
-  // the FIRST enumerated plan (ascending subset masks, canonical
-  // submask order, tables in input order) — deterministic, and the
-  // left-deep-shaped candidate enumerates before the bushy one for
-  // equal-cost splits of the same subset only if its submask order
-  // says so, so tie behavior is pinned by spec, not luck.
+  // the FIRST enumerated plan (ascending subset masks, the standard
+  // descending-submask loop, tables in input order) — fully
+  // deterministic, so a chosen shape string is safe to pin as an
+  // oracle literal once checked SF-invariant.
   // ------------------------------------------------------------------
 
   /** A DP plan node: either a base table or a join of two sub-plans
@@ -610,7 +609,6 @@ object Scale {
         s"edge $e references an unprofiled column")
     }
     val names = tables.map(_.name).toIndexedSeq
-    val idx = names.zipWithIndex.toMap
     def rowsOf(n: String): Long = {
       val ks = byName(n).stats.values
       // every column's n_rows is the same table's row count; any
