@@ -24,13 +24,17 @@ object FrontierLab {
     spark.sparkContext.setLogLevel("WARN")
     val So = graft.llm.SimilarityOps
     val Po = graft.llm.PipelineOps
-    def noop(df: DataFrame): Double = {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // time CONSTRUCTION + write: an operator with eager internals
+    // (checkpoints, guard collects) does real work before any action
+    // runs on its returned frame — a timer around only the final noop
+    // undercounts it (the r15 lab-timing trap in by-name-argument
+    // form: `noop(mk)` evaluates mk BEFORE the timed body starts)
     def fmt(mk: => DataFrame): String =
-      (1 to runs).map(_ => f"${noop(mk)}%.2f").mkString("/")
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        f"${(System.nanoTime() - t0) / 1e9}%.2f"
+      }.mkString("/")
 
     // ---- q_ann_ivfpq_rerank tiers --------------------------------
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -76,9 +80,14 @@ object FrontierLab {
         f"${(System.nanoTime() - t0) / 1e9}%.2f"
       }.mkString("/")}")
       val (tall, hist) = frames()
-      println(s"salted bottom-k sample over ckpt'd stack:   ${fmt(
+      // the ENTRY's sample path (hist-threshold pruned, guarded exact)
+      // — the production kernel itself, per the FrontierLab rule; the
+      // salted two-phase form alongside is the stream fold's path
+      println(s"pruned bottom-k sample (entry path):        ${fmt(
+        Sk.profileSampleFromHist(tall, hist, 128))}")
+      println(s"salted bottom-k sample (stream-fold path):  ${fmt(
         Sk.profileSample(tall, 128))}")
-      val samp = Sk.profileSample(tall, 128).localCheckpoint()
+      val samp = Sk.profileSampleFromHist(tall, hist, 128)
       println(s"assembly (fromState) over ckpt'd inputs:    ${fmt(
         Sk.profileFromState(hist, samp, 128, 4, 1024, 3))}")
       println(s"full profileTable (one pass + sample+asm):  ${fmt(

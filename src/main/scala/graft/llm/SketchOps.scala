@@ -476,6 +476,49 @@ object SketchOps {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  /** [[profileSample]] when the materialized histogram is at hand
+    * (the batch profiler's case): `row_h` is a uniform 63-bit hash,
+    * so an n-row column's k smallest (h, v) pairs live under
+    * h < 2^63·(8k/n) except with vanishing probability — the
+    * per-column counts come FREE from the cached histogram
+    * (≤|columns|-row aggregate, not a data scan), a map-only filter
+    * keeps ~8k candidates per column, and the rank runs on those.
+    * Exactness is guarded, not assumed: if any column's pruned
+    * bottom-k comes up short of min(k, n) — the only way pruning can
+    * have cut a true member — the unpruned salted path recomputes.
+    * The guard is a measured driver scalar over the checkpointed
+    * ≤ k·|columns|-row result (the skew-gate shape); the fallback
+    * probability is ≈ P[Binomial(n, 8k/n) < k] ≈ e^-3k. */
+  private[graft] def profileSampleFromHist(tall: DataFrame, hist: DataFrame,
+      k: Int): DataFrame = {
+    val counts = hist.filter(col("is_num") && col("v").isNotNull)
+      .groupBy("colname").agg(sum("cnt").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return profileSample(tall, k)
+    val slack = 8L * k
+    def thresholdOf(n: Long): Long =
+      if (n <= slack) Long.MaxValue
+      else (BigInt(Long.MaxValue) * slack / n).min(BigInt(Long.MaxValue))
+        .toLong
+    val thr = counts.toSeq.foldLeft(lit(Long.MaxValue)) {
+      case (acc, (src, n)) =>
+        when(col("colname") === src, lit(thresholdOf(n))).otherwise(acc)
+    }
+    val pruned = tall
+      .filter(col("is_num") && col("v").isNotNull && col("row_h") < thr)
+      .select(col("colname").as("source"), col("row_h").as("h"), col("v"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("h", "v")))
+      .filter(col("rn") <= k).drop("rn")
+      .localCheckpoint()
+    val got = pruned.groupBy("source").agg(count(lit(1)).as("got"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val short = counts.exists { case (src, n) =>
+      got.getOrElse(src, 0L) < math.min(k.toLong, n) }
+    if (short) profileSample(tall, k) else pruned
+  }
+
   /** Merge two per-value histogram frames by cellwise count addition —
     * the profiler's between-batch fold. State stays CARDINALITY-sized
     * (one row per distinct (column, value)), never stream-sized. */
@@ -485,7 +528,8 @@ object SketchOps {
 
   private def profileFromFrames(tall: DataFrame, hist: DataFrame,
       k: Int, depth: Int, width: Int, topK: Int): DataFrame =
-    profileFromState(hist, profileSample(tall, k), k, depth, width, topK)
+    profileFromState(hist, profileSampleFromHist(tall, hist, k), k,
+      depth, width, topK)
 
   /** Assemble the profile from the two STATE frames — what both the
     * batch profiler and a streaming table-stats service finalize
