@@ -37,6 +37,26 @@ object ProbeMain {
           }
         })
     graft.functions.GraftFunctions.register(spark)
+    // Mirror Bench's sf0.001 whole-catalog warmup (Bench.scala): a
+    // fresh probe JVM otherwise carries 2-3× of Janino/JIT cost into
+    // run 3-4 even, so cross-session paired probes measured JIT state
+    // instead of plans (r18 VERDICT #6 — q_ann_ivfpq_serve read 1.1×
+    // in-suite but 2.3-2.5× in a cold probe session). Warm entries
+    // run against the SMALLEST corpus and their caches are dropped
+    // after, so the measured runs still pay their own staging exactly
+    // like Bench's. SPARK_GRAFT_PROBE_NOWARM=1 skips it for quick
+    // iteration (numbers then NOT comparable across sessions).
+    val warmDir = "/root/testdata/sf0.001"
+    if (!sys.env.contains("SPARK_GRAFT_PROBE_NOWARM") &&
+        new java.io.File(warmDir).isDirectory && warmDir != dir) {
+      val t0w = System.nanoTime()
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+      Queries.clearCaches()
+      println(f"[probe] sf0.001 catalog warmup: ${(System.nanoTime() - t0w) / 1e9}%.1f s (unmeasured)")
+    }
     // mirror Bench attribution: corpora + shared persists staged
     // outside measured time
     Queries.stageAll(spark, dir)

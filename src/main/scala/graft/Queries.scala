@@ -4392,8 +4392,10 @@ object Queries {
     // cardinality-sized and already partition-pinned, so AQE's
     // per-stage job re-planning is pure fixed cost here
     s.conf.set("spark.sql.adaptive.enabled", "false")
-    // materialize INSIDE the pinned scope (conf live at execution)
-    try profileTableInner(s, dir).localCheckpoint()
+    // profileTable materializes internally (assembly localCheckpoint
+    // + post-hoc sample guard), so the whole run sits inside the
+    // pinned scope — no second checkpoint needed
+    try profileTableInner(s, dir)
     finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.conf.set("spark.sql.adaptive.enabled", prevAqe)
@@ -7410,6 +7412,7 @@ object Queries {
       if (!s.sparkContext.isStopped) df.unpersist()
     }
     frameCache.clear()
+    graft.llm.SketchOps.releasePinnedFrames()
   }
 
   /** The flagship's STREAMING form promoted into the correctness
