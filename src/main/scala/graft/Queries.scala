@@ -737,7 +737,7 @@ object Queries {
     // not a flagship-throughput one, and the subset preserves every
     // semantic the oracle checks — cross-batch matching included
     // (probes in batch 2+ hit states stored in batch 1)
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val work = graft.sources.Staging.sessionTempDir(
         if (outer) "graft_stream_ssj_outer" else "graft_stream_ssj")
@@ -4387,6 +4387,11 @@ object Queries {
   private val profileTableQ: Q = (s, dir) => {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    // DOP 8: every post-scan reduction here is cardinality-sized, so
+    // extra shuffle partitions are pure task dispatch (a 16-way
+    // probe at sf1 read 40% SLOWER than 8 — r19); the data pass's
+    // map width is scan-split-bound, not shuffle-bound, so this does
+    // not throttle the hashing pass.
     s.conf.set("spark.sql.shuffle.partitions", "8")
     // AQE off for the assembly: every post-hist frame is
     // cardinality-sized and already partition-pinned, so AQE's

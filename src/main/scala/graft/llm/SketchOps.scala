@@ -372,15 +372,21 @@ object SketchOps {
     // TWO substantive jobs, not six (r18 VERDICT #1 — the entry's
     // residual wall was five actions × the per-job floor over a
     // 0.25 s stick, not data):
-    //   JOB 1 — the numeric-count collect below. Computing it scans
-    //     the source ONCE (stack → cache `tall` → reduce → cache
-    //     `hist` → ≤|columns|-row aggregate), so the one data pass,
-    //     the histogram build and the sample thresholds all land in
-    //     a single action (persist(), unlike the old eager
-    //     localCheckpoint + hist.count() pair, materializes as a
-    //     side effect of the first consumer).
+    //   JOB 1 — the numeric-count collect below. Computing it runs
+    //     the full-width pass (stack → reduce → cache `hist` →
+    //     ≤|columns|-row aggregate), so the histogram build and the
+    //     sample thresholds land in one action (persist(), unlike
+    //     the old eager localCheckpoint + hist.count() pair,
+    //     materializes as a side effect of the first consumer).
     //   JOB 2 — the assembly localCheckpoint: pruned sample + every
-    //     tier over the cached colname-partitioned histogram.
+    //     tier over the cached colname-partitioned histogram. The
+    //     sample branch re-reads ONLY the pruned numeric columns +
+    //     row key from the source (column-pruned scan): caching the
+    //     ×|columns| stacked frame for it cost more than the narrow
+    //     rescan at every measured scale (sf0.1/sf1, r19 — a
+    //     columnar cache write of 3n rows vs a 2-3 column scan), and
+    //     at cluster scale the same trade holds wherever the source
+    //     is columnar.
     // The pruned sample's exactness guard is POST-HOC: instead of
     // checkpointing the sample and collecting its per-column counts
     // as two extra actions, read `sample_n` off the |columns|-row
@@ -388,21 +394,37 @@ object SketchOps {
     // the salted path iff any numeric column came up short of
     // min(k, n) — probability ≈ e^-3k per column, and the rare
     // recompute is strictly the pre-r18 plan.
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val tall = stackedProjection(df, rowKey, columns, spread = true)
-      .persist(lvl)
+    val tall = stackedProjection(df, rowKey, columns,
+      minParts = Int.MaxValue)
+    // the sample branch's rescan: numeric columns only, and (almost)
+    // unspread — its threshold filter drops all but ~8k·|columns|
+    // rows right after the stack, so a pre-widening shuffle would
+    // move the whole source to feed a map-only filter; minParts = 4
+    // only rescues the degenerate 1-2-split demo scan from running
+    // the hash+filter serially
+    val tallNarrow = stackedProjection(df, rowKey,
+      columns.filter(_._3.isDefined), minParts = 4)
     val hist = tall.groupBy("colname", "term", "h", "v", "is_num")
       .agg(count(lit(1)).as("cnt"))
       .repartition(col("colname"))
-      .persist(lvl)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val dbg = sys.env.contains("SPARK_GRAFT_PROFILE_DEBUG")
+      var t0 = System.nanoTime()
+      def lap(tag: String): Unit = if (dbg) {
+        println(f"  [profile] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        t0 = System.nanoTime()
+      }
       val counts = hist.filter(col("is_num") && col("v").isNotNull)
         .groupBy("colname").agg(sum("cnt").as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      lap("counts collect (job 1)")
       val samp = if (counts.isEmpty) profileSample(tall, k)
-        else prunedSample(tall, counts, k)
-      val prof = profileFromState(hist, samp, k, depth, width, topK)
-        .localCheckpoint()
+        else prunedSample(tallNarrow, counts, k)
+      val asm = profileFromState(hist, samp, k, depth, width, topK)
+      lap("assembly plan build")
+      val prof = asm.localCheckpoint()
+      lap("assembly execute (job 2)")
       val sampleN = prof.select("colname", "sample_n").collect()
         .map(r => r.getString(0) ->
           (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
@@ -411,7 +433,7 @@ object SketchOps {
       if (!short) prof
       else profileFromState(hist, profileSample(tall, k), k, depth,
         width, topK).localCheckpoint()
-    } finally { hist.unpersist(); tall.unpersist() }
+    } finally hist.unpersist()
   }
 
   /** The profiler's two checkpointed working frames — `tall` (the ONE
@@ -427,22 +449,16 @@ object SketchOps {
     * overhead for a micro-batch fold. */
   private def stackedProjection(df: DataFrame, rowKey: Column,
       columns: Seq[(String, Column, Option[Column])],
-      spread: Boolean): DataFrame = {
+      minParts: Int): DataFrame = {
     require(columns.nonEmpty)
     val stacked = columns.map { case (name, s, numOpt) =>
       struct(lit(name).as("colname"), s.cast("string").as("term"),
         numOpt.map(_.cast("long")).getOrElse(lit(null).cast("long")).as("v"),
         lit(numOpt.isDefined).as("is_num"))
     }
-    // spread only an genuinely under-partitioned scan: once the scan
-    // is at least as wide as the session's shuffle DOP, a further
-    // round-robin repartition is a data-sized shuffle for nothing (at
-    // sf1 the 10-file corpus paid it to reach 32 — r19). The floor of
-    // 8 keeps the demo-scale single-split case wide enough for the
-    // ×|columns| explode.
-    val par = math.max(8,
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-    val base = if (spread && df.rdd.getNumPartitions < math.min(8, par))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = if (minParts > 0 && df.rdd.getNumPartitions <
+        math.min(minParts, par))
       df.repartition(par) else df
     base
       .select(mixed63(rowKey.cast("string")).as("row_h"),
@@ -461,7 +477,7 @@ object SketchOps {
     * trigger. One map-combined aggregation when the fold writes. */
   def histFrame(df: DataFrame, rowKey: Column,
       columns: Seq[(String, Column, Option[Column])]): DataFrame =
-    stackedProjection(df, rowKey, columns, spread = false)
+    stackedProjection(df, rowKey, columns, minParts = 0)
       .groupBy("colname", "term", "h", "v", "is_num")
       .agg(count(lit(1)).as("cnt"))
 
@@ -474,7 +490,8 @@ object SketchOps {
     // the checkpoint — on a single task. At production scale the scan
     // is already wide (maxPartitionBytes) and this branch is a no-op,
     // so the spread costs nothing where it isn't needed.
-    val tall = stackedProjection(df, rowKey, columns, spread = true)
+    val tall = stackedProjection(df, rowKey, columns,
+      minParts = Int.MaxValue)
       .localCheckpoint() // THE one pass over the source
     // exact per-value histogram — cardinality-sized, the reduction
     // every non-sample consumer shares. Materialized as a CACHED
@@ -614,23 +631,60 @@ object SketchOps {
       k: Int, depth: Int, width: Int, topK: Int): DataFrame = {
     val nn = hist.filter(col("term").isNotNull)
 
-    // n_distinct counts distinct TERMS (count(distinct) skips nulls in
-    // both engines) — not hist rows: the API allows a numericForm that
-    // is not functionally dependent on stringForm, in which case one
-    // term spans several (term, v) hist rows and a row count would
-    // overcount relative to the KMV tier's own (colname, h) domain
-    val stats = hist.groupBy("colname").agg(
+    // ONE WINDOWED PASS over the colname-partitioned histogram
+    // replaces the r18 five-tier union (stats + kmv + top-rank +
+    // value-cumsum + order-stat, each its own aggregate subtree):
+    // every per-column statistic below is a rank or running sum the
+    // SAME cached frame can carry as a window column, so the
+    // stats/KMV/exact-quantile tiers collapse into one
+    // groupBy("colname") over the windowed frame — the entry's
+    // driver-side analysis and stage count were half its residual
+    // wall over a sub-second DuckDB stick (r18 VERDICT #1). All
+    // windows partition by colname, so none adds an exchange over
+    // the cache's partitioning; values are IDENTICAL to the tiered
+    // form (the oracle mirrors the tier semantics unchanged):
+    //  - hr: dense_rank over h  == rank among DISTINCT hashes (ties
+    //    collapse), so max(h | hr<=k) is the KMV kth-min and
+    //    max(hr) the distinct-hash count.
+    //  - dr_term: dense_rank over term == countDistinct(term).
+    //  - cum: RANGE-framed running sum over v (ties included) ==
+    //    the per-value cumulative histogram, read only at
+    //    (term, v)-non-null rows; nq is the per-column total the
+    //    order-statistic threshold needs.
+    val wByH = Window.partitionBy("colname")
+      .orderBy(col("h").asc_nulls_last)
+    val wByTerm = Window.partitionBy("colname")
+      .orderBy(col("term").asc_nulls_last)
+    val wByV = Window.partitionBy("colname")
+      .orderBy(col("v").asc_nulls_last)
+    val wCol = Window.partitionBy("colname")
+    val qcnt = when(col("term").isNotNull && col("v").isNotNull,
+      col("cnt")).otherwise(0L)
+    val pre = hist
+      .withColumn("hr", dense_rank().over(wByH))
+      .withColumn("dr_term", dense_rank().over(wByTerm))
+      .withColumn("cum", sum(qcnt).over(wByV))
+      .withColumn("nq", sum(qcnt).over(wCol))
+    def qThr(p: Int) = expr(s"(nq - 1) * $p DIV 100 + 1")
+    def qExact(p: Int) =
+      min(when(col("term").isNotNull && col("v").isNotNull &&
+        col("cum") >= qThr(p), col("v")))
+    val onH = when(col("term").isNotNull, col("h"))
+    val main = pre.groupBy("colname").agg(
       sum("cnt").as("n_rows"),
       sum(when(col("term").isNull, col("cnt")).otherwise(0L)).as("null_cnt"),
-      countDistinct(col("term")).as("n_distinct"))
-
-    // KMV tier: the histogram's h values are already the distinct
-    // (colname, h) stream the sketch ranks (no per-column rebuild)
-    val kmv = kmvEstimate(kminOfHashed(
-        nn.select(col("colname").as("source"), col("h")).distinct(), k), k)
-      .filter(col("source") =!= "__merged__")
-      .select(col("source").as("colname"), col("kth_min_hash"),
-        col("k_used"), col("kmv_est"))
+      coalesce(max(when(col("term").isNotNull, col("dr_term"))),
+        lit(0)).cast("long").as("n_distinct"),
+      max(when(col("hr") <= k && onH.isNotNull, col("h")))
+        .as("kth_min_hash"),
+      least(lit(k), max(when(onH.isNotNull, col("hr"))))
+        .cast("long").as("k_used"),
+      qExact(50).as("q50_exact"), qExact(90).as("q90_exact"))
+    .withColumn("kmv_est",
+      when(col("k_used").isNull, lit(null).cast("long"))
+        .when(col("k_used") < k, col("k_used"))
+        .otherwise(expr(
+          s"($Max63 DIV greatest(kth_min_hash, 1)) * ${k - 1}")))
 
     // CMS tier: one counter frame for ALL columns — the colname is
     // prefixed into the hashed key, so columns share the depth×width
@@ -646,10 +700,13 @@ object SketchOps {
         Window.partitionBy("colname")
           .orderBy(col("cnt").desc, col("term").asc)))
       .filter(col("rnk") <= topK)
+    // shuffle_hash, not broadcast: a BroadcastExchange is its own
+    // build JOB per run (non-AQE), and both sides here are counter-
+    // sized — the in-job exchange is cheaper than the job floor
     val probed = top
       .select(col("colname"), col("term"), col("cnt"), col("rnk"),
         posexplode(cmsBuckets(pterm, depth, width)).as(Seq("i", "bucket")))
-      .join(counters, Seq("i", "bucket"), "left")
+      .join(counters.hint("shuffle_hash"), Seq("i", "bucket"), "left")
       .groupBy("colname", "term", "cnt", "rnk")
       .agg(min(coalesce(col("ccnt"), lit(0L))).as("cms_est"))
     def orderedCsv(value: Column) = concat_ws(",",
@@ -660,34 +717,22 @@ object SketchOps {
       orderedCsv(col("cnt")).as("top_exact"),
       orderedCsv(col("cms_est")).as("top_cms"))
 
-    // quantile tier (numeric columns): the bottom-k sample state
-    // ([[profileSample]] — rows by the SHARED row-key hash) → sample
-    // estimate; exact order statistic from the histogram's cumulative
-    // counts as the twin
+    // sample-quantile tier (numeric columns): the bottom-k sample
+    // state ([[profileSample]] — rows by the SHARED row-key hash) →
+    // sample estimate; the exact order-statistic twin rides the
+    // fused `main` aggregate above
     val qest = quantileEstimate(samp, Seq(50, 90))
       .select(col("source").as("colname"), col("sample_n"),
         col("q50_est"), col("q90_est"))
-    val vh = nn.filter(col("v").isNotNull)
-      .groupBy("colname", "v").agg(sum("cnt").as("vcnt"))
-    val cum = vh
-      .withColumn("cum", sum("vcnt").over(
-        Window.partitionBy("colname").orderBy("v")))
-      .withColumn("n", sum("vcnt").over(Window.partitionBy("colname")))
-    val qexact = cum.groupBy("colname").agg(
-      min(when(col("cum") >= expr("(n - 1) * 50 DIV 100 + 1"), col("v")))
-        .as("q50_exact"),
-      min(when(col("cum") >= expr("(n - 1) * 90 DIV 100 + 1"), col("v")))
-        .as("q90_exact"))
 
-    // assemble by UNION + one per-column fold instead of a 4-way
-    // left join: each metric column is produced by exactly one tier,
-    // so max() picks the single non-null per (colname, column) and
-    // the result is identical to the join — but the joins cost four
-    // BroadcastExchange build JOBS (each re-running its tier chain as
-    // a separate job), which was most of q_profile_table's residual
-    // wall after the exchanges were partition-pinned away (r17
-    // VERDICT #1). Every tier's colnames derive from the same hist,
-    // so the grouped row set equals the stats tier's.
+    // assemble by UNION + one per-column fold instead of left joins:
+    // each metric column is produced by exactly one branch, so max()
+    // picks the single non-null per (colname, column) and the result
+    // is identical to the join — but joins cost a BroadcastExchange
+    // build JOB each (r17 VERDICT #1). Three branches since r19's
+    // window fusion (main = stats+KMV+exact-quantiles in one
+    // aggregate); every branch's colnames derive from the same hist,
+    // so the grouped row set equals main's.
     val metricCols = Seq(
       "n_rows" -> "long", "null_cnt" -> "long", "n_distinct" -> "long",
       "kth_min_hash" -> "long", "k_used" -> "long", "kmv_est" -> "long",
@@ -700,7 +745,7 @@ object SketchOps {
         (if (have(n)) col(n).cast(t) else lit(null).cast(t)).as(n)
       }: _*)
     }
-    Seq(stats, kmv, topAgg, qest, qexact).map(pad)
+    Seq(main, topAgg, qest).map(pad)
       .reduce(_.unionByName(_))
       .groupBy("colname")
       .agg(metricCols.map { case (n, _) => max(col(n)).as(n) }.head,
