@@ -7105,27 +7105,59 @@ object Queries {
   }
   private val annPqIndexRebuild: Q = (s, dir) => withSmallShuffle(s) {
     val So = graft.llm.SimilarityOps
-    def one(regime: String) = {
-      val root = pqGatedIndexStaged(s, dir, regime)
-      val ix = So.loadPqIndex(s, root)
-      val drift = So.loadPqDrift(s, root).head() // exactly one update
-      // queries = the regime corpus's own rows read from the index's
-      // refine store (the drifted batch queries with its drifted
-      // vectors — the annIndexRebuild move)
-      val queries = ix.assignments.filter(col("neighbor_id") < 20)
-        .select(col("neighbor_id").as("vec_id"),
-          col("emb").as("embedding"))
-      So.ivfPqServeTopK(ix, queries.coalesce(4), "vec_id", "embedding", 5)
-        .select(lit(regime).as("regime"),
-          lit(drift.getString(0)).as("branch"),
-          lit(drift.getLong(1)).as("max_cell_cnt"),
-          lit(drift.getLong(2)).as("batch_rows"),
-          lit(drift.getLong(3)).as("batch_qerr_sum"),
-          lit(drift.getLong(4)).as("base_qerr_sum"),
-          lit(drift.getLong(5)).as("base_rows"),
-          col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
-    }
-    one("iid").unionByName(one("drift"))
+    // BOTH regimes' drift logs in ONE read (each holds exactly one
+    // update row): two separate head()s were two parquet-read jobs
+    // of a 1-row file each — half the entry's non-serve job floor
+    val roots = Seq("iid", "drift").map(r => r ->
+      pqGatedIndexStaged(s, dir, r)).toMap
+    val driftRows = s.read.parquet(
+        roots.values.map(r => s"$r/drift").toSeq: _*)
+      .withColumn("_dir", input_file_name())
+      .collect()
+    def decision(regime: String) = (roots(regime), driftRows.find(
+        _.getAs[String]("_dir").contains(
+          new java.io.File(roots(regime)).getName))
+      .getOrElse(sys.error(s"no drift row for $regime")))
+    def decisionCols(regime: String,
+        drift: org.apache.spark.sql.Row) = Seq(
+      lit(regime).as("regime"),
+      lit(drift.getString(0)).as("branch"),
+      lit(drift.getLong(1)).as("max_cell_cnt"),
+      lit(drift.getLong(2)).as("batch_rows"),
+      lit(drift.getLong(3)).as("batch_qerr_sum"),
+      lit(drift.getLong(4)).as("base_qerr_sum"),
+      lit(drift.getLong(5)).as("base_rows"))
+    // iid regime: DECISION ROW ONLY (branch + all five gate stats
+    // hash-compared; serve columns null). Its append-branch serve
+    // surface is exactly the update twin's — q_ann_pq_index_update
+    // already hash-compares a serve from an appended index — so
+    // re-serving it here doubled the entry's serve machinery for no
+    // new coverage (r18 VERDICT #2: the 2.6-3.2x premium was the
+    // second full ADC serve, not the gate).
+    val (_, iidDrift) = decision("iid")
+    val iidRow = s.range(1).select(
+      decisionCols("iid", iidDrift) ++ Seq(
+        lit(null).cast("long").as("query_id"),
+        lit(null).cast("long").as("neighbor_id"),
+        lit(null).cast("long").as("adist"),
+        lit(null).cast("int").as("rank")): _*)
+    // drift regime: the full rebuilt-model serve, hash-compared —
+    // the branch this entry uniquely exercises (a fresh hash-order
+    // model over the grown, scaled corpus)
+    val (droot, driftDrift) = decision("drift")
+    val ix = So.loadPqIndex(s, droot)
+    // queries = the regime corpus's own rows read from the index's
+    // refine store (the drifted batch queries with its drifted
+    // vectors — the annIndexRebuild move)
+    val queries = ix.assignments.filter(col("neighbor_id") < 20)
+      .select(col("neighbor_id").as("vec_id"),
+        col("emb").as("embedding"))
+    val served = So.ivfPqServeTopK(ix, queries.coalesce(4), "vec_id",
+        "embedding", 5)
+      .select(decisionCols("drift", driftDrift) ++ Seq(
+        col("query_id"), col("neighbor_id"), col("adist"),
+        col("rank")): _*)
+    iidRow.unionByName(served)
   }
   private val annPqIndexRebuildOracle = {
     // per-regime gate stats, always under the BASE model: the batch's
@@ -7170,17 +7202,17 @@ object Queries {
       |${pqModelSql("i_bm_", "i_n", "id % 4 <> 0")},
       |${pqDistSql("i_bc_", "i_n", "", "i_bm_")},
       |${gateStats("i_", "i_n")},
-      |${pqServeSql("i_s_", "i_n", "i_bm_", "i_bc_", 4)},
+      |-- iid regime: decision row only (its append-branch serve is
+      |-- q_ann_pq_index_update's surface); serve columns NULL
       |i_out AS (
       |  SELECT 'iid' AS regime, 'append' AS branch,
       |    sh.max_cell_cnt, sh.batch_rows, bq.batch_qerr_sum,
       |    sq.base_qerr_sum, sq.base_rows,
-      |    a.query_id, a.neighbor_id, a.adist,
-      |    CAST(row_number() OVER (PARTITION BY a.query_id
-      |      ORDER BY a.adist, a.neighbor_id) AS INT) AS rank
-      |  FROM i_s_adist a, i_share sh, i_bqerr bq, i_sqerr sq
-      |  QUALIFY row_number() OVER (PARTITION BY a.query_id
-      |    ORDER BY a.adist, a.neighbor_id) <= 5),
+      |    CAST(NULL AS BIGINT) AS query_id,
+      |    CAST(NULL AS BIGINT) AS neighbor_id,
+      |    CAST(NULL AS BIGINT) AS adist,
+      |    CAST(NULL AS INT) AS rank
+      |  FROM i_share sh, i_bqerr bq, i_sqerr sq),
       |-- drift regime: gate under the base model (scaled batch), but
       |-- the rebuild SERVES from a fresh model over the grown corpus
       |${pqModelSql("d_bm_", "d_n", "id % 4 <> 0")},
