@@ -1790,9 +1790,17 @@ object Queries {
       // would recompute its whole cols/counters chain per collect
       def mat(ts: S.TableStats) =
         S.TableStats(ts.cols.localCheckpoint(), ts.counters.localCheckpoint())
+      // the per-batch re-plan goes through the DP rung (r18 VERDICT
+      // #3: statsJoinOrderDp existed but the always-on path still
+      // called the left-deep statsJoinOrder) — full subset DP over
+      // the folded artifacts every batch; on this 3-table chain the
+      // DP's optimum degenerates to the left-deep shape, so the
+      // pinned plan literal is the left-deep order in tree form
+      // (empirically SF-invariant: sf0.001/0.01/0.1 and the sf1
+      // rehearsal all resolve to the same shape)
       def plan(liTs0: S.TableStats, ordTs0: S.TableStats) = {
         val (liTs, ordTs) = (mat(liTs0), mat(ordTs0))
-        Sc.statsJoinOrder(
+        Sc.statsJoinOrderDp(
           Seq(Sc.planTable(liTs, "lineitem", Seq("l_orderkey")),
             Sc.planTable(ordTs, "orders", Seq("o_orderkey", "o_custkey")),
             custPt),
@@ -1801,7 +1809,7 @@ object Queries {
       var liPath: Option[String] = None
       var ordPath: Option[String] = None
       var idx = 0
-      var lastPlan: Option[Sc.JoinOrderDecision] = None
+      var lastPlan: Option[Sc.JoinOrderDpDecision] = None
       var replans = 0
       val schema = s.read.parquet(watch).schema
       val q = s.readStream.schema(schema)
@@ -1855,18 +1863,18 @@ object Queries {
         "orders" -> t(s, dir, "orders").select("o_orderkey", "o_custkey"),
         "customer" -> t(s, dir, "customer").select("c_custkey",
           "c_nationkey"))
-      Sc.executeJoinOrder(dfs, d)
+      Sc.executeJoinTree(dfs, d.plan)
         .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
           sum("c_nationkey").as("sum_nat"))
         .select(lit("stream_folded_order").as("regime"),
-          lit(d.orderString).as("join_order"),
+          lit(d.shapeString).as("join_order"),
           lit(replans).as("n_replans"), col("n_rows"), col("sum_qty"),
           col("sum_nat"))
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
   private val scaleStatsStreamOrderOracle =
     """SELECT 'stream_folded_order' AS regime,
-      |       'orders,customer,lineitem' AS join_order,
+      |       '(lineitem,(orders,customer))' AS join_order,
       |       3 AS n_replans,
       |       CAST(count(*) AS BIGINT) AS n_rows,
       |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)

@@ -1121,8 +1121,11 @@ object StreamRehearsal {
       val edges = Seq(
         Scale.JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
         Scale.JoinEdge("orders", "o_custkey", "customer", "c_custkey"))
+      // per-batch re-plan through the DP rung — the same upgrade the
+      // catalog entry took (r18 VERDICT #3); parity below is now
+      // DP-plan == DP-plan at every batch
       def plan(liTs: SketchOps.TableStats, ordTs: SketchOps.TableStats) =
-        Scale.statsJoinOrder(
+        Scale.statsJoinOrderDp(
           Seq(Scale.planTable(liTs, "lineitem", Seq("l_orderkey")),
             Scale.planTable(ordTs, "orders",
               Seq("o_orderkey", "o_custkey")),
@@ -1192,8 +1195,8 @@ object StreamRehearsal {
         SketchOps.tableStatsFromHist(ordState.get))
       require(foldedFinal == full,
         s"final folded plan $foldedFinal != batch-built plan $full")
-      println(s"final plan: ${full.orderString} " +
-        s"(steps: ${full.steps.map(_.decision.branch).mkString(",")}) — " +
+      println(s"final plan: ${full.shapeString} " +
+        s"(bound ${full.totalBound}, best-LD ${full.bestLeftDeepBound}) — " +
         "stream-folded == batch-built")
     }
 
