@@ -1629,6 +1629,113 @@ object Queries {
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey""".stripMargin
 
+  // DERIVED-NOT-STAGED FILTERED DIMS (r18 VERDICT #4): the DP star
+  // regime above stages dsel1/dsel2 as separately-profiled artifacts
+  // — a pre-planning step no ad-hoc user performs. The parent
+  // orders histogram (persisted once, saveTableStatsWithHist) already
+  // holds the exact per-value counts, so the planner DERIVES each
+  // filtered dim's PlanTable at plan time
+  // (SketchOps.filteredTableStats — filter the histogram rows,
+  // re-finalize; exact because the histogram is the exact per-value
+  // reduction, so filtering commutes with profiling). The entry is
+  // the differential: it REQUIREs the derived PlanTables EQUAL the
+  // staged ones cell-for-cell AND the derived-stats DP plan EQUAL the
+  // staged-artifact plan, executes the derived plan, and puts the
+  // derived dims' row counts in the hash-compared output next to the
+  // oracle's own filtered counts.
+  private def ordersHistStaged(s: SparkSession, dir: String): String = {
+    val key = graft.sources.SyntheticTraces.tableKey(dir, Seq("orders"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_stats_ordhist_v1_$key"
+    if (!graft.sources.Staging.hasMarker(path)) {
+      graft.sources.Staging.stageOnce(path) { tmp =>
+        val S = graft.llm.SketchOps
+        S.saveTableStatsWithHist(S.histFrame(t(s, dir, "orders"),
+          col("o_orderkey"),
+          Seq(("o_orderkey", col("o_orderkey"), Option.empty[Column]))),
+          tmp)
+      }
+    }
+    path
+  }
+  private val scaleStatsDerivedDp: Q = (s, dir) => {
+    val root = statsArtifactStaged(s, dir)
+    val S = graft.llm.SketchOps
+    val Sc = graft.operators.Scale
+    // the parent histogram: cardinality-sized, read once, consumed by
+    // two derivations × (cols + counters) collects
+    val hist = s.read.parquet(s"${ordersHistStaged(s, dir)}/hist")
+      .localCheckpoint()
+    def derived(table: String, colKey: String, m: Int) =
+      Sc.planTable(S.filteredTableStats(hist, "o_orderkey", colKey,
+        term => term.cast("long") % m === 0), table, Seq(colKey))
+    def staged(name: String, keys: String*) =
+      Sc.planTable(S.loadTableStats(s, s"$root/$name"), name, keys.toSeq)
+    val d1 = derived("dsel1", "d1_key", 100)
+    val d2 = derived("dsel2", "d2_key", 50)
+    val d1S = staged("dsel1", "d1_key")
+    val d2S = staged("dsel2", "d2_key")
+    // the derivation is EXACT, not approximately compatible
+    require(d1 == d1S, s"derived dsel1 stats $d1 != staged $d1S")
+    require(d2 == d2S, s"derived dsel2 stats $d2 != staged $d2S")
+    val shared = Map(
+      "orders" -> staged("orders", "o_orderkey", "o_custkey"),
+      "customer" -> staged("customer", "c_custkey"),
+      "orders2" -> staged("orders2", "o2_custkey", "o2_orderkey"))
+    val edges = Seq(
+      Sc.JoinEdge("orders", "o_orderkey", "dsel1", "d1_key"),
+      Sc.JoinEdge("orders", "o_custkey", "customer", "c_custkey"),
+      Sc.JoinEdge("orders2", "o2_custkey", "customer", "c_custkey"),
+      Sc.JoinEdge("orders2", "o2_orderkey", "dsel2", "d2_key"))
+    def dp(dd1: Sc.PlanTable, dd2: Sc.PlanTable) =
+      Sc.statsJoinOrderDp(
+        Seq(shared("orders"), dd1, shared("customer"),
+          shared("orders2"), dd2), edges, broadcastRows = 100)
+    val d = dp(d1, d2)
+    val dStaged = dp(d1S, d2S)
+    require(d == dStaged,
+      s"derived-stats plan $d != staged-artifact plan $dStaged")
+    val ord = t(s, dir, "orders")
+    val dfs = Map(
+      "orders" -> ord.select("o_orderkey", "o_custkey"),
+      "dsel1" -> ord.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("d1_key")),
+      "customer" -> t(s, dir, "customer").select("c_custkey"),
+      "orders2" -> ord.select(col("o_custkey").as("o2_custkey"),
+        col("o_orderkey").as("o2_orderkey")),
+      "dsel2" -> ord.filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("d2_key")))
+    Sc.executeJoinTree(dfs, d.plan)
+      .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_a"),
+        sum("o2_orderkey").as("sum_b"))
+      .select(lit("derived_dims").as("regime"),
+        lit(d.shapeString).as("shape"),
+        lit(if (d.bushyWin) 1 else 0).as("bushy_win"),
+        lit(d1.stats("d1_key").nRows).as("d1_rows"),
+        lit(d2.stats("d2_key").nRows).as("d2_rows"),
+        col("n_rows"), col("sum_a"), col("sum_b"))
+  }
+  private val scaleStatsDerivedDpOracle =
+    """WITH d1 AS (SELECT o_orderkey AS d1_key FROM orders
+      |            WHERE o_orderkey % 100 = 0),
+      |d2 AS (SELECT o_orderkey AS d2_key FROM orders
+      |       WHERE o_orderkey % 50 = 0),
+      |o2 AS (SELECT o_custkey AS o2_custkey, o_orderkey AS o2_orderkey
+      |       FROM orders)
+      |SELECT 'derived_dims' AS regime,
+      |       '((orders2,dsel2),(customer,(orders,dsel1)))' AS shape,
+      |       1 AS bushy_win,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM d1) AS d1_rows,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM d2) AS d2_rows,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS sum_a,
+      |       CAST(sum(o2_orderkey) AS BIGINT) AS sum_b
+      |FROM orders
+      |JOIN d1 ON o_orderkey = d1_key
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN o2 ON o2_custkey = c_custkey
+      |JOIN d2 ON o2_orderkey = d2_key""".stripMargin
+
   // STREAM-FOLDED STATS → JOIN DECISION, end-to-end (VERDICT r16 #6):
   // rehearsal scenario 10 proved the profiler's histogram folds
   // across micro-batches (histMerge, cardinality-sized state) into
@@ -7687,6 +7794,7 @@ object Queries {
     "q_scale_stats_gated_join" -> scaleStatsGatedJoin,
     "q_scale_stats_join_order" -> scaleStatsJoinOrder,
     "q_scale_stats_join_order_dp" -> scaleStatsJoinOrderDp,
+    "q_scale_stats_derived_dp" -> scaleStatsDerivedDp,
     "q_scale_stats_stream_gate" -> scaleStatsStreamGate,
     "q_scale_stats_stream_order" -> scaleStatsStreamOrder,
     "q_graph_pagerank" -> graphPagerank,
@@ -7885,6 +7993,7 @@ object Queries {
     "q_scale_stats_gated_join" -> scaleStatsGatedJoinOracle,
     "q_scale_stats_join_order" -> scaleStatsJoinOrderOracle,
     "q_scale_stats_join_order_dp" -> scaleStatsJoinOrderDpOracle,
+    "q_scale_stats_derived_dp" -> scaleStatsDerivedDpOracle,
     "q_scale_stats_stream_gate" -> scaleStatsStreamGateOracle,
     "q_scale_stats_stream_order" -> scaleStatsStreamOrderOracle,
     "q_graph_pagerank" -> graphPagerankOracle,

@@ -123,6 +123,36 @@ object StatsGateLab {
     println(s"DP plan (3-table chain), 10x:          ${fmt(
       dpDecision(li10Ts))}")
 
+    // DERIVED filtered-dim pricing (r19): persist the parent
+    // histogram once, then derive a 1%-selective dim's PlanTable from
+    // it at plan time — the derivation is a histogram filter +
+    // catalog-sized re-finalize, so it must be flat in the table
+    // size (the 10x histogram has the same cardinality, only bigger
+    // counts)
+    println(f"BUILD orders histogram artifact:       ${timed(
+      S.saveTableStatsWithHist(S.histFrame(ord, col("o_orderkey"),
+        Seq(("o_orderkey", col("o_orderkey"), None))), s"$work/ordh"))}%.3f")
+    val ord10 = (1 to 10).map(_ => ord).reduce(_ unionByName _)
+    println(f"BUILD 10x-orders histogram artifact:   ${timed(
+      S.saveTableStatsWithHist(S.histFrame(ord10, col("o_orderkey"),
+        Seq(("o_orderkey", col("o_orderkey"), None))), s"$work/ordh10"))}%.3f")
+    def derivedDecision(histPath: String): Unit = {
+      val hist = spark.read.parquet(s"$histPath/hist")
+      val dim = Sc.planTable(S.filteredTableStats(hist, "o_orderkey",
+        "d_key", t => t.cast("long") % 100 === 0), "dim", Seq("d_key"))
+      val d = Sc.statsJoinOrderDp(
+        Seq(Sc.planTable(ord2Ts, "orders",
+            Seq("o_orderkey", "o_custkey")),
+          dim, Sc.planTable(custTs, "customer", Seq("c_custkey"))),
+        Seq(Sc.JoinEdge("orders", "o_orderkey", "dim", "d_key"),
+          Sc.JoinEdge("orders", "o_custkey", "customer", "c_custkey")))
+      require(d.shapeString.nonEmpty)
+    }
+    println(s"DERIVED-dim DP plan, 1x histogram:     ${fmt(
+      derivedDecision(s"$work/ordh"))}")
+    println(s"DERIVED-dim DP plan, 10x histogram:    ${fmt(
+      derivedDecision(s"$work/ordh10"))}")
+
     spark.stop()
   }
 }

@@ -943,6 +943,34 @@ object SketchOps {
     TableStats(cols, counters)
   }
 
+  /** Derive the stats artifact of a FILTERED projection of a profiled
+    * table from the parent's persisted HISTOGRAM state alone — no
+    * scan, no staged artifact for the filtered table (r18 VERDICT #4:
+    * the DP regimes staged dsel1/dsel2 as separately-profiled tables,
+    * which no ad-hoc user would do, while the parent's per-value
+    * histogram already holds every count an equality / range / mod
+    * predicate on the profiled column needs).
+    *
+    * `pred` receives the column's TERM (its profiled string form —
+    * cast inside the predicate for numeric comparisons); `rename`
+    * labels the derived single-column table's column. Because the
+    * histogram is the EXACT per-value reduction, filtering its rows
+    * commutes with profiling the filtered table: the derived
+    * stats/counters/KMV rows are IDENTICAL to a from-scratch
+    * [[tableStats]] of the filtered projection (StatsGateSpec pins
+    * this cell-for-cell; the q_scale_stats_derived_dp entry REQUIREs
+    * the derived-stats DP plan equal the staged-artifact plan).
+    * Only the filter column itself is derivable — pricing a predicate
+    * on column A for joins on column B would need a 2-D histogram the
+    * artifact deliberately doesn't carry. */
+  def filteredTableStats(hist: DataFrame, colname: String,
+      rename: String, pred: Column => Column, k: Int = 128,
+      depth: Int = 4, width: Int = 1024): TableStats =
+    tableStatsFromHist(
+      hist.filter(col("colname") === colname && pred(col("term")))
+        .withColumn("colname", lit(rename)),
+      k, depth, width)
+
   /** Persist a [[TableStats]] artifact under `path` — `cols/` and
     * `counters/` through the model seam's single-part layout (both
     * halves are catalog-sized), plus a top-level `_SUCCESS` once both

@@ -477,4 +477,55 @@ class StatsGateSpec extends SparkSpec {
     assert(got == want, s"cyclic-edge execution: got $got want $want")
     assert(got == 50L)
   }
+
+  test("filteredTableStats: deriving a filtered dim from the parent " +
+      "histogram EQUALS profiling the filtered table — equality and " +
+      "mod predicates, stats and counters cell-for-cell") {
+    import spark.implicits._
+    // skewed parent: key i appears (i % 7 + 1) times, some nulls
+    val rows = (1 to 200).flatMap(i =>
+      Seq.fill(i % 7 + 1)(Some(i.toLong))) ++ Seq.fill(5)(Option.empty[Long])
+    val parent = rows.toDF("k")
+    val hist = SketchOps.histFrame(parent, col("k"),
+      Seq(("k", col("k"), Option.empty[org.apache.spark.sql.Column])))
+      .localCheckpoint()
+    def assertSame(derived: SketchOps.TableStats,
+        direct: SketchOps.TableStats): Unit = {
+      val dCols = derived.cols.collect().map(_.toSeq).toSet
+      val fCols = direct.cols.collect().map(_.toSeq).toSet
+      assert(dCols == fCols, s"cols: derived $dCols != direct $fCols")
+      val dCnt = derived.counters.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      val fCnt = direct.counters.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      assert(dCnt == fCnt, "counter frames differ")
+    }
+    // equality predicate: exactly the histogram-resident value's rows
+    assertSame(
+      SketchOps.filteredTableStats(hist, "k", "fk",
+        t => t.cast("long") === 13L),
+      SketchOps.tableStats(parent.filter(col("k") === 13L)
+          .select(col("k").as("fk")), col("fk"),
+        Seq(("fk", col("fk"), Option.empty[org.apache.spark.sql.Column]))))
+    // mod predicate (the derived-dim entry's regime)
+    assertSame(
+      SketchOps.filteredTableStats(hist, "k", "fk",
+        t => t.cast("long") % 10 === 0),
+      SketchOps.tableStats(parent.filter(col("k") % 10 === 0)
+          .select(col("k").as("fk")), col("fk"),
+        Seq(("fk", col("fk"), Option.empty[org.apache.spark.sql.Column]))))
+    // and the planner consumes the derived form identically
+    val pDerived = Scale.planTable(
+      SketchOps.filteredTableStats(hist, "k", "fk",
+        t => t.cast("long") % 10 === 0), "dim", Seq("fk"))
+    val pDirect = Scale.planTable(
+      SketchOps.tableStats(parent.filter(col("k") % 10 === 0)
+          .select(col("k").as("fk")), col("fk"),
+        Seq(("fk", col("fk"), Option.empty[org.apache.spark.sql.Column]))),
+      "dim", Seq("fk"))
+    assert(pDerived == pDirect,
+      s"PlanTable derived $pDerived != direct $pDirect")
+  }
 }
