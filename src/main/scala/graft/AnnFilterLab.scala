@@ -112,9 +112,11 @@ object AnnFilterLab {
     // tradeoff; recall measured against exact filtered brute over the
     // full-width vectors (so it folds in the PQ quantization loss the
     // IVF rows don't pay), with the rerank refine on.
-    println("\nprebuilt PQ-index filtered serve (nlist=64, nprobe=8, rerank=32):")
-    println("| selectivity | serve s | recall@10 vs exact filtered |")
-    println("|---|---|---|")
+    println("\nprebuilt PQ-index filtered serve (nlist=64, nprobe=8, " +
+      "rerank=32, selectivity gate at 1000 qualifying rows — r19):")
+    println("| selectivity | branch | qualifying | serve s | " +
+      "recall@10 vs exact filtered | ungated-ADC recall |")
+    println("|---|---|---|---|---|---|")
     val pqRaw = S.buildPqIndex(emb, "vec_id", "embedding", nlist = 64,
       attrCols = Seq("label"))
     val pq = pqRaw.copy(assignments = pqRaw.assignments.localCheckpoint())
@@ -125,13 +127,21 @@ object AnnFilterLab {
           "embedding", 10, S.quantizedCosineX1e6)
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val served = S.ivfPqServeFilteredTopK(pq, queries, "vec_id",
-          "embedding", 10, sp, nprobe = 8, rerank = Some(32))
-        .select("query_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val recall = truth.count(served.contains).toDouble /
-        math.max(truth.size, 1)
-      println(f"| $name | ${fmt(serveT)} | $recall%.3f |")
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val served = df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        truth.count(served.contains).toDouble / math.max(truth.size, 1)
+      }
+      val (served, branch, nQual) = S.ivfPqServeFilteredGated(pq,
+        queries, "vec_id", "embedding", 10, sp, nprobe = 8,
+        rerank = Some(32))
+      val recall = recallOf(served)
+      // the pre-gate path for comparison (what r18 shipped)
+      val ungated = recallOf(S.ivfPqServeFilteredTopK(pq, queries,
+        "vec_id", "embedding", 10, sp, nprobe = 8, rerank = Some(32),
+        bruteGateRows = 0L))
+      println(f"| $name | $branch | $nQual | ${fmt(serveT)} | " +
+        f"$recall%.3f | $ungated%.3f |")
     }
     spark.stop()
   }

@@ -7354,18 +7354,87 @@ object Queries {
   // persisted coded rows (carried via the v2 index layout, a pushable
   // parquet filter), only the probed cells' qualifying CODED rows are
   // ADC-scored, and the top-32 refine against the carried full-width
-  // vectors. nprobe = 8 (double the unfiltered default) — the
-  // standard deployment mitigation for the cells-laid-out-unfiltered
-  // recall tradeoff, documented rather than hidden; nprobe = nlist
-  // degenerates to exact ADC over the qualifying set (ModelSeamSpec).
+  // vectors. SELECTIVITY-GATED since r19 (r18 VERDICT #5): one
+  // map-combined count over the predicate-pushed assignment scan
+  // decides exact-refine-store-brute vs ADC (the q_ann_filtered_topk
+  // gate on the compressed family — AnnFilterLab had honestly
+  // recorded recall@10 = 0.149 at ~0.5% selectivity for the ungated
+  // path). Two regimes, the BRANCH and qualifying count in the
+  // hash-compared output, the oracle replicating the gate decision
+  // with a count-guarded union:
+  //   broad:     label % 4 <> 0 (~75% qualify) — ADC + refine above
+  //              the gate at sf0.01+ (brute at sf0.001: 1500-row
+  //              corpus leaves ~1125 <= the demo gate? no — 1125 >
+  //              1000 keeps ADC there too; the oracle guard decides)
+  //   selective: neighbor_id % 200 = 0 (0.5%) — the rung where the
+  //              ungated path collapsed; the gate serves it EXACTLY
+  //              from the refine store at every SF
   private val annIvfPqFilteredServe: Q = (s, dir) => withSmallShuffle(s) {
-    val ix = graft.llm.SimilarityOps.loadPqIndex(s, pqIndexStaged(s, dir))
-    graft.llm.SimilarityOps.ivfPqServeFilteredTopK(ix,
-      embT(s, dir).coalesce(4).filter(col("vec_id") < 20),
-      "vec_id", "embedding", 5, predicate = col("label") % 4 =!= 0,
-      nprobe = 8, rerank = Some(32))
+    val So = graft.llm.SimilarityOps
+    val ix = So.loadPqIndex(s, pqIndexStaged(s, dir))
+    val queries = embT(s, dir).coalesce(4).filter(col("vec_id") < 20)
+    def one(regime: String, pred: Column) = {
+      val (served, branch, nQual) = So.ivfPqServeFilteredGated(ix,
+        queries, "vec_id", "embedding", 5, predicate = pred,
+        nprobe = 8, rerank = Some(32), bruteGateRows = 1000L)
+      served.select(lit(regime).as("regime"), lit(branch).as("branch"),
+        lit(nQual).as("n_qualifying"), col("query_id"),
+        col("neighbor_id"), col("score_x1e6"), col("rank"))
+    }
+    one("broad", col("label") % 4 =!= 0)
+      .unionByName(one("selective", col("neighbor_id") % 200 === 0))
   }
-  private val annIvfPqFilteredServeOracle =
+  private val annIvfPqFilteredServeOracle = {
+    // per-regime chain: count-guarded union of the exact refine-store
+    // brute arm and the ADC+refine arm — the SQL replica of the
+    // engine's measured-scalar gate (the annFilteredTopk oracle
+    // pattern on the compressed family). `predSql` is in terms of
+    // alias `v`.
+    def regimeSql(p: String, predSql: String): String =
+      s"""${p}cnt AS (SELECT CAST(count(*) AS BIGINT) AS c
+        |  FROM n v WHERE $predSql),
+        |${p}assigned AS (
+        |  SELECT neighbor_id, cell FROM (
+        |    SELECT v.id AS neighbor_id, c.cell AS cell,
+        |      row_number() OVER (PARTITION BY v.id
+        |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
+        |    FROM n v, m_cent c WHERE $predSql) WHERE rn = 1),
+        |${p}adist AS (
+        |  SELECT p.query_id, a.neighbor_id, CAST(sum(dq.d2) AS BIGINT) AS adist
+        |  FROM f_probes p
+        |  JOIN ${p}assigned a ON p.cell = a.cell AND p.query_id <> a.neighbor_id
+        |  JOIN c_codes cx ON cx.vid = a.neighbor_id
+        |  JOIN c_dist dq ON dq.vid = p.query_id AND dq.j = cx.j AND dq.c = cx.c
+        |  GROUP BY 1, 2),
+        |${p}cands AS (
+        |  SELECT query_id, neighbor_id FROM ${p}adist
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 32),
+        |${p}adc AS (
+        |  SELECT cd.query_id, cd.neighbor_id,
+        |    ${qcosSql("qn.q", "qn.nq", "cn.q", "cn.nq")} AS score_x1e6,
+        |    row_number() OVER (PARTITION BY cd.query_id
+        |      ORDER BY ${qcosSql("qn.q", "qn.nq", "cn.q", "cn.nq")} DESC, cd.neighbor_id) AS rnk
+        |  FROM ${p}cands cd
+        |  JOIN n qn ON qn.id = cd.query_id
+        |  JOIN n cn ON cn.id = cd.neighbor_id),
+        |${p}brute AS (
+        |  SELECT query_id, neighbor_id, score_x1e6,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_x1e6 DESC, neighbor_id) AS rnk
+        |  FROM (
+        |    SELECT qv.id AS query_id, v.id AS neighbor_id,
+        |      ${qcosSql("qv.q", "qv.nq", "v.q", "v.nq")} AS score_x1e6
+        |    FROM n qv, n v
+        |    WHERE qv.id < 20 AND qv.id <> v.id AND $predSql))""".stripMargin
+    def regimeOut(p: String, regime: String): String =
+      s"""SELECT '$regime' AS regime, 'brute' AS branch,
+        |  (SELECT c FROM ${p}cnt) AS n_qualifying,
+        |  query_id, neighbor_id, score_x1e6, CAST(rnk AS INT) AS rank
+        |FROM ${p}brute WHERE rnk <= 5 AND (SELECT c FROM ${p}cnt) <= 1000
+        |UNION ALL
+        |SELECT '$regime', 'adc', (SELECT c FROM ${p}cnt),
+        |  query_id, neighbor_id, score_x1e6, CAST(rnk AS INT)
+        |FROM ${p}adc WHERE rnk <= 5 AND (SELECT c FROM ${p}cnt) > 1000""".stripMargin
     s"""WITH e AS (
       |  SELECT vec_id AS id, label,
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
@@ -7375,38 +7444,18 @@ object Queries {
       |      FROM e),
       |${pqModelSql("m_", "n", "")},
       |${pqDistSql("c_", "n", "", "m_")},
-      |f_assigned AS (
-      |  SELECT neighbor_id, cell FROM (
-      |    SELECT v.id AS neighbor_id, v.label AS label, c.cell AS cell,
-      |      row_number() OVER (PARTITION BY v.id
-      |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
-      |    FROM n v, m_cent c) WHERE rn = 1 AND label % 4 <> 0),
       |f_probes AS (
       |  SELECT query_id, cell FROM (
       |    SELECT v.id AS query_id, c.cell AS cell,
       |      row_number() OVER (PARTITION BY v.id
       |        ORDER BY ${qcosSql("v.q", "v.nq", "c.cq", "c.cnq")} DESC, c.cell) AS rn
       |    FROM n v, m_cent c WHERE v.id < 20) WHERE rn <= 8),
-      |f_adist AS (
-      |  SELECT p.query_id, a.neighbor_id, CAST(sum(dq.d2) AS BIGINT) AS adist
-      |  FROM f_probes p
-      |  JOIN f_assigned a ON p.cell = a.cell AND p.query_id <> a.neighbor_id
-      |  JOIN c_codes cx ON cx.vid = a.neighbor_id
-      |  JOIN c_dist dq ON dq.vid = p.query_id AND dq.j = cx.j AND dq.c = cx.c
-      |  GROUP BY 1, 2),
-      |f_cands AS (
-      |  SELECT query_id, neighbor_id FROM f_adist
-      |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 32),
-      |f_exact AS (
-      |  SELECT cd.query_id, cd.neighbor_id,
-      |    ${qcosSql("qn.q", "qn.nq", "cn.q", "cn.nq")} AS score_x1e6
-      |  FROM f_cands cd
-      |  JOIN n qn ON qn.id = cd.query_id
-      |  JOIN n cn ON cn.id = cd.neighbor_id)
-      |SELECT query_id, neighbor_id, score_x1e6,
-      |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) AS INT) AS rank
-      |FROM f_exact
-      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score_x1e6 DESC, neighbor_id) <= 5""".stripMargin
+      |${regimeSql("b_", "v.label % 4 <> 0")},
+      |${regimeSql("s_", "v.id % 200 = 0")}
+      |${regimeOut("b_", "broad")}
+      |UNION ALL
+      |${regimeOut("s_", "selective")}""".stripMargin
+  }
 
   // The float32 descriptor path, oracled exactly: feature = bin-6
   // count / n_bytes computed in FLOAT (one correctly-rounded single-

@@ -604,9 +604,12 @@ class ModelSeamSpec extends SparkSpec {
     val pred = col("label") % 3 =!= 0
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSet
+    // bruteGateRows = 0: the pure-ADC differential needs the gate
+    // OFF — the spec corpus's qualifying set is below the deployed
+    // default, which would (correctly) serve it exactly instead
     def serve(i: SimilarityOps.PqIndex, np: Int) =
       rows(SimilarityOps.ivfPqServeFilteredTopK(i, queries, "vec_id",
-        "embedding", 5, pred, np))
+        "embedding", 5, pred, np, bruteGateRows = 0L))
     assert(serve(loaded, 3) == serve(ix, 3),
       "persisted filtered serve != in-session")
     assert(serve(loaded, 3).nonEmpty)
@@ -619,5 +622,38 @@ class ModelSeamSpec extends SparkSpec {
       codebook = Some(loaded.codebook)))
     assert(serve(loaded, 8) == exact,
       "full-probe filtered serve must equal exact filtered ADC")
+  }
+
+  test("PQ filtered serve selectivity gate (r19): a selective " +
+      "predicate flips to the exact refine-store brute (recall 1.0), " +
+      "a broad one keeps the ADC path, branch and count reported") {
+    val ix = SimilarityOps.buildPqIndex(emb, "vec_id", "embedding",
+      nlist = 8, m = 4, ksub = 8, attrCols = Seq("label"))
+    val nTotal = emb.count()
+    // selective: a handful of qualifying rows -> brute branch
+    val selPred = col("neighbor_id") % 29 === 0
+    val (servedSel, brSel, nSel) = SimilarityOps.ivfPqServeFilteredGated(
+      ix, queries, "vec_id", "embedding", 5, selPred,
+      nprobe = 2, rerank = Some(8), bruteGateRows = 1000L)
+    assert(brSel == "brute" && nSel <= 1000L && nSel > 0L)
+    // the brute branch IS exact filtered search over the refine store
+    val exact = SimilarityOps.bruteForceTopK(
+        ix.assignments.filter(selPred)
+          .select(col("neighbor_id").as("vec_id"),
+            col("emb").as("embedding")),
+        queries, "vec_id", "embedding", 5,
+        SimilarityOps.quantizedCosineX1e6)
+      .select(col("query_id"), col("neighbor_id"),
+        col("score").as("score_x1e6"), col("rank"))
+    assert(servedSel.collect().map(_.toSeq).toSet ==
+      exact.collect().map(_.toSeq).toSet,
+      "brute branch must equal exact filtered refine-store search")
+    // broad predicate with a tiny gate -> adc branch, count exact
+    val (_, brBroad, nBroad) = SimilarityOps.ivfPqServeFilteredGated(
+      ix, queries, "vec_id", "embedding", 5, col("label") % 3 =!= 0,
+      nprobe = 2, rerank = Some(8), bruteGateRows = 1L)
+    assert(brBroad == "adc")
+    assert(nBroad == emb.filter(col("label") % 3 =!= 0).count() &&
+      nBroad < nTotal)
   }
 }
