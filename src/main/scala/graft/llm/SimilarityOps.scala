@@ -480,6 +480,41 @@ object SimilarityOps {
         "indexes must be rebuilt through their staging path")
   }
 
+  /** Size-gated compaction of an append-maintained index's `assign/`
+    * dir (r18 VERDICT #7): every [[appendToIvfIndex]] /
+    * [[appendToPqIndex]] adds one parquet file group, so after N
+    * daily appends every serve scans N+1 small file groups — the
+    * small-file problem `Layout.compactBins` exists to fix, landed on
+    * the index seams. When the part-file count crosses `maxFiles`,
+    * the rows are read, materialized (localCheckpoint — the rewrite
+    * overwrites its own input, the gated-rebuild precedent), and
+    * rewritten as max(1, ceil(bytes / 64 MiB)) files. Content-only
+    * rewrite: serve-before == serve-after bit-parity (ModelSeamSpec
+    * hash-compares it with the compaction forced).
+    *
+    * MUST run inside the caller's
+    * [[graft.sources.Staging.withMarkerDropped]] window: a crash
+    * mid-rewrite leaves a torn `assign/`, which the dropped marker
+    * reports as an incomplete artifact (and stageOnce's torn-dir
+    * repair then rebuilds). Returns true iff a compaction ran. */
+  private def compactAssignDir(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFiles: Int): Boolean = {
+    if (maxFiles <= 0) return false
+    val assign = new org.apache.hadoop.fs.Path(s"$path/assign")
+    val fs = assign.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(assign)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (parts.length <= maxFiles) return false
+    val bytes = parts.map(_.getLen).sum
+    val target = math.max(1L,
+      (bytes + (64L << 20) - 1) / (64L << 20)).toInt
+    val rows = spark.read.parquet(s"$path/assign").localCheckpoint()
+    rows.coalesce(target).write.mode("overwrite")
+      .parquet(s"$path/assign")
+    true
+  }
+
   /** The drift verdict of one gated update: the branch taken and the
     * measured drift stat it was gated on — the appended batch's
     * largest single-cell assignment count over the batch row count. */
@@ -535,15 +570,16 @@ object SimilarityOps {
   def ivfGatedUpdate(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, embCol: String,
       shareNum: Long = 1, shareDen: Long = 2,
-      nlist: Int = 16): IvfUpdateDecision = {
+      nlist: Int = 16, maxAssignFiles: Int = 16): IvfUpdateDecision = {
     val ix = loadIvfIndex(spark, path)
     requirePlainIndex(ix, "ivfGatedUpdate")
     val (d, batchAssign) =
       ivfUpdateDecision(ix, batch, idCol, embCol, shareNum, shareDen)
     graft.sources.Staging.withMarkerDropped(path) {
-      if (d.branch == "append")
+      if (d.branch == "append") {
         batchAssign.write.mode("append").parquet(s"$path/assign")
-      else {
+        compactAssignDir(spark, path, maxAssignFiles)
+      } else {
         // localCheckpoint: the rebuild OVERWRITES the assign/ dir its
         // own input lineage reads — materialize first
         val grown = ix.assignments
@@ -1042,6 +1078,20 @@ object SimilarityOps {
     * (one counter-sized aggregate over the coded rows the save
     * materializes anyway) — what [[pqGatedUpdate]] gates against. */
   def savePqIndex(index: PqIndex, path: String): Unit = {
+    savePqIndexParts(index, path)
+    graft.sources.Staging.touchMarker(path)
+  }
+
+  /** [[savePqIndex]] WITHOUT the trailing completeness marker — for
+    * callers already inside a
+    * [[graft.sources.Staging.withMarkerDropped]] window
+    * ([[pqGatedUpdate]]'s rebuild branch): the full savePqIndex there
+    * re-created `_SUCCESS` mid-window, so a crash between the rebuild
+    * and the drift append left a complete-looking artifact missing
+    * its decision row (r18 ADVICE). The window's own exit restores
+    * the marker exactly once, after everything has landed. */
+  private[graft] def savePqIndexParts(index: PqIndex,
+      path: String): Unit = {
     val spark = index.centroids.sparkSession
     import spark.implicits._
     Quantizers.saveModel(index.centroids, s"$path/centroids")
@@ -1054,7 +1104,6 @@ object SimilarityOps {
         if (qe.isNullAt(0)) 0L else qe.getLong(0), qe.getLong(1)))
         .toDF("nlist", "m", "ksub", "residual", "qerr_sum", "qerr_rows"),
       s"$path/meta")
-    graft.sources.Staging.touchMarker(path)
   }
 
   /** Load an index persisted by [[savePqIndex]]. Codes are integers
@@ -1155,8 +1204,16 @@ object SimilarityOps {
     require(!st.isNullAt(0), "gated update needs a non-empty batch")
     val (mx, tot, qes) = (st.getLong(0), st.getLong(1), st.getLong(2))
     val cellFires = BigInt(mx) * shareDen >= BigInt(tot) * shareNum
-    val qerrFires = BigInt(qes) * index.qerrRows * qerrDen >=
-      BigInt(qerrNum) * index.qerrSum * tot
+    // degenerate baseline guard (r18 ADVICE): a perfectly encodable
+    // base corpus freezes qerrSum = 0, making the cross-multiplied
+    // comparison trivially true for EVERY batch (0 >= 0) — including
+    // one with zero encoding error. The axis then fires only when
+    // the batch actually encodes with error (any error is infinite
+    // growth over a zero baseline).
+    val qerrFires =
+      if (index.qerrSum == 0L) qes > 0L
+      else BigInt(qes) * index.qerrRows * qerrDen >=
+        BigInt(qerrNum) * index.qerrSum * tot
     val branch = if (cellFires || qerrFires) "rebuild" else "append"
     (PqUpdateDecision(branch, mx, tot, qes, index.qerrSum,
       index.qerrRows), coded)
@@ -1178,23 +1235,28 @@ object SimilarityOps {
   def pqGatedUpdate(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, embCol: String,
       shareNum: Long = 1, shareDen: Long = 2, qerrNum: Long = 2,
-      qerrDen: Long = 1): PqUpdateDecision = {
+      qerrDen: Long = 1, maxAssignFiles: Int = 16): PqUpdateDecision = {
     val ix = loadPqIndex(spark, path)
     requirePlainPqIndex(ix, "pqGatedUpdate")
     val (d, coded) = pqUpdateDecision(ix, batch, idCol, embCol,
       shareNum, shareDen, qerrNum, qerrDen)
     graft.sources.Staging.withMarkerDropped(path) {
-      if (d.branch == "append")
+      if (d.branch == "append") {
         coded.write.mode("append").parquet(s"$path/assign")
-      else {
+        compactAssignDir(spark, path, maxAssignFiles)
+      } else {
         // localCheckpoint: the rebuild OVERWRITES the assign/ dir its
         // own input lineage reads — materialize first
         val grown = ix.assignments
           .select(col("neighbor_id").as(idCol), col("emb").as(embCol))
           .unionByName(batch.select(col(idCol), col(embCol)))
           .localCheckpoint()
-        savePqIndex(buildPqIndex(grown, idCol, embCol, ix.nlist, ix.m,
-          ix.ksub, residual = ix.residual), path)
+        // Parts-only save: the full savePqIndex would re-create the
+        // completeness marker INSIDE this dropped-marker window
+        // (r18 ADVICE) — the window exit restores it once the drift
+        // row below has landed too
+        savePqIndexParts(buildPqIndex(grown, idCol, embCol, ix.nlist,
+          ix.m, ix.ksub, residual = ix.residual), path)
       }
       import spark.implicits._
       Seq((d.branch, d.maxCellCnt, d.batchRows, d.batchQerrSum,

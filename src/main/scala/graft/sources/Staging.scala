@@ -84,13 +84,34 @@ object Staging {
     // window) — by the single-writer seam contract nothing live owns
     // it, and leaving it would wedge the artifact forever (the rename
     // below fails on an existing dir, the catch sees no marker and
-    // rethrows on every call). Delete and rebuild. A concurrent FRESH
-    // stager is unaffected: it builds under its own tmp sibling and
-    // only publishes by rename, so the final path never exists
-    // marker-less on that path.
+    // rethrows on every call). Repair by RENAMING the torn dir aside
+    // (r18 ADVICE: an in-place recursive delete had a destructive
+    // TOCTOU — between the entry hasMarker probe and the delete, a
+    // concurrent cross-JVM stager could publish a complete artifact,
+    // or a live withMarkerDropped mutator could be mid-window; the
+    // delete would destroy either). The rename is atomic, so exactly
+    // one repairer wins, and if the moved-aside dir turns out to
+    // carry a marker we raced a publisher — move it straight back
+    // and return: nothing was destroyed.
     if (pathExists(path)) {
+      if (hasMarker(path)) return // published between probe and repair
       val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(hadoopConf).delete(p, true)
+      val fs = p.getFileSystem(hadoopConf)
+      val aside = new org.apache.hadoop.fs.Path(path + ".torn-" +
+        ProcessHandle.current().pid() + "-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      if (fs.rename(p, aside)) {
+        if (hasMarker(aside.toString)) {
+          // the publisher won the race after all — restore and use it
+          if (!fs.rename(aside, p) && !hasMarker(path))
+            throw new java.io.IOException(
+              s"torn-dir repair could not restore $aside to $path")
+          return
+        }
+        fs.delete(aside, true) // genuinely torn: discard off-path
+      }
+      // rename failed => someone else repaired or published; fall
+      // through — the publish-by-rename below resolves either way
     }
     val tmp = path + ".tmp-" + ProcessHandle.current().pid() + "-" +
       java.util.UUID.randomUUID().toString.take(8)

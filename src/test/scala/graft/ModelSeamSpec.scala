@@ -656,4 +656,44 @@ class ModelSeamSpec extends SparkSpec {
     assert(nBroad == emb.filter(col("label") % 3 =!= 0).count() &&
       nBroad < nTotal)
   }
+
+  test("append-maintained index compaction (r19): crossing the " +
+      "assign/ file-count threshold rewrites to few files with " +
+      "serve-before == serve-after bit-parity") {
+    def partCount(path: String): Int =
+      new java.io.File(s"$path/assign").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    def stage(maxFiles: Int): String = {
+      val path = graft.sources.Staging.sessionTempDir(
+        s"graft_pq_compact_$maxFiles")
+      SimilarityOps.savePqIndex(SimilarityOps.buildPqIndex(
+        emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+        nlist = 8, m = 4, ksub = 8), path)
+      // four disjoint i.i.d. appends — each adds one file group
+      for (r <- 1 to 4) {
+        val d = SimilarityOps.pqGatedUpdate(spark, path,
+          emb.filter(col("vec_id") % 5 === r), "vec_id", "embedding",
+          maxAssignFiles = maxFiles)
+        assert(d.branch == "append", s"round $r unexpectedly rebuilt")
+      }
+      path
+    }
+    val loose = stage(maxFiles = 0)   // compaction off
+    val tight = stage(maxFiles = 2)   // fires whenever > 2 part files
+    assert(partCount(tight) < partCount(loose),
+      s"compaction never fired: ${partCount(tight)} vs ${partCount(loose)}")
+    // post-compaction the dir is at most maxFiles + one fresh append
+    assert(partCount(tight) <= 3,
+      s"compacted assign/ still holds ${partCount(tight)} part files")
+    // content parity: the compacted index serves bit-identically
+    def serve(path: String) = SimilarityOps.ivfPqServeTopK(
+        SimilarityOps.loadPqIndex(spark, path), queries, "vec_id",
+        "embedding", 5, nprobe = 8)
+      .collect().map(_.toSeq).toSet
+    assert(serve(tight) == serve(loose),
+      "compaction changed serve results")
+    assert(serve(tight).nonEmpty)
+    // the artifact is complete again after the in-place mutation
+    assert(graft.sources.Staging.hasMarker(tight))
+  }
 }
