@@ -4141,6 +4141,142 @@ object Queries {
       |FROM sk s JOIN ex e ON s.source = e.source""".stripMargin
   }
 
+  // SESSION-windowed CMS (r18 VERDICT #8) — the frequency leg
+  // completing the session-sketch family: "hot items per user
+  // session" over the SAME user|session_start composite key as the
+  // session KMV/quantile forms. The keyed kernels
+  // (SketchOps.cmsCountersKeyed / cmsTopCandidatesKeyed /
+  // cmsProbeKeyed) are the windowed-CMS composition with the window
+  // id coming from the g1 gap sessionizer instead of floor
+  // arithmetic; state in the stream twin is open_sessions ×
+  // ≤ depth·width cells, and closed sessions evict outright.
+  private val sketchCmsSession: Q = (s, dir) => withSmallShuffle(s) {
+    val S = graft.llm.SketchOps
+    val (depth, width) = (4, 1024)
+    val sess = withSessionKey(events(s, dir).select(col("event_id"),
+        col("user_id"), col("sec"))
+      .withColumn("item", (col("event_id") % 50).cast("string")), 259200L)
+      .select(col("src"), col("item"))
+    S.cmsProbeKeyed(
+      S.cmsCountersKeyed(sess, "src", "item", depth, width),
+      S.cmsTopCandidatesKeyed(sess, "src", "item", 3), depth, width)
+  }
+  private val sketchCmsSessionOracle = {
+    def hb(i: Int) =
+      s"CAST((${FnvOracleSql.fnvStrPublic(s"('$i' || term)")}) & " +
+        s"9223372036854775807::HUGEINT AS BIGINT) % 1024"
+    val counters = (0 until 4).map(i =>
+      s"""c$i AS (
+         |  SELECT source, ${hb(i)} AS bucket,
+         |         CAST(sum(tf) AS BIGINT) AS cnt
+         |  FROM tf0 GROUP BY 1, 2)""".stripMargin).mkString(",\n")
+    s"""WITH ev AS (
+      |  SELECT event_id, user_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |flags AS (
+      |  SELECT *,
+      |    CASE WHEN lag(sec) OVER w IS NULL
+      |           OR sec - lag(sec) OVER w > 259200 THEN 1 ELSE 0 END
+      |      AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |sess AS (
+      |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM flags),
+      |st AS (
+      |  SELECT CAST(user_id AS VARCHAR) || '|' ||
+      |           CAST(min(sec) OVER (PARTITION BY user_id, session_id)
+      |                AS VARCHAR) AS source,
+      |         CAST(event_id % 50 AS VARCHAR) AS term
+      |  FROM sess),
+      |tf0 AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+      |        FROM st GROUP BY 1, 2),
+      |$counters,
+      |top AS (
+      |  SELECT source, term, tf AS exact_tf,
+      |    ${hb(0)} AS b0, ${hb(1)} AS b1, ${hb(2)} AS b2, ${hb(3)} AS b3
+      |  FROM tf0
+      |  QUALIFY row_number() OVER (PARTITION BY source
+      |    ORDER BY tf DESC, term) <= 3)
+      |SELECT t.source, t.term, t.exact_tf,
+      |       least(x0.cnt, x1.cnt, x2.cnt, x3.cnt) AS cms_est
+      |FROM top t
+      |JOIN c0 x0 ON x0.source = t.source AND x0.bucket = t.b0
+      |JOIN c1 x1 ON x1.source = t.source AND x1.bucket = t.b1
+      |JOIN c2 x2 ON x2.source = t.source AND x2.bucket = t.b2
+      |JOIN c3 x3 ON x3.source = t.source AND x3.bucket = t.b3""".stripMargin
+  }
+
+  // SESSION CMS AS A STREAM — TwsCmsSession (the KmvSessionProcessor
+  // generalized: sparse counter cells instead of the k-min set as the
+  // per-open-session state, ≤ depth·min(items, width) entries). Each
+  // closed session emits its cells once; the probe finalizes outside
+  // the stream against the batch side's exact top candidates (the
+  // cmsTopCandidatesKeyed demo-twin contract), so output — and
+  // therefore the oracle — is IDENTICAL to q_sketch_cms_session:
+  // stream cells == batch cells cell-for-cell is the hash-compared
+  // surface.
+  private val sketchCmsSessionStream: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val TrackKey =
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    val prev =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevTrack = s.conf.getOption(TrackKey)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(TrackKey, "false") // measured knob — SCALE_STREAM_r09.md
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val spark2 = s
+      import spark2.implicits._
+      val S = graft.llm.SketchOps
+      val (depth, width) = (4, 1024)
+      val work = graft.sources.Staging.sessionTempDir("graft_cms_sess")
+      val watch = sessionSlicesStaged(s, dir)
+      val stream = s.readStream.schema(s.read.parquet(watch).schema)
+        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .as[graft.streaming.KmvSessEvent]
+      val q = graft.streaming.TwsCmsSession
+        .sessionCounters(stream, 259200L, depth, width).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val counters = s.read.parquet(s"$work/out")
+        .filter(col("user_id") >= 0)
+        .select(
+          concat(col("user_id").cast("string"), lit("|"),
+            col("session_start").cast("string")).as("source"),
+          expr(s"CAST(cell DIV $width AS INT)").as("i"),
+          (col("cell") % width).as("bucket"), col("cnt"))
+      val sessBatch = withSessionKey(events(s, dir)
+        .select(col("event_id"), col("user_id"), col("sec"))
+        .withColumn("item", (col("event_id") % 50).cast("string")),
+        259200L).select(col("src"), col("item"))
+      S.cmsProbeKeyed(counters,
+        S.cmsTopCandidatesKeyed(sessBatch, "src", "item", 3),
+        depth, width)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prev match {
+        case Some(p) => s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      prevTrack match {
+        case Some(t) => s.conf.set(TrackKey, t)
+        case None => s.conf.unset(TrackKey)
+      }
+    }
+  }
+
   // CMS AS A STREAM (the frequency twin of q_sketch_kmv_stream, same
   // replay dir): each micro-batch's counter frame (SketchOps.
   // cmsCounters — the SAME core as the batch entry) merges into the
@@ -7907,6 +8043,8 @@ object Queries {
     "q_sketch_kmv_session" -> sketchKmvSession,
     "q_sketch_kmv_session_stream" -> sketchKmvSessionStream,
     "q_sketch_quantile_session" -> sketchQuantileSession,
+    "q_sketch_cms_session" -> sketchCmsSession,
+    "q_sketch_cms_session_stream" -> sketchCmsSessionStream,
     "q_sketch_cms_heavy" -> sketchCmsHeavy,
     "q_sketch_cms_join_size" -> sketchCmsJoinSize,
     "q_sketch_cms_stream" -> sketchCmsStream,
@@ -8001,7 +8139,8 @@ object Queries {
     "q_scd2_stream_merge", "q_sketch_kmv_stream", "q_sketch_cms_stream",
     "q_sketch_kmv_window_stream", "q_sketch_cms_window_stream",
     "q_sketch_quantile_window_stream", "q_scale_stats_stream_gate",
-    "q_sketch_kmv_session_stream", "q_scale_stats_stream_order")
+    "q_sketch_kmv_session_stream", "q_sketch_cms_session_stream",
+    "q_scale_stats_stream_order")
   require(streamingEntries.forall(all.contains),
     "streamingEntries must all be catalog entries")
 
@@ -8104,6 +8243,8 @@ object Queries {
     "q_sketch_kmv_session" -> sketchKmvSessionOracle,
     "q_sketch_kmv_session_stream" -> sketchKmvSessionStreamOracle,
     "q_sketch_quantile_session" -> sketchQuantileSessionOracle,
+    "q_sketch_cms_session" -> sketchCmsSessionOracle,
+    "q_sketch_cms_session_stream" -> sketchCmsSessionOracle,
     "q_sketch_cms_heavy" -> sketchCmsHeavyOracle,
     "q_sketch_cms_join_size" -> sketchCmsJoinSizeOracle,
     "q_sketch_cms_stream" -> sketchCmsHeavyOracle,

@@ -847,6 +847,52 @@ object SketchOps {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
   // ------------------------------------------------------------------
+  // KEYED (session) CMS — the frequency leg of the session-sketch
+  // family (r18 VERDICT #8: KMV and quantile had sessionized forms,
+  // CMS didn't). Same composition as the windowed family, with an
+  // ARBITRARY composite key column (the g1 gap sessionizer's
+  // `user|session_start`) instead of the tumbling-window start: every
+  // kernel — build, merge (cellwise addition per (key, i, bucket)),
+  // probe — applies unchanged, a stream's carried state is
+  // open_sessions × ≤ depth·width cells, and a closed session's cells
+  // evict outright (the session key is its identity; no counter
+  // needed — the session-KMV design).
+  // ------------------------------------------------------------------
+
+  /** Per-key (i, bucket, cnt) counter frames — "hot items per user
+    * session" when keyed by the sessionizer's composite key. */
+  def cmsCountersKeyed(df: DataFrame, keyCol: String, termCol: String,
+      depth: Int, width: Int): DataFrame =
+    df.filter(col(termCol).isNotNull)
+      .select(col(keyCol).as("source"),
+        posexplode(cmsBuckets(col(termCol), depth, width))
+          .as(Seq("i", "bucket")))
+      .groupBy("source", "i", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Exact per-key top-`topK` terms — the keyed verification twin
+    * (production feeds candidates from the stream or a sample). */
+  def cmsTopCandidatesKeyed(df: DataFrame, keyCol: String,
+      termCol: String, topK: Int): DataFrame =
+    df.filter(col(termCol).isNotNull)
+      .select(col(keyCol).as("source"), col(termCol).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("exact_tf"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("exact_tf").desc, col("term").asc)))
+      .filter(col("rnk") <= topK).drop("rnk")
+
+  /** Point-query per-key candidates against a keyed counter frame —
+    * min over depth rows within the candidate's key. */
+  def cmsProbeKeyed(counters: DataFrame, candidates: DataFrame,
+      depth: Int, width: Int): DataFrame =
+    candidates.select(col("source"), col("term"), col("exact_tf"),
+        posexplode(cmsBuckets(col("term"), depth, width))
+          .as(Seq("i", "bucket")))
+      .join(counters, Seq("source", "i", "bucket"), "left")
+      .groupBy("source", "term", "exact_tf")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
+  // ------------------------------------------------------------------
   // TABLE-STATS ARTIFACT — the profiler persisted for PLANNING (the
   // sixth persistence seam). Round 15 shipped the estimators a
   // cost-based layer needs (KMV cardinality, CMS hot keys,
