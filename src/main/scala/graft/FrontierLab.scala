@@ -54,16 +54,18 @@ object FrontierLab {
     println(s"full rerank entry (ADC + exact):        ${fmt(
       So.ivfPqRerankTopK(emb, queries, "vec_id", "embedding", 5))}")
 
-    // ---- q_profile_table tiers (r18) ------------------------------
-    // the r17 verdict's #1: decompose the profiler wall. Tiers:
-    // the ONE data pass (stack + checkpoint + histogram reduce), the
-    // salted bottom-k sample over the checkpointed stack, and the
-    // catalog-sized assembly. After the r18 rework (partition-pinned
-    // cached histogram, union-fold assembly instead of 4 broadcast
-    // joins, salted two-phase sample, DOP 8 + AQE off inside the
-    // entry scope) the plan runs as 5 jobs; the residual splits
-    // roughly evenly between the data pass and a fixed ~1-1.5 s
-    // assembly stage floor that is FLAT in n (compare sf0.01).
+    // ---- q_profile_table tiers (r19 two-job shape) ----------------
+    // r17 #1 decomposed the wall; r18 cut the exchanges; r19 cut the
+    // ACTIONS (VERDICT #1): the entry now runs as TWO substantive
+    // jobs — JOB 1 = the counts collect that materializes the whole
+    // data pass (stack → histogram reduce → cached colname-partition
+    // → thresholds), JOB 2 = the assembly localCheckpoint (pruned
+    // sample off a narrow column-pruned rescan + the FUSED windowed
+    // aggregate: stats/KMV/exact-quantile tiers as window columns of
+    // one groupBy, three union branches instead of five) with the
+    // exactness guard post-hoc on the |columns|-row checkpoint.
+    // Tiers below time the shared kernels the entry composes;
+    // `full profileTable` is the entry's own two-job kernel.
     {
       val Sk = graft.llm.SketchOps
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -75,22 +77,19 @@ object FrontierLab {
         ("event_type", col("event_type"), None),
         ("value", qv, Some(qv)))
       def frames() = Sk.profileFrames(ev, col("event_id"), pcols)
-      println(s"profiler ONE-PASS frames (tall+hist ckpt):  ${(1 to runs).map { _ =>
+      println(s"profileFrames (legacy eager pair, stats artifacts' path): ${(1 to runs).map { _ =>
         val t0 = System.nanoTime(); frames()
         f"${(System.nanoTime() - t0) / 1e9}%.2f"
       }.mkString("/")}")
       val (tall, hist) = frames()
-      // the ENTRY's sample path (hist-threshold pruned, guarded exact)
-      // — the production kernel itself, per the FrontierLab rule; the
-      // salted two-phase form alongside is the stream fold's path
-      println(s"pruned bottom-k sample (entry path):        ${fmt(
+      println(s"pruned bottom-k sample (guarded, off eager frames): ${fmt(
         Sk.profileSampleFromHist(tall, hist, 128))}")
       println(s"salted bottom-k sample (stream-fold path):  ${fmt(
         Sk.profileSample(tall, 128))}")
       val samp = Sk.profileSampleFromHist(tall, hist, 128)
-      println(s"assembly (fromState) over ckpt'd inputs:    ${fmt(
+      println(s"FUSED assembly (fromState) over ckpt'd inputs: ${fmt(
         Sk.profileFromState(hist, samp, 128, 4, 1024, 3))}")
-      println(s"full profileTable (one pass + sample+asm):  ${fmt(
+      println(s"full profileTable (two-job entry kernel):   ${fmt(
         Sk.profileTable(ev, col("event_id"), pcols))}")
     }
 
