@@ -119,6 +119,27 @@ object Queries {
     */
   private val frameCache =
     new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
+
+  /** Driver-side PlanTable cache — the frameCache pattern for the
+    * planner's collected catalog state. Stats artifacts are staged
+    * once per corpus fingerprint and immutable after publish, so a
+    * PlanTable read from one is immutable too; without this, every
+    * diagnostic entry planning from the same artifact root (the
+    * stats-gated join, both join-order rungs, the derived-dim
+    * differential, the stream re-planner's batch side) re-collected
+    * the same ≤|columns|-row cols frame and ≤depth·width counter
+    * frame — per-entry JOB FLOORS, not data. A real planner caches
+    * its catalog; cleared with the other shared caches between bench
+    * passes so each pass pays the loads exactly once. */
+  private val planTableCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.Scale.PlanTable]()
+  private def planTableCached(s: SparkSession, root: String,
+      name: String, keys: Seq[String]): graft.operators.Scale.PlanTable =
+    planTableCache.computeIfAbsent(
+      s"${org.apache.spark.sql.GraftShim.sessionUUID(s)}|$root|$name|" +
+        keys.mkString(","),
+      _ => graft.operators.Scale.planTable(
+        graft.llm.SketchOps.loadTableStats(s, s"$root/$name"), name, keys))
   private def cachedFrame(s: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame = {
     frameCache.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
@@ -1430,7 +1451,7 @@ object Queries {
       scala.collection.mutable.Map.empty[(String, Seq[String]), Sc.PlanTable]
     def pt(name: String, keys: String*) =
       ptCache.getOrElseUpdate((name, keys.toSeq),
-        Sc.planTable(S.loadTableStats(s, s"$root/$name"), name, keys.toSeq))
+        planTableCached(s, root, name, keys.toSeq))
     def run(regime: String, tables: Seq[Sc.PlanTable],
         edges: Seq[Sc.JoinEdge], dfs: Map[String, DataFrame],
         sumA: Column, sumB: Column) = {
@@ -1553,7 +1574,7 @@ object Queries {
       scala.collection.mutable.Map.empty[(String, Seq[String]), Sc.PlanTable]
     def pt(name: String, keys: String*) =
       ptCache.getOrElseUpdate((name, keys.toSeq),
-        Sc.planTable(S.loadTableStats(s, s"$root/$name"), name, keys.toSeq))
+        planTableCached(s, root, name, keys.toSeq))
     def run(regime: String, tables: Seq[Sc.PlanTable],
         edges: Seq[Sc.JoinEdge], dfs: Map[String, DataFrame],
         sumA: Column, sumB: Column) = {
@@ -1670,7 +1691,7 @@ object Queries {
       Sc.planTable(S.filteredTableStats(hist, "o_orderkey", colKey,
         term => term.cast("long") % m === 0), table, Seq(colKey))
     def staged(name: String, keys: String*) =
-      Sc.planTable(S.loadTableStats(s, s"$root/$name"), name, keys.toSeq)
+      planTableCached(s, root, name, keys.toSeq)
     val d1 = derived("dsel1", "d1_key", 100)
     val d2 = derived("dsel2", "d2_key", 50)
     val d1S = staged("dsel1", "d1_key")
@@ -1887,8 +1908,7 @@ object Queries {
       val watch = liOrdSlicesStaged(s, dir)
       val work = graft.sources.Staging.sessionTempDir("graft_sorder_stream")
       val root = statsArtifactStaged(s, dir)
-      val custTs = S.loadTableStats(s, s"$root/customer")
-      val custPt = Sc.planTable(custTs, "customer", Seq("c_custkey"))
+      val custPt = planTableCached(s, root, "customer", Seq("c_custkey"))
       val edges = Seq(
         Sc.JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
         Sc.JoinEdge("orders", "o_custkey", "customer", "c_custkey"))
@@ -7749,6 +7769,7 @@ object Queries {
       if (!s.sparkContext.isStopped) df.unpersist()
     }
     frameCache.clear()
+    planTableCache.clear()
     graft.llm.SketchOps.releasePinnedFrames()
   }
 
