@@ -1683,17 +1683,36 @@ object Queries {
     val root = statsArtifactStaged(s, dir)
     val S = graft.llm.SketchOps
     val Sc = graft.operators.Scale
-    // the parent histogram: cardinality-sized, read once, consumed by
-    // two derivations × (cols + counters) collects
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    // DOP 8 + AQE off for the in-entry derivation collects (the
+    // q_profile_table precedent): the parent histogram and both
+    // derived finalize chains are cardinality-sized, so wide
+    // exchanges and AQE's per-stage jobs are fixed cost only; the
+    // returned star join plans lazily and executes after the finally
+    // restores the session conf
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    // the parent histogram: cardinality-sized, read once; BOTH dims
+    // derive from it in ONE finalize pass — the two filtered+renamed
+    // sub-histograms have disjoint colnames, so their union feeds a
+    // single tableStatsFromHist whose per-colname aggregates are the
+    // two independent derivations, and planTablesFromStats slices the
+    // result in two collects (the per-dim planTable form paid four
+    // collects, each re-running the whole finalize chain)
     val hist = s.read.parquet(s"${ordersHistStaged(s, dir)}/hist")
-      .localCheckpoint()
-    def derived(table: String, colKey: String, m: Int) =
-      Sc.planTable(S.filteredTableStats(hist, "o_orderkey", colKey,
-        term => term.cast("long") % m === 0), table, Seq(colKey))
+    def filteredRenamed(colKey: String, m: Int) =
+      hist.filter(col("colname") === "o_orderkey" &&
+        col("term").cast("long") % m === 0)
+        .withColumn("colname", lit(colKey))
     def staged(name: String, keys: String*) =
       planTableCached(s, root, name, keys.toSeq)
-    val d1 = derived("dsel1", "d1_key", 100)
-    val d2 = derived("dsel2", "d2_key", 50)
+    val Seq(d1, d2) = Sc.planTablesFromStats(
+      S.tableStatsFromHist(
+        filteredRenamed("d1_key", 100)
+          .unionByName(filteredRenamed("d2_key", 50))),
+      Seq(("dsel1", Seq("d1_key")), ("dsel2", Seq("d2_key"))))
     val d1S = staged("dsel1", "d1_key")
     val d2S = staged("dsel2", "d2_key")
     // the derivation is EXACT, not approximately compatible
@@ -1735,6 +1754,10 @@ object Queries {
         lit(d1.stats("d1_key").nRows).as("d1_rows"),
         lit(d2.stats("d2_key").nRows).as("d2_rows"),
         col("n_rows"), col("sum_a"), col("sum_b"))
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
   private val scaleStatsDerivedDpOracle =
     """WITH d1 AS (SELECT o_orderkey AS d1_key FROM orders
@@ -1794,7 +1817,14 @@ object Queries {
     val S = graft.llm.SketchOps
     val Sc = graft.operators.Scale
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "8") // hist-sized state
+    // AQE off in entry scope (the q_profile_table precedent): every
+    // in-entry action — fold writes, finalize collects — runs over
+    // cardinality-sized frames, where AQE's job-per-stage re-planning
+    // is pure fixed cost; the returned join executes after the scope
+    // restores the session conf, so it keeps AQE
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val watch = lineitemSlicesStaged(s, dir)
       val work = graft.sources.Staging.sessionTempDir("graft_sgate_stream")
@@ -1825,19 +1855,26 @@ object Queries {
         .option("checkpointLocation", s"$work/ck")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val folded = S.tableStatsFromHist(s.read.parquet(statePath.getOrElse(
-        sys.error("stats stream produced no batches"))))
       val root = statsArtifactStaged(s, dir)
-      def counters(ts: S.TableStats, key: String) =
-        ts.counters.filter(col("colname") === key).drop("colname")
-      val ordTs = S.loadTableStats(s, s"$root/orders")
-      def decide(liTs: S.TableStats) = Sc.statsJoinDecision(
-        Sc.keyStats(liTs, "l_orderkey"), Sc.keyStats(ordTs, "o_orderkey"),
-        counters(liTs, "l_orderkey"), counters(ordTs, "o_orderkey"),
+      // finalize the folded artifact into a PlanTable in TWO collects
+      // (planTablesFromStats); the batch/orders sides come from the
+      // shared PlanTable cache over the immutable staged artifacts —
+      // the old per-column keyStats + per-frame counter collects paid
+      // six job floors per decide over the same catalog-sized state
+      val foldedPt = Sc.planTablesFromStats(
+        S.tableStatsFromHist(s.read.parquet(statePath.getOrElse(
+          sys.error("stats stream produced no batches")))),
+        Seq(("lineitem", Seq("l_orderkey")))).head
+      val ordPt = planTableCached(s, root, "orders",
+        Seq("o_orderkey", "o_custkey"))
+      def decide(liPt: Sc.PlanTable) = Sc.statsJoinDecisionLocal(
+        liPt.stats("l_orderkey"), ordPt.stats("o_orderkey"),
+        liPt.counters("l_orderkey"), ordPt.counters("o_orderkey"),
         broadcastRows = 100)
-      val d = decide(folded)
+      val d = decide(foldedPt)
       // the always-on service must agree with the batch-built artifact
-      val dBatch = decide(S.loadTableStats(s, s"$root/lineitem"))
+      val dBatch = decide(
+        planTableCached(s, root, "lineitem", Seq("l_orderkey")))
       require(d == dBatch,
         s"stream-folded decision $d != batch-built decision $dBatch")
       val li = t(s, dir, "lineitem").select(col("l_orderkey"),
@@ -1849,7 +1886,10 @@ object Queries {
         .select(lit("stream_folded").as("regime"),
           lit(d.branch).as("branch"), col("n_rows"), col("sum_qty"),
           col("sum_cust"))
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
   private val scaleStatsStreamGateOracle =
     """SELECT 'stream_folded' AS regime, 'shuffle' AS branch,
@@ -1903,7 +1943,14 @@ object Queries {
     val S = graft.llm.SketchOps
     val Sc = graft.operators.Scale
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "8") // hist-sized state
+    // AQE off in entry scope — same rationale as the stream gate:
+    // every per-batch fold/re-plan action is over cardinality-sized
+    // state, and AQE split each into a cascade of per-stage jobs
+    // (measured: 156 jobs per run before, dominated by fixed job
+    // floors); the returned 3-table join executes after the finally
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val watch = liOrdSlicesStaged(s, dir)
       val work = graft.sources.Staging.sessionTempDir("graft_sorder_stream")
@@ -1912,11 +1959,6 @@ object Queries {
       val edges = Seq(
         Sc.JoinEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
         Sc.JoinEdge("orders", "o_custkey", "customer", "c_custkey"))
-      // materialize each finalized artifact once per replan: planTable
-      // collects per COLUMN, and an unmaterialized tableStatsFromHist
-      // would recompute its whole cols/counters chain per collect
-      def mat(ts: S.TableStats) =
-        S.TableStats(ts.cols.localCheckpoint(), ts.counters.localCheckpoint())
       // the per-batch re-plan goes through the DP rung (r18 VERDICT
       // #3: statsJoinOrderDp existed but the always-on path still
       // called the left-deep statsJoinOrder) — full subset DP over
@@ -1925,16 +1967,10 @@ object Queries {
       // pinned plan literal is the left-deep order in tree form
       // (empirically SF-invariant: sf0.001/0.01/0.1 and the sf1
       // rehearsal all resolve to the same shape)
-      def plan(liTs0: S.TableStats, ordTs0: S.TableStats) = {
-        val (liTs, ordTs) = (mat(liTs0), mat(ordTs0))
-        Sc.statsJoinOrderDp(
-          Seq(Sc.planTable(liTs, "lineitem", Seq("l_orderkey")),
-            Sc.planTable(ordTs, "orders", Seq("o_orderkey", "o_custkey")),
-            custPt),
-          edges, broadcastRows = 100)
-      }
-      var liPath: Option[String] = None
-      var ordPath: Option[String] = None
+      def planPts(liPt: Sc.PlanTable, ordPt: Sc.PlanTable) =
+        Sc.statsJoinOrderDp(Seq(liPt, ordPt, custPt), edges,
+          broadcastRows = 100)
+      var statePath: Option[String] = None
       var idx = 0
       var lastPlan: Option[Sc.JoinOrderDpDecision] = None
       var replans = 0
@@ -1943,33 +1979,40 @@ object Queries {
         .option("maxFilesPerTrigger", 1).parquet(watch)
         .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
           if (!b.isEmpty) {
-            def fold(tag: String, prev: Option[String], hist: DataFrame)
-                : String = {
-              val merged = prev match {
-                case None => hist
-                case Some(p) => S.histMerge(s.read.parquet(p), hist)
-              }
-              val next = s"$work/${tag}_${idx + 1}"
-              merged.write.parquet(next)
-              next
-            }
-            liPath = Some(fold("li", liPath, S.histFrame(
+            // ONE unioned fold per batch: the two sides' histogram
+            // frames share a schema and DISJOINT colnames, so the
+            // cellwise merge keyed on (colname, term, …) folds each
+            // side independently inside a single state write — one
+            // job per trigger where the split-state form paid two
+            val hist = S.histFrame(
               b.filter(col("tbl") === "lineitem")
                 .select(col("a").as("l_orderkey"), col("b").as("l_linenumber")),
               concat_ws("|", col("l_orderkey"), col("l_linenumber")),
-              Seq(("l_orderkey", col("l_orderkey"), None)))))
-            ordPath = Some(fold("ord", ordPath, S.histFrame(
-              b.filter(col("tbl") === "orders")
-                .select(col("a").as("o_orderkey"), col("b").as("o_custkey")),
-              col("o_orderkey"),
-              Seq(("o_orderkey", col("o_orderkey"), None),
-                ("o_custkey", col("o_custkey"), None)))))
+              Seq(("l_orderkey", col("l_orderkey"), None)))
+              .unionByName(S.histFrame(
+                b.filter(col("tbl") === "orders")
+                  .select(col("a").as("o_orderkey"), col("b").as("o_custkey")),
+                col("o_orderkey"),
+                Seq(("o_orderkey", col("o_orderkey"), None),
+                  ("o_custkey", col("o_custkey"), None))))
+            val merged = statePath match {
+              case None => hist
+              case Some(p) => S.histMerge(s.read.parquet(p), hist)
+            }
+            val next = s"$work/state_${idx + 1}"
+            merged.write.parquet(next)
+            statePath = Some(next)
             idx += 1
             // the always-on planner RE-PLANS from the carried state
-            // after every fold — order AND per-step strategy
-            lastPlan = Some(plan(
-              S.tableStatsFromHist(s.read.parquet(liPath.get)),
-              S.tableStatsFromHist(s.read.parquet(ordPath.get))))
+            // after every fold — order AND per-step strategy; both
+            // sides' PlanTables slice out of ONE finalized artifact
+            // in two collects (planTablesFromStats), not one job per
+            // column per side
+            val pts = Sc.planTablesFromStats(
+              S.tableStatsFromHist(s.read.parquet(next)),
+              Seq(("lineitem", Seq("l_orderkey")),
+                ("orders", Seq("o_orderkey", "o_custkey"))))
+            lastPlan = Some(planPts(pts(0), pts(1)))
             replans += 1
           }
         }
@@ -1980,8 +2023,11 @@ object Queries {
         sys.error("stats stream produced no batches"))
       // the always-on service must agree with the batch-built
       // artifacts on the WHOLE plan — order and every step's strategy
-      val dBatch = plan(S.loadTableStats(s, s"$root/lineitem"),
-        S.loadTableStats(s, s"$root/orders"))
+      // (the batch side reads the same immutable staged artifacts the
+      // other planner entries do, through the shared PlanTable cache)
+      val dBatch = planPts(
+        planTableCached(s, root, "lineitem", Seq("l_orderkey")),
+        planTableCached(s, root, "orders", Seq("o_orderkey", "o_custkey")))
       require(d == dBatch,
         s"stream-folded plan $d != batch-built plan $dBatch")
       val dfs = Map(
@@ -1997,7 +2043,10 @@ object Queries {
           lit(d.shapeString).as("join_order"),
           lit(replans).as("n_replans"), col("n_rows"), col("sum_qty"),
           col("sum_nat"))
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
   private val scaleStatsStreamOrderOracle =
     """SELECT 'stream_folded_order' AS regime,

@@ -367,10 +367,43 @@ object Scale {
     * PlanTable in driver memory no matter how large the tables. */
   def planTable(ts: graft.llm.SketchOps.TableStats, name: String,
       keys: Seq[String]): PlanTable =
-    PlanTable(name,
-      keys.map(k => k -> keyStats(ts, k)).toMap,
-      keys.map(k => k -> collectCounters(
-        ts.counters.filter(col("colname") === k).drop("colname"))).toMap)
+    planTablesFromStats(ts, Seq((name, keys))).head
+
+  /** Build PlanTables for several (name, keys) slices of ONE stats
+    * artifact in exactly TWO jobs: the cols frame and the counter
+    * frame are each collected ONCE (both catalog-sized) and sliced
+    * driver-side. The per-column filter-and-collect form paid one
+    * fixed job floor per key — and when the artifact is an
+    * unmaterialized [[graft.llm.SketchOps.tableStatsFromHist]] chain
+    * (a streaming re-planner's fold state, a derived filtered dim),
+    * each of those collects re-ran the whole multi-aggregate
+    * assembly. Values are identical to the per-column form: the
+    * collect is the same frame, only sliced after the fact. */
+  def planTablesFromStats(ts: graft.llm.SketchOps.TableStats,
+      specs: Seq[(String, Seq[String])]): Seq[PlanTable] = {
+    val statsBy = ts.cols.select(col("colname"), col("n_rows"),
+        col("null_cnt"), col("n_distinct"), col("hot_cnt"),
+        col("hot_bound"), col("kmv_est"))
+      .collect().map { r =>
+        def g(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+        r.getString(0) -> KeyStats(g(1), g(2), g(3), g(4), g(5), g(6))
+      }.toMap
+    val countersBy = ts.counters
+      .select(col("colname"), col("i").cast("int"), col("bucket"),
+        col("cnt"))
+      .collect().groupBy(_.getString(0)).map { case (cn, rows) =>
+        cn -> rows.map(r =>
+          ((r.getInt(1), r.getLong(2)), r.getLong(3))).toMap
+      }
+    specs.map { case (name, keys) =>
+      keys.foreach(k => require(statsBy.contains(k),
+        s"no stats row for column '$k'"))
+      PlanTable(name,
+        keys.map(k => k -> statsBy(k)).toMap,
+        keys.map(k => k -> countersBy.getOrElse(k,
+          Map.empty[(Int, Long), Long])).toMap)
+    }
+  }
 
   /** An equi-join predicate between two named tables. */
   case class JoinEdge(tableA: String, keyA: String, tableB: String,
