@@ -61,9 +61,20 @@ object Queries {
   private def withSmallShuffle(s: SparkSession, n: Int = 8)(
       mk: => DataFrame): DataFrame = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    // AQE off inside the pinned scope (r19; the q_profile_table
+    // precedent): these entries were CHOSEN for counter-/candidate-
+    // sized shuffles, where AQE's per-exchange job re-planning is
+    // fixed cost with nothing to re-plan — coalescing 8 tiny
+    // partitions or re-deciding a broadcast that static planning
+    // already sees buys nothing at this size class
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     try mk.localCheckpoint()
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** events.parquet has shipped with two physical `ts` encodings across
@@ -2672,7 +2683,13 @@ object Queries {
   private val scd2StreamMerge: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "8") // changeset-sized batches
+    // AQE off for the in-entry fold jobs (the stats-entry
+    // precedent): every per-trigger action is over sketch-/
+    // changeset-sized frames, where AQE job-per-stage
+    // re-planning is pure fixed cost per micro-batch
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val (basePath0, watch) = scd2StreamStaged(s, dir)
       val work = graft.sources.Staging.sessionTempDir("graft_scd2_stream")
@@ -2707,7 +2724,10 @@ object Queries {
         .withColumn("batch", lit(idx)).withColumn("action", lit("final"))
       s.read.parquet(s"$work/log").select(outCols.map(col): _*)
         .unionByName(fin.select(outCols.map(col): _*))
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
   /** The oracle unrolls the 4 sequential merges as CTE generations:
     * base{i+1} is the close-then-insert merge of base{i} with slice
@@ -3467,7 +3487,13 @@ object Queries {
   private val sketchKmvStream: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "8") // sketch-sized state
+    // AQE off for the in-entry fold jobs (the stats-entry
+    // precedent): every per-trigger action is over sketch-/
+    // changeset-sized frames, where AQE job-per-stage
+    // re-planning is pure fixed cost per micro-batch
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val k = 128
       val watch = kmvSlicesStaged(s, dir)
@@ -3497,7 +3523,10 @@ object Queries {
       graft.llm.SketchOps.kmvEstimate(
         s.read.parquet(statePath.getOrElse(
           sys.error("kmv stream produced no batches"))), k)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
   private val sketchKmvStreamOracle = {
     s"""WITH st AS (
@@ -3683,7 +3712,13 @@ object Queries {
   private val sketchCmsWindowStream: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "8") // counter-sized state
+    // AQE off for the in-entry fold jobs (the stats-entry
+    // precedent): every per-trigger action is over sketch-/
+    // changeset-sized frames, where AQE job-per-stage
+    // re-planning is pure fixed cost per micro-batch
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val (depth, width, win) = (4, 1024, 604800L)
       val S = graft.llm.SketchOps
@@ -3730,7 +3765,10 @@ object Queries {
       S.cmsProbeWindowed(counters,
         S.cmsTopCandidatesWindowed(ev, "term", "sec", win, 3), depth,
         width)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   // WINDOWED KMV AS A STREAM with WATERMARK EVICTION — the shape a
@@ -3748,7 +3786,13 @@ object Queries {
   private val sketchKmvWindowStream: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "8") // sketch-sized state
+    // AQE off for the in-entry fold jobs (the stats-entry
+    // precedent): every per-trigger action is over sketch-/
+    // changeset-sized frames, where AQE job-per-stage
+    // re-planning is pure fixed cost per micro-batch
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val (k, win) = (32, 604800L)
       val S = graft.llm.SketchOps
@@ -3800,7 +3844,10 @@ object Queries {
       S.splitWindowedKey(S.kmvEstimate(all, k))
         .select("window_start", "source", "kth_min_hash", "k_used",
           "kmv_est")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
   private val sketchKmvWindowStreamOracle = kmvWindowedOracle(withExact = false)
 
@@ -3845,7 +3892,13 @@ object Queries {
   private val sketchQuantileWindowStream: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "8") // sketch-sized state
+    // AQE off for the in-entry fold jobs (the stats-entry
+    // precedent): every per-trigger action is over sketch-/
+    // changeset-sized frames, where AQE job-per-stage
+    // re-planning is pure fixed cost per micro-batch
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val (k, win) = (64, 604800L)
       val S = graft.llm.SketchOps
@@ -3891,7 +3944,10 @@ object Queries {
       S.splitWindowedKey(S.quantileEstimate(all, Seq(50, 90)))
         .select("window_start", "source", "sample_n", "q50_est",
           "q90_est")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
   private val sketchQuantileWindowStreamOracle = {
     s"""WITH ev AS (
@@ -4359,7 +4415,13 @@ object Queries {
   private val sketchCmsStream: Q = (s, dir) => {
     import org.apache.spark.sql.streaming.Trigger
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "8") // counter-sized state
+    // AQE off for the in-entry fold jobs (the stats-entry
+    // precedent): every per-trigger action is over sketch-/
+    // changeset-sized frames, where AQE job-per-stage
+    // re-planning is pure fixed cost per micro-batch
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val (depth, width, topK) = (4, 1024, 20)
       val watch = kmvSlicesStaged(s, dir)
@@ -4393,7 +4455,10 @@ object Queries {
         s.read.parquet(statePath.getOrElse(
           sys.error("cms stream produced no batches"))),
         candidates, depth, width)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   private val sketchCmsHeavy: Q = (s, dir) =>
@@ -7578,16 +7643,25 @@ object Queries {
     val So = graft.llm.SimilarityOps
     val ix = So.loadPqIndex(s, pqIndexStaged(s, dir))
     val queries = embT(s, dir).coalesce(4).filter(col("vec_id") < 20)
-    def one(regime: String, pred: Column) = {
+    val predBroad = col("label") % 4 =!= 0
+    val predSel = col("neighbor_id") % 200 === 0
+    // ONE aggregate pass decides both regimes' gates (the per-regime
+    // count inside ivfPqServeFilteredGated would rescan the
+    // assignment parquet once per predicate)
+    val cnts = ix.assignments.agg(
+      coalesce(sum(when(predBroad, 1L).otherwise(0L)), lit(0L)).as("broad"),
+      coalesce(sum(when(predSel, 1L).otherwise(0L)), lit(0L)).as("sel")).head()
+    def one(regime: String, pred: Column, nQual0: Long) = {
       val (served, branch, nQual) = So.ivfPqServeFilteredGated(ix,
         queries, "vec_id", "embedding", 5, predicate = pred,
-        nprobe = 8, rerank = Some(32), bruteGateRows = 1000L)
+        nprobe = 8, rerank = Some(32), bruteGateRows = 1000L,
+        precountedQualifying = Some(nQual0))
       served.select(lit(regime).as("regime"), lit(branch).as("branch"),
         lit(nQual).as("n_qualifying"), col("query_id"),
         col("neighbor_id"), col("score_x1e6"), col("rank"))
     }
-    one("broad", col("label") % 4 =!= 0)
-      .unionByName(one("selective", col("neighbor_id") % 200 === 0))
+    one("broad", predBroad, cnts.getLong(0))
+      .unionByName(one("selective", predSel, cnts.getLong(1)))
   }
   private val annIvfPqFilteredServeOracle = {
     // per-regime chain: count-guarded union of the exact refine-store

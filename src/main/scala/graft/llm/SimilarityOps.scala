@@ -1310,12 +1310,18 @@ object SimilarityOps {
   def ivfPqServeFilteredGated(index: PqIndex, queries: DataFrame,
       idCol: String, embCol: String, k: Int, predicate: Column,
       nprobe: Int = 8, rerank: Option[Int] = None,
-      bruteGateRows: Long = 1000L): (DataFrame, String, Long) = {
+      bruteGateRows: Long = 1000L,
+      precountedQualifying: Option[Long] = None): (DataFrame, String, Long) = {
     val filtered =
       index.copy(assignments = index.assignments.filter(predicate))
+    // `precountedQualifying` lets a caller serving SEVERAL predicates
+    // against one index fuse the gate counts into a single aggregate
+    // pass over the assignment scan (one job instead of one per
+    // regime) — the value must equal what the count below would read
     val nQualifying =
       if (bruteGateRows <= 0) Long.MaxValue
-      else filtered.assignments.select(col("neighbor_id")).count()
+      else precountedQualifying.getOrElse(
+        filtered.assignments.select(col("neighbor_id")).count())
     if (nQualifying <= bruteGateRows) {
       val served = rerank match {
         case Some(_) =>
