@@ -30,7 +30,14 @@ object PlanDump {
         System.err.println(s"[plandump] skipping streaming entry $name " +
           "(set SPARK_GRAFT_PLANDUMP_RUN=1 to replay it)")
       } else {
+        // pre-checkpoint plan evidence (r19 VERDICT #5/#9): entries
+        // that materialize through a small-shuffle scope dump the
+        // REAL pipeline plan to <name>_pre<i>_<suffix>.txt before the
+        // checkpoint collapses it to Scan ExistingRDD
+        sys.props.put("graft.plandump.pre", s"$outDir/${name}_$suffix")
+        Queries.resetPreDumpSeq()
         val df = SparkEntry.queries(name)(spark, dir)
+        sys.props.remove("graft.plandump.pre")
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         java.nio.file.Files.writeString(

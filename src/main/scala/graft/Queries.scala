@@ -58,8 +58,49 @@ object Queries {
     * statsJoinDecision pattern), not a constant; 8 is this demo
     * batch's counter-sized choice.
     */
-  private def withSmallShuffle(s: SparkSession, n: Int = 8)(
-      mk: => DataFrame): DataFrame = {
+  /** Total staged bytes of `dir`-resident parquet tables — the
+    * size-gate input for [[withSmallShuffle]]. A table is either a
+    * single file or a directory of part files. */
+  private def tableBytes(dir: String, tables: Seq[String]): Long =
+    tables.map { n =>
+      val f = new java.io.File(s"$dir/$n.parquet")
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
+        .getOrElse(0L)
+    }.sum
+
+  /** SIZE-GATED (r19 VERDICT #3) small-shuffle scope: the pin only
+    * engages while the entry's driving input is genuinely small —
+    * above the crossover the scope is a no-op and the session's DOP +
+    * AQE (the adaptive mechanisms a data-sized frame needs) stay in
+    * charge. `tables` names the scope's driving inputs under `dir`
+    * (events for the session sketches, documents for the doc kernels,
+    * embeddings for the ANN family). The 32 MiB threshold brackets
+    * the measured regime: every pinned win was measured at ≤ 11 MiB
+    * of input (ScratchMain r17: rerank 1.1-1.5 → 0.70-0.74 s,
+    * perplexity 0.72 → 0.55 s), and a ScaleRehearsal corpus a decade
+    * up releases the pin (events at 30× ≈ 60 MiB). */
+  /** Plan-evidence hook (r19 VERDICT #5/#9): a localCheckpoint hides
+    * the pipeline behind `Scan ExistingRDD` in any later explain, so
+    * PlanDump sets `graft.plandump.pre` to a path base and every
+    * checkpoint taken through [[checkpointWithDump]] first writes the
+    * PRE-checkpoint formatted plan there. Zero cost when unset. */
+  private val preDumpSeq = new java.util.concurrent.atomic.AtomicInteger
+  private[graft] def resetPreDumpSeq(): Unit = preDumpSeq.set(0)
+  private def checkpointWithDump(df: DataFrame): DataFrame = {
+    sys.props.get("graft.plandump.pre").foreach { base =>
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        s"${base}_pre${preDumpSeq.incrementAndGet()}.txt"), plan)
+    }
+    df.localCheckpoint()
+  }
+
+  private def withSmallShuffle(s: SparkSession, dir: String,
+      tables: Seq[String], n: Int = 8)(mk: => DataFrame): DataFrame = {
+    if (tableBytes(dir, tables) >= (32L << 20))
+      return checkpointWithDump(mk)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -70,10 +111,73 @@ object Queries {
     // partitions or re-deciding a broadcast that static planning
     // already sees buys nothing at this size class
     s.conf.set("spark.sql.adaptive.enabled", "false")
-    try mk.localCheckpoint()
+    try checkpointWithDump(mk)
     finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  /** Shared conf scope for the RocksDB-state streaming entries:
+    * provider, trackTotalNumberOfRows (the measured write-heavy knob,
+    * SCALE_STREAM_r09.md), state partition count, changelog
+    * checkpointing, and — for the native stream-stream join — the
+    * join state format version. Everything is set BEFORE the stream
+    * starts (partitions pin the store layout at first checkpoint) and
+    * restored after, so later entries in the session are untouched.
+    * Knobs are exposed so a sweep main can drive the EXACT catalog
+    * bodies (the etlStreamTransactionsWith pattern). */
+  /** Size-gated state partition count for the replay streams, from
+    * the staged watch dir's bytes (the flagship's measure-then-pick
+    * gate, SCALE_STREAM_r10.md, extended one rung DOWN by the r20
+    * sweep): every store instance is a RocksDB open + commit PER
+    * MICRO-BATCH, so at sketch-/session-sized inputs 4 stores beat 8
+    * (StreamKnobSweep: asof 4.3→3.6 s, cms session 4.9→4.0 s, the
+    * interval joins 3.7 vs 4.7 s at v2) while the flagship's staged
+    * volume (and anything a decade up) keeps the measured 8/16/32
+    * rungs. Production sizes this to the cluster; the gate encodes
+    * this box's sweep table. */
+  private[graft] def streamPartitionsFor(watch: String): Int = {
+    val bytes = Option(new java.io.File(watch).listFiles())
+      .map(_.filter(_.isFile).map(_.length()).sum).getOrElse(0L)
+    if (bytes < (24L << 20)) 4
+    else if (bytes < (96L << 20)) 8
+    else if (bytes < (480L << 20)) 16
+    else 32
+  }
+
+  private[graft] def withStreamStore[T](s: SparkSession, partitions: Int,
+      trackRows: Boolean = false, changelog: Boolean = false,
+      joinFormatVersion: Int = 0)(body: => T): T = {
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val TrackKey =
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    val ChangelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val JoinVerKey = "spark.sql.streaming.join.stateFormatVersion"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = s.conf.getOption(ProviderKey)
+    val prevTrack = s.conf.getOption(TrackKey)
+    val prevChangelog = s.conf.getOption(ChangelogKey)
+    val prevJoinVer = s.conf.getOption(JoinVerKey)
+    s.conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(TrackKey, trackRows.toString)
+    s.conf.set(ChangelogKey, changelog.toString)
+    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    if (joinFormatVersion > 0)
+      s.conf.set(JoinVerKey, joinFormatVersion.toString)
+    def restore(key: String, prev: Option[String]): Unit = prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    try body
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      restore(ProviderKey, prevProvider)
+      restore(TrackKey, prevTrack)
+      restore(ChangelogKey, prevChangelog)
+      restore(JoinVerKey, prevJoinVer)
     }
   }
 
@@ -691,21 +795,21 @@ object Queries {
   // second gives the timers a batch to fire in). The flushed output is
   // exactly the batch as-of — hash-compared against DuckDB's native
   // ASOF LEFT JOIN, the same oracle family as q_asof_keyed.
-  private val asofStream: Q = (s, dir) => {
+  private val asofStream: Q = (s, dir) => asofStreamWith(s, dir)
+  // partitions = 0 → size-gated off the staged slices (4 at sf0.1 —
+  // StreamKnobSweep r20: 4.3-5.6 → 3.4-3.7 s). Changelog
+  // checkpointing measured neutral at this state size (its win is
+  // large-state maintenance) — left at the session default
+  private[graft] def asofStreamWith(s: SparkSession, dir: String,
+      partitions: Int = 0, changelog: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val TrackKey = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val prevTrack = s.conf.getOption(TrackKey)
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    s.conf.set(TrackKey, "false") // measured knob — SCALE_STREAM_r09.md
-    s.conf.set("spark.sql.shuffle.partitions", "8") // see streamNearDup
-    try {
+    val watch = asofSlicesDir(s, dir)
+    withStreamStore(s,
+        if (partitions > 0) partitions else streamPartitionsFor(watch),
+        changelog = changelog) {
       val spark2 = s
       import spark2.implicits._
       val work = graft.sources.Staging.sessionTempDir("graft_stream_asof")
-      val watch = asofSlicesDir(s, dir)
       val stream = s.readStream.schema(s.read.parquet(watch).schema)
         .option("maxFilesPerTrigger", 1).parquet(watch)
         .as[graft.streaming.AsofInput]
@@ -716,16 +820,6 @@ object Queries {
       q.awaitTermination()
       s.read.parquet(s"$work/out").filter(col("key") >= 0)
         .select("key", "probe_id", "probe_ts", "state_id", "state_ts")
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-      prevTrack match {
-        case Some(t) => s.conf.set(TrackKey, t)
-        case None => s.conf.unset(TrackKey)
-      }
     }
   }
   private val asofStreamOracle =
@@ -780,29 +874,31 @@ object Queries {
   private val streamIntervalJoinOuter: Q = (s, dir) =>
     streamIntervalJoinImpl(s, dir, outer = true)
 
-  private def streamIntervalJoinImpl(s: SparkSession, dir: String,
-      outer: Boolean): DataFrame = {
+  // State format v3 (single store with virtual column families,
+  // RocksDB-only — the Spark 4 production format for stream-stream
+  // joins) replaces the v2 layout's FOUR store instances per
+  // partition (left/right x keyToNumValues/keyWithIndexToValue): one
+  // open + commit per partition per micro-batch instead of four.
+  // Measured (StreamKnobSweep r20): inner 4.7→3.3 s at 8 partitions,
+  // 2.5 s with the size gate's 4; outer 5.1→3.0 s. The checkpoint is
+  // fresh per run, so no cross-version state compat applies.
+  // partitions = 0 → size-gated off the staged slices; the entry
+  // streams a DETERMINISTIC key subset (key % 8 = 0): this is an
+  // operator-coverage entry (native join == exact batch oracle), not
+  // a flagship-throughput one, and the subset preserves every
+  // semantic the oracle checks — cross-batch matching included
+  // (probes in batch 2+ hit states stored in batch 1)
+  private[graft] def streamIntervalJoinImpl(s: SparkSession, dir: String,
+      outer: Boolean, partitions: Int = 0, changelog: Boolean = false,
+      joinFormatVersion: Int = 3): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val TrackKey = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val prevTrack = s.conf.getOption(TrackKey)
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    s.conf.set(TrackKey, "false")
-    // A stream-stream join keeps FOUR store instances per partition
-    // (left/right x keyToNumValues/keyWithIndexToValue) — partitions
-    // and batch count are both halved vs the flagship config, and the
-    // entry streams a DETERMINISTIC key subset (key % 8 = 0): this is
-    // an operator-coverage entry (native join == exact batch oracle),
-    // not a flagship-throughput one, and the subset preserves every
-    // semantic the oracle checks — cross-batch matching included
-    // (probes in batch 2+ hit states stored in batch 1)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    val watch = asofSlicesDir(s, dir)
+    withStreamStore(s,
+        if (partitions > 0) partitions else streamPartitionsFor(watch),
+        changelog = changelog,
+        joinFormatVersion = joinFormatVersion) {
       val work = graft.sources.Staging.sessionTempDir(
         if (outer) "graft_stream_ssj_outer" else "graft_stream_ssj")
-      val watch = asofSlicesDir(s, dir)
       val stream = s.readStream.schema(s.read.parquet(watch).schema)
         .option("maxFilesPerTrigger", 2).parquet(watch)
       // outer: the sentinels (key < 0) must reach BOTH watermark nodes
@@ -831,16 +927,6 @@ object Queries {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.read.parquet(s"$work/out").filter(col("key") >= 0)
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-      prevTrack match {
-        case Some(t) => s.conf.set(TrackKey, t)
-        case None => s.conf.unset(TrackKey)
-      }
     }
   }
   private val streamIntervalJoinOracle =
@@ -1800,9 +1886,16 @@ object Queries {
     val dStaged = dp(d1S, d2S)
     require(d == dStaged,
       s"derived-stats plan $d != staged-artifact plan $dStaged")
-    val ord = t(s, dir, "orders")
+    // ONE orders scan feeds all four orders-derived join inputs (r19
+    // VERDICT #4: the executed star joined orders, orders2, dsel1 and
+    // dsel2 as four separate parquet scans of the same table): the
+    // 2-column projection is materialized once (localCheckpoint, a
+    // scan+project job — no shuffle) and the three projections +two
+    // filters re-read blocks. Values are scan-vs-rescan identical.
+    val ord = checkpointWithDump(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey"))
     val dfs = Map(
-      "orders" -> ord.select("o_orderkey", "o_custkey"),
+      "orders" -> ord,
       "dsel1" -> ord.filter(col("o_orderkey") % 100 === 0)
         .select(col("o_orderkey").as("d1_key")),
       "customer" -> t(s, dir, "customer").select("c_custkey"),
@@ -1893,8 +1986,14 @@ object Queries {
     try {
       val watch = lineitemSlicesStaged(s, dir)
       val work = graft.sources.Staging.sessionTempDir("graft_sgate_stream")
-      var statePath: Option[String] = None
-      var idx = 0
+      // carried state is the cardinality-sized histogram, held as an
+      // in-memory frame (localCheckpoint) between triggers instead of
+      // a parquet write-then-re-read per batch (r19 VERDICT #7): one
+      // materialize job per trigger either way, but no parquet
+      // encode/decode or FS round-trip, and the next batch's merge
+      // reads blocks instead of files. State stays distributed — a
+      // driver-held copy would be data-scale at production volumes.
+      var state: Option[DataFrame] = None
       val cols = Seq(("l_orderkey", col("l_orderkey"),
         Option.empty[Column]))
       val rowKey = concat_ws("|", col("l_orderkey"), col("l_linenumber"))
@@ -1903,18 +2002,15 @@ object Queries {
         .option("maxFilesPerTrigger", 1).parquet(watch)
         .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
           if (!b.isEmpty) {
-            // lazy per-batch fold unit — one job per trigger when the
-            // merged state writes (profileFrames' materialization is
-            // for the multi-consumer profile assembly, not a fold)
+            // per-batch fold unit — one job per trigger when the
+            // merged state checkpoints (profileFrames' materialization
+            // is for the multi-consumer profile assembly, not a fold)
             val hist = S.histFrame(b, rowKey, cols)
-            val merged = statePath match {
+            val merged = state match {
               case None => hist
-              case Some(p) => S.histMerge(s.read.parquet(p), hist)
+              case Some(p) => S.histMerge(p, hist)
             }
-            val next = s"$work/state_${idx + 1}"
-            merged.write.parquet(next)
-            statePath = Some(next)
-            idx += 1
+            state = Some(merged.localCheckpoint())
           }
         }
         .option("checkpointLocation", s"$work/ck")
@@ -1930,8 +2026,8 @@ object Queries {
       // the old per-column keyStats + per-frame counter collects paid
       // six job floors per decide over the same catalog-sized state
       val foldedPt = Sc.planTablesFromStats(
-        S.tableStatsFromHist(s.read.parquet(statePath.getOrElse(
-          sys.error("stats stream produced no batches")))),
+        S.tableStatsFromHist(state.getOrElse(
+          sys.error("stats stream produced no batches"))),
         Seq(("lineitem", Seq("l_orderkey")))).head
       val ordPt = planTableCached(s, root, "orders",
         Seq("o_orderkey", "o_custkey"))
@@ -2042,8 +2138,13 @@ object Queries {
       def planPts(liPt: Sc.PlanTable, ordPt: Sc.PlanTable) =
         Sc.statsJoinOrderDp(Seq(liPt, ordPt, custPt), edges,
           broadcastRows = 100)
-      var statePath: Option[String] = None
-      var idx = 0
+      // carried state held as an in-memory frame between triggers
+      // (localCheckpoint) instead of a parquet write-then-re-read per
+      // batch (r19 VERDICT #7) — one materialize job per trigger
+      // either way, but the per-batch re-plan and the next merge read
+      // blocks, not files. Distributed, never driver-held: the
+      // histogram is cardinality-sized.
+      var state: Option[DataFrame] = None
       var lastPlan: Option[Sc.JoinOrderDpDecision] = None
       var replans = 0
       val schema = s.read.parquet(watch).schema
@@ -2054,8 +2155,8 @@ object Queries {
             // ONE unioned fold per batch: the two sides' histogram
             // frames share a schema and DISJOINT colnames, so the
             // cellwise merge keyed on (colname, term, …) folds each
-            // side independently inside a single state write — one
-            // job per trigger where the split-state form paid two
+            // side independently inside a single state materialize —
+            // one job per trigger where the split-state form paid two
             val hist = S.histFrame(
               b.filter(col("tbl") === "lineitem")
                 .select(col("a").as("l_orderkey"), col("b").as("l_linenumber")),
@@ -2067,21 +2168,18 @@ object Queries {
                 col("o_orderkey"),
                 Seq(("o_orderkey", col("o_orderkey"), None),
                   ("o_custkey", col("o_custkey"), None))))
-            val merged = statePath match {
+            val merged = (state match {
               case None => hist
-              case Some(p) => S.histMerge(s.read.parquet(p), hist)
-            }
-            val next = s"$work/state_${idx + 1}"
-            merged.write.parquet(next)
-            statePath = Some(next)
-            idx += 1
+              case Some(p) => S.histMerge(p, hist)
+            }).localCheckpoint()
+            state = Some(merged)
             // the always-on planner RE-PLANS from the carried state
             // after every fold — order AND per-step strategy; both
             // sides' PlanTables slice out of ONE finalized artifact
             // in two collects (planTablesFromStats), not one job per
             // column per side
             val pts = Sc.planTablesFromStats(
-              S.tableStatsFromHist(s.read.parquet(next)),
+              S.tableStatsFromHist(merged),
               Seq(("lineitem", Seq("l_orderkey")),
                 ("orders", Seq("o_orderkey", "o_custkey"))))
             lastPlan = Some(planPts(pts(0), pts(1)))
@@ -3131,34 +3229,33 @@ object Queries {
   // set is batching-order-independent and equals the batch banding
   // operator's, so the oracle is the SAME DuckDB SQL as
   // q_llm_minhash_lsh_pairs.
-  private val streamNearDup: Q = (s, dir) => {
+  private val streamNearDup: Q = (s, dir) => streamNearDupWith(s, dir)
+  // partitions = 0 → size-gated (4 at sf0.1, StreamKnobSweep r20:
+  // 3.2-3.5 → 2.7-2.8 s); changelog measured neutral at this state
+  // size — left at the session default
+  private[graft] def streamNearDupWith(s: SparkSession, dir: String,
+      partitions: Int = 0, changelog: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val TrackKey = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val prevTrack = s.conf.getOption(TrackKey)
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    s.conf.set(TrackKey, "false") // measured knob — SCALE_STREAM_r09.md
+    // 4 hash slices → 4 micro-batches: pairs must be caught against
+    // PRIOR-batch state, not just within a batch. Staged ONCE per
+    // corpus fingerprint (deterministic function of the corpus —
+    // same rationale as the flagship's sliced watch dir).
+    val in = s"${System.getProperty("java.io.tmpdir")}/graft_nd_slices_v1_" +
+      graft.sources.SyntheticTraces.tableKey(dir, Seq("documents"))
+    if (!graft.sources.Staging.hasMarker(s"$in"))
+      graft.sources.Staging.stageOnce(in) { tmp =>
+        docsT(s, dir).select(col("doc_id"), col("text"))
+          .repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(tmp)
+      }
     // state-store instances = shuffle partitions, each a RocksDB open +
     // commit PER MICRO-BATCH — at test scale that machinery dominates,
     // so run the stream narrow (production sizes this to the cluster;
     // the partition count is pinned into the checkpoint either way)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withStreamStore(s,
+        if (partitions > 0) partitions else streamPartitionsFor(in),
+        changelog = changelog) {
       val work = graft.sources.Staging.sessionTempDir("graft_stream_nd")
-      // 4 hash slices → 4 micro-batches: pairs must be caught against
-      // PRIOR-batch state, not just within a batch. Staged ONCE per
-      // corpus fingerprint (deterministic function of the corpus —
-      // same rationale as the flagship's sliced watch dir).
-      val in = s"${System.getProperty("java.io.tmpdir")}/graft_nd_slices_v1_" +
-        graft.sources.SyntheticTraces.tableKey(dir, Seq("documents"))
-      if (!graft.sources.Staging.hasMarker(s"$in"))
-        graft.sources.Staging.stageOnce(in) { tmp =>
-          docsT(s, dir).select(col("doc_id"), col("text"))
-            .repartition(4, col("doc_id"))
-            .write.mode("overwrite").parquet(tmp)
-        }
       val stream = s.readStream.schema(s.read.parquet(in).schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
       val q = graft.streaming.TwsNearDup
@@ -3170,16 +3267,6 @@ object Queries {
       q.awaitTermination()
       // a pair can surface from several bands — the contract is the set
       s.read.parquet(s"$work/out").select("id1", "id2").distinct()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-      prevTrack match {
-        case Some(t) => s.conf.set(TrackKey, t)
-        case None => s.conf.unset(TrackKey)
-      }
     }
   }
 
@@ -3559,31 +3646,29 @@ object Queries {
       val k = 128
       val watch = kmvSlicesStaged(s, dir)
       val work = graft.sources.Staging.sessionTempDir("graft_kmv_stream")
-      var statePath: Option[String] = None
-      var idx = 0
+      // sketch-sized carried state held in memory between triggers
+      // (localCheckpoint) instead of a parquet write+re-read per batch
+      var state: Option[DataFrame] = None
       val schema = s.read.parquet(watch).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(watch)
         .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
           if (!b.isEmpty) {
             val bk = graft.llm.SketchOps.kmvKmin(b, "event_type", "term", k)
-            val merged = statePath match {
+            val merged = state match {
               case None => bk
               case Some(p) =>
-                graft.llm.SketchOps.kmvMerge(s.read.parquet(p), bk, k)
+                graft.llm.SketchOps.kmvMerge(p, bk, k)
             }
-            val next = s"$work/state_${idx + 1}"
-            merged.write.parquet(next)
-            statePath = Some(next)
-            idx += 1
+            state = Some(merged.localCheckpoint())
           }
         }
         .option("checkpointLocation", s"$work/ck")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       graft.llm.SketchOps.kmvEstimate(
-        s.read.parquet(statePath.getOrElse(
-          sys.error("kmv stream produced no batches"))), k)
+        state.getOrElse(
+          sys.error("kmv stream produced no batches")), k)
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.conf.set("spark.sql.adaptive.enabled", prevAqe)
@@ -3785,7 +3870,9 @@ object Queries {
       val S = graft.llm.SketchOps
       val watch = kmvSlicesStaged(s, dir)
       val work = graft.sources.Staging.sessionTempDir("graft_cms_wstream")
-      val statePaths = scala.collection.mutable.ArrayBuffer.empty[String]
+      // in-memory carried state between triggers (localCheckpoint) —
+      // see the kmv window stream
+      val states = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var wm = Long.MinValue
       val schema = s.read.parquet(watch).schema
       val q = s.readStream.schema(schema)
@@ -3794,30 +3881,27 @@ object Queries {
           if (!b.isEmpty) {
             val bc = S.cmsCountersWindowed(b, "term", "ts", win, depth,
               width)
-            val merged = statePaths.lastOption match {
+            val merged = states.lastOption match {
               case None => bc
-              case Some(p) => s.read.parquet(p).filter(!col("closed"))
+              case Some(p) => p.filter(!col("closed"))
                 .drop("closed").unionByName(bc)
                 .groupBy("window_start", "i", "bucket")
                 .agg(sum("cnt").as("cnt"))
             }
             wm = math.max(wm,
               b.agg(max(col("ts").cast("long"))).head().getLong(0))
-            val next = s"$work/state_${statePaths.size + 1}"
-            merged.withColumn("closed",
-                col("window_start") + lit(win) <= lit(wm))
-              .write.parquet(next)
-            statePaths += next
+            states += merged.withColumn("closed",
+              col("window_start") + lit(win) <= lit(wm)).localCheckpoint()
             ()
           }
         }
         .option("checkpointLocation", s"$work/ck")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      require(statePaths.nonEmpty, "cms window stream produced no batches")
-      val counters = statePaths.init
-        .map(p => s.read.parquet(p).filter(col("closed")))
-        .foldLeft(s.read.parquet(statePaths.last))(_ unionByName _)
+      require(states.nonEmpty, "cms window stream produced no batches")
+      val counters = states.init
+        .map(_.filter(col("closed")))
+        .foldLeft(states.last)(_ unionByName _)
         .drop("closed")
       // candidates from the batch side — the verification twin, the
       // q_sketch_cms_stream precedent
@@ -3859,14 +3943,16 @@ object Queries {
       val S = graft.llm.SketchOps
       val watch = kmvSlicesStaged(s, dir)
       val work = graft.sources.Staging.sessionTempDir("graft_kmv_wstream")
-      // per batch, ONE state write carrying a `closed` flag: a window
-      // that closed THIS batch is written here once and filtered out
-      // of the next batch's carried state (its key never reappears —
-      // time-ordered replay), so the emit-once contract holds with
-      // exactly TWO jobs per batch (the watermark scalar + the state
-      // write) instead of the recompute-per-consumer shape
-      // (wm/isEmpty/emit-write/open-write each re-running the merge)
-      val statePaths = scala.collection.mutable.ArrayBuffer.empty[String]
+      // per batch, ONE state materialize carrying a `closed` flag: a
+      // window that closed THIS batch lands here once and is filtered
+      // out of the next batch's carried state (its key never
+      // reappears — time-ordered replay), so the emit-once contract
+      // holds with exactly TWO jobs per batch (the watermark scalar +
+      // the state checkpoint) instead of the recompute-per-consumer
+      // shape (wm/isEmpty/emit-write/open-write each re-running the
+      // merge). State is held in memory between triggers
+      // (localCheckpoint), not round-tripped through parquet.
+      val states = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var wm = Long.MinValue
       val wsOf = substring_index(col("source"), "|", 1).cast("long")
       val schema = s.read.parquet(watch).schema
@@ -3877,30 +3963,27 @@ object Queries {
             val bk = S.kmvKmin(b.withColumn("wsrc",
                 S.windowedKey(col("ts"), win, col("event_type"))),
               "wsrc", "term", k)
-            val merged = statePaths.lastOption match {
+            val merged = states.lastOption match {
               case None => bk
               case Some(p) => S.kmvMerge(
-                s.read.parquet(p).filter(!col("closed")).drop("closed"),
-                bk, k)
+                p.filter(!col("closed")).drop("closed"), bk, k)
             }
             wm = math.max(wm,
               b.agg(max(col("ts").cast("long"))).head().getLong(0))
-            val next = s"$work/state_${statePaths.size + 1}"
-            merged.withColumn("closed", wsOf + lit(win) <= lit(wm))
-              .write.parquet(next)
-            statePaths += next
+            states += merged.withColumn("closed",
+              wsOf + lit(win) <= lit(wm)).localCheckpoint()
             ()
           }
         }
         .option("checkpointLocation", s"$work/ck")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      require(statePaths.nonEmpty, "kmv window stream produced no batches")
-      // every closed window lives in exactly the batch dir where it
-      // closed; the final dir additionally holds the still-open tail
-      val all = statePaths.init
-        .map(p => s.read.parquet(p).filter(col("closed")))
-        .foldLeft(s.read.parquet(statePaths.last))(_ unionByName _)
+      require(states.nonEmpty, "kmv window stream produced no batches")
+      // every closed window lives in exactly the batch state where it
+      // closed; the final state additionally holds the still-open tail
+      val all = states.init
+        .map(_.filter(col("closed")))
+        .foldLeft(states.last)(_ unionByName _)
         .drop("closed")
       S.splitWindowedKey(S.kmvEstimate(all, k))
         .select("window_start", "source", "kth_min_hash", "k_used",
@@ -3965,7 +4048,9 @@ object Queries {
       val S = graft.llm.SketchOps
       val watch = quantileSlicesStaged(s, dir)
       val work = graft.sources.Staging.sessionTempDir("graft_q_wstream")
-      val statePaths = scala.collection.mutable.ArrayBuffer.empty[String]
+      // in-memory carried state between triggers (localCheckpoint) —
+      // see the kmv window stream
+      val states = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var wm = Long.MinValue
       val wsOf = substring_index(col("source"), "|", 1).cast("long")
       val schema = s.read.parquet(watch).schema
@@ -3976,31 +4061,28 @@ object Queries {
             val bs = S.quantileSample(b.withColumn("wsrc",
                 S.windowedKey(col("ts"), win, col("event_type"))),
               "wsrc", "event_id", col("v"), k)
-            val merged = statePaths.lastOption match {
+            val merged = states.lastOption match {
               case None => bs
               case Some(p) => S.quantileMerge(
-                s.read.parquet(p).filter(!col("closed")).drop("closed"),
-                bs, k)
+                p.filter(!col("closed")).drop("closed"), bs, k)
             }
             wm = math.max(wm,
               b.agg(max(col("ts").cast("long"))).head().getLong(0))
-            val next = s"$work/state_${statePaths.size + 1}"
-            merged.withColumn("closed", wsOf + lit(win) <= lit(wm))
-              .write.parquet(next)
-            statePaths += next
+            states += merged.withColumn("closed",
+              wsOf + lit(win) <= lit(wm)).localCheckpoint()
             ()
           }
         }
         .option("checkpointLocation", s"$work/ck")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      require(statePaths.nonEmpty,
+      require(states.nonEmpty,
         "quantile window stream produced no batches")
-      // every closed window lives in exactly the batch dir where it
-      // closed; the final dir additionally holds the still-open tail
-      val all = statePaths.init
-        .map(p => s.read.parquet(p).filter(col("closed")))
-        .foldLeft(s.read.parquet(statePaths.last))(_ unionByName _)
+      // every closed window lives in exactly the batch state where it
+      // closed; the final state additionally holds the still-open tail
+      val all = states.init
+        .map(_.filter(col("closed")))
+        .foldLeft(states.last)(_ unionByName _)
         .drop("closed")
       S.splitWindowedKey(S.quantileEstimate(all, Seq(50, 90)))
         .select("window_start", "source", "sample_n", "q50_est",
@@ -4076,7 +4158,8 @@ object Queries {
   // overhead at this volume, the withSmallShuffle story at the
   // events-corpus scale (the sf1 rehearsal drives the same kernels at
   // 1M rows through the stream twin's own DOP)
-  private val sketchKmvSession: Q = (s, dir) => withSmallShuffle(s) {
+  private val sketchKmvSession: Q = (s, dir) =>
+    withSmallShuffle(s, dir, Seq("events")) {
     val sess = withSessionKey(events(s, dir).select(col("event_id"),
         col("user_id"), col("sec"))
       .withColumn("item", (col("event_id") % 50).cast("string")), 259200L)
@@ -4196,23 +4279,21 @@ object Queries {
   // (the stream never held the distinct sets and emits per-session
   // rows only): gap-close parity between the TWS machinery and the
   // batch window sessionizer is the hash-compared surface.
-  private val sketchKmvSessionStream: Q = (s, dir) => {
+  private val sketchKmvSessionStream: Q = (s, dir) =>
+    sketchKmvSessionStreamWith(s, dir)
+  // partitions = 0 → size-gated (4 at sf0.1, StreamKnobSweep r20:
+  // 3.7-4.3 → 3.2 s); changelog measured neutral at this state size
+  private[graft] def sketchKmvSessionStreamWith(s: SparkSession,
+      dir: String, partitions: Int = 0,
+      changelog: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val TrackKey =
-      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
-    val prev =
-      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val prevTrack = s.conf.getOption(TrackKey)
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    s.conf.set(TrackKey, "false") // measured knob — SCALE_STREAM_r09.md
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    val watch = sessionSlicesStaged(s, dir)
+    withStreamStore(s,
+        if (partitions > 0) partitions else streamPartitionsFor(watch),
+        changelog = changelog) {
       val spark2 = s
       import spark2.implicits._
       val work = graft.sources.Staging.sessionTempDir("graft_kmv_sess")
-      val watch = sessionSlicesStaged(s, dir)
       val stream = s.readStream.schema(s.read.parquet(watch).schema)
         .option("maxFilesPerTrigger", 1).parquet(watch)
         .as[graft.streaming.KmvSessEvent]
@@ -4232,18 +4313,6 @@ object Queries {
             .otherwise(expr(
               "(9223372036854775807 DIV greatest(kth_min_hash, 1)) * 31"))
             .as("kmv_est"))
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      prev match {
-        case Some(p) => s.conf.set(
-          "spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset(
-          "spark.sql.streaming.stateStore.providerClass")
-      }
-      prevTrack match {
-        case Some(t) => s.conf.set(TrackKey, t)
-        case None => s.conf.unset(TrackKey)
-      }
     }
   }
   private val sketchKmvSessionStreamOracle =
@@ -4262,7 +4331,8 @@ object Queries {
   // of the family is cardinality + quantiles. Sessions are defined
   // over the value-carrying events (value IS NOT NULL, mirrored);
   // the exact order statistics ride along as the twin.
-  private val sketchQuantileSession: Q = (s, dir) => withSmallShuffle(s) {
+  private val sketchQuantileSession: Q = (s, dir) =>
+    withSmallShuffle(s, dir, Seq("events")) {
     val S = graft.llm.SketchOps
     val sess = withSessionKey(events(s, dir)
       .filter(col("value").isNotNull)
@@ -4336,7 +4406,8 @@ object Queries {
   // id coming from the g1 gap sessionizer instead of floor
   // arithmetic; state in the stream twin is open_sessions ×
   // ≤ depth·width cells, and closed sessions evict outright.
-  private val sketchCmsSession: Q = (s, dir) => withSmallShuffle(s) {
+  private val sketchCmsSession: Q = (s, dir) =>
+    withSmallShuffle(s, dir, Seq("events")) {
     val S = graft.llm.SketchOps
     val (depth, width) = (4, 1024)
     val sess = withSessionKey(events(s, dir).select(col("event_id"),
@@ -4405,25 +4476,24 @@ object Queries {
   // therefore the oracle — is IDENTICAL to q_sketch_cms_session:
   // stream cells == batch cells cell-for-cell is the hash-compared
   // surface.
-  private val sketchCmsSessionStream: Q = (s, dir) => {
+  private val sketchCmsSessionStream: Q = (s, dir) =>
+    sketchCmsSessionStreamWith(s, dir)
+  // partitions = 0 → size-gated (4 at sf0.1, StreamKnobSweep r20:
+  // 4.9-5.8 → 4.0-4.8 s); changelog measured neutral at this state
+  // size
+  private[graft] def sketchCmsSessionStreamWith(s: SparkSession,
+      dir: String, partitions: Int = 0,
+      changelog: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val TrackKey =
-      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
-    val prev =
-      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val prevTrack = s.conf.getOption(TrackKey)
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    s.conf.set(TrackKey, "false") // measured knob — SCALE_STREAM_r09.md
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    val watch = sessionSlicesStaged(s, dir)
+    withStreamStore(s,
+        if (partitions > 0) partitions else streamPartitionsFor(watch),
+        changelog = changelog) {
       val spark2 = s
       import spark2.implicits._
       val S = graft.llm.SketchOps
       val (depth, width) = (4, 1024)
       val work = graft.sources.Staging.sessionTempDir("graft_cms_sess")
-      val watch = sessionSlicesStaged(s, dir)
       val stream = s.readStream.schema(s.read.parquet(watch).schema)
         .option("maxFilesPerTrigger", 1).parquet(watch)
         .as[graft.streaming.KmvSessEvent]
@@ -4448,18 +4518,6 @@ object Queries {
       S.cmsProbeKeyed(counters,
         S.cmsTopCandidatesKeyed(sessBatch, "src", "item", 3),
         depth, width)
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      prev match {
-        case Some(p) => s.conf.set(
-          "spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset(
-          "spark.sql.streaming.stateStore.providerClass")
-      }
-      prevTrack match {
-        case Some(t) => s.conf.set(TrackKey, t)
-        case None => s.conf.unset(TrackKey)
-      }
     }
   }
 
@@ -4487,23 +4545,21 @@ object Queries {
       val (depth, width, topK) = (4, 1024, 20)
       val watch = kmvSlicesStaged(s, dir)
       val work = graft.sources.Staging.sessionTempDir("graft_cms_stream")
-      var statePath: Option[String] = None
-      var idx = 0
+      // counter-sized carried state held in memory between triggers
+      // (localCheckpoint) instead of a parquet write+re-read per batch
+      var state: Option[DataFrame] = None
       val schema = s.read.parquet(watch).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(watch)
         .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
           if (!b.isEmpty) {
             val bc = graft.llm.SketchOps.cmsCounters(b, "term", depth, width)
-            val merged = statePath match {
+            val merged = state match {
               case None => bc
               case Some(p) =>
-                graft.llm.SketchOps.cmsMerge(s.read.parquet(p), bc)
+                graft.llm.SketchOps.cmsMerge(p, bc)
             }
-            val next = s"$work/state_${idx + 1}"
-            merged.write.parquet(next)
-            statePath = Some(next)
-            idx += 1
+            state = Some(merged.localCheckpoint())
           }
         }
         .option("checkpointLocation", s"$work/ck")
@@ -4513,8 +4569,8 @@ object Queries {
         events(s, dir).select(col("user_id").cast("string").as("term")),
         "term", topK)
       graft.llm.SketchOps.cmsProbe(
-        s.read.parquet(statePath.getOrElse(
-          sys.error("cms stream produced no batches"))),
+        state.getOrElse(
+          sys.error("cms stream produced no batches")),
         candidates, depth, width)
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -6211,7 +6267,8 @@ object Queries {
   // (the bench fp set, the per-doc hit counts, the final left join) —
   // the explode + broadcast semi-join itself is map-only, so 32-way
   // exchanges were the whole gap to the DuckDB stick (r17 VERDICT #2)
-  private val llmDecontaminate: Q = (s, dir) => withSmallShuffle(s) {
+  private val llmDecontaminate: Q = (s, dir) =>
+    withSmallShuffle(s, dir, Seq("documents")) {
     graft.llm.PipelineOps.decontaminate(
       docsT(s, dir), "doc_id", "text", col("doc_id") % 50 === 0)
   }
@@ -6387,7 +6444,8 @@ object Queries {
   // ordering, hash-exact across engines (the oracle runs the SAME 16
   // square-and-carry steps as unrolled CTEs over the distinct count
   // values, which are vocabulary-sized).
-  private val llmPerplexity: Q = (s, dir) => withSmallShuffle(s) {
+  private val llmPerplexity: Q = (s, dir) =>
+    withSmallShuffle(s, dir, Seq("documents")) {
     graft.llm.PipelineOps.lmPerplexity(
       docsT(s, dir), "doc_id", "text", col("doc_id") % 50 === 0)
   }
@@ -6557,7 +6615,8 @@ object Queries {
   // withSmallShuffle: the merged signatures are one row per source and
   // the pair frame is source² — everything past the map-only doc
   // signature pass is catalog-sized (r17 VERDICT #2 boundary entry)
-  private val llmSourceOverlap: Q = (s, dir) => withSmallShuffle(s) {
+  private val llmSourceOverlap: Q = (s, dir) =>
+    withSmallShuffle(s, dir, Seq("documents")) {
     graft.llm.DedupOps.sourceSimilarityMatrix(docsT(s, dir), "doc_id", "text", "source")
   }
   private val llmSourceOverlapOracle = {
@@ -7122,7 +7181,8 @@ object Queries {
   // withSmallShuffle + coalesce(4): same counter-sized-frame rationale
   // as the IVF-PQ family (see annIvfPqTopk) — the PQ passes are map
   // stages over the 2000-row demo corpus
-  private val annPqTopk: Q = (s, dir) => withSmallShuffle(s) {
+  private val annPqTopk: Q = (s, dir) =>
+    withSmallShuffle(s, dir, Seq("embeddings")) {
     val emb = embT(s, dir).coalesce(4)
     graft.llm.SimilarityOps.pqTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
@@ -7230,7 +7290,8 @@ object Queries {
   // (ScratchMain r17: 0.84-0.93 s -> 0.63-0.70 s). At scale the map
   // DOP tracks bytes (maxPartitionBytes); the constant is this demo
   // corpus's counter-sized choice, same rationale as withSmallShuffle.
-  private val annIvfPqTopk: Q = (s, dir) => withSmallShuffle(s) {
+  private val annIvfPqTopk: Q = (s, dir) =>
+    withSmallShuffle(s, dir, Seq("embeddings")) {
     val emb = embT(s, dir).coalesce(4)
     graft.llm.SimilarityOps.ivfPqTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
@@ -7293,7 +7354,8 @@ object Queries {
 
   // IVF-PQ + exact re-rank (FAISS refine): top-32 by compressed ADC,
   // re-scored pair-by-pair with the exact quantized cosine.
-  private val annIvfPqRerank: Q = (s, dir) => withSmallShuffle(s) {
+  private val annIvfPqRerank: Q = (s, dir) =>
+    withSmallShuffle(s, dir, Seq("embeddings")) {
     val emb = embT(s, dir).coalesce(4) // see annIvfPqTopk
     graft.llm.SimilarityOps.ivfPqRerankTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
@@ -7327,7 +7389,8 @@ object Queries {
     }
     path
   }
-  private val annIvfPqServe: Q = (s, dir) => withSmallShuffle(s) {
+  private val annIvfPqServe: Q = (s, dir) =>
+    withSmallShuffle(s, dir, Seq("embeddings")) {
     val ix = graft.llm.SimilarityOps.loadPqIndex(s, pqIndexStaged(s, dir))
     graft.llm.SimilarityOps.ivfPqServeTopK(ix,
       embT(s, dir).coalesce(4).filter(col("vec_id") < 20),
@@ -7353,7 +7416,8 @@ object Queries {
   // ADC tables are built per probed cell from (q − that centroid):
   // the FAISS-standard encoding. Same integer domain end-to-end, so
   // membership AND ranking hash-compare.
-  private val annIvfPqResidual: Q = (s, dir) => withSmallShuffle(s) {
+  private val annIvfPqResidual: Q = (s, dir) =>
+    withSmallShuffle(s, dir, Seq("embeddings")) {
     val emb = embT(s, dir).coalesce(4) // see annIvfPqTopk
     graft.llm.SimilarityOps.ivfPqTopK(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5,
@@ -7491,7 +7555,8 @@ object Queries {
     }
     path
   }
-  private val annPqIndexUpdate: Q = (s, dir) => withSmallShuffle(s) {
+  private val annPqIndexUpdate: Q = (s, dir) =>
+    withSmallShuffle(s, dir, Seq("embeddings")) {
     val ix = graft.llm.SimilarityOps.loadPqIndex(s,
       pqUpdatedIndexStaged(s, dir))
     graft.llm.SimilarityOps.ivfPqServeTopK(ix,
@@ -7549,7 +7614,8 @@ object Queries {
     }
     path
   }
-  private val annPqIndexRebuild: Q = (s, dir) => withSmallShuffle(s) {
+  private val annPqIndexRebuild: Q = (s, dir) =>
+    withSmallShuffle(s, dir, Seq("embeddings")) {
     val So = graft.llm.SimilarityOps
     // BOTH regimes' drift logs in ONE read (each holds exactly one
     // update row): two separate head()s were two parquet-read jobs
@@ -7700,7 +7766,8 @@ object Queries {
   //   selective: neighbor_id % 200 = 0 (0.5%) — the rung where the
   //              ungated path collapsed; the gate serves it EXACTLY
   //              from the refine store at every SF
-  private val annIvfPqFilteredServe: Q = (s, dir) => withSmallShuffle(s) {
+  private val annIvfPqFilteredServe: Q = (s, dir) =>
+    withSmallShuffle(s, dir, Seq("embeddings")) {
     val So = graft.llm.SimilarityOps
     val ix = So.loadPqIndex(s, pqIndexStaged(s, dir))
     val queries = embT(s, dir).coalesce(4).filter(col("vec_id") < 20)
