@@ -258,7 +258,7 @@ object Queries {
       _ => graft.operators.Scale.planTable(
         graft.llm.SketchOps.loadTableStats(s, s"$root/$name"), name, keys))
   /** Pre-warm several staged artifacts' PlanTables in ONE union read
-    * (two collect jobs total instead of two per artifact): the
+    * (ONE collect job total instead of two per artifact): the
     * artifacts under one root profile disjoint column sets, so the
     * unioned cols/counters frames slice back per table exactly
     * ([[graft.operators.Scale.planTablesFromStats]]). A first-touch
@@ -1850,7 +1850,7 @@ object Queries {
     // sub-histograms have disjoint colnames, so their union feeds a
     // single tableStatsFromHist whose per-colname aggregates are the
     // two independent derivations, and planTablesFromStats slices the
-    // result in two collects (the per-dim planTable form paid four
+    // result in one collect (the per-dim planTable form paid four
     // collects, each re-running the whole finalize chain)
     val hist = s.read.parquet(s"${ordersHistStaged(s, dir)}/hist")
     def filteredRenamed(colKey: String, m: Int) =
@@ -2020,7 +2020,7 @@ object Queries {
       warmPlanTables(s, root, Seq(
         ("orders", Seq("o_orderkey", "o_custkey")),
         ("lineitem", Seq("l_orderkey"))))
-      // finalize the folded artifact into a PlanTable in TWO collects
+      // finalize the folded artifact into a PlanTable in ONE collect
       // (planTablesFromStats); the batch/orders sides come from the
       // shared PlanTable cache over the immutable staged artifacts —
       // the old per-column keyStats + per-frame counter collects paid
@@ -2176,7 +2176,7 @@ object Queries {
             // the always-on planner RE-PLANS from the carried state
             // after every fold — order AND per-step strategy; both
             // sides' PlanTables slice out of ONE finalized artifact
-            // in two collects (planTablesFromStats), not one job per
+            // in one collect (planTablesFromStats), not one job per
             // column per side
             val pts = Sc.planTablesFromStats(
               S.tableStatsFromHist(merged),

@@ -83,10 +83,26 @@ object SketchOps {
       .select(col(groupCol).as("source"), mixed63(col(termCol)).as("h"))
       .distinct()
 
-  private def kminOfHashed(hashed: DataFrame, k: Int): DataFrame =
-    hashed.withColumn("rn", row_number().over(
+  /** Per-group k smallest hashes, as a SALTED TWO-PHASE rank (the
+    * [[profileSample]] shape, r20): the one-window form funneled each
+    * group's full sort onto ONE reducer — a serial n-row sort per
+    * column on every stats finalize (which a streaming re-planner
+    * pays per micro-batch). Phase 1 ranks within (source, h mod 64) —
+    * 64 parallel sorts; every input is distinct (source, h) by
+    * construction (hashFrame/kmvMerge/tableStatsFromHist all dedup),
+    * and a row in the global bottom-k is in its salt group's bottom-k
+    * a fortiori, so phase 2's rank over the ≤ 64·k survivors returns
+    * the IDENTICAL row set. */
+  private def kminOfHashed(hashed: DataFrame, k: Int): DataFrame = {
+    val phase1 = hashed
+      .withColumn("_salt", pmod(col("h"), lit(64L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source", "_salt").orderBy("h")))
+      .filter(col("rn") <= k).drop("rn", "_salt")
+    phase1.withColumn("rn", row_number().over(
         Window.partitionBy("source").orderBy("h")))
       .filter(col("rn") <= k).drop("rn")
+  }
 
   /** Per-group k-minimum-hash SKETCH frame — ≤ k rows per group, the
     * bounded state a stream carries between batches. */

@@ -370,30 +370,38 @@ object Scale {
     planTablesFromStats(ts, Seq((name, keys))).head
 
   /** Build PlanTables for several (name, keys) slices of ONE stats
-    * artifact in exactly TWO jobs: the cols frame and the counter
-    * frame are each collected ONCE (both catalog-sized) and sliced
-    * driver-side. The per-column filter-and-collect form paid one
-    * fixed job floor per key — and when the artifact is an
+    * artifact in exactly ONE job: the cols frame and the counter
+    * frame (both catalog-sized) are tagged, unioned and collected
+    * TOGETHER, then sliced driver-side. The per-column
+    * filter-and-collect form paid one fixed job floor per key, and
+    * the r19 two-collect form still paid two floors per re-plan —
+    * which a streaming re-planner pays PER MICRO-BATCH over an
     * unmaterialized [[graft.llm.SketchOps.tableStatsFromHist]] chain
-    * (a streaming re-planner's fold state, a derived filtered dim),
-    * each of those collects re-ran the whole multi-aggregate
-    * assembly. Values are identical to the per-column form: the
-    * collect is the same frame, only sliced after the fact. */
+    * (the fold state), re-running the whole multi-aggregate assembly
+    * each time. Values are identical to the per-column form: the
+    * collect is the same two frames, only unioned and sliced after
+    * the fact. */
   def planTablesFromStats(ts: graft.llm.SketchOps.TableStats,
       specs: Seq[(String, Seq[String])]): Seq[PlanTable] = {
-    val statsBy = ts.cols.select(col("colname"), col("n_rows"),
-        col("null_cnt"), col("n_distinct"), col("hot_cnt"),
-        col("hot_bound"), col("kmv_est"))
-      .collect().map { r =>
-        def g(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
-        r.getString(0) -> KeyStats(g(1), g(2), g(3), g(4), g(5), g(6))
-      }.toMap
-    val countersBy = ts.counters
-      .select(col("colname"), col("i").cast("int"), col("bucket"),
-        col("cnt"))
-      .collect().groupBy(_.getString(0)).map { case (cn, rows) =>
-        cn -> rows.map(r =>
-          ((r.getInt(1), r.getLong(2)), r.getLong(3))).toMap
+    val colsTagged = ts.cols.select(lit(0).as("kind"), col("colname"),
+      col("n_rows").as("v1"), col("null_cnt").as("v2"),
+      col("n_distinct").as("v3"), col("hot_cnt").as("v4"),
+      col("hot_bound").as("v5"), col("kmv_est").as("v6"))
+    val ctrTagged = ts.counters.select(lit(1).as("kind"), col("colname"),
+      col("i").cast("long").as("v1"), col("bucket").as("v2"),
+      col("cnt").as("v3"), lit(0L).as("v4"), lit(0L).as("v5"),
+      lit(0L).as("v6"))
+    val rows = colsTagged.unionByName(ctrTagged).collect()
+    def g(r: org.apache.spark.sql.Row, i: Int) =
+      if (r.isNullAt(i)) 0L else r.getLong(i)
+    val statsBy = rows.filter(_.getInt(0) == 0).map { r =>
+      r.getString(1) -> KeyStats(g(r, 2), g(r, 3), g(r, 4), g(r, 5),
+        g(r, 6), g(r, 7))
+    }.toMap
+    val countersBy = rows.filter(_.getInt(0) == 1)
+      .groupBy(_.getString(1)).map { case (cn, rs) =>
+        cn -> rs.map(r =>
+          ((r.getLong(2).toInt, r.getLong(3)), r.getLong(4))).toMap
       }
     specs.map { case (name, keys) =>
       keys.foreach(k => require(statsBy.contains(k),
