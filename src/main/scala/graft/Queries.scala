@@ -61,13 +61,17 @@ object Queries {
   /** Total staged bytes of `dir`-resident parquet tables — the
     * size-gate input for [[withSmallShuffle]]. A table is either a
     * single file or a directory of part files. */
-  private def tableBytes(dir: String, tables: Seq[String]): Long =
+  private[graft] def tableBytes(dir: String, tables: Seq[String]): Long =
     tables.map { n =>
       val f = new java.io.File(s"$dir/$n.parquet")
       if (f.isFile) f.length()
       else Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
         .getOrElse(0L)
     }.sum
+
+  /** The [[withSmallShuffle]] pin threshold, exposed for the gate
+    * probe (GateProbe) and the scale rehearsal. */
+  private[graft] val SmallShuffleMaxBytes: Long = 32L << 20
 
   /** SIZE-GATED (r19 VERDICT #3) small-shuffle scope: the pin only
     * engages while the entry's driving input is genuinely small —
@@ -99,8 +103,11 @@ object Queries {
 
   private def withSmallShuffle(s: SparkSession, dir: String,
       tables: Seq[String], n: Int = 8)(mk: => DataFrame): DataFrame = {
-    if (tableBytes(dir, tables) >= (32L << 20))
+    if (tableBytes(dir, tables) >= SmallShuffleMaxBytes) {
+      System.err.println(s"[small-shuffle] ${tables.mkString(",")} @ $dir " +
+        "above the pin threshold -> session DOP + AQE")
       return checkpointWithDump(mk)
+    }
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -140,10 +147,13 @@ object Queries {
   private[graft] def streamPartitionsFor(watch: String): Int = {
     val bytes = Option(new java.io.File(watch).listFiles())
       .map(_.filter(_.isFile).map(_.length()).sum).getOrElse(0L)
-    if (bytes < (24L << 20)) 4
+    val p = if (bytes < (24L << 20)) 4
     else if (bytes < (96L << 20)) 8
     else if (bytes < (480L << 20)) 16
     else 32
+    System.err.println(
+      s"[stream-gate] $watch: ${bytes >> 20} MiB -> $p state partitions")
+    p
   }
 
   private[graft] def withStreamStore[T](s: SparkSession, partitions: Int,
