@@ -997,10 +997,38 @@ object SketchOps {
     val hotBound = counters.groupBy("colname", "i")
       .agg(max("cnt").as("rowmax"))
       .groupBy("colname").agg(min("rowmax").as("hot_bound"))
-    val cols = base
-      .join(hot, Seq("colname"), "left")
-      .join(kmv, Seq("colname"), "left")
-      .join(hotBound, Seq("colname"), "left")
+    // assemble by UNION + one per-column fold instead of left joins
+    // (the profileFromState r17 pattern): every branch is ≤ |columns|
+    // rows with metric columns produced by exactly ONE branch, so
+    // max() picks the single non-null per (colname, metric) and the
+    // result is identical to the joins — which the static planner
+    // (no size estimates for aggregate subtrees, AQE off inside the
+    // small-shuffle scopes) planned as three sort-merge joins, two
+    // exchanges + sorts EACH, over 3-row frames. A streaming
+    // re-planner pays this assembly per micro-batch. Branch colnames
+    // all derive from the same hist and hot/kmv/hotBound group only
+    // term-non-null rows ⊆ base's colnames, so the folded row set
+    // equals base's (the left side of the old joins).
+    val metricCols = Seq(
+      "n_rows" -> "long", "null_cnt" -> "long", "n_distinct" -> "long",
+      "hot_term" -> "string", "hot_cnt" -> "long", "hot_bound" -> "long",
+      "kth_min_hash" -> "long", "k_used" -> "long", "kmv_est" -> "long")
+    def pad(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(col("colname") +: metricCols.map { case (n, t) =>
+        (if (have(n)) col(n).cast(t) else lit(null).cast(t)).as(n)
+      }: _*)
+    }
+    val cols = pad(base)
+      .unionByName(pad(hot))
+      .unionByName(pad(kmv))
+      .unionByName(pad(hotBound))
+      .groupBy("colname")
+      .agg(max("n_rows").as("n_rows"), max("null_cnt").as("null_cnt"),
+        max("n_distinct").as("n_distinct"), max("hot_term").as("hot_term"),
+        max("hot_cnt").as("hot_cnt"), max("hot_bound").as("hot_bound"),
+        max("kth_min_hash").as("kth_min_hash"), max("k_used").as("k_used"),
+        max("kmv_est").as("kmv_est"))
       .select(col("colname"), col("n_rows"), col("null_cnt"),
         col("n_distinct"), col("hot_term"), col("hot_cnt"),
         col("hot_bound"), col("kth_min_hash"), col("k_used"),
