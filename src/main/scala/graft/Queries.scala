@@ -811,7 +811,8 @@ object Queries {
   // checkpointing measured neutral at this state size (its win is
   // large-state maintenance) — left at the session default
   private[graft] def asofStreamWith(s: SparkSession, dir: String,
-      partitions: Int = 0, changelog: Boolean = false): DataFrame = {
+      partitions: Int = 0, changelog: Boolean = false,
+      filesPerTrigger: Int = 2): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val watch = asofSlicesDir(s, dir)
     withStreamStore(s,
@@ -820,8 +821,16 @@ object Queries {
       val spark2 = s
       import spark2.implicits._
       val work = graft.sources.Staging.sessionTempDir("graft_stream_asof")
+      // 2 files/trigger groups the 5 replay files [s0,s1][s2,sent1]
+      // [sent2] (r20, the interval joins' precedent): every semantic
+      // the stream proves survives — cross-batch matching (batch-2
+      // probes hit batch-1 states), a mid-stream watermark advance,
+      // and a batch after the advance for the timers to fire in
+      // (sent1's advance is visible in sent2's batch) — at 3 trigger
+      // floors instead of 5. Paired sweep at sf0.1: 8.0-10.5 →
+      // 5.0-5.9 s (same session; rows/hashes identical).
       val stream = s.readStream.schema(s.read.parquet(watch).schema)
-        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .option("maxFilesPerTrigger", filesPerTrigger).parquet(watch)
         .as[graft.streaming.AsofInput]
       val q = graft.streaming.TwsAsof.asofKeyed(stream).toDF()
         .writeStream.format("parquet")
@@ -3242,9 +3251,15 @@ object Queries {
   private val streamNearDup: Q = (s, dir) => streamNearDupWith(s, dir)
   // partitions = 0 → size-gated (4 at sf0.1, StreamKnobSweep r20:
   // 3.2-3.5 → 2.7-2.8 s); changelog measured neutral at this state
-  // size — left at the session default
+  // size — left at the session default. 2 files/trigger pairs the 4
+  // hash slices into 2 micro-batches: pairs are STILL caught against
+  // prior-batch state (batch 2 probes batch 1's stored bands — the
+  // property the slicing proves), at 2 trigger floors instead of 4
+  // (paired sweep: 5.1-11.2 → 2.8-6.5 s across two sessions, rows
+  // identical).
   private[graft] def streamNearDupWith(s: SparkSession, dir: String,
-      partitions: Int = 0, changelog: Boolean = false): DataFrame = {
+      partitions: Int = 0, changelog: Boolean = false,
+      filesPerTrigger: Int = 2): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     // 4 hash slices → 4 micro-batches: pairs must be caught against
     // PRIOR-batch state, not just within a batch. Staged ONCE per
@@ -3267,7 +3282,7 @@ object Queries {
         changelog = changelog) {
       val work = graft.sources.Staging.sessionTempDir("graft_stream_nd")
       val stream = s.readStream.schema(s.read.parquet(in).schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
+        .option("maxFilesPerTrigger", filesPerTrigger).parquet(in)
       val q = graft.streaming.TwsNearDup
         .nearDupPairsStream(stream, "doc_id", "text", capPerBucket = Int.MaxValue)
         .toDF()
@@ -4295,7 +4310,7 @@ object Queries {
   // 3.7-4.3 → 3.2 s); changelog measured neutral at this state size
   private[graft] def sketchKmvSessionStreamWith(s: SparkSession,
       dir: String, partitions: Int = 0,
-      changelog: Boolean = false): DataFrame = {
+      changelog: Boolean = false, filesPerTrigger: Int = 2): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val watch = sessionSlicesStaged(s, dir)
     withStreamStore(s,
@@ -4304,8 +4319,12 @@ object Queries {
       val spark2 = s
       import spark2.implicits._
       val work = graft.sources.Staging.sessionTempDir("graft_kmv_sess")
+      // 2 files/trigger: [s0,s1][s2,sent1][sent2] — sessions spanning
+      // batch boundaries, inline closes, the watermark advance and
+      // the timer-fire batch all survive at 3 trigger floors instead
+      // of 5 (see asofStreamWith)
       val stream = s.readStream.schema(s.read.parquet(watch).schema)
-        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .option("maxFilesPerTrigger", filesPerTrigger).parquet(watch)
         .as[graft.streaming.KmvSessEvent]
       val q = graft.streaming.TwsKmvSession
         .sessionSketch(stream, 259200L, 32).toDF()
@@ -4493,7 +4512,7 @@ object Queries {
   // size
   private[graft] def sketchCmsSessionStreamWith(s: SparkSession,
       dir: String, partitions: Int = 0,
-      changelog: Boolean = false): DataFrame = {
+      changelog: Boolean = false, filesPerTrigger: Int = 2): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val watch = sessionSlicesStaged(s, dir)
     withStreamStore(s,
@@ -4504,8 +4523,9 @@ object Queries {
       val S = graft.llm.SketchOps
       val (depth, width) = (4, 1024)
       val work = graft.sources.Staging.sessionTempDir("graft_cms_sess")
+      // 2 files/trigger — see sketchKmvSessionStreamWith
       val stream = s.readStream.schema(s.read.parquet(watch).schema)
-        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .option("maxFilesPerTrigger", filesPerTrigger).parquet(watch)
         .as[graft.streaming.KmvSessEvent]
       val q = graft.streaming.TwsCmsSession
         .sessionCounters(stream, 259200L, depth, width).toDF()
@@ -8073,9 +8093,18 @@ object Queries {
   // spanning batch boundaries, mid-stream watermark advance, sentinel
   // close-out: 5 micro-batches total) at 5 floor units instead of 10;
   // StreamRehearsal still drives 20-slice replays for load rehearsal.
+  // filesPerTrigger = 2 (r20, VERDICT r19 #5): groups the 5 replay
+  // files [s0,s1][s2,sent1][sent2] — everything the stream proves
+  // survives (sessions span the s1|s2 batch boundary, the watermark
+  // advances mid-stream between batches, sent1's advance is visible
+  // in sent2's batch so the timers still get their firing batch) at
+  // 3 trigger floors instead of 5. Paired sweep: 18.4-22.5 →
+  // 16.3-17.5 s under contention, ~1 s on the idle box; rows/hashes
+  // identical at every SF gate.
   private val etlStreamTransactions: Q = (s, dir) =>
     etlStreamTransactionsWith(s, dir, partitions = 0, nSlices = 3,
-      rocksdb = true, changelog = true, trackRows = false)
+      rocksdb = true, changelog = true, trackRows = false,
+      filesPerTrigger = 2)
 
   /** The streaming flagship body with the state-store knobs exposed so
     * StreamStoreSweep can measure provider/partition combinations
@@ -8084,6 +8113,7 @@ object Queries {
   private[graft] def etlStreamTransactionsWith(s: SparkSession, dir: String,
       partitions: Int, nSlices: Int, rocksdb: Boolean,
       changelog: Boolean, trackRows: Boolean = true,
+      filesPerTrigger: Int = 1,
       onQuery: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
@@ -8171,7 +8201,7 @@ object Queries {
         }
       s.conf.set("spark.sql.shuffle.partitions", chosenParts.toString)
       val stream = s.readStream.schema(s.read.parquet(watch).schema)
-        .option("maxFilesPerTrigger", 1).parquet(watch)
+        .option("maxFilesPerTrigger", filesPerTrigger).parquet(watch)
         .as[graft.model.TraceRow]
       val q = graft.streaming.StreamingEtl.sessionCommit(stream, gapSeconds = 1L)
         .toDF()

@@ -59,6 +59,15 @@ object StreamKnobSweep {
       "p8" -> (() => Queries.asofStreamWith(spark, sfDir, partitions = 8, changelog = false)),
       "p4" -> (() => Queries.asofStreamWith(spark, sfDir, partitions = 4, changelog = false)),
       "p4_cl" -> (() => Queries.asofStreamWith(spark, sfDir, partitions = 4, changelog = true))))
+    sweep("asof_mfpt", Seq(
+      "p4_f1" -> (() => Queries.asofStreamWith(spark, sfDir, partitions = 4, filesPerTrigger = 1)),
+      "p4_f2" -> (() => Queries.asofStreamWith(spark, sfDir, partitions = 4, filesPerTrigger = 2))))
+    sweep("kmv_sess_mfpt", Seq(
+      "p4_f1" -> (() => Queries.sketchKmvSessionStreamWith(spark, sfDir, partitions = 4, filesPerTrigger = 1)),
+      "p4_f2" -> (() => Queries.sketchKmvSessionStreamWith(spark, sfDir, partitions = 4, filesPerTrigger = 2))))
+    sweep("cms_sess_mfpt", Seq(
+      "p4_f1" -> (() => Queries.sketchCmsSessionStreamWith(spark, sfDir, partitions = 4, filesPerTrigger = 1)),
+      "p4_f2" -> (() => Queries.sketchCmsSessionStreamWith(spark, sfDir, partitions = 4, filesPerTrigger = 2))))
     sweep("neardup", Seq(
       "p8" -> (() => Queries.streamNearDupWith(spark, sfDir, partitions = 8, changelog = false)),
       "p4" -> (() => Queries.streamNearDupWith(spark, sfDir, partitions = 4, changelog = false)),
@@ -71,6 +80,14 @@ object StreamKnobSweep {
       "p8" -> (() => Queries.sketchCmsSessionStreamWith(spark, sfDir, partitions = 8, changelog = false)),
       "p4" -> (() => Queries.sketchCmsSessionStreamWith(spark, sfDir, partitions = 4, changelog = false)),
       "p4_cl" -> (() => Queries.sketchCmsSessionStreamWith(spark, sfDir, partitions = 4, changelog = true))))
+    sweep("nd_mfpt", Seq(
+      "p4_f1" -> (() => Queries.streamNearDupWith(spark, sfDir, partitions = 4, filesPerTrigger = 1)),
+      "p4_f2" -> (() => Queries.streamNearDupWith(spark, sfDir, partitions = 4, filesPerTrigger = 2))))
+    sweep("etl_mfpt", Seq(
+      "p8_f1" -> (() => Queries.etlStreamTransactionsWith(spark, sfDir,
+        partitions = 8, nSlices = 3, rocksdb = true, changelog = true, trackRows = false, filesPerTrigger = 1)),
+      "p8_f2" -> (() => Queries.etlStreamTransactionsWith(spark, sfDir,
+        partitions = 8, nSlices = 3, rocksdb = true, changelog = true, trackRows = false, filesPerTrigger = 2))))
     sweep("etl", Seq(
       "p8_cl" -> (() => Queries.etlStreamTransactionsWith(spark, sfDir,
         partitions = 8, nSlices = 3, rocksdb = true, changelog = true, trackRows = false)),
