@@ -83,23 +83,29 @@ object SketchOps {
       .select(col(groupCol).as("source"), mixed63(col(termCol)).as("h"))
       .distinct()
 
-  /** Per-group k smallest hashes, as a SALTED TWO-PHASE rank (the
-    * [[profileSample]] shape, r20): the one-window form funneled each
-    * group's full sort onto ONE reducer — a serial n-row sort per
-    * column on every stats finalize (which a streaming re-planner
-    * pays per micro-batch). Phase 1 ranks within (source, h mod 64) —
-    * 64 parallel sorts; every input is distinct (source, h) by
-    * construction (hashFrame/kmvMerge/tableStatsFromHist all dedup),
-    * and a row in the global bottom-k is in its salt group's bottom-k
-    * a fortiori, so phase 2's rank over the ≤ 64·k survivors returns
-    * the IDENTICAL row set. */
-  private def kminOfHashed(hashed: DataFrame, k: Int): DataFrame = {
-    val phase1 = hashed
-      .withColumn("_salt", pmod(col("h"), lit(64L)))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("source", "_salt").orderBy("h")))
-      .filter(col("rn") <= k).drop("rn", "_salt")
-    phase1.withColumn("rn", row_number().over(
+  /** Per-group k smallest hashes. `salted = true` runs the
+    * [[profileSample]]-style TWO-PHASE rank (r20): phase 1 ranks
+    * within (source, h mod 64) — 64 parallel partial sorts — and
+    * phase 2 ranks the ≤ 64·k survivors; every input is distinct
+    * (source, h) by construction (hashFrame/kmvMerge/
+    * tableStatsFromHist all dedup), and a row in the global bottom-k
+    * is in its salt group's bottom-k a fortiori, so the selected row
+    * set is IDENTICAL to the one-window form. The salted form wins
+    * where the per-group input is cardinality-sized and the rank
+    * would otherwise serialize one n-row sort per column — the stats
+    * finalize, which a streaming re-planner pays per micro-batch.
+    * The sketch kernels (k-min folds over ≤ k·batches rows) keep the
+    * single window: their inputs are sketch-sized and the extra
+    * phase is a pure stage floor (measured +0.2-0.3 s on the batch
+    * kmv entries, r20 bench). */
+  private def kminOfHashed(hashed: DataFrame, k: Int,
+      salted: Boolean = false): DataFrame = {
+    val pre = if (!salted) hashed else
+      hashed.withColumn("_salt", pmod(col("h"), lit(64L)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source", "_salt").orderBy("h")))
+        .filter(col("rn") <= k).drop("rn", "_salt")
+    pre.withColumn("rn", row_number().over(
         Window.partitionBy("source").orderBy("h")))
       .filter(col("rn") <= k).drop("rn")
   }
@@ -989,7 +995,8 @@ object SketchOps {
       .select(col("colname"), col("term").as("hot_term"),
         col("cnt").as("hot_cnt"))
     val kmv = kmvEstimate(kminOfHashed(
-        nn.select(col("colname").as("source"), col("h")).distinct(), k), k)
+        nn.select(col("colname").as("source"), col("h")).distinct(), k,
+        salted = true), k)
       .filter(col("source") =!= "__merged__")
       .select(col("source").as("colname"), col("kth_min_hash"),
         col("k_used"), col("kmv_est"))
